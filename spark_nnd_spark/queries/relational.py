@@ -1,0 +1,188 @@
+"""Declared correctness queries Q1-Q10 (SURVEY.md §2.4).
+
+Each isolates one dataflow primitive the reference algorithm is composed
+of (SURVEY.md §2.2) as an idiomatic DataFrame program, paired with the
+ANSI-SQL oracle DuckDB runs on the same parquet. Column names are
+aliased identically on both sides (the driver's compare is hash-based
+after sorting columns by name).
+
+Every query reads only the columns it needs (column pruning reaches the
+parquet scan) and expresses filters declaratively (predicate pushdown).
+Joins against the small dimension tables are left to Catalyst's
+broadcast selection — nation/region/customer are far below the
+autoBroadcastJoinThreshold at every SF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_nnd_spark.sources import load_table
+
+
+def q1_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + project (A2): pushed-down predicate, pruned columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q2_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy count (A3): partial+final hash aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(F.count("*").alias("c")).orderBy("l_returnflag")
+
+
+def q3_reduce_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reduceByKey-style associative aggregation (A7)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"), F.max("l_extendedprice").alias("m"))
+        .orderBy("l_orderkey")
+    )
+
+
+def q4_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-K window (A7/A11): the engine's core primitive."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def q5_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer equi-join (A14: result join-back)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .select("c_custkey", "o_orderkey")
+        .orderBy(F.col("c_custkey"), F.col("o_orderkey").asc_nulls_first())
+    )
+
+
+def q6_inner_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join + aggregation; nation broadcasts."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("c"))
+        .orderBy("n_name")
+    )
+
+
+def q7_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (A6/A7 in-group dedup, globalized). Note: the corpus
+    lineitem has no l_shipmode column; l_linestatus plays its role."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_linestatus").distinct().orderBy("l_linestatus")
+
+
+def q8_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union + dedup (A10 adjacency assembly shape)."""
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    return s.union(c).distinct().orderBy("k")
+
+
+def q9_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expand → regroup with HAVING (A8 reverse-edge derivation shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .orderBy("o_custkey")
+    )
+
+
+def q10_dedup_preference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-with-preference (A11 B-preferred candidate dedup)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select("c_nationkey", "c_custkey", "c_acctbal")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .orderBy("c_nationkey")
+    )
+
+
+RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_filter_project": q1_filter_project,
+    "q2_group_count": q2_group_count,
+    "q3_reduce_agg": q3_reduce_agg,
+    "q4_group_topk": q4_group_topk,
+    "q5_left_join": q5_left_join,
+    "q6_inner_join_agg": q6_inner_join_agg,
+    "q7_distinct": q7_distinct,
+    "q8_union_dedup": q8_union_dedup,
+    "q9_regroup": q9_regroup,
+    "q10_dedup_preference": q10_dedup_preference,
+}
+
+RELATIONAL_ORACLES: dict[str, str] = {
+    "q1_filter_project": """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem WHERE l_quantity > 30
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    "q2_group_count": """
+        SELECT l_returnflag, COUNT(*) AS c FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "q3_reduce_agg": """
+        SELECT l_orderkey, SUM(l_quantity) AS s, MAX(l_extendedprice) AS m
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+    """,
+    "q4_group_topk": """
+        SELECT * FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= 3 ORDER BY o_custkey, rn
+    """,
+    "q5_left_join": """
+        SELECT c_custkey, o_orderkey
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        ORDER BY c_custkey, o_orderkey NULLS FIRST
+    """,
+    "q6_inner_join_agg": """
+        SELECT n_name, COUNT(*) AS c
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+    """,
+    "q7_distinct": """
+        SELECT DISTINCT l_linestatus FROM lineitem ORDER BY l_linestatus
+    """,
+    "q8_union_dedup": """
+        SELECT s_nationkey AS k FROM supplier
+        UNION SELECT c_nationkey FROM customer ORDER BY k
+    """,
+    "q9_regroup": """
+        SELECT o_custkey, COUNT(*) AS c FROM orders
+        GROUP BY o_custkey HAVING COUNT(*) >= 2 ORDER BY o_custkey
+    """,
+    "q10_dedup_preference": """
+        SELECT * FROM (
+            SELECT c_nationkey, c_custkey, c_acctbal,
+                   ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rn
+            FROM customer
+        ) WHERE rn = 1 ORDER BY c_nationkey
+    """,
+}
