@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
+insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Query inventory (operator → SURVEY.md §2 mapping lives in each module):
+- q1–q10: the reference's relational/dataflow primitives
+  (spark_nnd_spark/queries/relational.py).
+- q11–q23: training-data-pipeline extensions — text analysis, dedup
+  family (exact / fingerprint / n-gram Jaccard / MinHash-LSH /
+  SimHash), embedding similarity + near-dup, event sessionization and
+  windows (spark_nnd_spark/queries/pipeline.py).
+- q24–q26: K-NN graph surface — exact graph (oracle-checked),
+  NN-Descent (rows-only; recall-checked in tests), LSH ANN (rows-only)
+  (spark_nnd_spark/queries/knn.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: NN-Descent 10-NN graph over the sf0.001
+    embeddings, exploded to (id, nb_id, rank, sim) rows."""
+    from spark_nnd_spark.queries.knn import q25_nnd_graph
+
+    return q25_nnd_graph(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from spark_nnd_spark.queries.knn import KNN_QUERIES
+    from spark_nnd_spark.queries.pipeline import PIPELINE_QUERIES
+    from spark_nnd_spark.queries.relational import RELATIONAL_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {**RELATIONAL_QUERIES, **PIPELINE_QUERIES, **KNN_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from spark_nnd_spark.queries.knn import KNN_ORACLES
+    from spark_nnd_spark.queries.pipeline import PIPELINE_ORACLES
+    from spark_nnd_spark.queries.relational import RELATIONAL_ORACLES
+
+    return {**RELATIONAL_ORACLES, **PIPELINE_ORACLES, **KNN_ORACLES}

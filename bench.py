@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized via count() of the full result (collect()
+would time driver deserialization of big results, which isn't engine
+work). Spark startup is excluded from query times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_nnd_spark import get_spark
+from spark_nnd_spark.queries.knn import KNN_QUERIES
+from spark_nnd_spark.queries.pipeline import PIPELINE_QUERIES
+from spark_nnd_spark.queries.relational import RELATIONAL_QUERIES
+
+# Headline set: flagship graph build + exact graph + every operator
+# family (agg, join, window, dedup×3, ANN, text, sessionize).
+HEADLINE = [
+    "q25_nnd_graph",
+    "q24_knn_exact",
+    "q3_reduce_agg",
+    "q5_left_join",
+    "q4_group_topk",
+    "q11_doc_stats",
+    "q14_jaccard_pairs",
+    "q16_minhash_lsh_pairs",
+    "q18_ann_brute_topk",
+    "q26_ann_lsh_topk",
+    "q20_sessionize",
+    "q21_tumbling_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="spark_nnd_bench")
+    all_queries = {**RELATIONAL_QUERIES, **PIPELINE_QUERIES, **KNN_QUERIES}
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = all_queries[name](spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

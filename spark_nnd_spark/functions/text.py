@@ -1,0 +1,247 @@
+"""Text-analysis column expressions with engine-portable semantics.
+
+Everything here is defined by *integer and IEEE-double arithmetic only*
+(polynomial rolling hashes mod a prime, ratios of counts), so each
+builder has two renderings with bit-identical results:
+
+- a Spark ``Column`` (``*_expr``) built from ``split``/``transform``/
+  ``aggregate`` — JVM-side, codegen'd, no UDFs;
+- an ANSI-SQL string (``*_sql``) DuckDB runs as the correctness oracle
+  (``string_split``/``list_transform``/``list_reduce``).
+
+This is what makes the dedup family (fingerprint, MinHash) fully
+DuckDB-checkable instead of relying on engine-specific hash builtins
+(Spark's xxhash64 and DuckDB's hash() disagree, so neither can be an
+oracle for the other).
+
+Reference provenance: the reference engine has no string functions at
+all (SURVEY.md §2.3 "Scalar functions: math only") — this module is the
+training-data-pipeline extension layer, built on the same primitives
+(per-group agg, top-K) the reference algorithm uses.
+
+Hash design (shared constants below):
+- token hash: left fold over character codes ``h = (h*31 + ascii(c)) % P``
+  (Java-`String.hashCode`-style, made portable by the mod);
+- document fingerprint: left fold over token hashes
+  ``H = (H*131 + h_t) % P`` — a rolling hash of the token stream;
+- MinHash_j: ``min over distinct shingles s of (A_j * hash(s) + B_j) % P``
+  with per-row affine constants — the classic universal-hash family.
+  ``A_j*h < 2^63`` holds because ``A_j ≤ 2*16+3`` and ``h < P ≈ 2^30``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+P = 1_000_000_007  # prime modulus for all rolling hashes
+TOKEN_BASE = 31
+DOC_BASE = 131
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ---------------------------------------------------------------- tokens
+
+def tokens_expr(text: Column | str) -> Column:
+    """Whitespace tokenization (single-space delimiter, matching the
+    corpus format and DuckDB's non-regex string_split)."""
+    return F.split(_c(text), " ")
+
+
+def tokens_sql(text: str = "text") -> str:
+    return f"string_split({text}, ' ')"
+
+
+def token_count_expr(text: Column | str) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def token_count_sql(text: str = "text") -> str:
+    return f"len({tokens_sql(text)})"
+
+
+# ----------------------------------------------------------- token hash
+
+def token_hash_lambda(tok: Column) -> Column:
+    """Polynomial hash of one token: fold (h*31 + ascii(char)) % P."""
+    return F.aggregate(
+        F.split(tok, ""),
+        F.lit(0).cast("long"),
+        lambda h, ch: (h * TOKEN_BASE + F.ascii(ch)) % P,
+    )
+
+
+def token_hash_sql(tok: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split({tok}, ''), ch -> ascii(ch)::BIGINT)), "
+        f"(h, c) -> (h * {TOKEN_BASE} + c) % {P})"
+    )
+
+
+# ------------------------------------------------------ doc fingerprint
+
+def fingerprint_expr(text: Column | str) -> Column:
+    """Rolling hash of the whole token stream — order-sensitive document
+    fingerprint (two docs collide iff token sequences match, w.h.p.)."""
+    return F.aggregate(
+        tokens_expr(text),
+        F.lit(0).cast("long"),
+        lambda h, tok: (h * DOC_BASE + token_hash_lambda(tok)) % P,
+    )
+
+
+def fingerprint_sql(text: str = "text") -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform({tokens_sql(text)}, t -> {token_hash_sql('t')})), "
+        f"(h, th) -> (h * {DOC_BASE} + th) % {P})"
+    )
+
+
+# -------------------------------------------------------------- shingles
+
+def shingles_expr(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-token shingles (space-joined). Short docs (< n tokens)
+    yield an empty array."""
+    toks = tokens_expr(text)
+    return F.array_distinct(
+        F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        )
+    )
+
+
+def shingles_sql(text: str = "text", n: int = 3) -> str:
+    toks = tokens_sql(text)
+    inner = (
+        f"list_transform(range(1, len({toks}) - {n} + 2), "
+        f"i -> array_to_string(list_transform(range(i, i + {n}), j -> {toks}[j]), ' '))"
+    )
+    return f"list_distinct(CASE WHEN len({toks}) < {n} THEN [] ELSE {inner} END)"
+
+
+# -------------------------------------------------------------- minhash
+
+def minhash_expr(text: Column | str, num_hashes: int = 16, n: int = 3) -> Column:
+    """MinHash signature over n-token shingles: array of ``num_hashes``
+    minima of affine universal hashes of the shingle hashes. Empty
+    shingle set → signature of P (sentinel > any hash value)."""
+    sh = shingles_expr(text, n)
+    hashes = F.transform(sh, token_hash_lambda)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.coalesce(
+            F.array_min(
+                F.transform(hashes, lambda h: (h * (2 * j + 3) + j * 7919) % P)
+            ),
+            F.lit(P).cast("long"),
+        ),
+    )
+
+
+def minhash_sql(text: str = "text", num_hashes: int = 16, n: int = 3) -> str:
+    sh = shingles_sql(text, n)
+    hashes = f"list_transform({sh}, s -> {token_hash_sql('s')})"
+    return (
+        f"list_transform(range(0, {num_hashes}), "
+        f"j -> coalesce(list_min(list_transform({hashes}, "
+        f"h -> (h * (2*j + 3) + j * 7919) % {P})), {P}::BIGINT))"
+    )
+
+
+# ----------------------------------------------------------- text stats
+
+EN_STOP = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def stopword_ratio_expr(text: Column | str) -> Column:
+    toks = tokens_expr(text)
+    return F.size(F.filter(toks, lambda t: t.isin(*EN_STOP))) / F.size(toks)
+
+
+def stopword_ratio_sql(text: str = "text") -> str:
+    lst = ", ".join(f"'{w}'" for w in EN_STOP)
+    toks = tokens_sql(text)
+    return f"len(list_filter({toks}, t -> t IN ({lst}))) * 1.0 / len({toks})"
+
+
+def avg_token_len_expr(text: Column | str) -> Column:
+    toks = tokens_expr(text)
+    return F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)) / F.size(toks)
+
+
+def avg_token_len_sql(text: str = "text") -> str:
+    toks = tokens_sql(text)
+    return f"list_sum(list_transform({toks}, t -> length(t)))::DOUBLE / len({toks})"
+
+
+def type_token_ratio_expr(text: Column | str) -> Column:
+    """Lexical diversity: distinct tokens / tokens — a quality signal
+    (word-soup spam scores low)."""
+    toks = tokens_expr(text)
+    return F.size(F.array_distinct(toks)) / F.size(toks)
+
+
+def type_token_ratio_sql(text: str = "text") -> str:
+    toks = tokens_sql(text)
+    return f"len(list_distinct({toks})) * 1.0 / len({toks})"
+
+
+# ------------------------------------------------------------- language
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "of", "and", "to", "is", "in"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "fr": ("le", "la", "les", "et", "des", "est"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3"),
+}
+
+
+def lang_scores_expr(text: Column | str) -> dict[str, Column]:
+    """Marker-stopword hit count per language (n-gram-heuristic family).
+    Deterministic; prediction = argmax with ascending-lang tiebreak."""
+    toks = tokens_expr(text)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predicted_lang_expr(text: Column | str) -> Column:
+    scores = lang_scores_expr(text)
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    # max score, ties broken by ascending lang: sort by (-score, lang)
+    best = F.array_min(
+        F.transform(pairs, lambda p: F.struct((-p["score"]).alias("neg"), p["lang"].alias("lang")))
+    )
+    return best["lang"]
+
+
+def lang_scores_sql(text: str = "text") -> dict[str, str]:
+    toks = tokens_sql(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in markers)
+        out[lang] = f"len(list_filter({toks}, t -> t IN ({lst})))"
+    return out
+
+
+def predicted_lang_sql(text: str = "text") -> str:
+    scores = lang_scores_sql(text)
+    structs = ", ".join(
+        f"{{'neg': -({scores[lang]}), 'lang': '{lang}'}}" for lang in sorted(LANG_MARKERS)
+    )
+    return f"(list_min([{structs}])).lang"

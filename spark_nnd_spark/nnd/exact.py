@@ -32,15 +32,29 @@ from spark_nnd_spark.functions.vector import similarity_expr
 from spark_nnd_spark.schemas import normalize_points, validate_points
 
 
-def build_graph_exact(df: DataFrame, k: int, validate: bool = True) -> DataFrame:
+def build_graph_exact(
+    df: DataFrame, k: int, validate: bool = True, blocks: int | None = None
+) -> DataFrame:
     """Exact K-NN graph under the reference similarity.
 
     Returns the input columns plus ``neighbors
     ARRAY<STRUCT<id BIGINT, similarity DOUBLE>>`` (null for finished rows).
+
+    The all-pairs product is block-decomposed: joining on ``partition``
+    alone puts every pair of a logical partition in ONE task (with the
+    common single-`partition` input, the whole N² product serializes).
+    Instead the left side is hashed into ``blocks`` buckets and the
+    right side replicated to each, so the join key (partition, block)
+    spreads the product over ``blocks`` tasks — the standard
+    replicate-side nested-loop decomposition.
     """
     points = normalize_points(df)
     if validate:
         validate_points(points)
+
+    spark = df.sparkSession
+    if blocks is None:
+        blocks = spark.sparkContext.defaultParallelism
 
     active = points.filter(~F.col("finished")).select("id", "features", "partition")
 
@@ -48,14 +62,20 @@ def build_graph_exact(df: DataFrame, k: int, validate: bool = True) -> DataFrame
         F.col("id").alias("a_id"),
         F.col("features").alias("a_features"),
         F.col("partition").alias("partition"),
+        F.pmod(F.xxhash64("id"), F.lit(blocks)).alias("block"),
     )
     right = active.select(
         F.col("id").alias("b_id"),
         F.col("features").alias("b_features"),
         F.col("partition").alias("partition"),
+        F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("block"),
     )
+    # force a shuffle join on (partition, block) — a broadcast of the
+    # replicated side would leave the stream side's (often single) input
+    # split as the only task
     pairs = (
-        left.join(right, on="partition")
+        left.repartition(blocks, "partition", "block")
+        .join(right, on=["partition", "block"])
         .filter(F.col("a_id") != F.col("b_id"))
         .withColumn("similarity", similarity_expr("a_features", "b_features"))
     )

@@ -1,0 +1,306 @@
+"""Deduplication operators for training-data pipelines.
+
+Extension layer (the reference has none of this — SURVEY.md §2.3); the
+near-dup family reuses the engine's core primitives: per-group agg,
+candidate-pair joins, per-group top-K/dedup-with-preference.
+
+Scale design (100 TB):
+- Exact / fingerprint dedup: one hash-groupBy; the group key is a short
+  digest, never the full text — shuffle carries O(rows · 16 bytes).
+- Shingle-join (n-gram Jaccard): the classic inverted-index self-join.
+  Pairs are generated only for docs sharing a shingle; hot shingles are
+  the skew risk → ``max_shingle_freq`` drops shingles appearing in more
+  than that many docs (standard df-cut), bounding join fan-out; AQE
+  skew-join splits the rest.
+- MinHash LSH: signature is O(num_hashes) ints per doc; banding turns
+  near-dup search into an equi-join on (band_idx, band_hash) — the
+  100 TB path, since candidate volume is tunable via bands/rows.
+- SimHash: one 30-bit integer per doc; candidates via identical-band
+  prefixes (here: exact simhash match or banded rotation joins).
+
+All of exact/fingerprint/jaccard/minhash are DuckDB-oracle-checkable
+because every hash is portable arithmetic (functions/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spark_nnd_spark.functions import text as TX
+
+
+def exact_dedup(
+    df: DataFrame, key: Column | str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by content digest: keep the smallest id per md5(key).
+
+    Returns the surviving ids (one row per distinct content).
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    return (
+        df.groupBy(F.md5(key).alias("digest"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+    )
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Dedup by rolling-hash fingerprint of the token stream (robust to
+    raw-byte differences that tokenize identically)."""
+    return (
+        df.groupBy(TX.fingerprint_expr(text_col).alias("fp"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+    )
+
+
+def shingle_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Inverted index: (shingle, doc_id) postings over distinct n-token
+    shingles, optionally dropping shingles hotter than max_shingle_freq
+    (df-cut — the skew guard for the self-join)."""
+    posts = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(id_col), F.explode(TX.shingles_expr(text_col, n)).alias("shingle")
+    )
+    if max_shingle_freq is None:
+        return posts
+    hot = (
+        posts.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_shingle_freq)
+        .select("shingle")
+    )
+    return posts.join(hot, "shingle", "left_anti")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """n-gram Jaccard near-duplicate pairs via inverted-index self-join.
+
+    Returns (id_a, id_b, jaccard) for id_a < id_b with
+    ``|A∩B| / |A∪B| >= threshold`` over distinct n-token shingle sets.
+    Docs with no shingles (< n tokens) pair with nothing.
+    """
+    sizes = df.select(
+        F.col(id_col).alias("id"), F.size(TX.shingles_expr(text_col, n)).alias("n_sh")
+    )
+    posts = shingle_postings(df, text_col, id_col, n, max_shingle_freq)
+    a = posts.select(F.col("shingle"), F.col(id_col).alias("id_a"))
+    b = posts.select(F.col("shingle"), F.col(id_col).alias("id_b"))
+    # the exploded postings look tiny to the size estimator (stats come
+    # from the compact parquet), so Catalyst wants to broadcast-build a
+    # hash relation over every shingle string — slow and single-threaded.
+    # A shuffle join partitions by shingle and parallelizes the fan-out.
+    inter = (
+        a.hint("shuffle_hash").join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """(id, signature ARRAY<BIGINT>) — portable-arithmetic MinHash.
+
+    Two-stage plan for scale: (1) repartition the raw docs (a small
+    parquet often arrives as one split — without this the expensive
+    per-row hashing runs on one core), compute the per-shingle hash
+    array once; (2) exchange, then derive the ``num_hashes`` affine
+    minima from the precomputed array. The exchange is a projection-
+    collapse barrier — without it Catalyst inlines the shingle-hash
+    expression into all ``num_hashes`` lambda bodies and recomputes it
+    num_hashes times (measured 16× slowdown at sf0.1).
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(
+        F.col(id_col).alias("id"), TX.shingles_expr(text_col, n).alias("sh")
+    ).repartition(parallelism)
+    hs = base.select(
+        "id", F.transform("sh", TX.token_hash_lambda).alias("hs")
+    ).repartition(parallelism, "id")
+    return hs.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda j: F.coalesce(
+                F.array_min(
+                    F.transform("hs", lambda h: (h * (2 * j + 3) + j * 7919) % TX.P)
+                ),
+                F.lit(TX.P).cast("long"),
+            ),
+        ).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates, verified by true
+    Jaccard over shingle sets.
+
+    Pipeline: signature → split into ``bands`` bands of
+    ``num_hashes/bands`` rows → equi-join docs agreeing on any whole
+    band → distinct candidate pairs → verify with exact Jaccard and
+    filter. The band join is the scale path: candidate volume is
+    controlled by (bands, rows-per-band), never all-pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.slice("signature", b * rows_per_band + 1, rows_per_band).alias("sig"),
+                ),
+            )
+        ).alias("bs"),
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("band_sig"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "band_sig"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    # verify candidates with true shingle Jaccard
+    sh = df.select(
+        F.col(id_col).alias("id"), TX.shingles_expr(text_col, n).alias("sh")
+    )
+    return (
+        cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 24  # token hashes are < P ≈ 2^30; use the low 24 bits
+
+
+def simhash_expr(text: Column | str) -> Column:
+    """SimHash over token hashes: bit_i = 1 iff more tokens have bit i
+    set than not. Portable arithmetic (shifts emulated by div/mod)."""
+    hashes = F.transform(TX.tokens_expr(text), TX.token_hash_lambda)
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        lambda i: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + (F.floor(h / F.pow(F.lit(2.0), i.cast("double"))).cast("long") % 2) * 2
+                - 1,
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+            lambda b, i: b * F.pow(F.lit(2.0), i.cast("double")).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def simhash_sql(text: str = "text") -> str:
+    """DuckDB rendering of simhash_expr (same arithmetic)."""
+    hashes = f"list_transform({TX.tokens_sql(text)}, t -> {TX.token_hash_sql('t')})"
+    bit = (
+        f"CASE WHEN list_sum(list_transform({hashes}, "
+        f"h -> ((h // (2::BIGINT ^ i)::BIGINT) % 2) * 2 - 1)) > 0 THEN 1::BIGINT ELSE 0::BIGINT END"
+    )
+    return (
+        f"list_sum(list_transform(range(0, {SIMHASH_BITS}), "
+        f"i -> ({bit}) * (2::BIGINT ^ i)::BIGINT))::BIGINT"
+    )
+
+
+def simhash_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group docs by identical simhash (near-dup buckets at this bit
+    width); keep min id per bucket.
+
+    Same two-stage shape as minhash_signatures: token hashes are
+    computed once before an exchange so the per-bit aggregation doesn't
+    recompute them SIMHASH_BITS times on one core.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    hs = (
+        df.repartition(parallelism)
+        .select(
+            F.col(id_col),
+            F.transform(TX.tokens_expr(text_col), TX.token_hash_lambda).alias("hs"),
+        )
+        .repartition(parallelism, id_col)
+    )
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        lambda i: F.when(
+            F.aggregate(
+                "hs",
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + (F.floor(h / F.pow(F.lit(2.0), i.cast("double"))).cast("long") % 2) * 2
+                - 1,
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+            lambda b, i: b * F.pow(F.lit(2.0), i.cast("double")).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return hs.groupBy(sim.alias("simhash")).agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("bucket_size")
+    )

@@ -1,0 +1,231 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT/DOUBLE>).
+
+Extension layer for training-data pipelines. Two tiers:
+
+- ``ann_brute_topk`` — exact cosine top-k: queries × corpus scored with
+  JVM-side ``zip_with``/``aggregate`` expressions, per-query top-k via
+  window. The query side is broadcast (queries ≪ corpus), so the
+  corpus never shuffles: at 100 TB this is one scan + a tiny
+  final top-k shuffle keyed by query id. The baseline and the oracle.
+- ``ann_lsh_topk`` — random-hyperplane LSH: corpus and queries bucket
+  by sign-bit signature of dot products with ``n_planes`` deterministic
+  hyperplanes; candidates = bucket collisions (multi-probe: exact
+  bucket plus 1-bit flips), then exact re-rank within candidates. The
+  scale path: candidate volume per query is bounded by bucket sizes,
+  not corpus size. Recall < 1 by design; tested against the brute
+  baseline.
+
+Hyperplanes are generated driver-side from a seeded numpy RNG and
+inlined as literals (no UDF, no nondeterminism).
+
+Near-duplicate detection by embedding cosine (``embedding_neardup``)
+composes the same pieces: LSH buckets → exact verify ≥ threshold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_nnd_spark.functions.vector import cosine_similarity_expr, dot_expr
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def ann_brute_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: for each query row, the k most-similar corpus
+    rows (self-matches excluded when ids collide).
+
+    Returns (query_id, nb_id, rank, cosine).
+    """
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("nb_id"), _as_double(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("nb_id"))
+        .withColumn("cosine", cosine_similarity_expr("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nb_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nb_id", "rank", "cosine")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes for sign-LSH."""
+    rng = np.random.default_rng([seed, dim, n_planes])
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_signature_expr(vec: str | Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id: bit_j = 1 iff <vec, plane_j> >= 0."""
+    v = _as_double(vec)
+    bits = [
+        F.when(dot_expr(v, F.array(*[F.lit(float(x)) for x in p])) >= 0, 1 << j).otherwise(0)
+        for j, p in enumerate(planes)
+    ]
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total.cast("long")
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 6,
+    seed: int = 42,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table random-hyperplane LSH
+    (``n_tables`` independent ``n_planes``-bit signatures, optional
+    1-bit multi-probe), exact re-rank within the candidate union.
+
+    Multiple tables are the standard recall lever when neighbors are
+    angularly far (collision prob per table ≈ (1-θ/π)^n_planes; union
+    over tables compounds it). Index cost is n_tables postings per
+    corpus row — the classic space/recall tradeoff, tunable per corpus.
+
+    Returns (query_id, nb_id, rank, cosine) — ≤ k rows per query
+    (fewer if the probed buckets hold < k candidates).
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+
+    def table_sig(t: int) -> Column:
+        return lsh_signature_expr(vec_col, hyperplanes(dim, n_planes, seed + 1000 * t))
+
+    c = corpus.select(
+        F.col(id_col).alias("nb_id"),
+        _as_double(vec_col).alias("c_vec"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), table_sig(t).alias("sig"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("ts"),
+    ).select("nb_id", "c_vec", F.col("ts.t").alias("t"), F.col("ts.sig").alias("bucket"))
+
+    def probe_array(t: int) -> Column:
+        sig = table_sig(t)
+        if not multiprobe:
+            return F.array(F.struct(F.lit(t).alias("t"), sig.alias("sig")))
+        return F.array(
+            F.struct(F.lit(t).alias("t"), sig.alias("sig")),
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    sig.bitwiseXOR(F.lit(1 << j).cast("long")).alias("sig"),
+                )
+                for j in range(n_planes)
+            ],
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("q_vec"),
+        F.explode(F.flatten(F.array(*[probe_array(t) for t in range(n_tables)]))).alias("p"),
+    ).select("query_id", "q_vec", F.col("p.t").alias("t"), F.col("p.sig").alias("bucket"))
+
+    cand = (
+        c.join(F.broadcast(q), ["t", "bucket"])
+        .filter(F.col("query_id") != F.col("nb_id"))
+        .select("query_id", "q_vec", "nb_id", "c_vec")
+        .dropDuplicates(["query_id", "nb_id"])
+    )
+    scored = cand.withColumn("cosine", cosine_similarity_expr("q_vec", "c_vec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nb_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nb_id", "rank", "cosine")
+    )
+
+
+def embedding_neardup(
+    df: DataFrame,
+    threshold: float = 0.98,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    LSH-blocked across ``n_tables`` independent sign-LSH tables: only
+    pairs colliding in some table's bucket are scored, then exact
+    verify. At true near-dup thresholds (≥ 0.95, tiny angles) one table
+    already catches nearly everything; extra tables buy recall when the
+    threshold is looser. Returns (id_a, id_b, cosine), id_a < id_b.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    t = df.select(
+        F.col(id_col).alias("id"),
+        _as_double(vec_col).alias("vec"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ti).alias("t"),
+                        lsh_signature_expr(
+                            vec_col, hyperplanes(dim, n_planes, seed + 1000 * ti)
+                        ).alias("sig"),
+                    )
+                    for ti in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "vec", F.col("tb.t").alias("t"), F.col("tb.sig").alias("bucket"))
+    a = t.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "t", "bucket")
+    b = t.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "t", "bucket")
+    return (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", cosine_similarity_expr("vec_a", "vec_b"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_neardup_exact(
+    df: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs exact variant (oracle for the LSH-blocked one; only for
+    modest N — O(N²) pairs)."""
+    t = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
+    a = t.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = t.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity_expr("vec_a", "vec_b"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,347 @@
+"""Training-data-pipeline queries over documents/embeddings/events,
+each paired with a DuckDB oracle (portable-arithmetic hashes make even
+MinHash/SimHash oracle-checkable — functions/text.py).
+
+Float-output discipline (the driver hash-compares values):
+- ratios/similarities rounded to 6 decimals on BOTH sides;
+- money sums via DECIMAL(18,2) (exact, order-independent) then cast;
+- timestamps exported as epoch seconds (BIGINT) to dodge cross-engine
+  datetime formatting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_nnd_spark.functions import text as TX
+from spark_nnd_spark.operators import dedup as DD
+from spark_nnd_spark.operators import events as EV
+from spark_nnd_spark.operators import similarity as SIM
+from spark_nnd_spark.sources import load_table
+
+
+# --------------------------------------------------------------- text
+
+def q11_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counts, fingerprint, quality ratios,
+    language prediction — all portable arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count_expr("text").alias("n_tokens"),
+        TX.fingerprint_expr("text").alias("fingerprint"),
+        F.round(TX.stopword_ratio_expr("text"), 6).alias("stopword_ratio"),
+        F.round(TX.avg_token_len_expr("text"), 6).alias("avg_token_len"),
+        F.round(TX.type_token_ratio_expr("text"), 6).alias("type_token_ratio"),
+        TX.predicted_lang_expr("text").alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+def q12_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.exact_dedup(d).orderBy("digest")
+
+
+def q13_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.fingerprint_dedup(d).orderBy("fp")
+
+
+def q14_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = DD.jaccard_pairs(d, n=3, threshold=0.2)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def q15_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signatures exploded to (doc_id, hash_idx, h) — integer rows."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(d, num_hashes=16, n=3)
+    return sigs.select(
+        F.col("id").alias("doc_id"), F.posexplode("signature").alias("hash_idx", "h")
+    ).orderBy("doc_id", "hash_idx")
+
+
+def q16_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = DD.minhash_lsh_pairs(d, num_hashes=16, bands=4, n=3, threshold=0.2)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def q17_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.simhash_dedup(d).orderBy("simhash")
+
+
+# --------------------------------------------------------- embeddings
+
+def q18_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SIM.ann_brute_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id", "nb_id", "rank", F.round("cosine", 6).alias("cosine")
+    ).orderBy("query_id", "rank")
+
+
+def q19_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs near-dup (the oracle-checkable tier; the LSH
+    blocked variant is validated against it in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SIM.embedding_neardup_exact(emb, threshold=0.45)
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+# ------------------------------------------------------------- events
+
+def q20_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = EV.sessionize(ev, gap_minutes=30)
+    return out.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.col("t_start").cast("long").alias("t_start_epoch"),
+        F.col("t_end").cast("long").alias("t_end_epoch"),
+    ).orderBy("user_id", "session_id")
+
+
+def q21_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("long").alias("w_start_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("string").alias("v"),
+        )
+        .orderBy("w_start_epoch", "event_type")
+    )
+
+
+def q22_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user cumulative value; DECIMAL keeps the running sum
+    exact and order-independent for the oracle compare."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(w)
+            .cast("string")
+            .alias("running_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def q23_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = EV.latest_event_per_user(ev)
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        "event_type",
+        F.round("value", 6).alias("value"),
+    ).orderBy("user_id")
+
+
+PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q11_doc_stats": q11_doc_stats,
+    "q12_exact_dedup": q12_exact_dedup,
+    "q13_fingerprint_dedup": q13_fingerprint_dedup,
+    "q14_jaccard_pairs": q14_jaccard_pairs,
+    "q15_minhash_signatures": q15_minhash_signatures,
+    "q16_minhash_lsh_pairs": q16_minhash_lsh_pairs,
+    "q17_simhash_buckets": q17_simhash_buckets,
+    "q18_ann_brute_topk": q18_ann_brute_topk,
+    "q19_embedding_neardup": q19_embedding_neardup,
+    "q20_sessionize": q20_sessionize,
+    "q21_tumbling_counts": q21_tumbling_counts,
+    "q22_running_value": q22_running_value,
+    "q23_latest_event": q23_latest_event,
+}
+
+
+def _pipeline_oracles() -> dict[str, str]:
+    sh = TX.shingles_sql("text", 3)
+    mh = TX.minhash_sql("text", 16, 3)
+    cos = (
+        "round(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*cv[i]))"
+        " / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))"
+        " * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i])))), 6)"
+    )
+    cos_raw = (
+        "list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*cv[i]))"
+        " / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))"
+        " * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))))"
+    )
+    return {
+        "q11_doc_stats": f"""
+            SELECT doc_id,
+                   {TX.token_count_sql()} AS n_tokens,
+                   {TX.fingerprint_sql()} AS fingerprint,
+                   round({TX.stopword_ratio_sql()}, 6) AS stopword_ratio,
+                   round({TX.avg_token_len_sql()}, 6) AS avg_token_len,
+                   round({TX.type_token_ratio_sql()}, 6) AS type_token_ratio,
+                   {TX.predicted_lang_sql()} AS pred_lang
+            FROM documents ORDER BY doc_id
+        """,
+        "q12_exact_dedup": """
+            SELECT md5(text) AS digest, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+            FROM documents GROUP BY md5(text) ORDER BY digest
+        """,
+        "q13_fingerprint_dedup": f"""
+            SELECT {TX.fingerprint_sql()} AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+            FROM documents GROUP BY 1 ORDER BY fp
+        """,
+        "q14_jaccard_pairs": f"""
+            WITH sh AS (SELECT doc_id, {sh} AS s FROM documents),
+            posts AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+            SELECT id_a, id_b, round(i * 1.0 / (na.n + nb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes na ON id_a = na.doc_id
+            JOIN sizes nb ON id_b = nb.doc_id
+            WHERE i * 1.0 / (na.n + nb.n - i) >= 0.2
+            ORDER BY id_a, id_b
+        """,
+        "q15_minhash_signatures": f"""
+            WITH sigs AS (SELECT doc_id, {mh} AS mh FROM documents)
+            SELECT doc_id, t.range AS hash_idx, mh[t.range + 1] AS h
+            FROM sigs, range(0, 16) t ORDER BY doc_id, hash_idx
+        """,
+        "q16_minhash_lsh_pairs": f"""
+            WITH sigs AS (SELECT doc_id, {mh} AS mh, {sh} AS s FROM documents),
+            banded AS (
+                SELECT doc_id, b.range AS band,
+                       mh[b.range * 4 + 1 : b.range * 4 + 4] AS bsig, s
+                FROM sigs, range(0, 4) b
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                FROM banded x JOIN banded y
+                  ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+            ),
+            sh2 AS (SELECT doc_id, s FROM sigs)
+            SELECT id_a, id_b,
+                   round(len(list_intersect(a.s, b.s)) * 1.0
+                         / len(list_distinct(a.s || b.s)), 6) AS jaccard
+            FROM cand JOIN sh2 a ON id_a = a.doc_id JOIN sh2 b ON id_b = b.doc_id
+            WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) >= 0.2
+            ORDER BY id_a, id_b
+        """,
+        "q17_simhash_buckets": None,  # filled below (needs dedup.simhash_sql)
+        "q18_ann_brute_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS nb_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            scored AS (
+                SELECT query_id, nb_id, {cos_raw} AS cosine
+                FROM c CROSS JOIN q WHERE query_id <> nb_id
+            ),
+            ranked AS (
+                SELECT query_id, nb_id, cosine,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, nb_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, nb_id, rank, round(cosine, 6) AS cosine
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "q19_embedding_neardup": f"""
+            WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
+                         / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
+                          * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i])))), 6)
+                   AS cosine
+            FROM t a JOIN t b ON a.vec_id < b.vec_id
+            WHERE list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
+                  / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
+                   * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i])))) >= 0.45
+            ORDER BY id_a, id_b
+        """,
+        "q20_sessionize": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN (epoch_us(ts::TIMESTAMP) // 1000000)
+                                 - LAG((epoch_us(ts::TIMESTAMP) // 1000000)) OVER w IS NULL
+                              OR (epoch_us(ts::TIMESTAMP) // 1000000)
+                                 - LAG((epoch_us(ts::TIMESTAMP) // 1000000)) OVER w > 1800
+                            THEN 1 ELSE 0 END AS is_break
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM g
+            )
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   MIN(epoch_us(ts::TIMESTAMP) // 1000000) AS t_start_epoch,
+                   MAX(epoch_us(ts::TIMESTAMP) // 1000000) AS t_end_epoch
+            FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+        """,
+        "q21_tumbling_counts": """
+            SELECT (epoch_us(date_trunc('hour', ts::TIMESTAMP)) // 1000000) AS w_start_epoch, event_type,
+                   COUNT(*) AS c, SUM(value::DECIMAL(18,2))::VARCHAR AS v
+            FROM events GROUP BY 1, 2 ORDER BY w_start_epoch, event_type
+        """,
+        "q22_running_value": """
+            SELECT user_id, event_id,
+                   SUM(value::DECIMAL(18,2)) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
+                                                   ROWS UNBOUNDED PRECEDING)::VARCHAR
+                   AS running_value
+            FROM events ORDER BY user_id, event_id
+        """,
+        "q23_latest_event": """
+            SELECT user_id, event_id, (epoch_us(ts::TIMESTAMP) // 1000000) AS ts_epoch, event_type,
+                   round(value, 6) AS value
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY ts::TIMESTAMP DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1 ORDER BY user_id
+        """,
+    }
+
+
+def pipeline_oracles() -> dict[str, str]:
+    from spark_nnd_spark.operators.dedup import simhash_sql
+
+    oracles = _pipeline_oracles()
+    oracles["q17_simhash_buckets"] = f"""
+        SELECT {simhash_sql()} AS simhash, MIN(doc_id) AS doc_id,
+               COUNT(*) AS bucket_size
+        FROM documents GROUP BY 1 ORDER BY simhash
+    """
+    return oracles
+
+
+PIPELINE_ORACLES = pipeline_oracles()

@@ -1,0 +1,70 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spark_nnd_spark import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="spark_nnd_spark_tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
+    return con
+
+
+def make_clustered_points(
+    n_clusters: int = 8, per_cluster: int = 25, dim: int = 8, seed: int = 42,
+    n_partitions: int = 1, finished_mod: int | None = None,
+):
+    """Deterministic clustered fixture (FIXTURES.md points_clustered
+    family, sized for fast tests)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-50, 50, size=(n_clusters, dim))
+    rows = []
+    for ci, c in enumerate(centers):
+        for j in range(per_cluster):
+            i = ci * per_cluster + j
+            rows.append(
+                (
+                    i,
+                    (c + rng.normal(0, 1, dim)).tolist(),
+                    ci,
+                    ci % n_partitions,
+                    bool(finished_mod and i % finished_mod == 0),
+                )
+            )
+    return rows
+
+
+POINT_DDL = "id long, features array<double>, label long, partition long, finished boolean"
+
+
+def knn_oracle(rows, k: int):
+    """Brute-force numpy K-NN oracle (FIXTURES.md): sim = 1/(1+L2),
+    cross-partition excluded, finished excluded, ties by ascending id."""
+    active = [(r[0], np.array(r[1]), r[3]) for r in rows if not r[4]]
+    out = {}
+    for i, fi, pi in active:
+        cands = []
+        for j, fj, pj in active:
+            if i == j or pi != pj:
+                continue
+            sim = 1.0 / (1.0 + float(np.linalg.norm(fi - fj)))
+            cands.append((-sim, j))
+        cands.sort()
+        out[i] = [(j, -negsim) for negsim, j in cands[:k]]
+    return out

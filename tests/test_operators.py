@@ -1,0 +1,127 @@
+"""Operator-level tests: relational primitives, dedup family, ANN
+recall, input validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_nnd_spark.operators.relational import (
+    dedup_with_preference,
+    group_top_k,
+    sample_per_group,
+)
+from spark_nnd_spark.operators import dedup as DD
+from spark_nnd_spark.operators import similarity as SIM
+from spark_nnd_spark.schemas import InvalidPointsError, validate_points, normalize_points
+from tests.conftest import SF_SMOKE
+
+
+def test_group_top_k(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 30.0, "b"), (1, 20.0, "c"), (2, 5.0, "d")],
+        "k long, v double, tag string",
+    )
+    out = group_top_k(df, ["k"], [F.desc("v")], 2).collect()
+    got = {(r["k"], r["tag"]) for r in out}
+    assert got == {(1, "b"), (1, "c"), (2, "d")}
+
+
+def test_dedup_with_preference(spark):
+    df = spark.createDataFrame(
+        [(1, "x", True, 0.5), (1, "x", False, 0.9), (1, "y", False, 0.7)],
+        "k long, cand string, is_b boolean, sim double",
+    )
+    out = dedup_with_preference(df, ["k", "cand"], [F.desc("is_b")]).collect()
+    by_cand = {r["cand"]: r for r in out}
+    assert by_cand["x"]["is_b"] is True  # B-preferred copy survives
+    assert len(out) == 2
+
+
+def test_sample_per_group_deterministic(spark):
+    df = spark.createDataFrame([(g, i) for g in range(3) for i in range(20)], "g long, id long")
+    a = sample_per_group(df, ["g"], 0.3, seed=5).filter("sampled").collect()
+    b = sample_per_group(df, ["g"], 0.3, seed=5).filter("sampled").collect()
+    assert sorted((r["g"], r["id"]) for r in a) == sorted((r["g"], r["id"]) for r in b)
+    from collections import Counter
+
+    per_group = Counter(r["g"] for r in a)
+    assert all(v == 6 for v in per_group.values())  # ceil(0.3*20)
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark):
+    """LSH candidates must recover the high-jaccard pairs (banding with
+    these params catches jaccard ≥ 0.2 with high probability)."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in DD.jaccard_pairs(docs, n=3, threshold=0.2).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.2).collect()
+    }
+    assert lsh <= exact  # verify step guarantees precision
+    assert len(lsh) >= 0.8 * len(exact), f"LSH recall {len(lsh)}/{len(exact)}"
+
+
+def test_ann_lsh_recall_vs_brute(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    brute = SIM.ann_brute_topk(emb, q, k=5).collect()
+    lsh = SIM.ann_lsh_topk(emb, q, k=5, n_planes=8, seed=42).collect()
+    bt = {}
+    for r in brute:
+        bt.setdefault(r["query_id"], set()).add(r["nb_id"])
+    lt = {}
+    for r in lsh:
+        lt.setdefault(r["query_id"], set()).add(r["nb_id"])
+    recall = sum(len(bt[q] & lt.get(q, set())) for q in bt) / sum(len(v) for v in bt.values())
+    assert recall >= 0.5, f"ANN-LSH recall {recall:.2f}"  # multiprobe 8-bit buckets
+
+
+def test_embedding_neardup_lsh_finds_exact_pairs(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]) for r in SIM.embedding_neardup_exact(emb, 0.45).collect()
+    }
+    # 0.45 is a loose threshold (θ≈63°) for this synthetic corpus; real
+    # near-dup thresholds (≥0.95) collide far more readily — compensate
+    # with short signatures and more tables here.
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.embedding_neardup(emb, 0.45, n_planes=3, n_tables=8).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) >= 0.7 * len(exact)
+
+
+def test_validate_points_rejects_bad_input(spark):
+    good = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "id long, features array<double>"
+    )
+    validate_points(normalize_points(good))  # no raise
+
+    dup = spark.createDataFrame(
+        [(0, [1.0]), (0, [2.0])], "id long, features array<double>"
+    )
+    with pytest.raises(InvalidPointsError, match="duplicate"):
+        validate_points(normalize_points(dup))
+
+    raggy = spark.createDataFrame(
+        [(0, [1.0]), (1, [2.0, 3.0])], "id long, features array<double>"
+    )
+    with pytest.raises(InvalidPointsError, match="dimensionality"):
+        validate_points(normalize_points(raggy))
+
+    with pytest.raises(InvalidPointsError, match="columns"):
+        normalize_points(spark.createDataFrame([(1,)], "id long"))
+
+
+def test_exact_dedup_counts(spark, duck):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = DD.exact_dedup(docs).collect()
+    n_docs = docs.count()
+    assert sum(r["dup_count"] for r in out) == n_docs
+    assert len(out) == duck.sql("SELECT COUNT(DISTINCT text) FROM documents").fetchone()[0]
