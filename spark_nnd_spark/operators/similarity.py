@@ -110,43 +110,67 @@ def ann_lsh_topk(
     (fewer if the probed buckets hold < k candidates).
     """
     dim = len(corpus.select(vec_col).first()[0])
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
 
-    def table_sig(t: int) -> Column:
-        return lsh_signature_expr(vec_col, hyperplanes(dim, n_planes, seed + 1000 * t))
-
-    c = corpus.select(
-        F.col(id_col).alias("nb_id"),
-        _as_double(vec_col).alias("c_vec"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("t"), table_sig(t).alias("sig"))
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("ts"),
-    ).select("nb_id", "c_vec", F.col("ts.t").alias("t"), F.col("ts.sig").alias("bucket"))
-
-    def probe_array(t: int) -> Column:
-        sig = table_sig(t)
-        if not multiprobe:
-            return F.array(F.struct(F.lit(t).alias("t"), sig.alias("sig")))
+    def sig_array() -> Column:
+        # one signature per table, computed ONCE per row; downstream
+        # probe derivation works on the materialized array (an exchange
+        # below acts as the projection-collapse barrier — without it
+        # Catalyst inlines the dot products into every probe branch)
         return F.array(
-            F.struct(F.lit(t).alias("t"), sig.alias("sig")),
             *[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    sig.bitwiseXOR(F.lit(1 << j).cast("long")).alias("sig"),
-                )
-                for j in range(n_planes)
-            ],
+                lsh_signature_expr(vec_col, hyperplanes(dim, n_planes, seed + 1000 * t))
+                for t in range(n_tables)
+            ]
         )
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(vec_col).alias("q_vec"),
-        F.explode(F.flatten(F.array(*[probe_array(t) for t in range(n_tables)]))).alias("p"),
-    ).select("query_id", "q_vec", F.col("p.t").alias("t"), F.col("p.sig").alias("bucket"))
+    c = (
+        corpus.repartition(parallelism)
+        .select(
+            F.col(id_col).alias("nb_id"),
+            _as_double(vec_col).alias("c_vec"),
+            sig_array().alias("sigs"),
+        )
+        .repartition(parallelism, "nb_id")
+        .select(
+            "nb_id",
+            "c_vec",
+            F.posexplode("sigs").alias("t", "bucket"),
+        )
+    )
+
+    q = (
+        queries.repartition(parallelism)
+        .select(
+            F.col(id_col).alias("query_id"),
+            _as_double(vec_col).alias("q_vec"),
+            sig_array().alias("sigs"),
+        )
+        .repartition(parallelism, "query_id")
+    )
+    if multiprobe:
+        probes = F.flatten(
+            F.transform(
+                F.col("sigs"),
+                lambda sig, t: F.array(
+                    F.struct(t.alias("t"), sig.alias("bucket")),
+                    *[
+                        F.struct(
+                            t.alias("t"),
+                            sig.bitwiseXOR(F.lit(1 << j).cast("long")).alias("bucket"),
+                        )
+                        for j in range(n_planes)
+                    ],
+                ),
+            )
+        )
+    else:
+        probes = F.transform(
+            F.col("sigs"), lambda sig, t: F.struct(t.alias("t"), sig.alias("bucket"))
+        )
+    q = q.select(
+        "query_id", "q_vec", F.explode(probes).alias("p")
+    ).select("query_id", "q_vec", F.col("p.t").alias("t"), F.col("p.bucket").alias("bucket"))
 
     cand = (
         c.join(F.broadcast(q), ["t", "bucket"])
