@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""NND scale benchmark on the FIXTURES.md `points_emnist_like` fixture
+(N x 784, Uniform(0,1) mixed 50/50 with 10 Gaussian clusters, sigma=0.1).
+
+Times `build_graph` at the README params (K=10, maxIter=5, delta=0.01,
+rho=1.0, b=4) and reports wall-clock plus max/total shuffle-write bytes
+(from the Spark UI REST API) for comparison against BASELINE.md.
+
+Usage: python scripts/bench_nnd.py [N ...]   (default: 8000 16000)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import urllib.request
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from spark_nnd_spark import get_spark  # noqa: E402
+from spark_nnd_spark.nnd.descent import build_graph  # noqa: E402
+
+DIM = 784
+SEED = 42
+
+
+def emnist_like(spark, n: int):
+    def gen(batches):
+        centers = np.random.default_rng(SEED).uniform(0, 1, (10, DIM))
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64)
+            feats = np.empty((len(ids), DIM))
+            for row, i in enumerate(ids):
+                rng = np.random.default_rng([SEED, int(i)])
+                if i % 2 == 0:
+                    feats[row] = rng.uniform(0, 1, DIM)
+                else:
+                    feats[row] = centers[i % 10] + rng.normal(0, 0.1, DIM)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "features": list(feats),
+                    "label": (ids % 10).astype(np.int64),
+                    "partition": np.zeros(len(ids), np.int64),
+                    "finished": np.zeros(len(ids), bool),
+                }
+            )
+
+    return (
+        spark.range(n)
+        .repartition(32)
+        .mapInPandas(
+            gen,
+            "id long, features array<double>, label long, partition long, finished boolean",
+        )
+    )
+
+
+def shuffle_stats(port: int = 4040) -> tuple[int, int]:
+    try:
+        apps = json.load(
+            urllib.request.urlopen(f"http://localhost:{port}/api/v1/applications")
+        )
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(
+                f"http://localhost:{port}/api/v1/applications/{app_id}/stages"
+            )
+        )
+        writes = [s.get("shuffleWriteBytes", 0) for s in stages]
+        return (max(writes or [0]), sum(writes))
+    except Exception:
+        return (-1, -1)
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:]] or [8000, 16000]
+    spark = get_spark(
+        app_name="nnd_scale_bench", extra_conf={"spark.ui.enabled": "true"}
+    )
+    for n in sizes:
+        pts = emnist_like(spark, n).persist()
+        pts.count()  # materialize input outside the timed window
+        base_max, base_tot = shuffle_stats()
+        t0 = time.perf_counter()
+        g = build_graph(
+            pts, k=10, max_iterations=5, early_termination=0.01,
+            sample_rate=1.0, buckets_per_instance=4, seed=SEED,
+        )
+        n_out = g.count()
+        n_edges = g.agg(F.sum(F.size("neighbors"))).first()[0]
+        dt = time.perf_counter() - t0
+        s_max, s_tot = shuffle_stats()
+        print(
+            json.dumps(
+                {
+                    "n": n,
+                    "sec": round(dt, 2),
+                    "rows": n_out,
+                    "edges": int(n_edges),
+                    "max_stage_shuffle_mb": round((s_max) / 1e6, 1),
+                    "total_shuffle_mb": round((s_tot - max(base_tot, 0)) / 1e6, 1),
+                }
+            )
+        )
+        pts.unpersist()
+
+
+if __name__ == "__main__":
+    main()

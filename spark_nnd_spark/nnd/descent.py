@@ -109,58 +109,102 @@ def _init_kernel(seed: int, k: int):
     return kernel
 
 
-def _local_join_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+def _local_join_kernel(k: int):
     """The NN-Descent local join (NND.scala:200-217) for one adjacency
-    group A(v): score all ordered pairs (u, p), u != p, where at least
-    one endpoint is new (incremental search), and emit id-only candidate
-    messages to both endpoints.
+    group A(v): score all pairs (u, p), u != p, where at least one
+    endpoint is new (incremental search), and emit id-only candidate
+    messages to both endpoints — pruned in-kernel so the candidate
+    shuffle stays O(K) per node instead of O(|A(v)|):
+
+    - **threshold prune**: a candidate scoring strictly below the target
+      node's current K-th neighbor similarity (``kth_sim``, shipped in
+      as one scalar per member) cannot displace anything in the merge's
+      top-K — equal scores are kept, since the ascending-id tie-break
+      can still admit them;
+    - **top-2K truncation** per target node within the group: dedup in
+      the merge collapses a candidate onto an existing B-entry (same
+      (id, nb_id)) rather than adding a row, and at most K of the 2K
+      better-ranked candidates can collapse that way, so ≥ K distinct
+      better entries always remain — a candidate ranked past 2K can
+      never reach the final top-K. Rank order (sim desc, id asc)
+      matches the merge's, so truncation is exact, not approximate.
 
     Members may repeat (forward ∪ sampled-reverse ∪ self); dedup here,
     in-group, keeping `new` if any copy was new — cheaper than an extra
     pre-shuffle distinct.
     """
-    ids = pdf["member"].to_numpy(np.int64)
-    isnew = pdf["is_new"].to_numpy(bool)
-    uniq, first_idx, inv = np.unique(ids, return_index=True, return_inverse=True)
-    m = len(uniq)
-    if m < 2:
-        return pd.DataFrame(columns=["id", "nb_id", "sim"])
-    new_u = np.zeros(m, dtype=bool)
-    np.logical_or.at(new_u, inv, isnew)
-    if not new_u.any():
-        return pd.DataFrame(columns=["id", "nb_id", "sim"])
-    feats = np.stack(pdf["member_features"].to_numpy()).astype(np.float64)[first_idx]
+    cap = 2 * k
 
-    new_idx = np.flatnonzero(new_u)
-    a = feats[new_idx]
-    # pairwise squared L2: ||a||² + ||b||² - 2ab (BLAS matmul)
-    d2 = (
-        (a * a).sum(axis=1)[:, None]
-        + (feats * feats).sum(axis=1)[None, :]
-        - 2.0 * (a @ feats.T)
-    )
-    np.maximum(d2, 0.0, out=d2)
-    sims = 1.0 / (1.0 + np.sqrt(d2))  # (n_new, m)
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["member"].to_numpy(np.int64)
+        isnew = pdf["is_new"].to_numpy(bool)
+        uniq, first_idx, inv = np.unique(ids, return_index=True, return_inverse=True)
+        m = len(uniq)
+        if m < 2:
+            return pd.DataFrame(columns=["id", "nb_id", "sim"])
+        new_u = np.zeros(m, dtype=bool)
+        np.logical_or.at(new_u, inv, isnew)
+        if not new_u.any():
+            return pd.DataFrame(columns=["id", "nb_id", "sim"])
+        feats = np.stack(pdf["member_features"].to_numpy()).astype(np.float64)[first_idx]
+        thr = pdf["kth_sim"].to_numpy(np.float64)[first_idx]
 
-    # Emit each unordered pair once: skip self-columns, and for new-new
-    # pairs keep only the copy where the column's new-rank exceeds the
-    # row's (avoids double emission with identical sims).
-    new_rank = np.full(m, -1, dtype=np.int64)
-    new_rank[new_idx] = np.arange(len(new_idx))
-    col_rank = new_rank[None, :]
-    row_rank = np.arange(len(new_idx))[:, None]
-    keep = ~((col_rank >= 0) & (col_rank <= row_rank))
-    rows, cols = np.nonzero(keep)
-    u = uniq[new_idx[rows]]
-    p = uniq[cols]
-    s = sims[rows, cols]
-    return pd.DataFrame(
-        {
-            "id": np.concatenate([u, p]),
-            "nb_id": np.concatenate([p, u]),
-            "sim": np.concatenate([s, s]),
-        }
-    )
+        new_idx = np.flatnonzero(new_u)
+        n_new = len(new_idx)
+        a = feats[new_idx]
+        # pairwise squared L2: ||a||² + ||b||² - 2ab (BLAS matmul)
+        d2 = (
+            (a * a).sum(axis=1)[:, None]
+            + (feats * feats).sum(axis=1)[None, :]
+            - 2.0 * (a @ feats.T)
+        )
+        np.maximum(d2, 0.0, out=d2)
+        sims = 1.0 / (1.0 + np.sqrt(d2))  # (n_new, m)
+        sims[np.arange(n_new), new_idx] = -np.inf  # no self-edges
+
+        out_id, out_nb, out_sim = [], [], []
+
+        # Row side: a new node's candidates are all other members.
+        # `uniq` is ascending, so a stable argsort on -sim realizes the
+        # merge's exact (sim desc, id asc) order.
+        kk = min(cap, m - 1)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        rsims = np.take_along_axis(sims, order, axis=1)
+        rmask = np.isfinite(rsims) & (rsims >= thr[new_idx][:, None])
+        if rmask.any():
+            rows = np.broadcast_to(np.arange(n_new)[:, None], rmask.shape)[rmask]
+            out_id.append(uniq[new_idx[rows]])
+            out_nb.append(uniq[order[rmask]])
+            out_sim.append(rsims[rmask])
+
+        # Column side: old members receive candidates only from new rows
+        # (new members were already served by their own row above).
+        old_idx = np.flatnonzero(~new_u)
+        if len(old_idx):
+            csims = sims[:, old_idx]  # (n_new, n_old); new_idx ascending
+            kk2 = min(cap, n_new)
+            order2 = np.argsort(-csims, axis=0, kind="stable")[:kk2, :]
+            cs = np.take_along_axis(csims, order2, axis=0)
+            cmask = np.isfinite(cs) & (cs >= thr[old_idx][None, :])
+            if cmask.any():
+                cols = np.broadcast_to(
+                    np.arange(len(old_idx))[None, :], cmask.shape
+                )[cmask]
+                out_id.append(uniq[old_idx[cols]])
+                out_nb.append(uniq[new_idx[order2[cmask]]])
+                out_sim.append(cs[cmask])
+
+        if not out_id:
+            return pd.DataFrame(columns=["id", "nb_id", "sim"])
+        return pd.DataFrame(
+            {
+                "id": np.concatenate(out_id),
+                "nb_id": np.concatenate(out_nb),
+                "sim": np.concatenate(out_sim),
+            }
+        )
+
+    return kernel
 
 
 def _merge_top_k(edges: DataFrame, k: int) -> DataFrame:
@@ -249,7 +293,9 @@ def build_graph(
         .select(
             (F.col("__b") + F.lit(int(max_nb)) * F.col("partition")).alias("bucket"),
             "id",
-            "features",
+            # float32 on the wire (see `feats` below); the bucket draw above
+            # hashes the original float64 features, so init is unchanged.
+            F.col("features").cast("array<float>").alias("features"),
         )
     )
 
@@ -260,7 +306,14 @@ def build_graph(
     graph = _merge_top_k(init_cands.withColumn("is_b", F.lit(False)), k)
     graph = graph.localCheckpoint(eager=True)
 
-    feats = active.select(F.col("id").alias("member"), F.col("features").alias("member_features"))
+    # Features ship as float32: halves the dominant exchange (group-by-v
+    # feature routing); kernels upcast to float64 for the distance math.
+    # Output similarities deviate from exact-float64 by ~1e-7 relative —
+    # irrelevant for an approximate-KNN contract (recall-tested).
+    feats = active.select(
+        F.col("id").alias("member"),
+        F.col("features").cast("array<float>").alias("member_features"),
+    )
 
     iterations_run = 0
     for _ in range(max_iterations):
@@ -292,16 +345,41 @@ def build_graph(
             )
 
         # A10: A(v) = B(v) ∪ sampled-R(v) ∪ {v}; features attach via one
-        # equi-join (the only place vectors are shipped).
+        # equi-join (the only place vectors are shipped). Each member also
+        # carries its current K-th neighbor similarity — one double that
+        # lets the kernel prune candidates which cannot enter the top-K.
         fwd = edges.select(F.col("src").alias("v"), F.col("dst").alias("member"), "is_new")
         self_m = active.select(
             F.col("id").alias("v"), F.col("id").alias("member"), F.lit(False).alias("is_new")
         )
-        adj = fwd.unionByName(rev).unionByName(self_m)
-        adj_feat = adj.join(feats, "member").select("v", "member", "member_features", "is_new")
+        # Dedup (v, member) BEFORE features attach: B(v) and sampled-R(v)
+        # overlap heavily once the graph converges (mutual neighbors), and
+        # every duplicate dropped here is one feature vector that never
+        # enters the big group-by-v exchange. The dedup shuffle itself
+        # moves id-only rows — cheap.
+        adj = (
+            fwd.unionByName(rev)
+            .unionByName(self_m)
+            .groupBy("v", "member")
+            .agg(F.max("is_new").alias("is_new"))
+        )
+        kth = graph.select(
+            F.col("id").alias("member"),
+            F.when(
+                F.size("neighbors") >= k, F.element_at("neighbors", k)["similarity"]
+            )
+            .otherwise(F.lit(float("-inf")))
+            .alias("kth_sim"),
+        )
+        feats_iter = feats.join(kth, "member", "left").withColumn(
+            "kth_sim", F.coalesce("kth_sim", F.lit(float("-inf")))
+        )
+        adj_feat = adj.join(feats_iter, "member").select(
+            "v", "member", "member_features", "is_new", "kth_sim"
+        )
 
         # A11: local join (numpy kernel) → id-only candidate stream.
-        cands = adj_feat.groupBy("v").applyInPandas(_local_join_kernel, _CAND_SCHEMA)
+        cands = adj_feat.groupBy("v").applyInPandas(_local_join_kernel(k), _CAND_SCHEMA)
 
         old_edges = graph.select(
             F.col("id"), F.explode("neighbors").alias("nb")
