@@ -8,10 +8,12 @@ insensitive value-hash → CORRECTNESS_r{N}.json).
 Query inventory (operator → SURVEY.md §2 mapping lives in each module):
 - q1–q10: the reference's relational/dataflow primitives
   (spark_nnd_spark/queries/relational.py).
-- q11–q23: training-data-pipeline extensions — text analysis, dedup
-  family (exact / fingerprint / n-gram Jaccard / MinHash-LSH /
+- q11–q23, q27–q29: training-data-pipeline extensions — text analysis,
+  dedup family (exact / fingerprint / n-gram Jaccard / MinHash-LSH /
   SimHash), embedding similarity + near-dup, event sessionization and
-  windows (spark_nnd_spark/queries/pipeline.py).
+  windows, multimodal binary-payload ops (image stats / frame sampling
+  / audio stats over mapInPandas with deterministic fake decode)
+  (spark_nnd_spark/queries/pipeline.py).
 - q24–q26: K-NN graph surface — exact graph (oracle-checked),
   NN-Descent (rows-only; recall-checked in tests), LSH ANN (rows-only)
   (spark_nnd_spark/queries/knn.py).

@@ -1,0 +1,226 @@
+"""Multimodal (image/audio/video) columns as opaque BINARY payloads.
+
+Extension layer (no counterpart in the reference — it is a single-purpose
+K-NNG library, SURVEY.md §2.3); this is the training-data-pipeline
+surface: media riding in DataFrames as ``BINARY`` payload columns with
+typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
+
+Container reality: no image/audio codec libraries are installed, so the
+*format* decode step is stubbed exactly as the build brief requires —
+``codec="raw"`` is a deterministic fake decoder (bytes → fixed-shape
+uint8 tensor, zero-padded/truncated), while ``codec="real"`` raises
+``NotImplementedError`` unless Pillow is importable. Everything around
+the decode — schemas, mapInPandas batch iteration, frame explosion,
+output columns — is real, tested, and scale-shaped:
+
+- kernels stream Arrow batches (no per-row Python), stay O(batch) in
+  memory, and preserve the input partitioning (no shuffle is introduced
+  by any operator here — narrow transformations only);
+- frame sampling explodes one row per sampled frame, the standard
+  pre-shuffle layout for per-frame feature extraction downstream;
+- payload bytes never enter a groupBy key — ids and digests do.
+
+Determinism: raw-codec outputs are pure functions of the payload bytes,
+so the DuckDB oracle can reproduce them with byte/codepoint arithmetic
+(the test corpus is ASCII, so UTF-8 bytes == codepoints).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+IMAGE_STATS_SCHEMA = "id long, n_bytes int, mean_px double, std_px double"
+RESIZE_SCHEMA = "id long, out_h int, out_w int, digest string"
+FRAME_SCHEMA = "id long, frame_idx int, frame_digest string"
+AUDIO_STATS_SCHEMA = "id long, n_samples int, rms double, zero_crossings int"
+
+
+def _pil_or_none():
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _decode_raw(payload: bytes, n: int) -> np.ndarray:
+    """Deterministic fake decode: first ``n`` payload bytes as a uint8
+    tensor, zero-padded. Stands in for a codec while keeping every
+    downstream shape/dtype contract identical to a real decode."""
+    arr = np.frombuffer(payload[:n], dtype=np.uint8)
+    if len(arr) < n:
+        arr = np.concatenate([arr, np.zeros(n - len(arr), np.uint8)])
+    return arr
+
+
+def _decode(payload: bytes, n: int, codec: str) -> np.ndarray:
+    if codec == "raw":
+        return _decode_raw(payload, n)
+    if codec == "real":
+        if _pil_or_none() is None:
+            raise NotImplementedError(
+                "codec='real' needs Pillow, which is not installed in this "
+                "container; use codec='raw' (deterministic fake decode)"
+            )
+        import io  # noqa: PLC0415
+
+        img = _pil_or_none().open(io.BytesIO(payload)).convert("L")
+        return np.asarray(img, dtype=np.uint8).ravel()[:n]
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def image_stats(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    height: int = 16,
+    width: int = 16,
+    channels: int = 1,
+    codec: str = "raw",
+) -> DataFrame:
+    """Per-image pixel statistics: decode payload to (height, width,
+    channels) and emit mean/population-std over all pixels.
+
+    Returns (id, n_bytes, mean_px, std_px)."""
+    n = height * width * channels
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack([_decode(p, n, codec) for p in pdf[payload_col]]).astype(
+                np.float64
+            )
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(np.int64),
+                    "n_bytes": pdf[payload_col].map(len).astype(np.int32),
+                    "mean_px": a.mean(axis=1),
+                    "std_px": a.std(axis=1),
+                }
+            )
+
+    return df.mapInPandas(run, IMAGE_STATS_SCHEMA)
+
+
+def resize_image(
+    df: DataFrame,
+    out_h: int,
+    out_w: int,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    height: int = 16,
+    width: int = 16,
+    codec: str = "raw",
+) -> DataFrame:
+    """Nearest-neighbor resize of the decoded (height, width) image to
+    (out_h, out_w); emits an md5 digest of the resized pixels (payload
+    bytes stay out of driver-facing results by design).
+
+    Returns (id, out_h, out_w, digest)."""
+    n = height * width
+    ri = (np.arange(out_h) * height) // out_h
+    ci = (np.arange(out_w) * width) // out_w
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            digests = []
+            for p in pdf[payload_col]:
+                img = _decode(p, n, codec).reshape(height, width)
+                small = img[np.ix_(ri, ci)]
+                digests.append(hashlib.md5(small.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(np.int64),
+                    "out_h": np.full(len(pdf), out_h, np.int32),
+                    "out_w": np.full(len(pdf), out_w, np.int32),
+                    "digest": digests,
+                }
+            )
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 64,
+    every: int = 4,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Treat the payload as a fixed-frame-size video track and emit one
+    row per sampled frame (every ``every``-th full frame): the standard
+    1→many explode that feeds per-frame feature extraction.
+
+    Returns (id, frame_idx, frame_digest) — md5 of the frame's bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, digs = [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                n_frames = len(p) // frame_bytes
+                for f in range(0, n_frames, every):
+                    ids.append(int(i))
+                    idxs.append(f)
+                    digs.append(
+                        hashlib.md5(
+                            p[f * frame_bytes : (f + 1) * frame_bytes]
+                        ).hexdigest()
+                    )
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "id": np.array(ids, np.int64),
+                        "frame_idx": np.array(idxs, np.int32),
+                        "frame_digest": digs,
+                    }
+                )
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+def audio_stats(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Treat the payload as little-endian int16 PCM: RMS and
+    zero-crossing count after DC-offset removal (mean-centering).
+
+    Returns (id, n_samples, rms, zero_crossings)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ns, rms, zc = [], [], []
+            for p in pdf[payload_col]:
+                s = np.frombuffer(p[: (len(p) // 2) * 2], dtype="<i2").astype(
+                    np.float64
+                )
+                ns.append(len(s))
+                if len(s) == 0:
+                    rms.append(0.0)
+                    zc.append(0)
+                    continue
+                c = s - s.mean()
+                rms.append(float(np.sqrt((c * c).mean())))
+                zc.append(int(np.count_nonzero(c[:-1] * c[1:] < 0)))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(np.int64),
+                    "n_samples": np.array(ns, np.int32),
+                    "rms": rms,
+                    "zero_crossings": np.array(zc, np.int32),
+                }
+            )
+
+    return df.mapInPandas(run, AUDIO_STATS_SCHEMA)

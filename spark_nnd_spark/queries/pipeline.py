@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from spark_nnd_spark.functions import text as TX
 from spark_nnd_spark.operators import dedup as DD
 from spark_nnd_spark.operators import events as EV
+from spark_nnd_spark.operators import multimodal as MM
 from spark_nnd_spark.operators import similarity as SIM
 from spark_nnd_spark.sources import load_table
 
@@ -100,6 +101,48 @@ def q19_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# --------------------------------------------------- multimodal (binary)
+# The corpus has no real media files; payloads are the documents' UTF-8
+# bytes (ASCII ⇒ bytes == codepoints, so DuckDB can oracle-check the
+# byte arithmetic). The mapInPandas plumbing is the real deliverable —
+# a true codec would swap in behind operators/multimodal.py `codec=`.
+
+def q27_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = MM.image_stats(d, id_col="doc_id", height=16, width=16, channels=1)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_bytes",
+        F.round("mean_px", 4).alias("mean_px"),
+        F.round("std_px", 4).alias("std_px"),
+    ).orderBy("doc_id")
+
+
+def q28_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = MM.sample_frames(d, frame_bytes=64, every=4, id_col="doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"), "frame_idx", "frame_digest"
+    ).orderBy("doc_id", "frame_idx")
+
+
+def q29_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = MM.audio_stats(d, id_col="doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_samples",
+        F.round("rms", 4).alias("rms"),
+        "zero_crossings",
+    ).orderBy("doc_id")
+
+
 # ------------------------------------------------------------- events
 
 def q20_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,6 +218,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_simhash_buckets": q17_simhash_buckets,
     "q18_ann_brute_topk": q18_ann_brute_topk,
     "q19_embedding_neardup": q19_embedding_neardup,
+    "q27_image_stats": q27_image_stats,
+    "q28_frame_sample": q28_frame_sample,
+    "q29_audio_stats": q29_audio_stats,
     "q20_sessionize": q20_sessionize,
     "q21_tumbling_counts": q21_tumbling_counts,
     "q22_running_value": q22_running_value,
@@ -285,6 +331,50 @@ def _pipeline_oracles() -> dict[str, str]:
                   / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
                    * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i])))) >= 0.45
             ORDER BY id_a, id_b
+        """,
+        # Multimodal raw-codec oracles: ASCII text ⇒ UTF-8 byte i ==
+        # unicode(substr(text, i, 1)); integer byte sums are exact in
+        # float64 on both engines, so means match bit-for-bit and only
+        # the (rounded) second moments carry float noise.
+        "q27_image_stats": """
+            WITH px AS (
+                SELECT doc_id, len(text) AS n_bytes,
+                       list_transform(range(1, 257),
+                           i -> CASE WHEN i <= len(text)
+                                     THEN unicode(substr(text, i, 1))
+                                     ELSE 0 END) AS p
+                FROM documents
+            )
+            SELECT doc_id, n_bytes,
+                   round(list_avg(p), 4) AS mean_px,
+                   round(sqrt(list_avg(list_transform(p, x -> (x - list_avg(p)) * (x - list_avg(p))))), 4) AS std_px
+            FROM px ORDER BY doc_id
+        """,
+        "q28_frame_sample": """
+            WITH f AS (
+                SELECT doc_id, text,
+                       unnest(list_filter(range(0, len(text) // 64),
+                                          i -> i % 4 = 0)) AS frame_idx
+                FROM documents
+            )
+            SELECT doc_id, frame_idx,
+                   md5(substr(text, frame_idx * 64 + 1, 64)) AS frame_digest
+            FROM f ORDER BY doc_id, frame_idx
+        """,
+        "q29_audio_stats": """
+            WITH s AS (
+                SELECT doc_id,
+                       list_transform(range(1, len(text) // 2 + 1),
+                           i -> unicode(substr(text, 2*i - 1, 1))
+                                + 256 * unicode(substr(text, 2*i, 1))) AS v
+                FROM documents
+            ),
+            c AS (SELECT doc_id, len(v) AS n_samples, list_avg(v) AS m, v FROM s)
+            SELECT doc_id, n_samples,
+                   round(sqrt(list_avg(list_transform(v, x -> (x - m) * (x - m)))), 4) AS rms,
+                   len(list_filter(range(1, n_samples),
+                                   i -> (v[i] - m) * (v[i + 1] - m) < 0)) AS zero_crossings
+            FROM c ORDER BY doc_id
         """,
         "q20_sessionize": """
             WITH g AS (
