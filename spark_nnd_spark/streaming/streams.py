@@ -1,0 +1,177 @@
+"""Structured Streaming surface over the events table.
+
+Extension layer: the reference has no streaming (SURVEY.md §2.3 —
+"Streaming: none"), but a training-data pipeline ingests event streams
+continuously, so the engine exposes the batch event operators' streaming
+twins. Design follows the Spark streaming model end-to-end:
+
+- sources are ``readStream`` (file source here; swap for Kafka in prod —
+  the transformations are source-agnostic);
+- event-time semantics with watermarks bound state: late rows beyond the
+  watermark are dropped, which is what makes 100 TB/day ingestion hold
+  state O(open windows), not O(stream);
+- windowed aggregation uses native ``window()`` / ``session_window()``
+  (JVM-side incremental state store, no Python in the hot path);
+- the one genuinely custom stateful operator (running per-user totals
+  with explicit state) uses ``applyInPandasWithState`` — the pattern for
+  operators the built-in window model can't express.
+
+Each streaming op is semantically aligned with a batch twin in
+operators/events.py / queries/pipeline.py and tested by running the
+stream with ``trigger(availableNow=True)`` into a memory sink and
+comparing against the batch result (tests/test_streaming.py) — the
+replay-equals-batch property that makes a Lambda-free architecture
+trustworthy.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """Directory holding a symlink to events.parquet (file streams read
+    directories; a real deployment points at the landing directory)."""
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"spark_nnd_events_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    return d
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events parquet (schema pinned from a
+    batch read; file streams require an explicit schema)."""
+    from spark_nnd_spark.sources import load_table  # noqa: PLC0415
+
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            for f in batch.schema.fields
+        ]
+    )
+    # the file stream source requires a directory; the corpus ships one
+    # parquet file per table, so stage a symlink dir (per sf_dir, cached)
+    stream_dir = _stream_dir(sf_dir)
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(stream_dir)
+    # same nanos→micros conversion as the batch source (sources/tables.py)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of q21 tumbling counts: per (event-time window,
+    event_type) count + exact DECIMAL value sum, late data bounded by
+    the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("w_start_epoch"),
+            "event_type",
+            "c",
+            F.col("v").cast("string").alias("v"),
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization via native ``session_window`` (gap-merged
+    event-time sessions, state evicted past the watermark) — the
+    streaming twin of operators/events.sessionize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").cast("long").alias("t_start_epoch"),
+            F.max("ts").cast("long").alias("t_end_epoch"),
+        )
+        .select("user_id", "n_events", "t_start_epoch", "t_end_epoch")
+    )
+
+
+_TOTALS_SCHEMA = "user_id long, n_events long, total string"
+_STATE_SCHEMA = "n long, total double"
+
+
+def _totals_fn(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Explicit-state kernel: fold each micro-batch's rows for this user
+    into (count, sum) state and emit the updated running totals."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total": [f"{total:.2f}"]}
+    )
+
+
+def user_running_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user event count and value total, updated every micro-batch.
+    The pattern for stateful logic beyond window/session aggregations
+    (e.g. incremental dedup registries, quota trackers)."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _totals_fn,
+            outputStructType=_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory_sink(
+    stream: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    timeout_sec: int = 120,
+) -> Any:
+    """Drain a (finite) stream with availableNow into a memory sink and
+    return the query; test/debug harness, not a production sink."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q

@@ -1,0 +1,102 @@
+"""Streaming-equals-batch replay tests (spark_nnd_spark/streaming).
+
+Each streaming operator drains the sf0.001 events file with
+trigger(availableNow=True) into a memory sink and must reproduce its
+batch twin exactly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_nnd_spark.operators import events as EV
+from spark_nnd_spark.sources import load_table
+from spark_nnd_spark.streaming import (
+    read_events_stream,
+    run_to_memory_sink,
+    sessionize_stream,
+    user_running_totals_stream,
+    windowed_counts_stream,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return load_table(spark, SF_SMOKE, "events")
+
+
+def test_stream_source_schema(spark, events_batch):
+    s = read_events_stream(spark, SF_SMOKE)
+    assert s.isStreaming
+    assert s.schema == events_batch.schema
+
+
+def test_windowed_counts_match_batch(spark, events_batch):
+    stream = windowed_counts_stream(read_events_stream(spark, SF_SMOKE))
+    run_to_memory_sink(stream, "wc", output_mode="complete")
+    got = {
+        (r["w_start_epoch"], r["event_type"]): (r["c"], r["v"])
+        for r in spark.sql("SELECT * FROM wc").collect()
+    }
+    want = {
+        (r["w_start_epoch"], r["event_type"]): (r["c"], r["v"])
+        for r in events_batch.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("string").alias("v"),
+        )
+        .select(F.col("w.start").cast("long").alias("w_start_epoch"), "event_type", "c", "v")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_sessionize_matches_batch(spark, events_batch):
+    stream = sessionize_stream(read_events_stream(spark, SF_SMOKE), gap_minutes=30)
+    run_to_memory_sink(stream, "sess", output_mode="complete")
+    got = {
+        (r["user_id"], r["t_start_epoch"]): (r["n_events"], r["t_end_epoch"])
+        for r in spark.sql("SELECT * FROM sess").collect()
+    }
+    want = {
+        (r["user_id"], r["t_start"]): (r["n_events"], r["t_end"])
+        for r in EV.sessionize(events_batch, gap_minutes=30)
+        .select(
+            "user_id",
+            "n_events",
+            F.col("t_start").cast("long").alias("t_start"),
+            F.col("t_end").cast("long").alias("t_end"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_running_totals_final_state_matches_batch(spark, events_batch):
+    stream = user_running_totals_stream(read_events_stream(spark, SF_SMOKE))
+    run_to_memory_sink(stream, "tot", output_mode="update")
+    # update mode emits one row per user per micro-batch; the final row
+    # per user is the folded state
+    got = {
+        r["user_id"]: (r["n_events"], r["total"])
+        for r in spark.sql(
+            """SELECT user_id, n_events, total FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                              ORDER BY n_events DESC) rn FROM tot
+               ) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], f"{r['tot']:.2f}")
+        for r in events_batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tot"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        # float fold order differs stream vs batch; totals agree to cents
+        assert abs(float(got[u][1]) - float(want[u][1])) < 0.05
