@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from spark_nnd_spark.nnd.descent import build_graph
 from spark_nnd_spark.nnd.exact import build_graph_exact
-from spark_nnd_spark.operators.similarity import ann_lsh_topk
+from spark_nnd_spark.operators.similarity import ann_ivf_topk, ann_lsh_topk
 from spark_nnd_spark.sources import load_table
 
 K = 10
@@ -76,10 +76,24 @@ def q26_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q30_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell approximate cosine top-k (scale path #2: inverted-file
+    index, sample-trained spherical k-means); rows-only, recall-vs-brute
+    checked in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ann_ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=4, seed=42
+    )
+    return out.select(
+        "query_id", "nb_id", "rank", F.round("cosine", 6).alias("cosine")
+    ).orderBy("query_id", "rank")
+
+
 KNN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_knn_exact": q24_knn_exact,
     "q25_nnd_graph": q25_nnd_graph,
     "q26_ann_lsh_topk": q26_ann_lsh_topk,
+    "q30_ann_ivf_topk": q30_ann_ivf_topk,
 }
 
 KNN_ORACLES: dict[str, str] = {

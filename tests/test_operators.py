@@ -80,6 +80,23 @@ def test_ann_lsh_recall_vs_brute(spark):
     assert recall >= 0.5, f"ANN-LSH recall {recall:.2f}"  # multiprobe 8-bit buckets
 
 
+def test_ann_ivf_recall_vs_brute(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    brute = SIM.ann_brute_topk(emb, q, k=5).collect()
+    ivf = SIM.ann_ivf_topk(emb, q, k=5, n_centroids=8, n_probe=3, seed=42).collect()
+    bt, it = {}, {}
+    for r in brute:
+        bt.setdefault(r["query_id"], set()).add(r["nb_id"])
+    for r in ivf:
+        it.setdefault(r["query_id"], set()).add(r["nb_id"])
+    recall = sum(len(bt[q] & it.get(q, set())) for q in bt) / sum(len(v) for v in bt.values())
+    assert recall >= 0.6, f"ANN-IVF recall {recall:.2f}"
+    # determinism: sample-trained centroids are seeded
+    again = SIM.ann_ivf_topk(emb, q, k=5, n_centroids=8, n_probe=3, seed=42).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, again))
+
+
 def test_embedding_neardup_lsh_finds_exact_pairs(spark):
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     exact = {
