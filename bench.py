@@ -36,6 +36,8 @@ HEADLINE = [
     "q16_minhash_lsh_pairs",
     "q18_ann_brute_topk",
     "q26_ann_lsh_topk",
+    "q30_ann_ivf_topk",
+    "q27_image_stats",
     "q20_sessionize",
     "q21_tumbling_counts",
 ]
