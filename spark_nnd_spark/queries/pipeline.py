@@ -81,6 +81,18 @@ def q17_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_dedup(d).orderBy("simhash")
 
 
+def q31_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: MinHash-LSH pairs → connected
+    components (min-label propagation), the corpus-dedup final step."""
+    from spark_nnd_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(d, num_hashes=16, bands=4, n=3, threshold=0.2)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------- embeddings
 
 def q18_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,6 +228,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_minhash_signatures": q15_minhash_signatures,
     "q16_minhash_lsh_pairs": q16_minhash_lsh_pairs,
     "q17_simhash_buckets": q17_simhash_buckets,
+    "q31_neardup_components": q31_neardup_components,
     "q18_ann_brute_topk": q18_ann_brute_topk,
     "q19_embedding_neardup": q19_embedding_neardup,
     "q27_image_stats": q27_image_stats,
@@ -302,6 +315,34 @@ def _pipeline_oracles() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "q17_simhash_buckets": None,  # filled below (needs dedup.simhash_sql)
+        "q31_neardup_components": f"""
+            WITH RECURSIVE sigs AS (SELECT doc_id, {mh} AS mh, {sh} AS s FROM documents),
+            banded AS (
+                SELECT doc_id, b.range AS band,
+                       mh[b.range * 4 + 1 : b.range * 4 + 4] AS bsig, s
+                FROM sigs, range(0, 4) b
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                FROM banded x JOIN banded y
+                  ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+            ),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM cand JOIN sigs a ON id_a = a.doc_id JOIN sigs b ON id_b = b.doc_id
+                WHERE len(list_intersect(a.s, b.s)) * 1.0
+                      / len(list_distinct(a.s || b.s)) >= 0.2
+            ),
+            e AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+            reach AS (
+                SELECT s, d FROM e
+                UNION
+                SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s
+            )
+            SELECT s AS doc_id, least(s, min(d)) AS component
+            FROM reach GROUP BY s ORDER BY doc_id
+        """,
         "q18_ann_brute_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 10),

@@ -80,6 +80,17 @@ def test_ann_lsh_recall_vs_brute(spark):
     assert recall >= 0.5, f"ANN-LSH recall {recall:.2f}"  # multiprobe 8-bit buckets
 
 
+def test_connected_components_multihop(spark):
+    from spark_nnd_spark.operators.graph import connected_components
+
+    # two chains and a singleton edge: {1-2-3-4}, {10-11}, {20-21}
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (21, 20)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
 def test_ann_ivf_recall_vs_brute(spark):
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 20)
