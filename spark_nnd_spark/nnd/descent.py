@@ -246,9 +246,13 @@ def build_graph(
     buckets_per_instance: int = 4,
     seed: int = 42,
     validate: bool = True,
+    on_iteration=None,
 ) -> DataFrame:
     """Approximate K-NN graph via NN-Descent (reference `buildGraph`,
     NND.scala:66, same parameters plus an explicit ``seed``).
+
+    ``on_iteration``, if given, is called after each round with
+    ``(iteration_index, updated_count)`` — progress/telemetry hook.
 
     Returns the input columns plus ``neighbors ARRAY<STRUCT<id BIGINT,
     similarity DOUBLE>>``, sorted by similarity desc / id asc; null for
@@ -399,6 +403,8 @@ def build_graph(
                 F.sum(F.size(F.filter("neighbors", lambda n: n["is_new"]))), F.lit(0)
             ).alias("u")
         ).first()["u"]
+        if on_iteration is not None:
+            on_iteration(iterations_run, int(updated))
         if updated <= early_termination * k * n_active:
             break
 

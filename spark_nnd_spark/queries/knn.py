@@ -52,7 +52,13 @@ def q24_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q25_nnd_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NN-Descent approximate K-NN graph (seeded, deterministic);
-    rows-only driver check, recall-vs-exact checked in tests."""
+    rows-only driver check, recall-vs-exact checked in tests.
+
+    Runs the reference README's published params (K=10, maxIter=5,
+    δ=0.01, ρ=1.0, b=4 — README.md:44-48). Recall after the 5-round cap
+    depends on the corpus (≥0.9 on the FIXTURES clustered tier; lower on
+    this 64-dim synthetic table, where `updated` is still halving per
+    round at the cap — raise max_iterations for more)."""
     g = build_graph(
         _points(spark, sf_dir),
         k=K,
