@@ -36,7 +36,7 @@ from spark_nnd_spark.functions.vector import (
     dot_expr,
 )
 from spark_nnd_spark.nnd.exact import build_graph_exact
-from spark_nnd_spark.nnd.descent import build_graph
+from spark_nnd_spark.nnd.descent import build_graph, update_graph
 
 __all__ = [
     "get_spark",
@@ -50,6 +50,7 @@ __all__ = [
     "dot_expr",
     "build_graph_exact",
     "build_graph",
+    "update_graph",
 ]
 
 __version__ = "0.1.0"

@@ -310,6 +310,34 @@ def build_graph(
     graph = _merge_top_k(init_cands.withColumn("is_b", F.lit(False)), k)
     graph = graph.localCheckpoint(eager=True)
 
+    graph = _descend(
+        active, graph, k, max_iterations, early_termination, sample_rate,
+        seed, n_active, on_iteration,
+    )
+    result = _assemble(points, graph)
+    active.unpersist()
+    return result
+
+
+def _descend(
+    active: DataFrame,
+    graph: DataFrame,
+    k: int,
+    max_iterations: int,
+    early_termination: float,
+    sample_rate: float,
+    seed: int,
+    threshold_n: int,
+    on_iteration=None,
+    prune_inert: bool = False,
+) -> DataFrame:
+    """The NN-Descent iteration loop (A8–A13) from a seeded working
+    graph. ``threshold_n`` is the N in the ``updated ≤ δ·K·N`` stop rule
+    (all active nodes for a full build; the new-node count for an
+    incremental update). ``prune_inert`` drops adjacency groups with no
+    new member before features are shipped — a win when most of the
+    graph is converged (incremental updates), two extra id-only shuffles
+    otherwise."""
     # Features ship as float32: halves the dominant exchange (group-by-v
     # feature routing); kernels upcast to float64 for the distance math.
     # Output similarities deviate from exact-float64 by ~1e-7 relative —
@@ -367,6 +395,9 @@ def build_graph(
             .groupBy("v", "member")
             .agg(F.max("is_new").alias("is_new"))
         )
+        if prune_inert:
+            live = adj.filter("is_new").select("v").distinct()
+            adj = adj.join(live, "v", "left_semi")
         kth = graph.select(
             F.col("id").alias("member"),
             F.when(
@@ -405,14 +436,17 @@ def build_graph(
         ).first()["u"]
         if on_iteration is not None:
             on_iteration(iterations_run, int(updated))
-        if updated <= early_termination * k * n_active:
+        if updated <= early_termination * k * threshold_n:
             break
+    return graph
 
-    # --- A14: join results back; finished → null, active-no-neighbors → []
+
+def _assemble(points: DataFrame, graph: DataFrame) -> DataFrame:
+    """A14: join results back; finished → null, active-no-neighbors → []."""
     out_neighbors = F.transform(
         "neighbors", lambda s: F.struct(s["id"].alias("id"), s["similarity"].alias("similarity"))
     )
-    result = (
+    return (
         points.join(graph.select("id", "neighbors"), "id", "left")
         .withColumn(
             "neighbors",
@@ -421,5 +455,127 @@ def build_graph(
             ),
         )
     )
+
+
+def update_graph(
+    prev: DataFrame,
+    df: DataFrame,
+    k: int,
+    max_iterations: int = 3,
+    early_termination: float = 0.01,
+    sample_rate: float = 1.0,
+    buckets_per_instance: int = 4,
+    seed: int = 42,
+    validate: bool = True,
+    on_iteration=None,
+) -> DataFrame:
+    """Incrementally fold new points into an existing K-NN graph.
+
+    The extension the reference's ``finished`` flag exists for
+    (NND.scala:62, README.md:34 — carried for the upstream spark-rgt
+    incremental workflow but never implemented there): ``prev`` is a
+    prior ``build_graph``/``update_graph`` result, ``df`` is the full
+    current point set; rows absent from ``prev`` are the new arrivals.
+
+    Incremental shape (work scales with the new batch, not the corpus):
+
+    - init: the previous neighbor lists seed the working graph with
+      every entry old; only new points bucket-sample, and only buckets
+      containing a new point run the init kernel (bucket membership is
+      a pure function of the feature hash, so old members land in the
+      same buckets they did at build time);
+    - iterations reuse ``_descend`` with ``prune_inert=True`` — groups
+      with no new member ship no features and score nothing, so old
+      regions of the graph are untouched (incremental search makes
+      this exact, not approximate: old-old pairs were already scored
+      at build time);
+    - convergence denominator is the NEW-point count (``updated ≤
+      δ·K·N_new``), since a converged bulk would otherwise mask new
+      points' churn.
+
+    Returns the same output schema as ``build_graph`` over ``df``.
+    """
+    spark: SparkSession = df.sparkSession
+    points = normalize_points(df)
+    if validate:
+        validate_points(points)
+
+    active = (
+        points.filter(~F.col("finished"))
+        .select("id", "features", "partition")
+        .persist()
+    )
+    prev_nb = prev.select("id", "neighbors").persist()
+    new_ids = (
+        active.select("id").join(prev_nb.select("id"), "id", "left_anti").persist()
+    )
+    n_new = new_ids.count()
+    if n_new == 0:
+        result = _assemble(points, prev_nb)
+        active.unpersist()
+        return result
+
+    # Bucket geometry over ALL actives (same formula as build_graph, so
+    # old members hash into consistent buckets).
+    hist = {r["partition"]: r["count"] for r in active.groupBy("partition").count().collect()}
+    n_buckets = {p: max(1, math.ceil(c * buckets_per_instance / (2.0 * k))) for p, c in hist.items()}
+    max_nb = max(n_buckets.values())
+    nb_df = spark.createDataFrame(
+        [(int(p), int(b)) for p, b in n_buckets.items()], "partition long, n_buckets long"
+    )
+    draws = F.array_distinct(
+        F.array(
+            *[
+                F.pmod(F.xxhash64("features", F.lit(seed * 7919 + i)), F.col("n_buckets")) + 1
+                for i in range(buckets_per_instance)
+            ]
+        )
+    )
+    members = (
+        active.join(F.broadcast(nb_df), "partition")
+        .withColumn("__b", F.explode(draws))
+        .select(
+            (F.col("__b") + F.lit(int(max_nb)) * F.col("partition")).alias("bucket"),
+            "id",
+            F.col("features").cast("array<float>").alias("features"),
+        )
+    )
+    # Only buckets holding >= 1 new point produce candidates that can
+    # involve a new point; prune the rest before any feature moves.
+    live_buckets = (
+        members.join(new_ids, "id", "left_semi").select("bucket").distinct()
+    )
+    members = members.join(live_buckets, "bucket", "left_semi")
+    init_cands = members.groupBy("bucket").applyInPandas(
+        _init_kernel(seed, k), _CAND_SCHEMA
+    )
+    # Drop candidates where both endpoints are old (their graph entries
+    # are already converged; re-initializing them would only add noise).
+    new_flag = new_ids.withColumn("__new", F.lit(True))
+    init_cands = (
+        init_cands.join(new_flag, "id", "left")
+        .withColumnRenamed("__new", "__new_id")
+        .join(new_flag.withColumnRenamed("id", "nb_id"), "nb_id", "left")
+        .filter(F.col("__new_id").isNotNull() | F.col("__new").isNotNull())
+        .select("id", "nb_id", "sim")
+    )
+
+    prev_edges = prev_nb.select(
+        "id", F.explode("neighbors").alias("nb")
+    ).select(
+        "id", F.col("nb.id").alias("nb_id"), F.col("nb.similarity").alias("sim"),
+        F.lit(True).alias("is_b"),
+    )
+    graph = _merge_top_k(
+        prev_edges.unionByName(init_cands.withColumn("is_b", F.lit(False))), k
+    ).localCheckpoint(eager=True)
+
+    graph = _descend(
+        active, graph, k, max_iterations, early_termination, sample_rate,
+        seed, n_new, on_iteration, prune_inert=True,
+    )
+    result = _assemble(points, graph)
     active.unpersist()
+    prev_nb.unpersist()
+    new_ids.unpersist()
     return result

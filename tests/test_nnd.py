@@ -127,3 +127,51 @@ def test_singleton_partition_empty_neighbors(spark):
     g = {r["id"]: r for r in build_graph(df, k=2, max_iterations=2, seed=1).collect()}
     assert g[2]["neighbors"] == []
     assert {n["id"] for n in g[0]["neighbors"]} == {1}
+
+
+def test_update_graph_incremental(spark):
+    from spark_nnd_spark.nnd.descent import update_graph
+
+    rows = make_clustered_points(n_clusters=8, per_cluster=30, dim=8, seed=21)
+    half = [r for r in rows if r[0] % 2 == 0]
+    df_half = spark.createDataFrame(half, POINT_DDL)
+    df_all = spark.createDataFrame(rows, POINT_DDL)
+
+    g0 = build_graph(df_half, k=5, max_iterations=4, seed=3)
+    g1 = update_graph(g0, df_all, k=5, max_iterations=3, seed=3)
+    by_id = {r["id"]: r for r in g1.collect()}
+    assert set(by_id) == {r[0] for r in rows}
+
+    # every new node found neighbors, and quality holds: recall vs the
+    # exact oracle over the full set
+    oracle = knn_oracle(rows, 5)
+    new_ids = {r[0] for r in rows if r[0] % 2 == 1}
+    hits = total = 0
+    for i in new_ids:
+        got = {n["id"] for n in (by_id[i]["neighbors"] or [])}
+        want = {j for j, _ in oracle[i]}
+        hits += len(got & want)
+        total += len(want)
+    assert total > 0 and hits / total >= 0.7, f"new-node recall {hits/total:.3f}"
+
+    # old nodes keep valid lists (<= K, no self, sorted)
+    for i, r in by_id.items():
+        nbs = r["neighbors"]
+        assert nbs is not None and len(nbs) <= 5
+        sims = [n["similarity"] for n in nbs]
+        assert sims == sorted(sims, reverse=True)
+        assert i not in {n["id"] for n in nbs}
+
+
+def test_update_graph_noop_without_new_points(spark):
+    from spark_nnd_spark.nnd.descent import update_graph
+
+    rows = make_clustered_points(n_clusters=4, per_cluster=15, dim=4, seed=9)
+    df = spark.createDataFrame(rows, POINT_DDL)
+    g0 = build_graph(df, k=3, max_iterations=2, seed=5)
+    g1 = update_graph(g0, df, k=3, max_iterations=3, seed=5)
+    key = lambda rs: sorted(
+        (r["id"], tuple((n["id"], round(n["similarity"], 9)) for n in (r["neighbors"] or [])))
+        for r in rs
+    )
+    assert key(g0.collect()) == key(g1.collect())
