@@ -15,8 +15,11 @@ Extension layer for training-data pipelines. Two tiers:
   not corpus size. Recall < 1 by design; tested against the brute
   baseline.
 
-Hyperplanes are generated driver-side from a seeded numpy RNG and
-inlined as literals (no UDF, no nondeterminism).
+Hyperplanes are generated driver-side from a seeded numpy RNG —
+deterministic everywhere. Signatures have two equal renderings (tested):
+a pure-SQL expression (``lsh_signature_expr``) and an Arrow-batched
+matmul kernel (``lsh_signatures_udf``) that sidesteps the huge codegen
+unit the expression form expands into at multi-table sizes.
 
 Near-duplicate detection by embedding cosine (``embedding_neardup``)
 composes the same pieces: LSH buckets → exact verify ≥ threshold.
@@ -25,8 +28,10 @@ composes the same pieces: LSH buckets → exact verify ≥ threshold.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from spark_nnd_spark.functions.vector import cosine_similarity_expr, dot_expr
 
@@ -86,6 +91,25 @@ def lsh_signature_expr(vec: str | Column, planes: np.ndarray) -> Column:
     return total.cast("long")
 
 
+def lsh_signatures_udf(planes: np.ndarray, n_tables: int):
+    """Arrow-batched signature kernel: all ``n_tables`` sign-LSH
+    signatures in one BLAS matmul against the stacked (n_tables ·
+    n_planes, dim) hyperplane matrix. Equal to ``lsh_signature_expr``
+    per table (tested), but avoids the O(n_tables·n_planes·dim)-node
+    codegen unit the expression form expands into."""
+    n_planes = len(planes) // n_tables
+    powers = 2 ** np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sigs(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (x @ planes.T) >= 0
+        sig = bits.reshape(len(x), n_tables, -1) @ powers
+        return pd.Series(list(sig))
+
+    return sigs
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -110,43 +134,28 @@ def ann_lsh_topk(
     (fewer if the probed buckets hold < k candidates).
     """
     dim = len(corpus.select(vec_col).first()[0])
-    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    planes = np.vstack(
+        [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    )
+    sig_array = lsh_signatures_udf(planes, n_tables)
 
-    def sig_array() -> Column:
-        # one signature per table, computed ONCE per row; downstream
-        # probe derivation works on the materialized array (an exchange
-        # below acts as the projection-collapse barrier — without it
-        # Catalyst inlines the dot products into every probe branch)
-        return F.array(
-            *[
-                lsh_signature_expr(vec_col, hyperplanes(dim, n_planes, seed + 1000 * t))
-                for t in range(n_tables)
-            ]
-        )
-
-    c = (
-        corpus.repartition(parallelism)
-        .select(
-            F.col(id_col).alias("nb_id"),
-            _as_double(vec_col).alias("c_vec"),
-            sig_array().alias("sigs"),
-        )
-        .repartition(parallelism, "nb_id")
-        .select(
-            "nb_id",
-            "c_vec",
-            F.posexplode("sigs").alias("t", "bucket"),
-        )
+    # No repartition barriers needed: the signature UDF is extracted into
+    # its own ArrowEvalPython node, so downstream probe/explode projections
+    # reference its one materialized result instead of recomputing it.
+    c = corpus.select(
+        F.col(id_col).alias("nb_id"),
+        _as_double(vec_col).alias("c_vec"),
+        sig_array(_as_double(vec_col)).alias("sigs"),
+    ).select(
+        "nb_id",
+        "c_vec",
+        F.posexplode("sigs").alias("t", "bucket"),
     )
 
-    q = (
-        queries.repartition(parallelism)
-        .select(
-            F.col(id_col).alias("query_id"),
-            _as_double(vec_col).alias("q_vec"),
-            sig_array().alias("sigs"),
-        )
-        .repartition(parallelism, "query_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("q_vec"),
+        sig_array(_as_double(vec_col)).alias("sigs"),
     )
     if multiprobe:
         probes = F.flatten(

@@ -91,6 +91,33 @@ def test_connected_components_multihop(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_lsh_signature_udf_matches_expr(spark):
+    """The Arrow matmul signature kernel equals the pure-expression form
+    table by table (same hyperplanes, same sign convention)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(50)
+    dim = len(emb.select("embedding").first()[0])
+    n_planes, n_tables, seed = 6, 3, 42
+    planes = np.vstack(
+        [SIM.hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    )
+    udf_sigs = SIM.lsh_signatures_udf(planes, n_tables)
+    expr_sigs = F.array(
+        *[
+            SIM.lsh_signature_expr(
+                "embedding", SIM.hyperplanes(dim, n_planes, seed + 1000 * t)
+            )
+            for t in range(n_tables)
+        ]
+    )
+    rows = emb.select(
+        udf_sigs(F.col("embedding").cast("array<double>")).alias("u"),
+        expr_sigs.alias("e"),
+    ).collect()
+    assert all(list(r["u"]) == list(r["e"]) for r in rows)
+
+
 def test_ann_ivf_recall_vs_brute(spark):
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 20)
