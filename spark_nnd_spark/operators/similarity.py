@@ -318,23 +318,15 @@ def embedding_neardup(
     threshold is looser. Returns (id_a, id_b, cosine), id_a < id_b.
     """
     dim = len(df.select(vec_col).first()[0])
+    planes = np.vstack(
+        [hyperplanes(dim, n_planes, seed + 1000 * ti) for ti in range(n_tables)]
+    )
+    sig_array = lsh_signatures_udf(planes, n_tables)
     t = df.select(
         F.col(id_col).alias("id"),
         _as_double(vec_col).alias("vec"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(ti).alias("t"),
-                        lsh_signature_expr(
-                            vec_col, hyperplanes(dim, n_planes, seed + 1000 * ti)
-                        ).alias("sig"),
-                    )
-                    for ti in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("id", "vec", F.col("tb.t").alias("t"), F.col("tb.sig").alias("bucket"))
+        sig_array(_as_double(vec_col)).alias("sigs"),
+    ).select("id", "vec", F.posexplode("sigs").alias("t", "bucket"))
     a = t.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "t", "bucket")
     b = t.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "t", "bucket")
     return (
