@@ -208,6 +208,27 @@ def q22_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q32_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column path: extract a field from the JSON
+    ``props`` string and aggregate it — `get_json_object` stays JVM-side
+    (Jackson), no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q23_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = EV.latest_event_per_user(ev)
@@ -238,6 +259,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_tumbling_counts": q21_tumbling_counts,
     "q22_running_value": q22_running_value,
     "q23_latest_event": q23_latest_event,
+    "q32_json_props": q32_json_props,
 }
 
 
@@ -450,6 +472,13 @@ def _pipeline_oracles() -> dict[str, str]:
                                                    ROWS UNBOUNDED PRECEDING)::VARCHAR
                    AS running_value
             FROM events ORDER BY user_id, event_id
+        """,
+        "q32_json_props": """
+            SELECT event_type, COUNT(*) AS c,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+                   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "q23_latest_event": """
             SELECT user_id, event_id, (epoch_us(ts::TIMESTAMP) // 1000000) AS ts_epoch, event_type,

@@ -1,0 +1,44 @@
+"""Parquet sinks.
+
+The reference has no sinks (output is a caller-held RDD, NND.scala:66);
+this is the engine's write path for pipeline outputs. Thin by design —
+``DataFrameWriter`` already does the right thing at scale — but it pins
+the two decisions that matter at 100 TB:
+
+- partitioned layout (`partition_by`) so downstream scans prune;
+- explicit file sizing via ``target_file_rows`` repartitioning, because
+  the default task layout of a heavily-shuffled result otherwise writes
+  thousands of tiny files per partition (the classic small-files
+  problem).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+    target_file_rows: int | None = None,
+) -> None:
+    """Write a DataFrame as parquet, optionally hive-partitioned.
+
+    ``target_file_rows`` repartitions so each output file holds roughly
+    that many rows (by partition columns when given, so rows of one
+    hive partition land in few files)."""
+    if target_file_rows:
+        n = max(1, df.count() // target_file_rows)
+        df = (
+            df.repartition(n, *partition_by) if partition_by else df.repartition(n)
+        )
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_back(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -180,3 +180,20 @@ def test_exact_dedup_counts(spark, duck):
     n_docs = docs.count()
     assert sum(r["dup_count"] for r in out) == n_docs
     assert len(out) == duck.sql("SELECT COUNT(DISTINCT text) FROM documents").fetchone()[0]
+
+
+def test_sink_roundtrip_partitioned(spark, tmp_path):
+    from spark_nnd_spark.sources.sinks import read_back, write_table
+
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(90)], "id long, part int, v double"
+    )
+    path = str(tmp_path / "out")
+    write_table(df, path, partition_by=["part"], target_file_rows=30)
+    back = read_back(spark, path)
+    assert back.count() == 90
+    assert {r["part"] for r in back.select("part").distinct().collect()} == {0, 1, 2}
+    # partition pruning reaches the scan
+    plan = back.filter(back.part == 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert sorted(r["id"] for r in back.collect()) == list(range(90))
