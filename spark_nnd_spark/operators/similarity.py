@@ -242,20 +242,21 @@ def ann_ivf_topk(
                 m = members.sum(axis=0)
                 cents[c] = m / max(np.linalg.norm(m), 1e-12)
 
-    def dots() -> Column:
-        # cosine(vec, centroid_c) for every cell, as one JVM array expr
-        # (centroids are unit vectors, so dot/||vec|| is the cosine)
-        norm = F.sqrt(dot_expr(F.col("__v"), F.col("__v")))
-        return F.array(
-            *[
-                dot_expr(F.col("__v"), F.array(*[F.lit(float(t)) for t in c])) / norm
-                for c in cents
-            ]
-        )
+    # cosine(vec, centroid_c) for every cell in one Arrow-batched matmul
+    # (centroids are unit vectors, so dot/||vec|| is the cosine); the
+    # equivalent JVM array expression is an O(n_centroids·dim)-node
+    # codegen unit — same tradeoff as lsh_signatures_udf.
+    cents_m = cents.copy()
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def dots_udf(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        norms = np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series(list((x / norms) @ cents_m.T))
 
     c_assigned = (
         corpus.select(F.col(id_col).alias("nb_id"), _as_double(vec_col).alias("__v"))
-        .withColumn("__d", dots())
+        .withColumn("__d", dots_udf("__v"))
         .withColumn("cell", F.expr("array_position(__d, array_max(__d)) - 1"))
         .select("nb_id", F.col("__v").alias("c_vec"), "cell")
     )
@@ -278,7 +279,7 @@ def ann_ivf_topk(
     )
     q_probed = (
         queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__v"))
-        .withColumn("__d", dots())
+        .withColumn("__d", dots_udf("__v"))
         .select(
             "query_id",
             F.col("__v").alias("q_vec"),
