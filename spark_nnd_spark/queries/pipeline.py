@@ -452,8 +452,11 @@ def _pipeline_oracles() -> dict[str, str]:
             ),
             s AS (
                 SELECT user_id, ts,
-                       SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
-                                           ROWS UNBOUNDED PRECEDING) AS session_id
+                       -- CAST: DuckDB SUM(int) yields HUGEINT, which round-trips
+                       -- through pandas/arrow as float64 and breaks value-hash
+                       -- comparison against Spark's BIGINT.
+                       CAST(SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
+                                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
                 FROM g
             )
             SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -475,7 +478,7 @@ def _pipeline_oracles() -> dict[str, str]:
         """,
         "q32_json_props": """
             SELECT event_type, COUNT(*) AS c,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
                    MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
                    MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
             FROM events GROUP BY event_type ORDER BY event_type
