@@ -319,6 +319,32 @@ def build_graph(
     return result
 
 
+def _sample_reverse(
+    rev: DataFrame, sample_rate: float, seed: int, iteration: int
+) -> DataFrame:
+    """A9 (NND.scala:146-152): keep ``max(ceil(ρ·|R(v)|), 1)`` reverse
+    edges per target ``v`` — the reference's shuffle-control knob, since
+    every surviving member ships its feature vector into the group-by-v
+    exchange. Selection order is a seeded hash of the member id, so the
+    draw is deterministic per (seed, iteration) and rotates across
+    iterations. ``ρ=1`` short-circuits: no window, no extra shuffle."""
+    if sample_rate >= 1.0:
+        return rev
+    wr = Window.partitionBy("v").orderBy(
+        F.xxhash64(F.lit(seed + 17 + iteration), "member")
+    )
+    wc = Window.partitionBy("v")
+    return (
+        rev.withColumn("__rn", F.row_number().over(wr))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .filter(
+            F.col("__rn")
+            <= F.greatest(F.ceil(F.lit(sample_rate) * F.col("__n")), F.lit(1))
+        )
+        .drop("__rn", "__n")
+    )
+
+
 def _descend(
     active: DataFrame,
     graph: DataFrame,
@@ -359,22 +385,7 @@ def _descend(
         # A8/A9: reverse edges, sampled per target (deterministic hash
         # order; rate 1.0 short-circuits the window entirely).
         rev = edges.select(F.col("dst").alias("v"), F.col("src").alias("member"), "is_new")
-        if sample_rate < 1.0:
-            wr = Window.partitionBy("v").orderBy(
-                F.xxhash64(F.lit(seed + 17 + iterations_run), "member")
-            )
-            wc = Window.partitionBy("v")
-            rev = (
-                rev.withColumn("__rn", F.row_number().over(wr))
-                .withColumn("__n", F.count(F.lit(1)).over(wc))
-                .filter(
-                    F.col("__rn")
-                    <= F.greatest(
-                        F.ceil(F.lit(sample_rate) * F.col("__n")), F.lit(1)
-                    )
-                )
-                .drop("__rn", "__n")
-            )
+        rev = _sample_reverse(rev, sample_rate, seed, iterations_run)
 
         # A10: A(v) = B(v) ∪ sampled-R(v) ∪ {v}; features attach via one
         # equi-join (the only place vectors are shipped). Each member also

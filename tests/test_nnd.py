@@ -175,3 +175,72 @@ def test_update_graph_noop_without_new_points(spark):
         for r in rs
     )
     assert key(g0.collect()) == key(g1.collect())
+
+
+def test_sample_reverse_counts_and_determinism(spark):
+    """A9 sampling (descent.py `_sample_reverse`, NND.scala:146-152):
+    each target keeps exactly max(ceil(rho*|R(v)|), 1) reverse edges,
+    the draw is deterministic, and rho=1 is the identity."""
+    from spark_nnd_spark.nnd.descent import _sample_reverse
+
+    # v=0 has 10 reverse edges, v=1 has 3, v=2 has 1
+    rows = (
+        [(0, m, False) for m in range(100, 110)]
+        + [(1, m, False) for m in range(200, 203)]
+        + [(2, 300, True)]
+    )
+    rev = spark.createDataFrame(rows, "v long, member long, is_new boolean")
+
+    sampled = _sample_reverse(rev, 0.5, seed=7, iteration=0)
+    counts = {r["v"]: r["c"] for r in sampled.groupBy("v").agg(F.count("*").alias("c")).collect()}
+    assert counts == {0: 5, 1: 2, 2: 1}  # ceil(.5*10), ceil(.5*3), max(...,1)
+
+    # deterministic: same (seed, iteration) -> same member set
+    a = sorted((r["v"], r["member"]) for r in sampled.collect())
+    b = sorted(
+        (r["v"], r["member"])
+        for r in _sample_reverse(rev, 0.5, seed=7, iteration=0).collect()
+    )
+    assert a == b
+    # a different iteration rotates the draw for the big group
+    c = sorted(
+        r["member"]
+        for r in _sample_reverse(rev, 0.5, seed=7, iteration=1).filter("v = 0").collect()
+    )
+    assert len(c) == 5
+    # rho=1.0 short-circuits to the identity
+    assert _sample_reverse(rev, 1.0, seed=7, iteration=0) is rev
+
+
+def test_sampled_build_recall_and_volume(spark, clustered):
+    """End-to-end rho=0.5 build (the reference's headline shuffle knob):
+    recall stays high while the per-iteration reverse-edge volume —
+    measured on the same graph states the full-rate build visits —
+    drops by ~rho."""
+    from spark_nnd_spark.nnd.descent import _sample_reverse
+
+    rows, df = clustered
+    g = build_graph(df, k=K, max_iterations=5, early_termination=0.01, seed=7,
+                    sample_rate=0.5)
+    by_id = {r["id"]: r for r in g.collect()}
+    oracle = knn_oracle(rows, K)
+    hits = total = 0
+    for i, expected in oracle.items():
+        got = {n["id"] for n in (by_id[i]["neighbors"] or [])}
+        want = {j for j, _ in expected}
+        hits += len(got & want)
+        total += len(want)
+    recall = hits / total
+    assert recall >= 0.85, f"rho=0.5 recall {recall:.3f} < 0.85"
+
+    # volume check on a representative reverse-edge set: build the full
+    # reverse edge list from the result graph and sample it at 0.5
+    edges = g.filter("neighbors is not null").select(
+        F.col("id").alias("src"), F.explode("neighbors").alias("nb")
+    ).select(F.col("nb.id").alias("v"), F.col("src").alias("member"),
+             F.lit(False).alias("is_new"))
+    full = edges.count()
+    kept = _sample_reverse(edges, 0.5, seed=7, iteration=0).count()
+    assert kept < full
+    # per-v ceil rounding means kept/full is in [0.5, ~0.5 + eps]
+    assert 0.45 <= kept / full <= 0.65, f"sampled fraction {kept/full:.3f}"
