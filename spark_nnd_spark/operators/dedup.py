@@ -166,6 +166,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.2,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, verified by true
     Jaccard over shingle sets.
@@ -175,6 +176,14 @@ def minhash_lsh_pairs(
     band → distinct candidate pairs → verify with exact Jaccard and
     filter. The band join is the scale path: candidate volume is
     controlled by (bands, rows-per-band), never all-pairs.
+
+    ``max_band_freq`` is the skew guard: a band-signature shared by m
+    docs fans out to m²/2 candidate pairs, so one giant cluster of
+    near-identical docs (boilerplate pages, empty docs) makes the band
+    self-join quadratic in the cluster size. Buckets hotter than the
+    cap are dropped — their members are near-identical to each other
+    and overwhelmingly still pair up through their other (colder)
+    bands, while the join's worst case becomes O(cap²·n_buckets).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
@@ -190,6 +199,14 @@ def minhash_lsh_pairs(
             )
         ).alias("bs"),
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("band_sig"))
+    if max_band_freq is not None:
+        hot = (
+            banded.groupBy("band", "band_sig")
+            .agg(F.count("*").alias("bf"))
+            .filter(F.col("bf") > max_band_freq)
+            .select("band", "band_sig")
+        )
+        banded = banded.join(hot, ["band", "band_sig"], "left_anti")
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "band_sig"])

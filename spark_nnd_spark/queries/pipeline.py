@@ -51,9 +51,19 @@ def q13_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.fingerprint_dedup(d).orderBy("fp")
 
 
+# Skew guards, mirrored in the DuckDB oracles so results match by
+# construction at every SF. At sf0.01 the hottest shingle df is 7 and
+# the hottest LSH band bucket holds 3 docs, so 100 leaves small-SF
+# results untouched while bounding the self-join fan-out at scale
+# (worst case O(cap^2) pairs per key instead of quadratic in a hot
+# key's document frequency).
+MAX_SHINGLE_FREQ = 100
+MAX_BAND_FREQ = 100
+
+
 def q14_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    out = DD.jaccard_pairs(d, n=3, threshold=0.2)
+    out = DD.jaccard_pairs(d, n=3, threshold=0.2, max_shingle_freq=MAX_SHINGLE_FREQ)
     return out.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_a", "id_b")
@@ -70,7 +80,9 @@ def q15_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q16_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    out = DD.minhash_lsh_pairs(d, num_hashes=16, bands=4, n=3, threshold=0.2)
+    out = DD.minhash_lsh_pairs(
+        d, num_hashes=16, bands=4, n=3, threshold=0.2, max_band_freq=MAX_BAND_FREQ
+    )
     return out.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_a", "id_b")
@@ -87,7 +99,9 @@ def q31_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_nnd_spark.operators.graph import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(d, num_hashes=16, bands=4, n=3, threshold=0.2)
+    pairs = DD.minhash_lsh_pairs(
+        d, num_hashes=16, bands=4, n=3, threshold=0.2, max_band_freq=MAX_BAND_FREQ
+    )
     return connected_components(pairs).select(
         F.col("id").alias("doc_id"), "component"
     ).orderBy("doc_id")
@@ -297,7 +311,12 @@ def _pipeline_oracles() -> dict[str, str]:
         """,
         "q14_jaccard_pairs": f"""
             WITH sh AS (SELECT doc_id, {sh} AS s FROM documents),
-            posts AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            posts0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            -- df-cut skew guard, mirroring jaccard_pairs(max_shingle_freq)
+            posts AS (
+                SELECT doc_id, shingle FROM posts0
+                QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {MAX_SHINGLE_FREQ}
+            ),
             inter AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
                 FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -318,10 +337,15 @@ def _pipeline_oracles() -> dict[str, str]:
         """,
         "q16_minhash_lsh_pairs": f"""
             WITH sigs AS (SELECT doc_id, {mh} AS mh, {sh} AS s FROM documents),
-            banded AS (
+            banded0 AS (
                 SELECT doc_id, b.range AS band,
                        mh[b.range * 4 + 1 : b.range * 4 + 4] AS bsig, s
                 FROM sigs, range(0, 4) b
+            ),
+            -- hot-bucket skew guard, mirroring minhash_lsh_pairs(max_band_freq)
+            banded AS (
+                SELECT * FROM banded0
+                QUALIFY COUNT(*) OVER (PARTITION BY band, bsig) <= {MAX_BAND_FREQ}
             ),
             cand AS (
                 SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
@@ -339,10 +363,14 @@ def _pipeline_oracles() -> dict[str, str]:
         "q17_simhash_buckets": None,  # filled below (needs dedup.simhash_sql)
         "q31_neardup_components": f"""
             WITH RECURSIVE sigs AS (SELECT doc_id, {mh} AS mh, {sh} AS s FROM documents),
-            banded AS (
+            banded0 AS (
                 SELECT doc_id, b.range AS band,
                        mh[b.range * 4 + 1 : b.range * 4 + 4] AS bsig, s
                 FROM sigs, range(0, 4) b
+            ),
+            banded AS (
+                SELECT * FROM banded0
+                QUALIFY COUNT(*) OVER (PARTITION BY band, bsig) <= {MAX_BAND_FREQ}
             ),
             cand AS (
                 SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b

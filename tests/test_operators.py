@@ -197,3 +197,49 @@ def test_sink_roundtrip_partitioned(spark, tmp_path):
     plan = back.filter(back.part == 1)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert sorted(r["id"] for r in back.collect()) == list(range(90))
+
+
+def test_jaccard_df_cut_drops_hot_shingle(spark):
+    """Skew guard (dedup.shingle_postings max_shingle_freq): a shingle
+    present in every doc must not drive the self-join; with the cut it
+    contributes nothing to intersections, and pairs whose only overlap
+    was the hot shingle disappear."""
+    boiler = "the quick brown fox"  # one 3-shingle + fragments in every doc
+    rows = [(i, f"{boiler} unique{i} filler{i} tail{i}") for i in range(20)]
+    # two genuinely similar docs sharing a long distinctive run
+    rows += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon eta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in DD.jaccard_pairs(docs, n=3, threshold=0.1).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in DD.jaccard_pairs(docs, n=3, threshold=0.1,
+                                        max_shingle_freq=5).collect()}
+    assert (100, 101) in uncapped and (100, 101) in capped
+    # boilerplate-only pairs exist uncapped, vanish with the guard on
+    assert any(a < 100 and b < 100 for a, b in uncapped)
+    assert not any(a < 100 and b < 100 for a, b in capped)
+
+
+def test_lsh_band_cap_drops_hot_bucket(spark):
+    """Skew guard (minhash_lsh_pairs max_band_freq): a cluster of
+    identical docs collides in every band; with the cap below the
+    cluster size its buckets are dropped and the m^2 candidate blowup
+    never reaches the join, while unrelated similar pairs survive."""
+    rows = [(i, "same boilerplate text repeated everywhere always") for i in range(30)]
+    # identical pair: identical signatures -> collide in every band,
+    # so survival under the cap is deterministic
+    rows += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon zeta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {(r["id_a"], r["id_b"])
+              for r in DD.minhash_lsh_pairs(docs, num_hashes=16, bands=4,
+                                            threshold=0.1, max_band_freq=10).collect()}
+    assert (100, 101) in capped
+    assert not any(a < 100 and b < 100 for a, b in capped)
+    # uncapped, the identical cluster produces all 30*29/2 pairs
+    uncapped = DD.minhash_lsh_pairs(docs, num_hashes=16, bands=4,
+                                    threshold=0.1).count()
+    assert uncapped >= 30 * 29 / 2
