@@ -112,7 +112,7 @@ def lsh_signatures_udf(planes: np.ndarray, n_tables: int):
 
 def ann_lsh_topk(
     corpus: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | None,
     k: int = 5,
     n_planes: int = 6,
     n_tables: int = 6,
@@ -120,6 +120,8 @@ def ann_lsh_topk(
     multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_pred: Column | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table random-hyperplane LSH
     (``n_tables`` independent ``n_planes``-bit signatures, optional
@@ -130,10 +132,25 @@ def ann_lsh_topk(
     over tables compounds it). Index cost is n_tables postings per
     corpus row — the classic space/recall tradeoff, tunable per corpus.
 
+    ``query_pred`` (exclusive with ``queries``) selects the query rows
+    out of the corpus itself (self-search). Query signatures and probe
+    buckets are then computed driver-side from the collected query rows
+    — legitimate because queries are broadcast-small by contract (the
+    default path broadcasts them anyway) — so the plan holds exactly
+    one Arrow signature stage (over the corpus) instead of two, and the
+    corpus parquet is scanned once wide + once with the predicate
+    pushed down.
+
+    ``dim`` skips the one-row driver job otherwise used to infer the
+    embedding width.
+
     Returns (query_id, nb_id, rank, cosine) — ≤ k rows per query
     (fewer if the probed buckets hold < k candidates).
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    if (queries is None) == (query_pred is None):
+        raise ValueError("pass exactly one of queries / query_pred")
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     planes = np.vstack(
         [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     )
@@ -152,41 +169,74 @@ def ann_lsh_topk(
         F.posexplode("sigs").alias("t", "bucket"),
     )
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(vec_col).alias("q_vec"),
-        sig_array(_as_double(vec_col)).alias("sigs"),
-    )
-    if multiprobe:
-        probes = F.flatten(
-            F.transform(
-                F.col("sigs"),
-                lambda sig, t: F.array(
-                    F.struct(t.alias("t"), sig.alias("bucket")),
-                    *[
-                        F.struct(
-                            t.alias("t"),
-                            sig.bitwiseXOR(F.lit(1 << j).cast("long")).alias("bucket"),
-                        )
-                        for j in range(n_planes)
-                    ],
-                ),
+    if query_pred is not None:
+        spark = corpus.sparkSession
+        qrows = corpus.filter(query_pred).select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("q_vec")
+        ).collect()
+        if not qrows:
+            return spark.createDataFrame(
+                [], "query_id long, nb_id long, rank int, cosine double"
             )
+        x = np.stack([r["q_vec"] for r in qrows]).astype(np.float64)
+        powers = 2 ** np.arange(n_planes, dtype=np.int64)
+        sigs = ((x @ planes.T) >= 0).reshape(len(x), n_tables, n_planes) @ powers
+        probe_rows = []
+        for r, row in zip(qrows, sigs):
+            for t, sig in enumerate(row):
+                probe_rows.append((r["query_id"], t, int(sig)))
+                if multiprobe:
+                    probe_rows.extend(
+                        (r["query_id"], t, int(sig) ^ (1 << j)) for j in range(n_planes)
+                    )
+        probe_df = spark.createDataFrame(probe_rows, "query_id long, t int, bucket long")
+        qvec_df = spark.createDataFrame(
+            [(r["query_id"], list(r["q_vec"])) for r in qrows],
+            "query_id long, q_vec array<double>",
+        )
+        cand = (
+            c.join(F.broadcast(probe_df), ["t", "bucket"])
+            .filter(F.col("query_id") != F.col("nb_id"))
+            .select("query_id", "nb_id", "c_vec")
+            .dropDuplicates(["query_id", "nb_id"])
+            .join(F.broadcast(qvec_df), "query_id")
         )
     else:
-        probes = F.transform(
-            F.col("sigs"), lambda sig, t: F.struct(t.alias("t"), sig.alias("bucket"))
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(vec_col).alias("q_vec"),
+            sig_array(_as_double(vec_col)).alias("sigs"),
         )
-    q = q.select(
-        "query_id", "q_vec", F.explode(probes).alias("p")
-    ).select("query_id", "q_vec", F.col("p.t").alias("t"), F.col("p.bucket").alias("bucket"))
+        if multiprobe:
+            probes = F.flatten(
+                F.transform(
+                    F.col("sigs"),
+                    lambda sig, t: F.array(
+                        F.struct(t.alias("t"), sig.alias("bucket")),
+                        *[
+                            F.struct(
+                                t.alias("t"),
+                                sig.bitwiseXOR(F.lit(1 << j).cast("long")).alias("bucket"),
+                            )
+                            for j in range(n_planes)
+                        ],
+                    ),
+                )
+            )
+        else:
+            probes = F.transform(
+                F.col("sigs"), lambda sig, t: F.struct(t.alias("t"), sig.alias("bucket"))
+            )
+        q = q.select(
+            "query_id", "q_vec", F.explode(probes).alias("p")
+        ).select("query_id", "q_vec", F.col("p.t").alias("t"), F.col("p.bucket").alias("bucket"))
 
-    cand = (
-        c.join(F.broadcast(q), ["t", "bucket"])
-        .filter(F.col("query_id") != F.col("nb_id"))
-        .select("query_id", "q_vec", "nb_id", "c_vec")
-        .dropDuplicates(["query_id", "nb_id"])
-    )
+        cand = (
+            c.join(F.broadcast(q), ["t", "bucket"])
+            .filter(F.col("query_id") != F.col("nb_id"))
+            .select("query_id", "q_vec", "nb_id", "c_vec")
+            .dropDuplicates(["query_id", "nb_id"])
+        )
     scored = cand.withColumn("cosine", cosine_similarity_expr("q_vec", "c_vec"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nb_id"))
     return (
@@ -309,6 +359,7 @@ def embedding_neardup(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
@@ -318,7 +369,8 @@ def embedding_neardup(
     already catches nearly everything; extra tables buy recall when the
     threshold is looser. Returns (id_a, id_b, cosine), id_a < id_b.
     """
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = np.vstack(
         [hyperplanes(dim, n_planes, seed + 1000 * ti) for ti in range(n_tables)]
     )

@@ -76,7 +76,11 @@ def q26_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate cosine top-k (scale path); rows-only,
     recall-vs-brute checked in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=8, seed=42)
+    # self-search shape: query_pred reuses corpus-side signatures (one
+    # Arrow stage; query probes built driver-side from the 10 rows)
+    out = ann_lsh_topk(
+        emb, None, k=5, n_planes=8, seed=42, query_pred=F.col("vec_id") < 10, dim=64
+    )
     return out.select(
         "query_id", "nb_id", "rank", F.round("cosine", 6).alias("cosine")
     ).orderBy("query_id", "rank")

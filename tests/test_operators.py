@@ -243,3 +243,28 @@ def test_lsh_band_cap_drops_hot_bucket(spark):
     uncapped = DD.minhash_lsh_pairs(docs, num_hashes=16, bands=4,
                                     threshold=0.1).count()
     assert uncapped >= 30 * 29 / 2
+
+
+def test_ann_lsh_query_pred_matches_queries_path(spark):
+    """Self-search elision (query_pred): driver-built probes must give
+    exactly the queries-DataFrame path's results, with fewer Arrow
+    signature stages in the plan."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    pred = F.col("vec_id") < 10
+    old = SIM.ann_lsh_topk(emb, emb.filter(pred), k=5, n_planes=8, seed=42)
+    new = SIM.ann_lsh_topk(emb, None, k=5, n_planes=8, seed=42,
+                           query_pred=pred, dim=64)
+    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
+    n_old = old._jdf.queryExecution().executedPlan().toString().count("ArrowEvalPython")
+    n_new = new._jdf.queryExecution().executedPlan().toString().count("ArrowEvalPython")
+    assert n_new < n_old
+
+    with pytest.raises(ValueError):
+        SIM.ann_lsh_topk(emb, emb, query_pred=pred)
+    with pytest.raises(ValueError):
+        SIM.ann_lsh_topk(emb, None)
+
+    # empty query set -> empty, schema intact
+    empty = SIM.ann_lsh_topk(emb, None, query_pred=F.col("vec_id") < 0, dim=64)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "nb_id", "rank", "cosine"]
