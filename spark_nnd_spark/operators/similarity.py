@@ -78,6 +78,15 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def fixed_centroids(dim: int, n_centroids: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random unit centroids for a data-independent IVF
+    index (reproducible anywhere from (dim, n, seed) — usable as
+    literals in an oracle SQL, unlike sample-trained k-means)."""
+    rng = np.random.default_rng([seed, dim, n_centroids, 7])
+    c = rng.standard_normal((n_centroids, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
 def lsh_signature_expr(vec: str | Column, planes: np.ndarray) -> Column:
     """Sign-bit bucket id: bit_j = 1 iff <vec, plane_j> >= 0."""
     v = _as_double(vec)
@@ -257,6 +266,7 @@ def ann_ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index:
     spherical k-means centroids partition the corpus into cells; each
@@ -273,24 +283,33 @@ def ann_ivf_topk(
 
     Returns (query_id, nb_id, rank, cosine) — ≤ k rows per query.
     """
-    # ---- train centroids on a deterministic sample (driver-side) ----
-    sample = (
-        corpus.select(_as_double(vec_col).alias("v"), F.xxhash64(id_col, F.lit(seed)).alias("h"))
-        .orderBy("h")
-        .limit(train_sample)
-        .collect()
-    )
-    x = np.array([r["v"] for r in sample], dtype=np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng([seed, len(x)])
-    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
-    for _ in range(kmeans_iters):
-        assign = np.argmax(x @ cents.T, axis=1)
-        for c in range(len(cents)):
-            members = x[assign == c]
-            if len(members):
-                m = members.sum(axis=0)
-                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    if centroids is not None:
+        # pre-supplied (e.g. fixed_centroids for a cross-engine-
+        # reproducible index — the data-trained k-means below cannot be
+        # re-derived inside a static oracle SQL string)
+        cents = np.asarray(centroids, dtype=np.float64)
+        cents = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+        )
+    else:
+        # ---- train centroids on a deterministic sample (driver-side) ----
+        sample = (
+            corpus.select(_as_double(vec_col).alias("v"), F.xxhash64(id_col, F.lit(seed)).alias("h"))
+            .orderBy("h")
+            .limit(train_sample)
+            .collect()
+        )
+        x = np.array([r["v"] for r in sample], dtype=np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        rng = np.random.default_rng([seed, len(x)])
+        cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+        for _ in range(kmeans_iters):
+            assign = np.argmax(x @ cents.T, axis=1)
+            for c in range(len(cents)):
+                members = x[assign == c]
+                if len(members):
+                    m = members.sum(axis=0)
+                    cents[c] = m / max(np.linalg.norm(m), 1e-12)
 
     # cosine(vec, centroid_c) for every cell in one Arrow-batched matmul
     # (centroids are unit vectors, so dot/||vec|| is the cosine); the

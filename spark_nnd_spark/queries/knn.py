@@ -16,7 +16,13 @@ from pyspark.sql import functions as F
 
 from spark_nnd_spark.nnd.descent import build_graph
 from spark_nnd_spark.nnd.exact import build_graph_exact
-from spark_nnd_spark.operators.similarity import ann_ivf_topk, ann_lsh_topk
+from spark_nnd_spark.operators.similarity import (
+    ann_brute_topk,
+    ann_ivf_topk,
+    ann_lsh_topk,
+    fixed_centroids,
+    hyperplanes,
+)
 from spark_nnd_spark.sources import load_table
 
 K = 10
@@ -99,11 +105,153 @@ def q30_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q33_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable recall of the approximate ANN tiers: LSH (the
+    q26 configuration) and fixed-centroid IVF top-k joined against the
+    exact brute top-k, one (method, hits, total, recall) row each.
+
+    Every input to the approximate paths is deterministic and
+    re-derivable from (dim, seed) alone — seeded hyperplanes, seeded
+    unit centroids — so the DuckDB oracle replays the whole pipeline
+    from literals and the recall figures hash-match exactly. This is
+    what makes the approximate tier oracle-checkable at all: the
+    sample-TRAINED IVF of q30 cannot be reproduced inside a static SQL
+    string, the fixed-centroid variant can.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qpred = F.col("vec_id") < 10
+    q = emb.filter(qpred)
+    brute = ann_brute_topk(emb, q, k=5).select("query_id", "nb_id")
+    lsh = ann_lsh_topk(
+        emb, None, k=5, n_planes=8, seed=42, query_pred=qpred, dim=64
+    ).select("query_id", "nb_id")
+    ivf = ann_ivf_topk(
+        emb, q, k=5, n_probe=4, seed=42, centroids=fixed_centroids(64, 16, 42)
+    ).select("query_id", "nb_id")
+    total = brute.agg(F.count("*").alias("total"))
+    rows = []
+    for name, df in [("ivf", ivf), ("lsh", lsh)]:
+        hits = df.join(brute, ["query_id", "nb_id"]).agg(F.count("*").alias("hits"))
+        rows.append(
+            hits.crossJoin(total).select(
+                F.lit(name).alias("method"),
+                "hits",
+                "total",
+                F.round(F.col("hits") / F.col("total"), 4).alias("recall"),
+            )
+        )
+    return rows[0].unionByName(rows[1]).orderBy("method")
+
+
+def _vec_lit(v) -> str:
+    return "[" + ",".join(repr(float(x)) for x in v) + "]"
+
+
+def _ann_recall_oracle() -> str:
+    """DuckDB replay of q33: hyperplanes and centroids inlined as
+    literals (same seeded numpy draws as the Spark side)."""
+    n_planes, n_tables, seed, dim, k, n_probe = 8, 6, 42, 64, 5, 4
+    planes = [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    cents = fixed_centroids(dim, 16, seed)
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"CASE WHEN sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b})) = 0"
+            f" THEN 0.0 ELSE list_dot_product({a},{b})"
+            f" / (sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b}))) END"
+        )
+
+    def sig(v: str, t: int) -> str:
+        terms = [
+            f"(CASE WHEN list_dot_product({v}, {_vec_lit(p)}) >= 0 THEN {1 << j} ELSE 0 END)"
+            for j, p in enumerate(planes[t])
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    def cell_dots(v: str) -> str:
+        norm = f"greatest(sqrt(list_dot_product({v},{v})), 1e-12)"
+        return (
+            "["
+            + ",".join(f"list_dot_product({v}, {_vec_lit(c)}) / {norm}" for c in cents)
+            + "]"
+        )
+
+    sig_structs = lambda v: ",".join(
+        f"struct_pack(t := {t}, bucket := {sig(v, t)})" for t in range(n_tables)
+    )
+    probe_list = "[bucket, " + ",".join(
+        f"xor(bucket, {1 << j})" for j in range(n_planes)
+    ) + "]"
+
+    return f"""
+        WITH c AS (SELECT vec_id AS nb_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 10),
+        brute AS (
+            SELECT query_id, nb_id FROM (
+                SELECT query_id, nb_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY {cos('qv', 'cv')} DESC, nb_id) AS rn
+                FROM c CROSS JOIN q WHERE query_id <> nb_id
+            ) WHERE rn <= {k}
+        ),
+        csig0 AS (SELECT nb_id, UNNEST([{sig_structs('cv')}]) AS s FROM c),
+        csig AS (SELECT nb_id, s.t AS t, s.bucket AS bucket FROM csig0),
+        qsig0 AS (SELECT query_id, UNNEST([{sig_structs('qv')}]) AS s FROM q),
+        qsig AS (SELECT query_id, s.t AS t, s.bucket AS bucket FROM qsig0),
+        qprobe AS (SELECT query_id, t, UNNEST({probe_list}) AS bucket FROM qsig),
+        lshcand AS (
+            SELECT DISTINCT query_id, nb_id
+            FROM qprobe JOIN csig USING (t, bucket)
+            WHERE query_id <> nb_id
+        ),
+        lshtop AS (
+            SELECT query_id, nb_id FROM (
+                SELECT l.query_id, l.nb_id,
+                       ROW_NUMBER() OVER (PARTITION BY l.query_id
+                                          ORDER BY {cos('qv', 'cv')} DESC, l.nb_id) AS rn
+                FROM lshcand l JOIN q USING (query_id) JOIN c USING (nb_id)
+            ) WHERE rn <= {k}
+        ),
+        cd AS (SELECT nb_id, {cell_dots('cv')} AS dots FROM c),
+        ccell AS (SELECT nb_id, list_position(dots, list_max(dots)) - 1 AS cell FROM cd),
+        qd AS (SELECT query_id, {cell_dots('qv')} AS dots FROM q),
+        qcell AS (
+            SELECT query_id, i.range AS cell FROM qd, range(0, 16) i
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY dots[i.range + 1] DESC, i.range DESC)
+                    <= {n_probe}
+        ),
+        ivftop AS (
+            SELECT query_id, nb_id FROM (
+                SELECT qc.query_id, cc.nb_id,
+                       ROW_NUMBER() OVER (PARTITION BY qc.query_id
+                                          ORDER BY {cos('qv', 'cv')} DESC, cc.nb_id) AS rn
+                FROM qcell qc JOIN ccell cc USING (cell)
+                JOIN q ON q.query_id = qc.query_id JOIN c ON c.nb_id = cc.nb_id
+                WHERE qc.query_id <> cc.nb_id
+            ) WHERE rn <= {k}
+        ),
+        tot AS (SELECT COUNT(*) AS total FROM brute),
+        lsh_hits AS (SELECT COUNT(*) AS hits FROM
+            (SELECT * FROM lshtop INTERSECT SELECT * FROM brute)),
+        ivf_hits AS (SELECT COUNT(*) AS hits FROM
+            (SELECT * FROM ivftop INTERSECT SELECT * FROM brute))
+        SELECT 'ivf' AS method, hits, total, round(hits * 1.0 / total, 4) AS recall
+        FROM ivf_hits, tot
+        UNION ALL
+        SELECT 'lsh' AS method, hits, total, round(hits * 1.0 / total, 4) AS recall
+        FROM lsh_hits, tot
+        ORDER BY method
+    """
+
+
 KNN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_knn_exact": q24_knn_exact,
     "q25_nnd_graph": q25_nnd_graph,
     "q26_ann_lsh_topk": q26_ann_lsh_topk,
     "q30_ann_ivf_topk": q30_ann_ivf_topk,
+    "q33_ann_recall": q33_ann_recall,
 }
 
 KNN_ORACLES: dict[str, str] = {
@@ -125,4 +273,5 @@ KNN_ORACLES: dict[str, str] = {
         SELECT id, nb_id, rank, round(sim, 6) AS sim
         FROM ranked WHERE rank <= {K} ORDER BY id, rank
     """,
+    "q33_ann_recall": _ann_recall_oracle(),
 }
