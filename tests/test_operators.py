@@ -268,3 +268,22 @@ def test_ann_lsh_query_pred_matches_queries_path(spark):
     empty = SIM.ann_lsh_topk(emb, None, query_pred=F.col("vec_id") < 0, dim=64)
     assert empty.count() == 0
     assert empty.columns == ["query_id", "nb_id", "rank", "cosine"]
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    """Pointer jumping: a 1000-node chain (diameter 999) must converge
+    in O(log N) rounds, not O(diameter)."""
+    from spark_nnd_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "id_a long, id_b long"
+    )
+    rounds = []
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            pairs, on_round=lambda i, c: rounds.append((i, c))
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(1000)}
+    assert len(rounds) <= 12, f"chain took {len(rounds)} rounds"
