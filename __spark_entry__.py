@@ -14,9 +14,10 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   windows, multimodal binary-payload ops (image stats / frame sampling
   / audio stats over mapInPandas with deterministic fake decode)
   (spark_nnd_spark/queries/pipeline.py).
-- q24–q26: K-NN graph surface — exact graph (oracle-checked),
-  NN-Descent (rows-only; recall-checked in tests), LSH ANN (rows-only)
-  (spark_nnd_spark/queries/knn.py).
+- q24–q26, q30, q33: K-NN graph surface — exact graph (oracle-checked),
+  NN-Descent (rows-only; recall-checked in tests), LSH/IVF ANN
+  (rows-only), and q33: a hash-checked recall row per approximate
+  method (spark_nnd_spark/queries/knn.py).
 """
 
 from __future__ import annotations
@@ -25,6 +26,10 @@ import os
 import sys
 from collections.abc import Callable
 
+# Make the in-place checkout importable regardless of the driver's cwd.
+# Users installing the package (`pip install .`, pyproject.toml) don't
+# need this; the harness imports this file from an arbitrary cwd without
+# installing, so the explicit root insertion stays.
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
