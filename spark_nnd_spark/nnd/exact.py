@@ -25,11 +25,81 @@ self-join keyed on ``partition`` + one window + one final left join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spark_nnd_spark.functions.vector import similarity_expr
 from spark_nnd_spark.schemas import normalize_points, validate_points
+
+_TOPK_SCHEMA = "id long, rank int, nb_id long, similarity double"
+
+
+def _exact_topk_kernel(k: int):
+    """Per-(partition, block) cogroup kernel: BLAS all-pairs distances,
+    in-kernel top-k. The left pdf holds the block's points, the right
+    pdf the complete logical partition, so the emitted k rows per left
+    point are the GLOBAL top-k — no cross-block merge needed.
+
+    Numerics: candidates are selected with the O(mn) matmul identity
+    ||a-b||² = |a|² + |b|² - 2ab (cancellation error ~1e-13 — selection
+    ties at that scale are float-order-fragile in any engine), then the
+    selected k+8 candidates per row are recomputed with the exact
+    difference sum, so emitted similarities carry full float64 accuracy
+    (they must round-trip against the DuckDB oracle at 6 decimals)."""
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id": pd.Series(dtype=np.int64),
+                "rank": pd.Series(dtype=np.int32),
+                "nb_id": pd.Series(dtype=np.int64),
+                "similarity": pd.Series(dtype=np.float64),
+            }
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        A = np.stack(left["a_features"].to_numpy()).astype(np.float64)
+        B = np.stack(right["b_features"].to_numpy()).astype(np.float64)
+        a_ids = left["a_id"].to_numpy().astype(np.int64)
+        b_ids = right["b_id"].to_numpy().astype(np.int64)
+        n = len(B)
+        d2 = (
+            np.einsum("ij,ij->i", A, A)[:, None]
+            + np.einsum("ij,ij->i", B, B)[None, :]
+            - 2.0 * (A @ B.T)
+        )
+        np.maximum(d2, 0.0, out=d2)
+        d2[a_ids[:, None] == b_ids[None, :]] = np.inf  # no self-edges
+        kk = min(k + 8, n)
+        idx = (
+            np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            if kk < n
+            else np.broadcast_to(np.arange(n), (len(A), n)).copy()
+        )
+        cand_ids = b_ids[idx]
+        diff = A[:, None, :] - B[idx]
+        d2x = np.einsum("mkd,mkd->mk", diff, diff)
+        sim = 1.0 / (1.0 + np.sqrt(d2x))
+        out_id, out_rank, out_nb, out_sim = [], [], [], []
+        for i in range(len(A)):
+            valid = cand_ids[i] != a_ids[i]
+            order = np.lexsort((cand_ids[i][valid], -sim[i][valid]))[:k]
+            ids, sims = cand_ids[i][valid][order], sim[i][valid][order]
+            out_id.extend([a_ids[i]] * len(ids))
+            out_rank.extend(range(1, len(ids) + 1))
+            out_nb.extend(ids)
+            out_sim.extend(sims)
+        return pd.DataFrame(
+            {
+                "id": np.asarray(out_id, np.int64),
+                "rank": np.asarray(out_rank, np.int32),
+                "nb_id": np.asarray(out_nb, np.int64),
+                "similarity": np.asarray(out_sim, np.float64),
+            }
+        )
+
+    return fn
 
 
 def build_graph_exact(
@@ -68,34 +138,36 @@ def build_graph_exact(
         F.col("id").alias("b_id"),
         F.col("features").alias("b_features"),
         F.col("partition").alias("partition"),
-        F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("block"),
+        # long sequence: must match the left side's LONG block key —
+        # cogroup does not coerce mismatched grouping-key types
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(blocks - 1).cast("long"))
+        ).alias("block"),
     )
-    # force a shuffle join on (partition, block) — a broadcast of the
-    # replicated side would leave the stream side's (often single) input
-    # split as the only task
-    pairs = (
-        left.repartition(blocks, "partition", "block")
-        .join(right, on=["partition", "block"])
-        .filter(F.col("a_id") != F.col("b_id"))
-        .withColumn("similarity", similarity_expr("a_features", "b_features"))
+    # Cogrouped Arrow kernel instead of a row-level join: the previous
+    # join+window formulation materialized all O(N²/P) scored pairs as
+    # JVM rows and ran a 400M-row window at N=20k; the kernel scores
+    # blocks with BLAS and emits only k rows per point, so the only
+    # wide exchanges are the id-only output and the blocks-replicated
+    # feature shuffle the join needed anyway.
+    cand = (
+        left.groupBy("partition", "block")
+        .cogroup(right.groupBy("partition", "block"))
+        .applyInPandas(_exact_topk_kernel(k), _TOPK_SCHEMA)
     )
-
-    w = Window.partitionBy("a_id").orderBy(F.desc("similarity"), F.asc("b_id"))
     topk = (
-        pairs.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .groupBy("a_id")
+        cand.groupBy("id")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct(F.col("__rn"), F.col("b_id"), F.col("similarity")))
+                F.collect_list(F.struct(F.col("rank"), F.col("nb_id"), F.col("similarity")))
             ).alias("__ranked")
         )
         .select(
-            F.col("a_id").alias("id"),
+            "id",
             F.transform(
                 "__ranked",
                 lambda s: F.struct(
-                    s["b_id"].alias("id"), s["similarity"].alias("similarity")
+                    s["nb_id"].alias("id"), s["similarity"].alias("similarity")
                 ),
             ).alias("neighbors"),
         )

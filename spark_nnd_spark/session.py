@@ -39,10 +39,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
-        # zstd beats lz4 on shuffle-heavy float workloads: measured 14%
-        # smaller max-stage shuffle and no slower on the NND scale bench
-        # (scripts/bench_nnd.py); the right default for 100 TB shuffles.
-        .config("spark.io.compression.codec", "zstd")
+        # Shuffle codec stays lz4 (Spark default). Measured on this
+        # engine: zstd shrinks the NND featured shuffle 14% AND runs
+        # ~20% faster (clustered 784-dim data compresses), but is ~1.7x
+        # slower on the exact-KNN block shuffle (incompressible 64-dim
+        # vectors; zstd CPU dominates). Compression wins are data-
+        # dependent — pass extra_conf={"spark.io.compression.codec":
+        # "zstd"} for compressible feature corpora; scripts/bench_nnd.py
+        # does exactly that.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # events.parquet carries TIMESTAMP(NANOS); read as long nanos and
         # convert in the source layer (sources/tables.py)
