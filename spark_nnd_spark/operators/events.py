@@ -77,3 +77,69 @@ def latest_event_per_user(df: DataFrame) -> DataFrame:
         .select("user_id", "event_id", "ts", "event_type", "value")
         .orderBy("user_id")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_cols: tuple[str, ...] = ("value",),
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """As-of join: attach to each left row the latest right row with
+    ``right.ts <= left.ts`` for the same ``key`` (the temporal lookup
+    Spark lacks as a built-in; DuckDB's native ASOF JOIN is the oracle).
+
+    Right rows are first deduped to one per (key, ts) (highest
+    ``tiebreak`` wins) so the match is well-defined when timestamps
+    collide.
+
+    Plan shape — union + one window, NOT a range join: both sides union
+    into one stream tagged by origin, shuffle ONCE on ``key``, sort by
+    (ts, origin) inside each partition, and a running ``last(non-null
+    right-struct)`` carries the newest right row forward past each left
+    row. O(|L|+|R|) rows exchanged, no per-key quadratic pairing, skew
+    bounded by the biggest single key — the right scale shape for a
+    100 TB event log. (A join-then-rank formulation pairs every left
+    row with every earlier right row first: O(|L|·|R|) per key.)
+
+    Returns all left columns plus ``{c}_asof`` per value column and
+    ``{ts_col}_asof`` (null when no right row precedes the left row).
+    """
+    lcols = left.columns
+    payload = F.struct(
+        F.col(ts_col).alias("__ts"), *[F.col(c).alias(c) for c in value_cols]
+    )
+    wdup = Window.partitionBy(key, ts_col).orderBy(F.desc(tiebreak))
+    r = (
+        right.withColumn("__rn", F.row_number().over(wdup))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *[
+                F.col(c) if c in (key, ts_col) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in lcols
+            ],
+            F.lit(0).alias("__is_left"),
+            payload.alias("__r"),
+        )
+    )
+    l = left.select(
+        *lcols, F.lit(1).alias("__is_left"), F.lit(None).cast(r.schema["__r"].dataType).alias("__r")
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col, "__is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = F.last("__r", ignorenulls=True).over(w)
+    return (
+        l.unionByName(r)
+        .withColumn("__m", matched)
+        .filter(F.col("__is_left") == 1)
+        .select(
+            *lcols,
+            *[F.col("__m")[c].alias(f"{c}_asof") for c in value_cols],
+            F.col("__m")["__ts"].alias(f"{ts_col}_asof"),
+        )
+    )

@@ -255,6 +255,28 @@ def q23_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q34_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event picks up the user's most recent
+    prior (or simultaneous) purchase — union+window plan, one shuffle
+    on user_id; oracle is DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return (
+        EV.asof_join(clicks, purchases)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("long").alias("ts_epoch"),
+            F.round("value_asof", 6).alias("purchase_value"),
+            F.col("ts_asof").cast("long").alias("purchase_ts_epoch"),
+        )
+        .orderBy("event_id")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -274,6 +296,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_running_value": q22_running_value,
     "q23_latest_event": q23_latest_event,
     "q32_json_props": q32_json_props,
+    "q34_asof_join": q34_asof_join,
 }
 
 
@@ -503,6 +526,21 @@ def _pipeline_oracles() -> dict[str, str]:
                                                    ROWS UNBOUNDED PRECEDING)::VARCHAR
                    AS running_value
             FROM events ORDER BY user_id, event_id
+        """,
+        "q34_asof_join": """
+            WITH r0 AS (SELECT user_id, ts::TIMESTAMP AS ts, value, event_id
+                        FROM events WHERE event_type = 'purchase'),
+            r AS (SELECT user_id, ts, value FROM r0
+                  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                             ORDER BY event_id DESC) = 1),
+            l AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts
+                  FROM events WHERE event_type = 'click')
+            SELECT l.event_id, l.user_id,
+                   (epoch_us(l.ts) // 1000000)::BIGINT AS ts_epoch,
+                   round(r.value, 6) AS purchase_value,
+                   (epoch_us(r.ts) // 1000000)::BIGINT AS purchase_ts_epoch
+            FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY event_id
         """,
         "q32_json_props": """
             SELECT event_type, COUNT(*) AS c,

@@ -287,3 +287,32 @@ def test_connected_components_long_chain_log_rounds(spark):
     }
     assert got == {i: 0 for i in range(1000)}
     assert len(rounds) <= 12, f"chain took {len(rounds)} rounds"
+
+
+def test_asof_join_edge_cases(spark):
+    """asof_join semantics: latest right.ts <= left.ts per key; equal
+    timestamps match; duplicate right timestamps resolve by highest
+    tiebreak; no prior right row -> nulls."""
+    import datetime as dt
+
+    from spark_nnd_spark.operators.events import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 10, t(5)), (2, 10, t(10)), (3, 10, t(2)), (4, 20, t(9)), (5, 30, t(9))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        # user 10: rows at t3 and two at t10 (tiebreak -> event_id 102)
+        [(100, 10, t(3), 1.0), (101, 10, t(10), 2.0), (102, 10, t(10), 3.0),
+         # user 20: only a LATER row (no match for left at t9)
+         (103, 20, t(30), 9.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {r["event_id"]: (r["value_asof"], r["ts_asof"]) for r in
+           asof_join(left, right).collect()}
+    assert got[1] == (1.0, t(3))       # latest <= t5 is t3
+    assert got[2] == (3.0, t(10))      # equal ts matches, tiebreak 102
+    assert got[3] == (None, None)      # nothing at or before t2
+    assert got[4] == (None, None)      # user 20's only row is later
+    assert got[5] == (None, None)      # user 30 absent from right
