@@ -255,6 +255,53 @@ def q23_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q35_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency top-50 — the vocabulary-building
+    primitive. Explode → count (map-side partial agg collapses each
+    task to its distinct tokens, so the shuffle is O(vocab), not
+    O(corpus tokens)) → one tiny global top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(TX.tokens_expr("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    return counts.orderBy(F.desc("n"), "token").limit(50).select("token", "n")
+
+
+def q36_lang_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 token bigrams (adjacent token pairs) by
+    count — grouped top-k over an exploded n-gram stream, all integer
+    arithmetic. Two shuffles: (lang, bigram) count with map-side
+    partials, then the per-lang window top-k."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens_expr("text")
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        lambda s: s.contains(" "),
+    )
+    counts = (
+        d.select(TX.predicted_lang_expr("text").alias("lang"),
+                 F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "bigram")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "rank", "bigram", "n")
+        .orderBy("lang", "rank")
+    )
+
+
 def q34_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click event picks up the user's most recent
     prior (or simultaneous) purchase — union+window plan, one shuffle
@@ -297,6 +344,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_latest_event": q23_latest_event,
     "q32_json_props": q32_json_props,
     "q34_asof_join": q34_asof_join,
+    "q35_token_topk": q35_token_topk,
+    "q36_lang_bigrams": q36_lang_bigrams,
 }
 
 
@@ -526,6 +575,29 @@ def _pipeline_oracles() -> dict[str, str]:
                                                    ROWS UNBOUNDED PRECEDING)::VARCHAR
                    AS running_value
             FROM events ORDER BY user_id, event_id
+        """,
+        "q35_token_topk": f"""
+            WITH toks AS (SELECT unnest({TX.tokens_sql()}) AS token FROM documents)
+            SELECT token, COUNT(*) AS n FROM toks WHERE token <> ''
+            GROUP BY token ORDER BY n DESC, token LIMIT 50
+        """,
+        "q36_lang_bigrams": f"""
+            WITH t AS (SELECT {TX.predicted_lang_sql()} AS lang,
+                              {TX.tokens_sql()} AS toks FROM documents),
+            bg AS (
+                SELECT lang,
+                       unnest(list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i + 1]))
+                       AS bigram
+                FROM t
+            ),
+            counts AS (SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY lang, bigram)
+            SELECT lang,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank,
+                   bigram, n
+            FROM counts
+            QUALIFY rank <= 10
+            ORDER BY lang, rank
         """,
         "q34_asof_join": """
             WITH r0 AS (SELECT user_id, ts::TIMESTAMP AS ts, value, event_id
