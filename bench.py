@@ -40,6 +40,10 @@ HEADLINE = [
     "q27_image_stats",
     "q20_sessionize",
     "q21_tumbling_counts",
+    "q33_ann_recall",
+    "q34_asof_join",
+    "q35_token_topk",
+    "q36_lang_bigrams",
 ]
 
 
@@ -48,6 +52,16 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="spark_nnd_bench")
     all_queries = {**RELATIONAL_QUERIES, **PIPELINE_QUERIES, **KNN_QUERIES}
+
+    # Untimed warmup at the smallest SF: the first Arrow-kernel job pays
+    # one-off costs (Python worker forks across all cores, JVM JIT of
+    # the codegen'd stages) that otherwise land entirely on whichever
+    # query runs first (~9s measured on q25). Steady-state per-query
+    # times are what the bench is for.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    all_queries["q25_nnd_graph"](spark, warm_dir).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

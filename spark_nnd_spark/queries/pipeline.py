@@ -287,9 +287,16 @@ def q36_lang_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda s: s.contains(" "),
     )
+    # Project lang + the bigram array FIRST, behind an exchange barrier:
+    # fused with the generator, Catalyst re-inlines both expressions
+    # into the exploded stream and recomputes them per bigram row
+    # (measured 11.3s vs 1.5s at sf0.1 — same pathology as the MinHash
+    # projection collapse, dedup.py minhash_signatures).
+    base = d.select(
+        TX.predicted_lang_expr("text").alias("lang"), bigrams.alias("__bg")
+    ).repartition(spark.sparkContext.defaultParallelism)
     counts = (
-        d.select(TX.predicted_lang_expr("text").alias("lang"),
-                 F.explode(bigrams).alias("bigram"))
+        base.select("lang", F.explode("__bg").alias("bigram"))
         .groupBy("lang", "bigram")
         .agg(F.count("*").alias("n"))
     )
