@@ -309,6 +309,48 @@ def q36_lang_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q37_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate composition — the keep/drop decision of a training
+    corpus pipeline as one narrow scan: every gate is a JVM expression,
+    no shuffle at all until the final ORDER BY."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = TX.token_count_expr("text")
+    stop = TX.stopword_ratio_expr("text")
+    ttr = TX.type_token_ratio_expr("text")
+    return (
+        d.select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            F.round(stop, 6).alias("stopword_ratio"),
+            F.round(ttr, 6).alias("type_token_ratio"),
+            (
+                (n_tok >= 5)
+                & (stop <= 0.6)
+                & (ttr >= 0.3)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q38_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type value percentiles (p50/p90/p99) — sort-based
+    aggregation; Spark's exact percentile and DuckDB's quantile_cont
+    share the linear-interpolation definition."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = lambda p: F.expr(f"percentile(value, {p})")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(pct(0.5), 6).alias("p50"),
+            F.round(pct(0.9), 6).alias("p90"),
+            F.round(pct(0.99), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q34_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click event picks up the user's most recent
     prior (or simultaneous) purchase — union+window plan, one shuffle
@@ -353,6 +395,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_asof_join": q34_asof_join,
     "q35_token_topk": q35_token_topk,
     "q36_lang_bigrams": q36_lang_bigrams,
+    "q37_quality_filter": q37_quality_filter,
+    "q38_value_quantiles": q38_value_quantiles,
 }
 
 
@@ -605,6 +649,23 @@ def _pipeline_oracles() -> dict[str, str]:
             FROM counts
             QUALIFY rank <= 10
             ORDER BY lang, rank
+        """,
+        "q37_quality_filter": f"""
+            SELECT doc_id,
+                   {TX.token_count_sql()} AS n_tokens,
+                   round({TX.stopword_ratio_sql()}, 6) AS stopword_ratio,
+                   round({TX.type_token_ratio_sql()}, 6) AS type_token_ratio,
+                   ({TX.token_count_sql()} >= 5
+                    AND {TX.stopword_ratio_sql()} <= 0.6
+                    AND {TX.type_token_ratio_sql()} >= 0.3) AS keep
+            FROM documents ORDER BY doc_id
+        """,
+        "q38_value_quantiles": """
+            SELECT event_type, COUNT(*) AS n,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "q34_asof_join": """
             WITH r0 AS (SELECT user_id, ts::TIMESTAMP AS ts, value, event_id
