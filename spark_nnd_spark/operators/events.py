@@ -91,18 +91,20 @@ def asof_join(
     ``right.ts <= left.ts`` for the same ``key`` (the temporal lookup
     Spark lacks as a built-in; DuckDB's native ASOF JOIN is the oracle).
 
-    Right rows are first deduped to one per (key, ts) (highest
-    ``tiebreak`` wins) so the match is well-defined when timestamps
-    collide.
+    When timestamps collide the highest-``tiebreak`` right row wins
+    (well-defined match under duplicate right timestamps).
 
-    Plan shape — union + one window, NOT a range join: both sides union
+    Plan shape — union + ONE window, NOT a range join: both sides union
     into one stream tagged by origin, shuffle ONCE on ``key``, sort by
-    (ts, origin) inside each partition, and a running ``last(non-null
-    right-struct)`` carries the newest right row forward past each left
-    row. O(|L|+|R|) rows exchanged, no per-key quadratic pairing, skew
-    bounded by the biggest single key — the right scale shape for a
-    100 TB event log. (A join-then-rank formulation pairs every left
-    row with every earlier right row first: O(|L|·|R|) per key.)
+    (ts, origin, tiebreak) inside each partition, and a running
+    ``last(non-null right-struct)`` carries the newest right row
+    forward past each left row. The tiebreak rides the window ORDER
+    instead of a separate dedup window, so the whole operator is a
+    single hash exchange (asserted in tests/test_plans.py). O(|L|+|R|)
+    rows exchanged, no per-key quadratic pairing, skew bounded by the
+    biggest single key — the right scale shape for a 100 TB event log.
+    (A join-then-rank formulation pairs every left row with every
+    earlier right row first: O(|L|·|R|) per key.)
 
     Returns all left columns plus ``{c}_asof`` per value column and
     ``{ts_col}_asof`` (null when no right row precedes the left row).
@@ -111,25 +113,27 @@ def asof_join(
     payload = F.struct(
         F.col(ts_col).alias("__ts"), *[F.col(c).alias(c) for c in value_cols]
     )
-    wdup = Window.partitionBy(key, ts_col).orderBy(F.desc(tiebreak))
-    r = (
-        right.withColumn("__rn", F.row_number().over(wdup))
-        .filter(F.col("__rn") == 1)
-        .select(
-            *[
-                F.col(c) if c in (key, ts_col) else F.lit(None).cast(left.schema[c].dataType).alias(c)
-                for c in lcols
-            ],
-            F.lit(0).alias("__is_left"),
-            payload.alias("__r"),
-        )
+    r = right.select(
+        *[
+            F.col(c) if c in (key, ts_col) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("__is_left"),
+        F.col(tiebreak).cast("long").alias("__tb"),
+        payload.alias("__r"),
     )
     l = left.select(
-        *lcols, F.lit(1).alias("__is_left"), F.lit(None).cast(r.schema["__r"].dataType).alias("__r")
+        *lcols,
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast("long").alias("__tb"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
     )
+    # Order: right rows precede left at equal ts (<= matches); among
+    # right rows with equal ts, ascending tiebreak puts the winner LAST,
+    # which is exactly the row the running last() retains.
     w = (
         Window.partitionBy(key)
-        .orderBy(ts_col, "__is_left")
+        .orderBy(ts_col, "__is_left", F.asc_nulls_last("__tb"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = F.last("__r", ignorenulls=True).over(w)

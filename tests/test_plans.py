@@ -1,0 +1,68 @@
+"""Plan-quality regression tests: the physical plans the engine's scale
+posture depends on, asserted so a refactor can't silently regress them
+(filters must reach the parquet scan, aggregation must be map-side
+partial, operators must not introduce extra wide exchanges)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE
+
+QUERIES = entrymod.queries()
+
+
+def _plan(spark, name: str) -> str:
+    return (
+        QUERIES[name](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_filter_and_projection_reach_parquet_scan(spark):
+    plan = _plan(spark, "q1_filter_project")
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]" in plan
+    # column pruning: the scan must read only the referenced columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>" in plan
+
+
+def test_dedup_aggregation_is_partial_then_final(spark):
+    plan = _plan(spark, "q12_exact_dedup")
+    assert "partial_count" in plan and "partial_min" in plan  # map-side combine
+    assert plan.count("Exchange hashpartitioning") == 1  # one agg shuffle
+
+
+def test_asof_join_is_single_wide_exchange(spark):
+    """asof_join's contract: ONE hash exchange on the key (the union+
+    window plan), never a per-key quadratic range join."""
+    plan = _plan(spark, "q34_asof_join")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # both scans push their event_type filter down
+    assert plan.count("EqualTo(event_type,") == 2
+
+
+def test_ann_brute_broadcasts_query_side(spark):
+    """The corpus must stream (never shuffle); the small query side is
+    the broadcast build."""
+    plan = _plan(spark, "q18_ann_brute_topk")
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
+    # corpus side reaches the scan without any exchange before the join
+    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]" in plan
+
+
+def test_token_topk_aggregates_map_side(spark):
+    plan = _plan(spark, "q35_token_topk")
+    assert "partial_count" in plan  # shuffle carries O(vocab), not O(tokens)
+
+
+def test_exact_knn_has_no_row_level_pair_materialization(spark):
+    """build_graph_exact's kernel contract: pairs are scored inside the
+    Arrow cogroup kernel, not materialized as joined rows."""
+    plan = _plan(spark, "q24_knn_exact")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan.split("FlatMapCoGroupsInPandas")[0]
+    assert "Window" not in plan.split("FlatMapCoGroupsInPandas")[0]
