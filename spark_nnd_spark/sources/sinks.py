@@ -42,3 +42,31 @@ def write_table(
 
 def read_back(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "error",
+    path: str | None = None,
+) -> None:
+    """Write a bucketed (and optionally sorted) parquet TABLE — the
+    co-located-join primitive: two tables bucketed the same way join
+    with ZERO exchange on either side (asserted in
+    tests/test_operators.py), which at 100 TB turns every recurring
+    fact-fact join on the bucket key from a full shuffle of both inputs
+    into a local zip of pre-sorted buckets.
+
+    Bucketing requires the table catalog (``saveAsTable``) — plain
+    ``.parquet(path)`` cannot record bucket metadata; pass ``path`` to
+    control the storage location of the managed table.
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)

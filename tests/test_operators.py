@@ -316,3 +316,31 @@ def test_asof_join_edge_cases(spark):
     assert got[3] == (None, None)      # nothing at or before t2
     assert got[4] == (None, None)      # user 20's only row is later
     assert got[5] == (None, None)      # user 30 absent from right
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join: two tables bucketed identically on the join key
+    must join with zero Exchange in the plan (the 100 TB recurring-join
+    primitive), and results must match the plain shuffle join."""
+    from spark_nnd_spark.sources.sinks import write_bucketed
+
+    a = spark.createDataFrame([(i, float(i)) for i in range(200)], "k long, va double")
+    b = spark.createDataFrame([(i, i * 10) for i in range(0, 200, 2)], "k long, vb long")
+    write_bucketed(a, "t_bucket_a", ["k"], 4, sort_by=["k"], mode="overwrite",
+                   path=str(tmp_path / "a"))
+    write_bucketed(b, "t_bucket_b", ["k"], 4, sort_by=["k"], mode="overwrite",
+                   path=str(tmp_path / "b"))
+    try:
+        ta, tb = spark.table("t_bucket_a"), spark.table("t_bucket_b")
+        # hint merge: at test size Spark would broadcast (also fine, but
+        # the property under test is the bucketed SMJ with no shuffle)
+        joined = ta.hint("merge").join(tb, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        got = sorted(map(tuple, joined.collect()))
+        want = sorted(map(tuple, a.join(b, "k").collect()))
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
