@@ -175,3 +175,20 @@ def run_to_memory_sink(
     )
     q.awaitTermination(timeout_sec)
     return q
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key within the
+    watermark horizon (``dropDuplicatesWithinWatermark``), the streaming
+    twin of the batch digest dedup (operators/dedup.exact_dedup).
+
+    State is bounded: the store holds one entry per key seen within the
+    watermark window and evicts beyond it — the property that lets a
+    100 TB/day ingest dedup run forever. Exactly-once dedup across ALL
+    time would need unbounded state; a pipeline does that in the batch
+    layer (q12) over the landed data instead.
+    """
+    keys = keys or ["user_id", "event_type"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

@@ -100,3 +100,18 @@ def test_running_totals_final_state_matches_batch(spark, events_batch):
         assert got[u][0] == want[u][0]
         # float fold order differs stream vs batch; totals agree to cents
         assert abs(float(got[u][1]) - float(want[u][1])) < 0.05
+
+
+def test_dedup_stream_keeps_one_per_key(spark, events_batch):
+    from spark_nnd_spark.streaming.streams import dedup_stream
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    run_to_memory_sink(dedup_stream(stream), "dedup_sink", output_mode="append")
+    rows = spark.sql("SELECT * FROM dedup_sink").collect()
+    got_keys = [(r["user_id"], r["event_type"]) for r in rows]
+    assert len(got_keys) == len(set(got_keys))  # one row per key
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in events_batch.select("user_id", "event_type").distinct().collect()
+    }
+    assert set(got_keys) == want  # every key represented
