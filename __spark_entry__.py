@@ -8,14 +8,17 @@ insensitive value-hash → CORRECTNESS_r{N}.json).
 Query inventory (operator → SURVEY.md §2 mapping lives in each module):
 - q1–q10: the reference's relational/dataflow primitives
   (spark_nnd_spark/queries/relational.py).
-- q11–q23, q27–q29, q34–q38: training-data-pipeline extensions — text analysis,
+- q11–q23, q27–q29, q34–q44: training-data-pipeline extensions — text analysis,
   dedup family (exact / fingerprint / n-gram Jaccard / MinHash-LSH /
   SimHash), embedding similarity + near-dup, event sessionization and
   windows, multimodal binary-payload ops (image stats / frame sampling
   / audio stats over mapInPandas with deterministic fake decode),
   as-of join (union+window; DuckDB ASOF oracle), token top-k,
   per-language bigram profiles, quality-gate filter, exact per-type
-  value percentiles
+  value percentiles, per-doc TF-IDF top terms, deterministic
+  stratified sampling, ROLLUP multi-level aggregates, banded SimHash
+  hamming near-dup pairs, bucketized interval self-join, per-label
+  embedding centroids
   (spark_nnd_spark/queries/pipeline.py).
 - q24–q26, q30, q33: K-NN graph surface — exact graph (oracle-checked),
   NN-Descent (rows-only; recall-checked in tests), LSH/IVF ANN

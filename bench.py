@@ -44,6 +44,10 @@ HEADLINE = [
     "q34_asof_join",
     "q35_token_topk",
     "q36_lang_bigrams",
+    "q39_tfidf_topk",
+    "q42_simhash_neardup",
+    "q43_nearby_events",
+    "q44_label_centroids",
 ]
 
 

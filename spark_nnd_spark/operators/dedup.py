@@ -276,11 +276,9 @@ def simhash_sql(text: str = "text") -> str:
     )
 
 
-def simhash_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Group docs by identical simhash (near-dup buckets at this bit
-    width); keep min id per bucket.
+def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) per doc — the shared front of simhash_dedup and
+    simhash_neardup_pairs.
 
     Same two-stage shape as minhash_signatures: token hashes are
     computed once before an exchange so the per-bit aggregation doesn't
@@ -318,6 +316,83 @@ def simhash_dedup(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    return hs.groupBy(sim.alias("simhash")).agg(
+    return hs.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group docs by identical simhash (near-dup buckets at this bit
+    width); keep min id per bucket."""
+    return simhash_df(df, text_col, id_col).groupBy("simhash").agg(
         F.min(id_col).alias(id_col), F.count("*").alias("bucket_size")
+    )
+
+
+SIMHASH_BANDS = 3  # 3 bands × 8 bits: hamming ≤ 2 ⇒ some band matches exactly
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, banded for scale.
+
+    Candidate generation splits the 24-bit simhash into SIMHASH_BANDS
+    8-bit bands and equi-joins docs agreeing on any band — the same
+    never-all-pairs posture as minhash_lsh_pairs, with the pigeonhole
+    guarantee that any pair at hamming ≤ SIMHASH_BANDS−1 shares a band
+    (recall is exact up to that distance; beyond it the banding may
+    miss pairs whose differing bits straddle all bands, which is the
+    documented LSH trade). Candidates are then verified with the exact
+    popcount of the XOR — integer ops, whole-stage codegen.
+
+    ``max_band_freq`` is the same skew guard as the MinHash path: an
+    8-bit band value shared by m docs fans out m²/2 candidates (the
+    empty-document bucket is the classic offender), so hotter buckets
+    than the cap are dropped before the self-join.
+    """
+    sims = simhash_df(df, text_col, id_col)
+    banded = sims.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        (F.shiftright("simhash", 8 * j) % 256).alias("band_val"),
+                    )
+                    for j in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", "simhash", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val"))
+    if max_band_freq is not None:
+        hot = (
+            banded.groupBy("band", "band_val")
+            .agg(F.count("*").alias("bf"))
+            .filter(F.col("bf") > max_band_freq)
+            .select("band", "band_val")
+        )
+        banded = banded.join(hot, ["band", "band_val"], "left_anti")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "band_val"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

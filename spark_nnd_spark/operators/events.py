@@ -147,3 +147,55 @@ def asof_join(
             F.col("__m")["__ts"].alias(f"{ts_col}_asof"),
         )
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_sec: int = -300,
+    upper_sec: int = 300,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval join: pair each left row with every right row sharing
+    ``keys`` whose timestamp falls in [left_ts+lower, left_ts+upper]
+    (seconds). Right's non-key columns come back with ``suffix``.
+
+    Plan shape — bucketized equi-join, NOT a Catalyst theta-join: a
+    naive ``l.key = r.key AND r.ts BETWEEN …`` plans as a (broadcast)
+    nested-loop join, quadratic per key. Instead both sides bucket
+    time into windows of width w = (upper−lower): each right row lands
+    in exactly one bucket, each left row probes the ≤2 buckets its
+    interval can overlap (exploded, so left fans out ≤2×), and the join
+    becomes a hash equi-join on (keys, bucket) with the exact BETWEEN
+    as a cheap post-filter. Each qualifying pair meets exactly once
+    (the right row's single bucket), so no distinct is needed.
+    Shuffle is O(2|L|+|R|) rows on (keys, bucket) — time-bucketing also
+    shards hot keys, so a key's worst case is its densest 2w of
+    activity, not its whole history. This is the standard streaming
+    interval-join layout (Flink-style), here in batch form.
+    """
+    w = max(upper_sec - lower_sec, 1)
+    lsec = F.col(left_ts).cast("long")
+    keep = [c for c in right.columns if c not in keys]
+    r = right.select(
+        *keys, *[F.col(c).alias(f"{c}{suffix}") for c in keep]
+    ).withColumn("__bucket", F.floor(F.col(f"{right_ts}{suffix}").cast("long") / w))
+    l = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((lsec + lower_sec) / w), F.floor((lsec + upper_sec) / w)
+                )
+            )
+        ),
+    )
+    rsec = F.col(f"{right_ts}{suffix}").cast("long")
+    return (
+        l.join(r, [*keys, "__bucket"])
+        .filter(rsec.between(lsec + lower_sec, lsec + upper_sec))
+        .drop("__bucket")
+    )

@@ -430,3 +430,27 @@ def embedding_neardup_exact(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def label_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label per-dimension mean of an embedding column — the
+    centroid/prototype aggregation behind IVF training, cluster
+    profiling and drift monitoring, expressed as posexplode → groupBy.
+
+    Scale shape: the explode inflates the stream ×dim, but hash
+    aggregation applies map-side partial aggregation, so each task
+    collapses to (labels × dim) partial sums before the exchange —
+    shuffle volume is O(tasks · labels · dim), independent of row
+    count. All JVM, whole-stage codegen; no vector UDF needed.
+    Returns (label, i, centroid, n) with i 0-based.
+    """
+    return (
+        df.select(F.col(label_col).alias("label"), F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(
+            F.avg(F.col("x").cast("double")).alias("centroid"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -373,6 +373,146 @@ def q34_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q39_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by TF-IDF — the classic signature-term
+    extraction. Three aggregations, each with map-side partials: term
+    counts on (doc_id, token), document frequency on token, then a
+    per-doc window top-k. The corpus size joins in as a broadcast
+    1-row aggregate (no driver collect); the df table joins on token
+    (AQE broadcasts it at this scale; at 100 TB vocab it stays a hash
+    join, which is the right plan)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens_expr("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = d.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "token",
+            "tf",
+            "df",
+            F.round("score", 6).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+# Downsample the dominant language, keep the rest — the source-mixture
+# rebalance of a multilingual training corpus. Thresholds are literals
+# derived from these rates, replayed bit-for-bit by the oracle.
+Q40_RATES = {"en": 0.3, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 0.75}
+
+
+def q40_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified Bernoulli sample keyed on md5(doc_id) —
+    no RNG state, no shuffle: one narrow filter pushed into the scan
+    (operators/sampling.py)."""
+    from spark_nnd_spark.operators import sampling as SA
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        SA.stratified_sample(d, Q40_RATES, strata_col="lang", id_col="doc_id")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q41_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregate via ROLLUP(event_type, hour-of-day) —
+    detail rows, per-type subtotals and the grand total in ONE pass
+    (Catalyst expands the grouping sets; partial aggregation still
+    applies map-side). DECIMAL keeps the value sums exact."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("event_type", F.hour("ts").alias("hod"), "value")
+    return (
+        base.rollup("event_type", "hod")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("string").alias("v"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("hod").cast("int").alias("g_hod"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("hod"), F.lit(-1)).cast("long").alias("hod"),
+            "g_type",
+            "g_hod",
+            "c",
+            "v",
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+def q42_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs at hamming ≤ 3 with the band-freq
+    skew guard ON (operators/dedup.simhash_neardup_pairs); the oracle
+    replays bands, guard and popcount verbatim."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        DD.simhash_neardup_pairs(d, max_hamming=3, max_band_freq=50)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q43_nearby_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event count of same-user events within ±5 minutes — a
+    bucketized interval self-join (operators/events.range_join), then
+    a count and a left join back so isolated events keep n_nearby=0.
+    The oracle is the naive inequality join; the engine never runs
+    that plan."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("event_id", "user_id", "ts")
+    pairs = EV.range_join(base, base, keys=["user_id"], lower_sec=-300, upper_sec=300)
+    near = (
+        pairs.filter(F.col("event_id_r") != F.col("event_id"))
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        base.join(near, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("long").alias("ts_epoch"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_nearby"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q44_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (operators/similarity
+    .label_centroids): posexplode → partial-aggregated groupBy, all
+    JVM-side."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        SIM.label_centroids(e)
+        .select(
+            "label",
+            F.col("i").cast("long").alias("i"),
+            F.round("centroid", 6).alias("centroid"),
+            "n",
+        )
+        .orderBy("label", "i")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -397,6 +537,12 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_lang_bigrams": q36_lang_bigrams,
     "q37_quality_filter": q37_quality_filter,
     "q38_value_quantiles": q38_value_quantiles,
+    "q39_tfidf_topk": q39_tfidf_topk,
+    "q40_stratified_sample": q40_stratified_sample,
+    "q41_rollup_counts": q41_rollup_counts,
+    "q42_simhash_neardup": q42_simhash_neardup,
+    "q43_nearby_events": q43_nearby_events,
+    "q44_label_centroids": q44_label_centroids,
 }
 
 
@@ -702,13 +848,91 @@ def _pipeline_oracles() -> dict[str, str]:
 
 
 def pipeline_oracles() -> dict[str, str]:
-    from spark_nnd_spark.operators.dedup import simhash_sql
+    from spark_nnd_spark.operators import sampling as SA
+    from spark_nnd_spark.operators.dedup import SIMHASH_BANDS, simhash_sql
 
     oracles = _pipeline_oracles()
     oracles["q17_simhash_buckets"] = f"""
         SELECT {simhash_sql()} AS simhash, MIN(doc_id) AS doc_id,
                COUNT(*) AS bucket_size
         FROM documents GROUP BY 1 ORDER BY simhash
+    """
+    oracles["q39_tfidf_topk"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({TX.tokens_sql()}) AS token FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf FROM toks
+            WHERE token != '' GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, token, tf, df, tf * ln(n_docs / df) AS score
+            FROM tf JOIN dfreq USING (token) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, token) AS rank
+            FROM scored
+        )
+        SELECT doc_id, rank, token, tf, df, round(score, 6) AS tfidf
+        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+    """
+    oracles["q40_stratified_sample"] = f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE {SA.sample_key_sql('doc_id')}
+              < {SA.stratified_threshold_sql(Q40_RATES, 'lang')}
+        ORDER BY doc_id
+    """
+    oracles["q41_rollup_counts"] = """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(hod, -1) AS hod,
+               CAST(GROUPING(event_type) AS INT) AS g_type,
+               CAST(GROUPING(hod) AS INT) AS g_hod,
+               COUNT(*) AS c,
+               SUM(value::DECIMAL(18,2))::VARCHAR AS v
+        FROM (SELECT event_type, hour(ts::TIMESTAMP) AS hod, value FROM events)
+        GROUP BY ROLLUP(event_type, hod)
+        ORDER BY event_type, hod
+    """
+    oracles["q42_simhash_neardup"] = f"""
+        WITH sims AS (SELECT doc_id AS id, {simhash_sql()} AS sh FROM documents),
+        bands AS (
+            SELECT id, sh, j, (sh // CAST(pow(2, 8 * j) AS BIGINT)) % 256 AS band_val
+            FROM sims, (SELECT unnest(range(0, {SIMHASH_BANDS})) AS j)
+        ),
+        kept AS (
+            SELECT * FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY j, band_val) AS bf FROM bands
+            ) WHERE bf <= 50
+        ),
+        cand AS (
+            SELECT DISTINCT x.id AS id_a, y.id AS id_b, x.sh AS sh_a, y.sh AS sh_b
+            FROM kept x JOIN kept y
+              ON x.j = y.j AND x.band_val = y.band_val AND x.id < y.id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+        ORDER BY id_a, id_b
+    """
+    oracles["q43_nearby_events"] = """
+        SELECT a.event_id, a.user_id,
+               (epoch_us(a.ts::TIMESTAMP) // 1000000) AS ts_epoch,
+               COUNT(b.event_id) AS n_nearby
+        FROM events a LEFT JOIN events b
+          ON a.user_id = b.user_id AND b.event_id <> a.event_id
+         AND (epoch_us(b.ts::TIMESTAMP) // 1000000)
+             BETWEEN (epoch_us(a.ts::TIMESTAMP) // 1000000) - 300
+                 AND (epoch_us(a.ts::TIMESTAMP) // 1000000) + 300
+        GROUP BY 1, 2, 3 ORDER BY a.event_id
+    """
+    oracles["q44_label_centroids"] = """
+        SELECT label, i, round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS centroid,
+               COUNT(*) AS n
+        FROM embeddings,
+             (SELECT unnest(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1))) AS i)
+        GROUP BY label, i ORDER BY label, i
     """
     return oracles
 

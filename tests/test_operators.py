@@ -3,6 +3,7 @@ recall, input validation."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -344,3 +345,92 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucket_a")
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_deterministic_sample_nested_and_reproducible(spark):
+    from spark_nnd_spark.operators import sampling as SA
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    s20 = {r["doc_id"] for r in SA.deterministic_sample(docs, 0.2).select("doc_id").collect()}
+    s20_again = {r["doc_id"] for r in SA.deterministic_sample(docs, 0.2).select("doc_id").collect()}
+    s40 = {r["doc_id"] for r in SA.deterministic_sample(docs, 0.4).select("doc_id").collect()}
+    n = docs.count()
+    assert s20 == s20_again  # no RNG state: exact replay
+    assert s20 <= s40  # thresholds nest: growing the rate keeps the old sample
+    assert abs(len(s40) / n - 0.4) < 0.15  # uniform hash ≈ the rate
+
+
+def test_stratified_sample_rates_per_stratum(spark):
+    from spark_nnd_spark.operators import sampling as SA
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rates = {"en": 0.2, "fr": 1.0}
+    out = SA.stratified_sample(docs, rates, strata_col="lang", id_col="doc_id")
+    got = {r["lang"]: r["c"] for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    tot = {r["lang"]: r["c"] for r in docs.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert set(got) <= {"en", "fr"}  # default rate 0 drops unlisted strata
+    assert got["fr"] == tot["fr"]  # rate 1.0 keeps everything
+    assert 0.0 < got["en"] / tot["en"] < 0.5  # dominant stratum downsampled
+
+
+def test_range_join_matches_naive_theta_join(spark):
+    from spark_nnd_spark.operators import events as EV
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "user_id", F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
+    ).limit(2000)
+    base = ev.select("event_id", "user_id", "ts")
+    got = {
+        (r["event_id"], r["event_id_r"])
+        for r in EV.range_join(base, base, keys=["user_id"], lower_sec=-300, upper_sec=300).collect()
+    }
+    a, b = base.alias("a"), base.alias("b")
+    want = {
+        (r["la"], r["lb"])
+        for r in a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & F.col("b.ts").cast("long").between(
+                F.col("a.ts").cast("long") - 300, F.col("a.ts").cast("long") + 300
+            ),
+        )
+        .select(F.col("a.event_id").alias("la"), F.col("b.event_id").alias("lb"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_simhash_neardup_pairs_exact_within_pigeonhole_radius(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    sims = {r["doc_id"]: r["simhash"] for r in DD.simhash_df(docs).collect()}
+    ids = sorted(sims)
+    exact_h2 = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sims[a] ^ sims[b]).count("1") <= 2
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in DD.simhash_neardup_pairs(docs, max_hamming=3).collect()
+    }
+    # pigeonhole: ≤ SIMHASH_BANDS−1 differing bits can't straddle every
+    # band, so banding finds ALL pairs at hamming ≤ 2 (no guard set)
+    assert exact_h2 <= set(got)
+    for (a, b), h in got.items():
+        assert h == bin(sims[a] ^ sims[b]).count("1") and h <= 3
+
+
+def test_label_centroids_match_numpy(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    got = {(r["label"], r["i"]): (r["centroid"], r["n"]) for r in SIM.label_centroids(emb).collect()}
+    rows = emb.select("label", "embedding").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(np.array(r["embedding"], dtype=np.float64))
+    for lbl, vecs in by_label.items():
+        mean = np.mean(vecs, axis=0)
+        for i in range(len(mean)):
+            c, n = got[(lbl, i)]
+            assert n == len(vecs)
+            assert abs(c - mean[i]) < 1e-9
