@@ -6,8 +6,9 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Query inventory (operator → SURVEY.md §2 mapping lives in each module):
-- q1–q10: the reference's relational/dataflow primitives
-  (spark_nnd_spark/queries/relational.py).
+- q1–q10: the reference's relational/dataflow primitives; q45–q47:
+  TPC-H-shaped pricing summary / shipping-priority top-k and a
+  sliding-frame window (spark_nnd_spark/queries/relational.py).
 - q11–q23, q27–q29, q34–q44: training-data-pipeline extensions — text analysis,
   dedup family (exact / fingerprint / n-gram Jaccard / MinHash-LSH /
   SimHash), embedding similarity + near-dup, event sessionization and

@@ -48,6 +48,8 @@ HEADLINE = [
     "q42_simhash_neardup",
     "q43_nearby_events",
     "q44_label_centroids",
+    "q45_pricing_summary",
+    "q46_ship_priority",
 ]
 
 

@@ -121,6 +121,89 @@ def q10_dedup_preference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q45_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: one wide scan, filter pushed to
+    parquet, grouped DECIMAL aggregation (exact, order-independent —
+    float sums would hash differently between engines). The canonical
+    'scan 100 TB, return 4 rows' query: shuffle is O(groups)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    one = F.lit(1).cast("decimal(18,2)")
+    disc_price = (dec("l_extendedprice") * (one - dec("l_discount"))).cast("decimal(18,4)")
+    charge = (disc_price * (one + dec("l_tax"))).cast("decimal(18,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-06-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("string").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("string").alias("sum_base_price"),
+            F.sum(disc_price).cast("string").alias("sum_disc_price"),
+            F.sum(charge).cast("string").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q46_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority top-k: customer filter →
+    3-table join → grouped revenue → global top-20. Catalyst broadcasts
+    the filtered customer side under the threshold; orders⋈lineitem
+    stays a shuffled hash join on the fact keys — the right shape at
+    100 TB. Revenue in DECIMAL; top-k ordered on the unrounded value."""
+    cut = F.lit("1998-06-01").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (one - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(18,4)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("rev"))
+        .orderBy(F.desc("rev"), "l_orderkey")
+        .limit(20)
+        .select(
+            "l_orderkey",
+            F.col("rev").cast("string").alias("revenue"),
+            # NTZ → TIMESTAMP (session tz is pinned UTC) → epoch seconds
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("o_orderdate_epoch"),
+            "o_orderpriority",
+        )
+    )
+
+
+def q47_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame window (ROWS 3 PRECEDING): per-user moving average
+    over event time. The frame order is total (ts, event_id), so the
+    ≤4-term float sum is evaluated in the same sequence by any engine —
+    bitwise-stable without DECIMAL."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.avg("value").over(w), 6).alias("sliding_avg"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_filter_project": q1_filter_project,
     "q2_group_count": q2_group_count,
@@ -132,6 +215,9 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q8_union_dedup": q8_union_dedup,
     "q9_regroup": q9_regroup,
     "q10_dedup_preference": q10_dedup_preference,
+    "q45_pricing_summary": q45_pricing_summary,
+    "q46_ship_priority": q46_ship_priority,
+    "q47_sliding_avg": q47_sliding_avg,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -184,5 +270,50 @@ RELATIONAL_ORACLES: dict[str, str] = {
                                       ORDER BY c_acctbal DESC, c_custkey) AS rn
             FROM customer
         ) WHERE rn = 1 ORDER BY c_nationkey
+    """,
+    "q45_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity::DECIMAL(18,2))::VARCHAR AS sum_qty,
+               SUM(l_extendedprice::DECIMAL(18,2))::VARCHAR AS sum_base_price,
+               SUM(CAST(l_extendedprice::DECIMAL(18,2)
+                        * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))
+                        AS DECIMAL(18,4)))::VARCHAR AS sum_disc_price,
+               SUM(CAST(CAST(l_extendedprice::DECIMAL(18,2)
+                             * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))
+                             AS DECIMAL(18,4))
+                        * (1::DECIMAL(18,2) + l_tax::DECIMAL(18,2))
+                        AS DECIMAL(18,6)))::VARCHAR AS sum_charge,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-06-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q46_ship_priority": """
+        SELECT l_orderkey, rev::VARCHAR AS revenue,
+               (epoch_us(o_orderdate::TIMESTAMP) // 1000000) AS o_orderdate_epoch,
+               o_orderpriority
+        FROM (
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   SUM(CAST(l_extendedprice::DECIMAL(18,2)
+                            * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))
+                            AS DECIMAL(18,4))) AS rev
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY rev DESC, l_orderkey LIMIT 20
+        )
+    """,
+    "q47_sliding_avg": """
+        SELECT user_id, event_id,
+               round(AVG(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts::TIMESTAMP, event_id
+                                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+                   AS sliding_avg
+        FROM events ORDER BY user_id, event_id
     """,
 }
