@@ -1,3 +1,13 @@
+from spark_nnd_spark.sources.formats import read_csv, read_jsonl, write_csv, write_jsonl
 from spark_nnd_spark.sources.tables import TABLES, load_table, load_tables, register_views
 
-__all__ = ["TABLES", "load_table", "load_tables", "register_views"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "read_csv",
+    "read_jsonl",
+    "write_csv",
+    "write_jsonl",
+]

@@ -1,0 +1,68 @@
+"""CSV / JSON-lines source+sink layer.
+
+The reference has no sources at all (caller-supplied RDDs,
+NND.scala:66); parquet is this engine's primary format
+(sources/tables.py, sources/sinks.py). Real corpora additionally
+arrive as JSONL dumps and CSV exports, so the engine exposes both,
+with the rules that keep them scan-friendly at 100 TB:
+
+- **Schema is always pinned** (from the caller or a sampled
+  inferSchema only when asked): schema inference reads the data
+  twice, and on a 100 TB landing directory that doubles the scan
+  bill. Pass the schema.
+- Readers return plain DataFrames, so every downstream filter and
+  projection still benefits from column pruning; note CSV/JSON are
+  row-major text — predicate pushdown cannot skip bytes the way
+  parquet row-group stats do, which is why `to_parquet` (one
+  rewrite) is the first step of every pipeline here.
+- Writers accept a partition-column list (hive-style layout) and
+  coalesce tiny outputs the same way sinks.py does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    """JSON-lines reader; pinned schema unless explicitly absent."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, header: bool = True, partition_by: list[str] | None = None
+) -> None:
+    w = df.write.mode("overwrite").option("header", str(header).lower())
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.csv(path)

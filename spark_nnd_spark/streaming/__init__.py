@@ -1,4 +1,7 @@
 from spark_nnd_spark.streaming.streams import (
+    dedup_stream,
+    quality_filter_stream,
+    read_documents_stream,
     read_events_stream,
     run_to_memory_sink,
     sessionize_stream,
@@ -7,6 +10,9 @@ from spark_nnd_spark.streaming.streams import (
 )
 
 __all__ = [
+    "dedup_stream",
+    "quality_filter_stream",
+    "read_documents_stream",
     "read_events_stream",
     "run_to_memory_sink",
     "sessionize_stream",

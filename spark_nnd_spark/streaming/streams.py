@@ -36,19 +36,19 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
-def _stream_dir(sf_dir: str) -> str:
-    """Directory holding a symlink to events.parquet (file streams read
-    directories; a real deployment points at the landing directory)."""
+def _stream_dir(sf_dir: str, table: str = "events") -> str:
+    """Directory holding a symlink to the table's parquet (file streams
+    read directories; a real deployment points at the landing dir)."""
     import hashlib  # noqa: PLC0415
     import os  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    d = os.path.join(tempfile.gettempdir(), f"spark_nnd_events_stream_{tag}")
+    d = os.path.join(tempfile.gettempdir(), f"spark_nnd_{table}_stream_{tag}")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
+    link = os.path.join(d, f"{table}.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+        os.symlink(os.path.abspath(f"{sf_dir}/{table}.parquet"), link)
     return d
 
 
@@ -192,3 +192,33 @@ def dedup_stream(
     """
     keys = keys or ["user_id", "event_type"]
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (ingest-side view
+    of the corpus; schema pinned from a batch read)."""
+    from spark_nnd_spark.sources import load_table  # noqa: PLC0415
+
+    schema = load_table(spark, sf_dir, "documents").schema
+    stream_dir = _stream_dir(sf_dir, table="documents")
+    return spark.readStream.schema(schema).parquet(stream_dir)
+
+
+def quality_filter_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the q37 quality gate: per-document keep/drop
+    decision at ingest time. Entirely stateless (narrow JVM expressions,
+    no watermark, no state store) — the shape that lets a 100 TB/day
+    filter run with zero memory pressure; identical expressions to the
+    batch query, so replay == batch by construction (tested)."""
+    from spark_nnd_spark.functions import text as TX  # noqa: PLC0415
+
+    n_tok = TX.token_count_expr("text")
+    stop = TX.stopword_ratio_expr("text")
+    ttr = TX.type_token_ratio_expr("text")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(stop, 6).alias("stopword_ratio"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        ((n_tok >= 5) & (stop <= 0.6) & (ttr >= 0.3)).alias("keep"),
+    )

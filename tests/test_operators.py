@@ -434,3 +434,24 @@ def test_label_centroids_match_numpy(spark):
             c, n = got[(lbl, i)]
             assert n == len(vecs)
             assert abs(c - mean[i]) < 1e-9
+
+
+def test_jsonl_csv_roundtrip(spark, tmp_path):
+    from spark_nnd_spark.sources import read_csv, read_jsonl, write_csv, write_jsonl
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    want = {(r["doc_id"], r["text"], r["lang"]) for r in docs.collect()}
+
+    jdir = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, jdir, partition_by=["lang"])
+    back = read_jsonl(spark, jdir, schema="doc_id long, text string, source string, n_chars long, lang string")
+    got = {(r["doc_id"], r["text"], r["lang"]) for r in back.collect()}
+    assert got == want
+
+    cdir = str(tmp_path / "cust_csv")
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    write_csv(cust, cdir)
+    back_c = read_csv(spark, cdir, schema="c_custkey long, c_name string, c_acctbal double")
+    assert {tuple(r) for r in back_c.collect()} == {tuple(r) for r in cust.collect()}

@@ -115,3 +115,20 @@ def test_dedup_stream_keeps_one_per_key(spark, events_batch):
         for r in events_batch.select("user_id", "event_type").distinct().collect()
     }
     assert set(got_keys) == want  # every key represented
+
+
+def test_quality_filter_stream_matches_batch(spark):
+    from spark_nnd_spark.queries.pipeline import q37_quality_filter
+    from spark_nnd_spark.streaming.streams import quality_filter_stream, read_documents_stream
+
+    stream = quality_filter_stream(read_documents_stream(spark, SF_SMOKE))
+    run_to_memory_sink(stream, "qf", output_mode="append")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["stopword_ratio"], r["type_token_ratio"], r["keep"])
+        for r in spark.sql("SELECT * FROM qf").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["stopword_ratio"], r["type_token_ratio"], r["keep"])
+        for r in q37_quality_filter(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
