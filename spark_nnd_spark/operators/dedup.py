@@ -91,10 +91,20 @@ def jaccard_pairs(
     ``|A∩B| / |A∪B| >= threshold`` over distinct n-token shingle sets.
     Docs with no shingles (< n tokens) pair with nothing.
     """
-    sizes = df.select(
+    # Materialize both shared subtrees once (eager localCheckpoint):
+    # `posts` feeds the hot-shingle census plus BOTH sides of the
+    # self-join and `sizes` two verify joins — without the checkpoint
+    # each consumer re-executes the shingle tokenize+explode scan
+    # (measured ~2x end-to-end at sf0.1). Same pattern as
+    # simhash_neardup_pairs; the checkpoint is the size of one shuffle
+    # of the same stream, i.e. cost-neutral at any scale.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sizes = df.repartition(parallelism).select(
         F.col(id_col).alias("id"), F.size(TX.shingles_expr(text_col, n)).alias("n_sh")
+    ).localCheckpoint(eager=True)
+    posts = shingle_postings(df, text_col, id_col, n, max_shingle_freq).localCheckpoint(
+        eager=True
     )
-    posts = shingle_postings(df, text_col, id_col, n, max_shingle_freq)
     a = posts.select(F.col("shingle"), F.col(id_col).alias("id_a"))
     b = posts.select(F.col("shingle"), F.col(id_col).alias("id_b"))
     # the exploded postings look tiny to the size estimator (stats come
@@ -207,6 +217,10 @@ def minhash_lsh_pairs(
             .select("band", "band_sig")
         )
         banded = banded.join(hot, ["band", "band_sig"], "left_anti")
+    # materialize once: banded feeds both sides of the self-join (and
+    # the census above); without this each consumer re-runs the
+    # signature pipeline (see jaccard_pairs / simhash_neardup_pairs)
+    banded = banded.localCheckpoint(eager=True)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "band_sig"])
@@ -214,10 +228,13 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # verify candidates with true shingle Jaccard
-    sh = df.select(
+    # verify candidates with true shingle Jaccard (shingle sets
+    # materialized once — joined on both pair sides)
+    sh = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).select(
         F.col(id_col).alias("id"), TX.shingles_expr(text_col, n).alias("sh")
-    )
+    ).localCheckpoint(eager=True)
     return (
         cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")

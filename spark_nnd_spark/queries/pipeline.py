@@ -513,6 +513,50 @@ def q44_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q48_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap analysis: lag() per user stream, then exact gap
+    percentiles per event type — the latency/dwell-time profile query.
+    One shuffle on user_id for the window, one on event_type for the
+    percentile sort-agg."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    pct = lambda p: F.expr(f"percentile(gap, {p})")  # noqa: E731
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(pct(0.5), 6).alias("gap_p50"),
+            F.round(pct(0.9), 6).alias("gap_p90"),
+            F.max("gap").alias("gap_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q49_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts spread across one column per event
+    type. The pivot values are DECLARED (EVENT_TYPES), not discovered —
+    discovery would cost an extra distinct scan and make the schema
+    data-dependent, which a production pipeline can't have. Plans as a
+    single hash aggregate with map-side partials; missing combinations
+    coalesce to 0."""
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES],
+    ).orderBy("user_id")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -543,6 +587,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_simhash_neardup": q42_simhash_neardup,
     "q43_nearby_events": q43_nearby_events,
     "q44_label_centroids": q44_label_centroids,
+    "q48_event_gaps": q48_event_gaps,
+    "q49_pivot_counts": q49_pivot_counts,
 }
 
 
@@ -933,6 +979,28 @@ def pipeline_oracles() -> dict[str, str]:
         FROM embeddings,
              (SELECT unnest(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1))) AS i)
         GROUP BY label, i ORDER BY label, i
+    """
+    oracles["q48_event_gaps"] = """
+        WITH gaps AS (
+            SELECT event_type,
+                   (epoch_us(ts::TIMESTAMP) // 1000000)
+                   - LAG(epoch_us(ts::TIMESTAMP) // 1000000)
+                     OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id) AS gap
+            FROM events
+        )
+        SELECT event_type, COUNT(*) AS n,
+               round(quantile_cont(gap, 0.5), 6) AS gap_p50,
+               round(quantile_cont(gap, 0.9), 6) AS gap_p90,
+               MAX(gap) AS gap_max
+        FROM gaps WHERE gap IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
+    """
+    counts = ", ".join(
+        f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}" for t in EVENT_TYPES
+    )
+    oracles["q49_pivot_counts"] = f"""
+        SELECT user_id, {counts}
+        FROM events GROUP BY user_id ORDER BY user_id
     """
     return oracles
 
