@@ -66,3 +66,32 @@ def test_exact_knn_has_no_row_level_pair_materialization(spark):
     assert "FlatMapCoGroupsInPandas" in plan
     assert "SortMergeJoin" not in plan.split("FlatMapCoGroupsInPandas")[0]
     assert "Window" not in plan.split("FlatMapCoGroupsInPandas")[0]
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark):
+    plan = _plan(spark, "q45_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate," in plan
+    # 7 referenced columns only, out of 11 in the table
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+    assert "partial_sum" in plan  # DECIMAL sums combine map-side
+
+
+def test_range_join_is_hash_equi_join(spark):
+    """range_join's contract: the interval predicate must ride a hash
+    equi-join on (keys, bucket), never a nested-loop theta join."""
+    plan = _plan(spark, "q43_nearby_events")
+    assert "CartesianProduct" not in plan
+    # the only BroadcastNestedLoopJoin-free shape: every join keyed
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_is_scan_plus_filter_only(spark):
+    """Sampling must add zero exchanges: one scan, one filter."""
+    plan = _plan(spark, "q40_stratified_sample")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" in plan  # only the final ORDER BY
+
+
+def test_simhash_pairs_have_no_cartesian(spark):
+    plan = _plan(spark, "q42_simhash_neardup")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
