@@ -95,3 +95,45 @@ def test_token_stats_match_python(spark, docs):
     for g, d in zip(ttr, docs):
         toks = d.split(" ")
         assert abs(g - len(set(toks)) / len(toks)) < 1e-12
+
+
+# --------------------------------------------------------- sampling
+
+
+@given(
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+@settings(max_examples=50, deadline=None)
+def test_threshold_hex_monotone_and_bounded(r1, r2):
+    """Thresholds are fixed-width (comparable bytewise), ordered like
+    their rates, and saturate correctly at the endpoints."""
+    from spark_nnd_spark.operators.sampling import HEX_WIDTH, threshold_hex
+
+    t1, t2 = threshold_hex(r1), threshold_hex(r2)
+    for t in (t1, t2):
+        assert t == "g" or (len(t) == HEX_WIDTH and all(c in "0123456789abcdef" for c in t))
+    if r1 <= r2:
+        assert t1 <= t2  # lexicographic order == rate order ("g" > hex)
+    assert threshold_hex(0.0) == "0" * HEX_WIDTH
+    assert threshold_hex(1.0) == "g"
+
+
+@given(st.integers(min_value=1, max_value=10**9), st.floats(min_value=0.05, max_value=0.95))
+@settings(max_examples=50, deadline=None)
+def test_sample_decision_matches_python_md5(doc_id, rate):
+    """The engine-side predicate equals the plain-Python model: the
+    cross-engine replayability the operator's determinism rests on."""
+    import hashlib
+
+    from spark_nnd_spark.operators.sampling import threshold_hex
+
+    key = hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+    keep = key < threshold_hex(rate)
+    # duckdb replays the oracle predicate verbatim
+    import duckdb
+
+    (dkeep,) = duckdb.sql(
+        f"SELECT substr(md5(CAST({doc_id} AS VARCHAR)), 1, 8) < '{threshold_hex(rate)}'"
+    ).fetchone()
+    assert keep == dkeep
