@@ -121,7 +121,13 @@ def q33_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qpred = F.col("vec_id") < 10
     q = emb.filter(qpred)
-    brute = ann_brute_topk(emb, q, k=5).select("query_id", "nb_id")
+    # brute feeds the total row and both hits joins — materialize once
+    # (multi-consumer subtrees re-execute otherwise; see dedup.py)
+    brute = (
+        ann_brute_topk(emb, q, k=5)
+        .select("query_id", "nb_id")
+        .localCheckpoint(eager=True)
+    )
     lsh = ann_lsh_topk(
         emb, None, k=5, n_planes=8, seed=42, query_pred=qpred, dim=64
     ).select("query_id", "nb_id")
