@@ -9,7 +9,7 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
 - q1–q10: the reference's relational/dataflow primitives; q45–q47:
   TPC-H-shaped pricing summary / shipping-priority top-k and a
   sliding-frame window (spark_nnd_spark/queries/relational.py).
-- q11–q23, q27–q29, q34–q44, q48–q49: training-data-pipeline extensions — text analysis,
+- q11–q23, q27–q29, q34–q44, q48–q51: training-data-pipeline extensions — text analysis,
   dedup family (exact / fingerprint / n-gram Jaccard / MinHash-LSH /
   SimHash), embedding similarity + near-dup, event sessionization and
   windows, multimodal binary-payload ops (image stats / frame sampling
@@ -20,7 +20,7 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   stratified sampling, ROLLUP multi-level aggregates, banded SimHash
   hamming near-dup pairs, bucketized interval self-join, per-label
   embedding centroids, inter-event gap percentiles, declared-values
-  pivot
+  pivot, within-doc repetition scoring, benchmark decontamination
   (spark_nnd_spark/queries/pipeline.py).
 - q24–q26, q30, q33: K-NN graph surface — exact graph (oracle-checked),
   NN-Descent (rows-only; recall-checked in tests), LSH/IVF ANN

@@ -426,3 +426,44 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, how many of its
+    distinct n-token shingles appear in the benchmark set — the overlap
+    check a training pipeline runs against its eval suites before
+    training.
+
+    Scale shape: the benchmark side is tiny relative to the corpus
+    (eval suites are MBs, the corpus is 100 TB), so its distinct
+    shingle set is broadcast and the corpus-side postings stream
+    through a broadcast hash join — the corpus never shuffles. Returns
+    (id, n_hits, contaminated); docs with no overlap keep n_hits = 0.
+    """
+    bench_sh = (
+        benchmark.select(F.explode(TX.shingles_expr(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+    posts = corpus.select(
+        F.col(id_col), F.explode(TX.shingles_expr(text_col, n)).alias("shingle")
+    )
+    hits = (
+        posts.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -557,6 +557,42 @@ def q49_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q50_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score (Gopher-style quality signal):
+    fraction of n-gram slots occupied by repeats = 1 − distinct/total
+    3-shingles. Pure narrow expressions — no shuffle before the final
+    sort; the filter a pipeline applies before any cross-doc dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    total = F.greatest(TX.token_count_expr("text") - 2, F.lit(0))
+    distinct = F.size(TX.shingles_expr("text", 3))
+    dup_frac = F.when(total > 0, 1 - distinct / total).otherwise(F.lit(0.0))
+    return (
+        d.select(
+            "doc_id",
+            total.cast("long").alias("n_shingle_slots"),
+            distinct.cast("long").alias("n_distinct_shingles"),
+            F.round(dup_frac, 6).alias("dup_fraction"),
+            (dup_frac > 0.2).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Benchmark/eval split for the decontamination demo: the first docs
+# play the eval suite, the rest the training corpus.
+Q51_BENCH_MAX_ID = 20
+
+
+def q51_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.decontaminate): count
+    per training doc the distinct 5-shingles it shares with the eval
+    set; the eval shingle set broadcasts, the corpus never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < Q51_BENCH_MAX_ID)
+    corpus = d.filter(F.col("doc_id") >= Q51_BENCH_MAX_ID)
+    return DD.decontaminate(corpus, bench, n=5).orderBy("doc_id")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -589,6 +625,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_label_centroids": q44_label_centroids,
     "q48_event_gaps": q48_event_gaps,
     "q49_pivot_counts": q49_pivot_counts,
+    "q50_repetition": q50_repetition,
+    "q51_decontaminate": q51_decontaminate,
 }
 
 
@@ -1001,6 +1039,39 @@ def pipeline_oracles() -> dict[str, str]:
     oracles["q49_pivot_counts"] = f"""
         SELECT user_id, {counts}
         FROM events GROUP BY user_id ORDER BY user_id
+    """
+    oracles["q50_repetition"] = f"""
+        SELECT doc_id,
+               greatest({TX.token_count_sql()} - 2, 0) AS n_shingle_slots,
+               len({TX.shingles_sql('text', 3)}) AS n_distinct_shingles,
+               round(CASE WHEN greatest({TX.token_count_sql()} - 2, 0) > 0
+                          THEN 1 - len({TX.shingles_sql('text', 3)})
+                               / greatest({TX.token_count_sql()} - 2, 0)
+                          ELSE 0.0 END, 6) AS dup_fraction,
+               (CASE WHEN greatest({TX.token_count_sql()} - 2, 0) > 0
+                     THEN 1 - len({TX.shingles_sql('text', 3)})
+                          / greatest({TX.token_count_sql()} - 2, 0)
+                     ELSE 0.0 END) > 0.2 AS repetitive
+        FROM documents ORDER BY doc_id
+    """
+    oracles["q51_decontaminate"] = f"""
+        WITH bench AS (
+            SELECT DISTINCT unnest({TX.shingles_sql('text', 5)}) AS shingle
+            FROM documents WHERE doc_id < {Q51_BENCH_MAX_ID}
+        ),
+        posts AS (
+            SELECT doc_id, unnest({TX.shingles_sql('text', 5)}) AS shingle
+            FROM documents WHERE doc_id >= {Q51_BENCH_MAX_ID}
+        ),
+        hits AS (
+            SELECT doc_id, COUNT(*) AS n_hits
+            FROM posts JOIN bench USING (shingle) GROUP BY doc_id
+        )
+        SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+               COALESCE(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id >= {Q51_BENCH_MAX_ID}
+        ORDER BY d.doc_id
     """
     return oracles
 

@@ -455,3 +455,25 @@ def test_jsonl_csv_roundtrip(spark, tmp_path):
     write_csv(cust, cdir)
     back_c = read_csv(spark, cdir, schema="c_custkey long, c_name string, c_acctbal double")
     assert {tuple(r) for r in back_c.collect()} == {tuple(r) for r in cust.collect()}
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps away"),      # shares one 5-shingle
+            (11, "completely unrelated training text here"),
+            (12, "quick brown fox jumps over the lazy"),  # shares three 5-shingles
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_hits"], r["contaminated"]) for r in
+           DD.decontaminate(corpus, bench, n=5).collect()}
+    assert got[10] == (1, True)
+    assert got[11] == (0, False)
+    assert got[12] == (3, True)
+    # scale contract: the benchmark side broadcasts; the corpus never shuffles
+    plan = DD.decontaminate(corpus, bench, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
