@@ -2,6 +2,7 @@ from spark_nnd_spark.streaming.streams import (
     dedup_stream,
     quality_filter_stream,
     read_documents_stream,
+    read_events_kafka,
     read_events_stream,
     run_to_memory_sink,
     sessionize_stream,
@@ -13,6 +14,7 @@ __all__ = [
     "dedup_stream",
     "quality_filter_stream",
     "read_documents_stream",
+    "read_events_kafka",
     "read_events_stream",
     "run_to_memory_sink",
     "sessionize_stream",

@@ -132,3 +132,10 @@ def test_quality_filter_stream_matches_batch(spark):
         for r in q37_quality_filter(spark, SF_SMOKE).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_kafka_source_gated_with_clear_error(spark):
+    from spark_nnd_spark.streaming.streams import read_events_kafka
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        read_events_kafka(spark, "localhost:9092", "events")
