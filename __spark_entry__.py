@@ -6,9 +6,9 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Query inventory (operator → SURVEY.md §2 mapping lives in each module):
-- q1–q10: the reference's relational/dataflow primitives; q45–q47:
-  TPC-H-shaped pricing summary / shipping-priority top-k and a
-  sliding-frame window (spark_nnd_spark/queries/relational.py).
+- q1–q10: the reference's relational/dataflow primitives; q45–q47, q52:
+  TPC-H-shaped pricing summary / shipping-priority top-k, a
+  sliding-frame window, and an explicit salted hot-key join (spark_nnd_spark/queries/relational.py).
 - q11–q23, q27–q29, q34–q44, q48–q51: training-data-pipeline extensions — text analysis,
   dedup family (exact / fingerprint / n-gram Jaccard / MinHash-LSH /
   SimHash), embedding similarity + near-dup, event sessionization and

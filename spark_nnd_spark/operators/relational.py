@@ -87,3 +87,35 @@ def sample_per_group(
         )
         .drop("__rn", "__n")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_src: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed (left/fact) side into
+    ``n_salts`` sub-keys, replicate the small (right/dim) side once per
+    salt, and join on (key, salt).
+
+    The explicit alternative to AQE's skew-join splitting for the case
+    AQE can't fix: ONE key holding a large share of the fact table
+    (a null-ish sentinel id, a bot user, a default partition). A plain
+    hash join puts that key's every row in one task; salting spreads it
+    across ``n_salts`` tasks at the cost of replicating the dim side
+    ``n_salts``× (dim rows are the cheap side by assumption — it just
+    must not also be the skewed one).
+
+    The salt is ``xxhash64(salt_src) % n_salts`` — deterministic, so
+    retries and re-runs place rows identically. Result set is exactly
+    the plain join's (asserted by the q52 oracle, which IS the plain
+    join).
+    """
+    l = left.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)))
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    return l.join(r, [key, "__salt"], how).drop("__salt")

@@ -204,6 +204,30 @@ def q47_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q52_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew join via explicit salting (operators/relational
+    .salted_join): orders (fact, salted on o_orderkey) ⋈ customer (dim,
+    replicated n_salts×) on custkey, aggregated per nation. The oracle
+    is the PLAIN join — salting must be invisible in the result."""
+    from spark_nnd_spark.operators.relational import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey"
+    )
+    return (
+        salted_join(o, c, key="custkey", salt_src="o_orderkey", n_salts=8)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("string").alias("total"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_filter_project": q1_filter_project,
     "q2_group_count": q2_group_count,
@@ -218,6 +242,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_pricing_summary": q45_pricing_summary,
     "q46_ship_priority": q46_ship_priority,
     "q47_sliding_avg": q47_sliding_avg,
+    "q52_salted_join": q52_salted_join,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -315,5 +340,11 @@ RELATIONAL_ORACLES: dict[str, str] = {
                                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
                    AS sliding_avg
         FROM events ORDER BY user_id, event_id
+    """,
+    "q52_salted_join": """
+        SELECT c_nationkey, COUNT(*) AS n_orders,
+               SUM(o_totalprice::DECIMAL(18,2))::VARCHAR AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey ORDER BY c_nationkey
     """,
 }

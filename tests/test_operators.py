@@ -477,3 +477,22 @@ def test_decontaminate_flags_planted_overlap(spark):
     # scale contract: the benchmark side broadcasts; the corpus never shuffles
     plan = DD.decontaminate(corpus, bench, n=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_salted_join_spreads_hot_key_and_preserves_results(spark):
+    from spark_nnd_spark.operators.relational import salted_join
+
+    # one pathological key (0) holding 90% of the fact side
+    fact = spark.createDataFrame(
+        [(i, 0 if i < 900 else i % 7 + 1) for i in range(1000)], "row_id long, k long"
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(8)], "k long, label string")
+    got = salted_join(fact, dim, key="k", salt_src="row_id", n_salts=8).collect()
+    want = fact.join(dim, "k").collect()
+    assert sorted((r["row_id"], r["label"]) for r in got) == sorted(
+        (r["row_id"], r["label"]) for r in want
+    )
+    # the hot key's rows actually fan out across salts
+    l = fact.withColumn("__salt", F.pmod(F.xxhash64("row_id"), F.lit(8)))
+    n_buckets = l.filter("k = 0").select("__salt").distinct().count()
+    assert n_buckets == 8
