@@ -496,3 +496,18 @@ def test_salted_join_spreads_hot_key_and_preserves_results(spark):
     l = fact.withColumn("__salt", F.pmod(F.xxhash64("row_id"), F.lit(8)))
     n_buckets = l.filter("k = 0").select("__salt").distinct().count()
     assert n_buckets == 8
+
+
+def test_sql_surface_matches_dataframe_path(spark):
+    """The engine's spark.sql surface: corpus views registered once,
+    then plain ANSI SQL plans through the same Catalyst pipeline as
+    the DataFrame API (identical results by construction)."""
+    from spark_nnd_spark.queries.relational import q2_group_count
+    from spark_nnd_spark.sources import register_views
+
+    register_views(spark, SF_SMOKE)
+    got = spark.sql(
+        "SELECT l_returnflag, COUNT(*) AS c FROM lineitem GROUP BY 1 ORDER BY 1"
+    ).collect()
+    want = q2_group_count(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
