@@ -252,12 +252,67 @@ def _ann_recall_oracle() -> str:
     """
 
 
+KMEANS_K = 8
+
+
+def q59_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration over the embeddings, seeded from the
+    first k vectors by id (operators/clustering.py). Assignment is a
+    pure projection against literal centroids (no shuffle, no ×k row
+    replication); re-averaging is a partial-aggregated groupBy on
+    (cluster, dim). The oracle replays the identical argmin + average
+    in DuckDB."""
+    from spark_nnd_spark.operators.clustering import kmeans_step, seed_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = seed_centroids(emb, KMEANS_K)
+    return (
+        kmeans_step(emb, centroids)
+        .select("cluster_id", "i", F.round("centroid", 6).alias("centroid"), "n")
+        .orderBy("cluster_id", "i")
+    )
+
+
+def _kmeans_oracle(k: int = KMEANS_K) -> str:
+    sq_l2 = (
+        "list_sum(list_transform(range(1, len(v) + 1),"
+        " i -> (v[i] - cv[i]) * (v[i] - cv[i])))"
+    )
+    return f"""
+        WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                   FROM embeddings WHERE vec_id < {k}),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        d AS (
+            SELECT vec_id, cid, {sq_l2} AS dist
+            FROM e CROSS JOIN c
+        ),
+        a AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn
+                FROM d
+            ) WHERE rn = 1
+        ),
+        j AS (
+            -- two equal-length UNNESTs in one SELECT zip positionally
+            SELECT a.cid AS cluster_id,
+                   UNNEST(range(0, len(e.v))) AS i,
+                   UNNEST(e.v) AS x
+            FROM a JOIN e USING (vec_id)
+        )
+        SELECT cluster_id, i, round(AVG(x), 6) AS centroid, COUNT(*) AS n
+        FROM j GROUP BY cluster_id, i ORDER BY cluster_id, i
+    """
+
+
 KNN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_knn_exact": q24_knn_exact,
     "q25_nnd_graph": q25_nnd_graph,
     "q26_ann_lsh_topk": q26_ann_lsh_topk,
     "q30_ann_ivf_topk": q30_ann_ivf_topk,
     "q33_ann_recall": q33_ann_recall,
+    "q59_kmeans_step": q59_kmeans_step,
 }
 
 KNN_ORACLES: dict[str, str] = {
@@ -280,4 +335,5 @@ KNN_ORACLES: dict[str, str] = {
         FROM ranked WHERE rank <= {K} ORDER BY id, rank
     """,
     "q33_ann_recall": _ann_recall_oracle(),
+    "q59_kmeans_step": _kmeans_oracle(),
 }

@@ -228,6 +228,104 @@ def q52_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q53_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(status, priority): all four grouping sets in ONE pass with
+    map-side partials (Catalyst expands the sets before the exchange,
+    so the shuffle carries |groups|·4 partial rows, not the fact
+    table). grouping() flags disambiguate real NULLs from subtotal
+    rows, exactly as in ROLLUP q41."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("string").alias("total"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "g_status",
+            "g_prio",
+            "c",
+            "total",
+        )
+        .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority")
+    )
+
+
+def q54_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins — existence tests that never
+    materialize the probe side's payload. Both probe orders with only
+    o_custkey projected; Catalyst broadcasts the distinct key set at
+    low SF and falls back to a shuffled semi-join at scale. The oracle
+    states the same thing as EXISTS / NOT EXISTS."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").withColumn(
+        "status", F.lit("with_orders")
+    )
+    no_orders = c.join(o, c.c_custkey == o.o_custkey, "left_anti").withColumn(
+        "status", F.lit("no_orders")
+    )
+    return with_orders.unionByName(no_orders).orderBy("c_custkey")
+
+
+def q55_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT: nation keys with customers vs suppliers,
+    tagged by which side(s) they appear on. Both set ops plan as
+    hash aggregates over a union — no sort. The distinct inputs are
+    tiny after pruning to the single key column."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    both = c.intersect(s).withColumn("side", F.lit("both"))
+    cust_only = c.subtract(s).withColumn("side", F.lit("customer_only"))  # EXCEPT DISTINCT
+    supp_only = s.subtract(c).withColumn("side", F.lit("supplier_only"))
+    return both.unionByName(cust_only).unionByName(supp_only).orderBy("side", "k")
+
+
+def q56_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile/percent_rank/cume_dist
+    over account balance per nation: one exchange on c_nationkey, one
+    sort, three frame-free rank functions evaluated in the same pass.
+    The total order (acctbal DESC, custkey) leaves no peer rows, so
+    cume_dist is deterministic across engines."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            F.round("c_acctbal", 6).alias("acctbal"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("c_nationkey", F.desc("acctbal"), "c_custkey")
+    )
+
+
+def q57_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above their customer's average — the correlated-subquery
+    shape, planned as aggregate + equi-join re-attachment (one shuffle
+    on o_custkey, map-side partial average) instead of a per-row
+    subquery. The oracle states it as a window AVG; same semantics."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    avgs = o.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("cust_avg"))
+    return (
+        o.join(avgs, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 6).alias("o_totalprice"),
+            F.round("cust_avg", 6).alias("cust_avg"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_filter_project": q1_filter_project,
     "q2_group_count": q2_group_count,
@@ -243,6 +341,11 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_ship_priority": q46_ship_priority,
     "q47_sliding_avg": q47_sliding_avg,
     "q52_salted_join": q52_salted_join,
+    "q53_cube_counts": q53_cube_counts,
+    "q54_semi_anti": q54_semi_anti,
+    "q55_set_ops": q55_set_ops,
+    "q56_window_ranks": q56_window_ranks,
+    "q57_above_cust_avg": q57_above_cust_avg,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -346,5 +449,58 @@ RELATIONAL_ORACLES: dict[str, str] = {
                SUM(o_totalprice::DECIMAL(18,2))::VARCHAR AS total
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "q53_cube_counts": """
+        SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+               coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+               GROUPING(o_orderstatus)::INT AS g_status,
+               GROUPING(o_orderpriority)::INT AS g_prio,
+               COUNT(*) AS c,
+               SUM(o_totalprice::DECIMAL(18,2))::VARCHAR AS total
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+    """,
+    "q54_semi_anti": """
+        SELECT c_custkey, c_nationkey, 'with_orders' AS status
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        UNION ALL
+        SELECT c_custkey, c_nationkey, 'no_orders' AS status
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey
+    """,
+    "q55_set_ops": """
+        WITH c AS (SELECT c_nationkey AS k FROM customer),
+             s AS (SELECT s_nationkey AS k FROM supplier)
+        SELECT k, 'both' AS side FROM (SELECT k FROM c INTERSECT SELECT k FROM s)
+        UNION ALL
+        SELECT k, 'customer_only' FROM (SELECT k FROM c EXCEPT SELECT k FROM s)
+        UNION ALL
+        SELECT k, 'supplier_only' FROM (SELECT k FROM s EXCEPT SELECT k FROM c)
+        ORDER BY side, k
+    """,
+    "q56_window_ranks": """
+        SELECT c_nationkey, c_custkey,
+               round(c_acctbal, 6) AS acctbal,
+               NTILE(4) OVER w AS quartile,
+               round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               round(CUME_DIST() OVER w, 6) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        ORDER BY c_nationkey, acctbal DESC, c_custkey
+    """,
+    "q57_above_cust_avg": """
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice, 6) AS o_totalprice,
+               round(cust_avg, 6) AS cust_avg
+        FROM (
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   AVG(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+            FROM orders
+        )
+        WHERE o_totalprice > cust_avg
+        ORDER BY o_orderkey
     """,
 }
