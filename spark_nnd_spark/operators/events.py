@@ -199,3 +199,54 @@ def range_join(
         .filter(rsec.between(lsec + lower_sec, lsec + upper_sec))
         .drop("__bucket")
     )
+
+
+def funnel_stages(df: DataFrame, steps: list[str]) -> DataFrame:
+    """Ordered-funnel analysis: per user, how far through ``steps``
+    (e.g. view → click → purchase) did they get, requiring each step
+    to happen STRICTLY AFTER the first qualifying occurrence of the
+    previous one.
+
+    Single-exchange design: everything is window functions over one
+    (user_id) partitioning with one (ts, event_id) sort — the
+    cumulative "first step-i so far" feeds the candidate test for
+    step i+1, and the per-user result is a final aggregate that reuses
+    the window's hash partitioning, so the whole funnel costs exactly
+    one shuffle of (user_id, ts, type) triples regardless of depth.
+    Returns (user_id, stage, t_step1 .. t_stepN as epoch seconds,
+    nullable past the reached stage).
+    """
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df.select("user_id", "event_id", "ts", "event_type")
+    prev_cum = None
+    step_cols = []
+    for i, step in enumerate(steps):
+        if prev_cum is None:
+            cand = F.when(F.col("event_type") == step, F.col("ts"))
+        else:
+            # strictly after the earliest qualifying previous step seen
+            # so far (the cumulative min makes this order-correct
+            # without a second pass over the data)
+            cand = F.when(
+                (F.col("event_type") == step) & (F.col("ts") > prev_cum),
+                F.col("ts"),
+            )
+        cum_col = f"_cum_{i}"
+        out = out.withColumn(cum_col, F.min(cand).over(w_cum))
+        prev_cum = F.col(cum_col)
+        step_cols.append(cum_col)
+    # per-user: the cumulative min at the last row is the global first
+    # qualifying time for each step; aggregate min(...) reads it off
+    # without re-sorting (same hash partitioning — no new exchange)
+    aggs = [
+        F.min(c).cast("long").alias(f"t_{step}")
+        for c, step in zip(step_cols, steps)
+    ]
+    stage = F.lit(0)
+    for i, step in enumerate(steps):
+        stage = F.when(F.col(f"t_{step}").isNotNull(), i + 1).otherwise(stage)
+    return out.groupBy("user_id").agg(*aggs).withColumn("stage", stage.cast("long"))

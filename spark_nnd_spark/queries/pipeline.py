@@ -593,6 +593,80 @@ def q51_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.decontaminate(corpus, bench, n=5).orderBy("doc_id")
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q58_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase per user
+    (operators/events.funnel_stages): cumulative-min windows feed each
+    step's strictly-after test, so the whole funnel is ONE shuffle on
+    user_id however deep the funnel gets."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        EV.funnel_stages(ev, FUNNEL_STEPS)
+        .select(
+            "user_id",
+            "stage",
+            F.col("t_view").alias("t_view_epoch"),
+            F.col("t_click").alias("t_click_epoch"),
+            F.col("t_purchase").alias("t_purchase_epoch"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q60_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model score per document — mean log-probability
+    of its tokens under the corpus unigram distribution, the classic
+    cheap quality/perplexity proxy. Vocabulary and corpus total are
+    aggregates of the same token stream; the per-doc score is a
+    broadcast-joined narrow rescan. At 100 TB the vocabulary join
+    becomes a shuffled hash join and everything still holds; the log
+    sums are rounded to 6dp on both sides."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(TX.tokens_expr("text")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = toks.join(F.broadcast(vocab.crossJoin(total)), "token")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(F.log(F.col("cnt") / F.col("total"))) / F.count("*"), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q61_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup END STEP: one keep/drop verdict per document. Keeper =
+    the component label (min doc_id) of its near-dup cluster; docs
+    outside any cluster keep themselves. Composes minhash_lsh_pairs →
+    connected_components → left join back to the corpus — the exact
+    chain a training-data build runs before writing its final shard
+    set."""
+    from spark_nnd_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        d, num_hashes=16, bands=4, n=3, threshold=0.2, max_band_freq=MAX_BAND_FREQ
+    )
+    comp = connected_components(pairs).select(F.col("id").alias("doc_id"), "component")
+    return (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("component").isNull() | (F.col("component") == F.col("doc_id"))).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -627,7 +701,45 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_pivot_counts": q49_pivot_counts,
     "q50_repetition": q50_repetition,
     "q51_decontaminate": q51_decontaminate,
+    "q58_funnel_stages": q58_funnel_stages,
+    "q60_unigram_logprob": q60_unigram_logprob,
+    "q61_dedup_keep": q61_dedup_keep,
 }
+
+
+def _cc_ctes(sh: str, mh: str) -> str:
+    """Shared recursive-CTE prefix: MinHash-LSH candidate pairs →
+    Jaccard verify → transitive closure (``reach``). q31 reads the
+    component labels off it; q61 layers the keep/drop verdict on top."""
+    return f"""
+            WITH RECURSIVE sigs AS (SELECT doc_id, {mh} AS mh, {sh} AS s FROM documents),
+            banded0 AS (
+                SELECT doc_id, b.range AS band,
+                       mh[b.range * 4 + 1 : b.range * 4 + 4] AS bsig, s
+                FROM sigs, range(0, 4) b
+            ),
+            banded AS (
+                SELECT * FROM banded0
+                QUALIFY COUNT(*) OVER (PARTITION BY band, bsig) <= {MAX_BAND_FREQ}
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                FROM banded x JOIN banded y
+                  ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+            ),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM cand JOIN sigs a ON id_a = a.doc_id JOIN sigs b ON id_b = b.doc_id
+                WHERE len(list_intersect(a.s, b.s)) * 1.0
+                      / len(list_distinct(a.s || b.s)) >= 0.2
+            ),
+            e AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+            reach AS (
+                SELECT s, d FROM e
+                UNION
+                SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s
+            )"""
 
 
 def _pipeline_oracles() -> dict[str, str]:
@@ -714,37 +826,19 @@ def _pipeline_oracles() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "q17_simhash_buckets": None,  # filled below (needs dedup.simhash_sql)
-        "q31_neardup_components": f"""
-            WITH RECURSIVE sigs AS (SELECT doc_id, {mh} AS mh, {sh} AS s FROM documents),
-            banded0 AS (
-                SELECT doc_id, b.range AS band,
-                       mh[b.range * 4 + 1 : b.range * 4 + 4] AS bsig, s
-                FROM sigs, range(0, 4) b
-            ),
-            banded AS (
-                SELECT * FROM banded0
-                QUALIFY COUNT(*) OVER (PARTITION BY band, bsig) <= {MAX_BAND_FREQ}
-            ),
-            cand AS (
-                SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-                FROM banded x JOIN banded y
-                  ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
-            ),
-            pairs AS (
-                SELECT id_a, id_b
-                FROM cand JOIN sigs a ON id_a = a.doc_id JOIN sigs b ON id_b = b.doc_id
-                WHERE len(list_intersect(a.s, b.s)) * 1.0
-                      / len(list_distinct(a.s || b.s)) >= 0.2
-            ),
-            e AS (SELECT id_a AS s, id_b AS d FROM pairs
-                  UNION ALL SELECT id_b, id_a FROM pairs),
-            reach AS (
-                SELECT s, d FROM e
-                UNION
-                SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s
-            )
+        "q31_neardup_components": _cc_ctes(sh, mh) + """
             SELECT s AS doc_id, least(s, min(d)) AS component
             FROM reach GROUP BY s ORDER BY doc_id
+        """,
+        "q61_dedup_keep": _cc_ctes(sh, mh) + """,
+            comp AS (
+                SELECT s AS doc_id, least(s, min(d)) AS component
+                FROM reach GROUP BY s
+            )
+            SELECT d.doc_id,
+                   (c.component IS NULL OR c.component = d.doc_id) AS keep
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+            ORDER BY d.doc_id
         """,
         "q18_ann_brute_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -1072,6 +1166,61 @@ def pipeline_oracles() -> dict[str, str]:
         FROM documents d LEFT JOIN hits h USING (doc_id)
         WHERE d.doc_id >= {Q51_BENCH_MAX_ID}
         ORDER BY d.doc_id
+    """
+    oracles["q58_funnel_stages"] = """
+        WITH b AS (
+            SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type FROM events
+        ),
+        c0 AS (
+            SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                      OVER w AS cum_view
+            FROM b
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        ),
+        c1 AS (
+            SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > cum_view
+                               THEN ts END) OVER w AS cum_click
+            FROM c0
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        ),
+        c2 AS (
+            SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > cum_click
+                               THEN ts END) OVER w AS cum_purchase
+            FROM c1
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        ),
+        agg AS (
+            SELECT user_id,
+                   (epoch_us(MIN(cum_view)) // 1000000)::BIGINT AS t_view_epoch,
+                   (epoch_us(MIN(cum_click)) // 1000000)::BIGINT AS t_click_epoch,
+                   (epoch_us(MIN(cum_purchase)) // 1000000)::BIGINT AS t_purchase_epoch
+            FROM c2 GROUP BY user_id
+        )
+        SELECT user_id,
+               (CASE WHEN t_purchase_epoch IS NOT NULL THEN 3
+                     WHEN t_click_epoch IS NOT NULL THEN 2
+                     WHEN t_view_epoch IS NOT NULL THEN 1
+                     ELSE 0 END)::BIGINT AS stage,
+               t_view_epoch, t_click_epoch, t_purchase_epoch
+        FROM agg ORDER BY user_id
+    """
+    oracles["q60_unigram_logprob"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({TX.tokens_sql()}) AS token FROM documents
+        ),
+        t2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        vocab AS (SELECT token, COUNT(*) AS cnt FROM t2 GROUP BY token),
+        tot AS (SELECT SUM(cnt)::DOUBLE AS total FROM vocab),
+        scored AS (
+            SELECT doc_id, ln(cnt / total) AS lp
+            FROM t2 JOIN vocab USING (token) CROSS JOIN tot
+        )
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               round(SUM(lp) / COUNT(*), 6) AS avg_logprob
+        FROM scored GROUP BY doc_id ORDER BY doc_id
     """
     return oracles
 

@@ -511,3 +511,82 @@ def test_sql_surface_matches_dataframe_path(spark):
     ).collect()
     want = q2_group_count(spark, SF_SMOKE).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+# ----------------------------------------------------------- funnel
+
+def test_funnel_stages_ordering_and_strictness(spark):
+    from datetime import datetime
+
+    from spark_nnd_spark.operators.events import funnel_stages
+
+    def ts(s):
+        return datetime(2026, 1, 1, 0, 0, s)
+
+    rows = [
+        # user 1: full funnel in order → stage 3
+        (1, 1, ts(1), "view"), (1, 2, ts(2), "click"), (1, 3, ts(3), "purchase"),
+        # user 2: click BEFORE the first view never counts; the later
+        # purchase needs a qualifying click → stage 1
+        (2, 4, ts(1), "click"), (2, 5, ts(2), "view"), (2, 6, ts(3), "purchase"),
+        # user 3: click at the SAME timestamp as the first view — the
+        # strictly-after rule excludes it → stage 1
+        (3, 7, ts(5), "view"), (3, 8, ts(5), "click"),
+        # user 4: purchase with no view at all → stage 0
+        (4, 9, ts(1), "purchase"),
+        # user 5: second view→click pair after a premature click → 2
+        (5, 10, ts(1), "click"), (5, 11, ts(2), "view"), (5, 12, ts(3), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r["user_id"]: r
+        for r in funnel_stages(df, ["view", "click", "purchase"]).collect()
+    }
+    assert out[1]["stage"] == 3 and out[1]["t_purchase"] is not None
+    assert out[2]["stage"] == 1 and out[2]["t_click"] is None
+    assert out[3]["stage"] == 1
+    assert out[4]["stage"] == 0 and out[4]["t_view"] is None
+    assert out[5]["stage"] == 2
+
+
+# ----------------------------------------------------------- k-means
+
+def test_kmeans_step_matches_numpy(spark):
+    from spark_nnd_spark.operators.clustering import kmeans_step, seed_centroids
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(100, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = seed_centroids(df, 4)
+    assert [c[0] for c in cents] == [0, 1, 2, 3]
+    step = kmeans_step(df, cents).collect()
+    C = X[:4]
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    assign = d.argmin(1)
+    assert len(step) == 4 * 8
+    for r in step:
+        members = X[assign == r["cluster_id"]]
+        assert r["n"] == len(members)
+        assert abs(members[:, r["i"]].mean() - r["centroid"]) < 1e-9
+
+
+def test_kmeans_assignment_is_narrow(spark):
+    """Assignment against literal centroids must be a pure projection:
+    no exchange, no join — the corpus never shuffles."""
+    from spark_nnd_spark.operators.clustering import kmeans_assign, seed_centroids
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(50, 4))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    assigned = kmeans_assign(df, seed_centroids(df, 3))
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan

@@ -95,3 +95,33 @@ def test_stratified_sample_is_scan_plus_filter_only(spark):
 def test_simhash_pairs_have_no_cartesian(spark):
     plan = _plan(spark, "q42_simhash_neardup")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_is_single_user_exchange(spark):
+    """The whole depth-3 funnel must cost exactly one hash exchange
+    (windows + final aggregate all share the user_id partitioning)."""
+    plan = _plan(spark, "q58_funnel_stages")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_kmeans_step_single_aggregate_exchange(spark):
+    """q59: assignment is narrow (literal centroids); the only hash
+    exchange is the (cluster, dim) partial→final average."""
+    plan = _plan(spark, "q59_kmeans_step")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_avg" in plan or "partial_average" in plan
+
+
+def test_semi_anti_plans_as_existence_joins(spark):
+    plan = _plan(spark, "q54_semi_anti")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    # probe side reads only the join key
+    assert "ReadSchema: struct<o_custkey:bigint>" in plan
+
+
+def test_cube_expands_before_exchange(spark):
+    """CUBE must plan as Expand → partial aggregate → one exchange,
+    not one scan per grouping set."""
+    plan = _plan(spark, "q53_cube_counts")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
