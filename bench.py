@@ -50,6 +50,9 @@ HEADLINE = [
     "q44_label_centroids",
     "q45_pricing_summary",
     "q46_ship_priority",
+    "q58_funnel_stages",
+    "q59_kmeans_step",
+    "q61_dedup_keep",
 ]
 
 

@@ -70,3 +70,34 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str,
+    sort_within: list[str] | None = None,
+    mode: str = "error",
+) -> None:
+    """Training-data export: deterministic sharding for a dataloader.
+
+    Rows land in shard ``xxhash64(id) % n_shards`` — stable across
+    reruns and engines (no round-robin, no task-id dependence), so a
+    resumed or backfilled export reproduces the same shard membership.
+    One file per shard (``repartition(n_shards, shard)`` then
+    partitionBy) with rows optionally sorted within each shard so
+    sequential reads are deterministic too.
+
+    Scale shape: one hash exchange on the shard key; shard count is
+    chosen by the caller to hit the dataloader's target file size
+    (e.g. ~1 GB each at 100 TB ⇒ ~100k shards).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    sharded = df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    ).repartition(n_shards, "shard")
+    if sort_within:
+        sharded = sharded.sortWithinPartitions(*sort_within)
+    sharded.write.mode(mode).partitionBy("shard").parquet(path)

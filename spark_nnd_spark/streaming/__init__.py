@@ -1,4 +1,5 @@
 from spark_nnd_spark.streaming.streams import (
+    attribution_stream,
     dedup_stream,
     quality_filter_stream,
     read_documents_stream,
@@ -11,6 +12,7 @@ from spark_nnd_spark.streaming.streams import (
 )
 
 __all__ = [
+    "attribution_stream",
     "dedup_stream",
     "quality_filter_stream",
     "read_documents_stream",

@@ -271,3 +271,43 @@ def quality_filter_stream(docs: DataFrame) -> DataFrame:
         F.round(ttr, 6).alias("type_token_ratio"),
         ((n_tok >= 5) & (stop <= 0.6) & (ttr >= 0.3)).alias("keep"),
     )
+
+
+def attribution_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the
+    click(s) by the same user within ``horizon`` before it — the
+    real-time version of the batch range/as-of attribution
+    (operators/events.range_join / asof_join).
+
+    Both sides carry watermarks and the join condition bounds
+    click_ts to [purchase_ts − horizon, purchase_ts], so Spark can
+    evict join state past the watermark: state stays O(events inside
+    the horizon), the property that lets the join run indefinitely.
+    Inner join ⇒ append output mode (results emit once both
+    watermarks pass the match window).
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        c,
+        F.expr(
+            f"c_user_id = user_id"
+            f" AND click_ts <= purchase_ts"
+            f" AND click_ts >= purchase_ts - INTERVAL {horizon}"
+        ),
+        "inner",
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts", "value")

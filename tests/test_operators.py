@@ -590,3 +590,30 @@ def test_kmeans_assignment_is_narrow(spark):
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_training_shards_deterministic_and_complete(spark, tmp_path):
+    from pyspark.sql import functions as F2
+
+    from spark_nnd_spark.sources import load_table
+    from spark_nnd_spark.sources.sinks import read_back, write_training_shards
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(d, p1, n_shards=8, id_col="doc_id", sort_within=["doc_id"])
+    write_training_shards(d, p2, n_shards=8, id_col="doc_id", sort_within=["doc_id"])
+    b1, b2 = read_back(spark, p1), read_back(spark, p2)
+    # complete: nothing lost or duplicated
+    assert b1.count() == d.count()
+    # deterministic: same (doc_id, shard) membership across reruns
+    m1 = {(r["doc_id"], r["shard"]) for r in b1.select("doc_id", "shard").collect()}
+    m2 = {(r["doc_id"], r["shard"]) for r in b2.select("doc_id", "shard").collect()}
+    assert m1 == m2
+    # shard = xxhash64(id) % n, replayable in-engine
+    expect = {
+        (r["doc_id"], r["s"])
+        for r in d.select(
+            "doc_id", F2.pmod(F2.xxhash64("doc_id"), F2.lit(8)).cast("int").alias("s")
+        ).collect()
+    }
+    assert m1 == expect

@@ -139,3 +139,43 @@ def test_kafka_source_gated_with_clear_error(spark):
 
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         read_events_kafka(spark, "localhost:9092", "events")
+
+
+def test_attribution_stream_matches_batch(spark, events_batch):
+    """Stream-stream interval join replays the batch join exactly."""
+    from spark_nnd_spark.streaming import attribution_stream
+
+    clicks_s = read_events_stream(spark, SF_SMOKE).filter(
+        F.col("event_type") == "click"
+    )
+    purchases_s = read_events_stream(spark, SF_SMOKE).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = attribution_stream(clicks_s, purchases_s, horizon="30 minutes")
+    q = run_to_memory_sink(out, "attrib_test", output_mode="append")
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM attrib_test").collect()
+    }
+
+    c = events_batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = events_batch.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            F.expr(
+                "c_user_id = user_id AND click_ts <= purchase_ts"
+                " AND click_ts >= purchase_ts - INTERVAL 30 minutes"
+            ),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
