@@ -26,11 +26,12 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   NN-Descent (rows-only; recall-checked in tests), LSH/IVF ANN
   (rows-only), and q33: a hash-checked recall row per approximate
   method (spark_nnd_spark/queries/knn.py).
-- q53–q57: CUBE, semi/anti joins, INTERSECT/EXCEPT, distribution
-  windows, correlated-avg shape (queries/relational.py); q58 ordered
-  funnel, q60 unigram LM score, q61 dedup keep/drop verdict
-  (queries/pipeline.py); q59 deterministic k-means step
-  (queries/knn.py + operators/clustering.py).
+- q53–q57, q62–q63: CUBE, semi/anti joins, INTERSECT/EXCEPT,
+  distribution windows, correlated-avg shape, 5-table TPC-H-Q5 join,
+  FULL OUTER join (queries/relational.py); q58 ordered funnel,
+  q60 unigram LM score, q61 dedup keep/drop verdict, q64 MinHash
+  estimator calibration (queries/pipeline.py); q59 deterministic
+  k-means step (queries/knn.py + operators/clustering.py).
 """
 
 from __future__ import annotations

@@ -667,6 +667,43 @@ def q61_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q64_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration: for every LSH candidate pair, the MinHash
+    ESTIMATE of Jaccard (fraction of agreeing signature positions) next
+    to the exact shingle Jaccard — the in-engine measurement that tells
+    a pipeline operator whether 16 hashes are enough for their dedup
+    threshold. Same banded candidate generation as q16 with the verify
+    threshold at 0 so the estimator's error is visible across the whole
+    candidate range."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        d, num_hashes=16, bands=4, n=3, threshold=0.0, max_band_freq=MAX_BAND_FREQ
+    )
+    sigs = DD.minhash_signatures(d, num_hashes=16, n=3)
+    est = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(16.0)
+    return (
+        pairs.join(
+            sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -704,6 +741,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_funnel_stages": q58_funnel_stages,
     "q60_unigram_logprob": q60_unigram_logprob,
     "q61_dedup_keep": q61_dedup_keep,
+    "q64_minhash_calibration": q64_minhash_calibration,
 }
 
 
@@ -1030,6 +1068,8 @@ def pipeline_oracles() -> dict[str, str]:
     from spark_nnd_spark.operators.dedup import SIMHASH_BANDS, simhash_sql
 
     oracles = _pipeline_oracles()
+    sh = TX.shingles_sql("text", 3)
+    mh = TX.minhash_sql("text", 16, 3)
     oracles["q17_simhash_buckets"] = f"""
         SELECT {simhash_sql()} AS simhash, MIN(doc_id) AS doc_id,
                COUNT(*) AS bucket_size
@@ -1221,6 +1261,30 @@ def pipeline_oracles() -> dict[str, str]:
         SELECT doc_id, COUNT(*) AS n_tokens,
                round(SUM(lp) / COUNT(*), 6) AS avg_logprob
         FROM scored GROUP BY doc_id ORDER BY doc_id
+    """
+    oracles["q64_minhash_calibration"] = f"""
+        WITH sigs AS (SELECT doc_id, {mh} AS mh, {sh} AS s FROM documents),
+        banded0 AS (
+            SELECT doc_id, b.range AS band,
+                   mh[b.range * 4 + 1 : b.range * 4 + 4] AS bsig
+            FROM sigs, range(0, 4) b
+        ),
+        banded AS (
+            SELECT * FROM banded0
+            QUALIFY COUNT(*) OVER (PARTITION BY band, bsig) <= {MAX_BAND_FREQ}
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM banded x JOIN banded y
+              ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+        )
+        SELECT id_a, id_b,
+               round(len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i])) / 16.0, 6)
+                   AS est_jaccard,
+               round(len(list_intersect(a.s, b.s)) * 1.0
+                     / len(list_distinct(a.s || b.s)), 6) AS jaccard
+        FROM cand JOIN sigs a ON id_a = a.doc_id JOIN sigs b ON id_b = b.doc_id
+        ORDER BY id_a, id_b
     """
     return oracles
 

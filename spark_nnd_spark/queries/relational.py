@@ -326,6 +326,64 @@ def q57_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q62_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-table join: revenue by nation where the
+    supplier and customer share the nation. Catalyst orders the join
+    tree and broadcasts nation/supplier/customer under the threshold;
+    orders⋈lineitem stays the shuffled backbone — at 100 TB only the
+    two fact tables ever exchange."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (one - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(18,4)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(rev).cast("string").alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q63_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates — per-nation customer and
+    supplier counts, keeping nations present on either side only.
+    Exercises null-producing join semantics on both sides at once."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.join(s, "k", "full_outer")
+        .select(
+            "k",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("k")
+    )
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_filter_project": q1_filter_project,
     "q2_group_count": q2_group_count,
@@ -346,6 +404,8 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_set_ops": q55_set_ops,
     "q56_window_ranks": q56_window_ranks,
     "q57_above_cust_avg": q57_above_cust_avg,
+    "q62_nation_volume": q62_nation_volume,
+    "q63_full_outer": q63_full_outer,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -502,5 +562,29 @@ RELATIONAL_ORACLES: dict[str, str] = {
         )
         WHERE o_totalprice > cust_avg
         ORDER BY o_orderkey
+    """,
+    "q62_nation_volume": """
+        SELECT n_name, COUNT(*) AS n_items,
+               SUM(CAST(l_extendedprice::DECIMAL(18,2)
+                        * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))
+                        AS DECIMAL(18,4)))::VARCHAR AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_nationkey = s_nationkey
+        GROUP BY n_name ORDER BY n_name
+    """,
+    "q63_full_outer": """
+        WITH c AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust
+                   FROM customer GROUP BY c_nationkey),
+             s AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp
+                   FROM supplier GROUP BY s_nationkey)
+        SELECT coalesce(c.k, s.k) AS k,
+               coalesce(n_cust, 0) AS n_cust,
+               coalesce(n_supp, 0) AS n_supp
+        FROM c FULL OUTER JOIN s ON c.k = s.k
+        ORDER BY k
     """,
 }
