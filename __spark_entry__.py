@@ -30,7 +30,8 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   distribution windows, correlated-avg shape, 5-table TPC-H-Q5 join,
   FULL OUTER join (queries/relational.py); q58 ordered funnel,
   q60 unigram LM score, q61 dedup keep/drop verdict, q64 MinHash
-  estimator calibration (queries/pipeline.py); q59 deterministic
+  estimator calibration, q65 token chunking with overlap, q66
+  per-source sequence packing (queries/pipeline.py); q59 deterministic
   k-means step (queries/knn.py + operators/clustering.py).
 """
 

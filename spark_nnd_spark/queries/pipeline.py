@@ -704,6 +704,72 @@ def q64_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def q65_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap — the pretraining prep
+    step that turns long documents into training sequences. One narrow
+    pass: tokenize, explode chunk starts (stride CHUNK_STRIDE), slice
+    and rejoin. No shuffle before the final sort; chunk counts are
+    data-derived so short docs emit one chunk and empty docs none."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens_expr("text")
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - F.lit(CHUNK_TOKENS)) / F.lit(CHUNK_STRIDE)) + 1,
+        F.lit(1),
+    )
+    chunked = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).filter(F.size("toks") > 0)
+    chunk = F.slice(
+        "toks", F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+PACK_CONTEXT = 256  # tokens per packed training sequence
+
+
+def q66_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents (in stable doc_id order)
+    into fixed-budget context windows, assigning each doc the pack
+    whose running token total it starts in. Packing is per SOURCE —
+    a global ordered cumsum would serialize into one task, so each
+    source stream packs independently (the sharded layout a real
+    export uses) and the window costs one exchange on source."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n = TX.token_count_expr("text")
+    cum = F.sum(n).over(w)
+    return (
+        d.select(
+            "source",
+            "doc_id",
+            n.cast("long").alias("n_tokens"),
+            # floor-division, NOT a double cast: DuckDB's double->int
+            # cast rounds-to-nearest while Spark's truncates
+            F.floor((cum - n) / F.lit(PACK_CONTEXT)).cast("long").alias("pack_id"),
+            (cum - n).alias("pack_offset"),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -742,6 +808,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_unigram_logprob": q60_unigram_logprob,
     "q61_dedup_keep": q61_dedup_keep,
     "q64_minhash_calibration": q64_minhash_calibration,
+    "q65_chunk_documents": q65_chunk_documents,
+    "q66_pack_sequences": q66_pack_sequences,
 }
 
 
@@ -1285,6 +1353,33 @@ def pipeline_oracles() -> dict[str, str]:
                      / len(list_distinct(a.s || b.s)), 6) AS jaccard
         FROM cand JOIN sigs a ON id_a = a.doc_id JOIN sigs b ON id_b = b.doc_id
         ORDER BY id_a, id_b
+    """
+    oracles["q65_chunk_documents"] = f"""
+        WITH t AS (
+            SELECT doc_id, {TX.tokens_sql()} AS toks FROM documents
+        ),
+        c AS (
+            SELECT doc_id, toks,
+                   UNNEST(range(0, greatest(
+                       CAST(ceil((len(toks) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) AS BIGINT) + 1,
+                       1))) AS chunk_idx
+            FROM t WHERE len(toks) > 0
+        )
+        SELECT doc_id, chunk_idx,
+               len(toks[chunk_idx * {CHUNK_STRIDE} + 1 : chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}])::BIGINT AS n_tokens,
+               array_to_string(toks[chunk_idx * {CHUNK_STRIDE} + 1 : chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ') AS chunk_text
+        FROM c ORDER BY doc_id, chunk_idx
+    """
+    oracles["q66_pack_sequences"] = f"""
+        SELECT source, doc_id,
+               len({TX.tokens_sql()})::BIGINT AS n_tokens,
+               ((SUM(len({TX.tokens_sql()})) OVER w - len({TX.tokens_sql()}))
+                    // {PACK_CONTEXT})::BIGINT AS pack_id,
+               CAST(SUM(len({TX.tokens_sql()})) OVER w - len({TX.tokens_sql()}) AS BIGINT)
+                   AS pack_offset
+        FROM documents
+        WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        ORDER BY source, doc_id
     """
     return oracles
 

@@ -125,3 +125,15 @@ def test_cube_expands_before_exchange(spark):
     plan = _plan(spark, "q53_cube_counts")
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_chunking_is_narrow_until_sort(spark):
+    """q65: tokenize→explode→slice must not shuffle (the only exchange
+    is the final presentation sort's range partitioning)."""
+    plan = _plan(spark, "q65_chunk_documents")
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_packing_is_single_source_exchange(spark):
+    plan = _plan(spark, "q66_pack_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1
