@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -255,66 +255,48 @@ def ann_lsh_topk(
     )
 
 
-def ann_ivf_topk(
+def _normalize_centroids(centroids: np.ndarray) -> np.ndarray:
+    cents = np.asarray(centroids, dtype=np.float64)
+    return cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+
+def train_ivf_centroids(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     n_centroids: int = 16,
-    n_probe: int = 4,
     train_sample: int = 4096,
     kmeans_iters: int = 5,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    centroids: np.ndarray | None = None,
-) -> DataFrame:
-    """Approximate cosine top-k via an IVF (inverted-file) index:
-    spherical k-means centroids partition the corpus into cells; each
-    query probes its ``n_probe`` nearest cells and exact-re-ranks only
-    those members.
+) -> np.ndarray:
+    """Spherical k-means on a deterministic hash-ordered sample,
+    trained driver-side (the standard IVF practice — training never
+    scans the full corpus; the sample collect is O(train_sample))."""
+    sample = (
+        corpus.select(_as_double(vec_col).alias("v"), F.xxhash64(id_col, F.lit(seed)).alias("h"))
+        .orderBy("h")
+        .limit(train_sample)
+        .collect()
+    )
+    x = np.array([r["v"] for r in sample], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng([seed, len(x)])
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
 
-    Scale shape: centroids are trained driver-side on a deterministic
-    sample (the standard IVF practice — training never scans the full
-    corpus) and inlined as literals, so cell assignment is one JVM-side
-    argmax over ``n_centroids`` dot products — a narrow map over the
-    corpus scan, no shuffle. The only shuffle is the (cell ⋈ probe)
-    candidate join, sized by cell occupancy, not corpus size. Recall is
-    governed by n_probe/n_centroids; tested against the brute oracle.
 
-    Returns (query_id, nb_id, rank, cosine) — ≤ k rows per query.
-    """
-    if centroids is not None:
-        # pre-supplied (e.g. fixed_centroids for a cross-engine-
-        # reproducible index — the data-trained k-means below cannot be
-        # re-derived inside a static oracle SQL string)
-        cents = np.asarray(centroids, dtype=np.float64)
-        cents = cents / np.maximum(
-            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
-        )
-    else:
-        # ---- train centroids on a deterministic sample (driver-side) ----
-        sample = (
-            corpus.select(_as_double(vec_col).alias("v"), F.xxhash64(id_col, F.lit(seed)).alias("h"))
-            .orderBy("h")
-            .limit(train_sample)
-            .collect()
-        )
-        x = np.array([r["v"] for r in sample], dtype=np.float64)
-        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        rng = np.random.default_rng([seed, len(x)])
-        cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
-        for _ in range(kmeans_iters):
-            assign = np.argmax(x @ cents.T, axis=1)
-            for c in range(len(cents)):
-                members = x[assign == c]
-                if len(members):
-                    m = members.sum(axis=0)
-                    cents[c] = m / max(np.linalg.norm(m), 1e-12)
-
-    # cosine(vec, centroid_c) for every cell in one Arrow-batched matmul
-    # (centroids are unit vectors, so dot/||vec|| is the cosine); the
-    # equivalent JVM array expression is an O(n_centroids·dim)-node
-    # codegen unit — same tradeoff as lsh_signatures_udf.
+def _cell_dots_udf(cents: np.ndarray):
+    """cosine(vec, centroid_c) for every cell in one Arrow-batched
+    matmul (centroids are unit vectors, so dot/||vec|| is the cosine);
+    the equivalent JVM array expression is an O(n_centroids·dim)-node
+    codegen unit — same tradeoff as lsh_signatures_udf."""
     cents_m = cents.copy()
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
@@ -323,13 +305,35 @@ def ann_ivf_topk(
         norms = np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         return pd.Series(list((x / norms) @ cents_m.T))
 
-    c_assigned = (
+    return dots_udf
+
+
+def _ivf_assign(
+    corpus: DataFrame, cents: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """(nb_id, c_vec, cell): nearest-centroid cell per corpus vector —
+    a narrow map over the corpus scan, no shuffle."""
+    dots_udf = _cell_dots_udf(cents)
+    return (
         corpus.select(F.col(id_col).alias("nb_id"), _as_double(vec_col).alias("__v"))
         .withColumn("__d", dots_udf("__v"))
         .withColumn("cell", F.expr("array_position(__d, array_max(__d)) - 1"))
         .select("nb_id", F.col("__v").alias("c_vec"), "cell")
     )
 
+
+def _ivf_probe_topk(
+    c_assigned: DataFrame,
+    queries: DataFrame,
+    cents: np.ndarray,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Probe the n_probe nearest cells per query and exact-re-rank the
+    members — the shuffle is sized by cell occupancy, not corpus."""
+    dots_udf = _cell_dots_udf(cents)
     probe_cells = F.slice(
         F.transform(
             F.reverse(
@@ -368,6 +372,100 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nb_id", "rank", "cosine")
     )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 4096,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index:
+    spherical k-means centroids partition the corpus into cells; each
+    query probes its ``n_probe`` nearest cells and exact-re-ranks only
+    those members.
+
+    Scale shape: centroids are trained driver-side on a deterministic
+    sample (the standard IVF practice — training never scans the full
+    corpus) and inlined as literals, so cell assignment is one JVM-side
+    argmax over ``n_centroids`` dot products — a narrow map over the
+    corpus scan, no shuffle. The only shuffle is the (cell ⋈ probe)
+    candidate join, sized by cell occupancy, not corpus size. Recall is
+    governed by n_probe/n_centroids; tested against the brute oracle.
+
+    Returns (query_id, nb_id, rank, cosine) — ≤ k rows per query.
+    """
+    if centroids is not None:
+        # pre-supplied (e.g. fixed_centroids for a cross-engine-
+        # reproducible index — the data-trained k-means below cannot be
+        # re-derived inside a static oracle SQL string)
+        cents = _normalize_centroids(centroids)
+    else:
+        cents = train_ivf_centroids(
+            corpus, n_centroids, train_sample, kmeans_iters, seed, id_col, vec_col
+        )
+    c_assigned = _ivf_assign(corpus, cents, id_col, vec_col)
+    return _ivf_probe_topk(c_assigned, queries, cents, k, n_probe, id_col, vec_col)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    train_sample: int = 4096,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Persist an IVF index: ``<path>/centroids`` (cell → unit vector,
+    k·dim doubles) and ``<path>/assignments`` (nb_id, c_vec, cell),
+    hive-partitioned BY CELL so a query that probes p cells scans only
+    p/n_centroids of the corpus (partition pruning does the inverted-
+    file part at the storage layer). Build cost: one training sample
+    collect + one narrow assignment pass + one write."""
+    spark = corpus.sparkSession
+    if centroids is not None:
+        cents = _normalize_centroids(centroids)
+    else:
+        cents = train_ivf_centroids(
+            corpus, n_centroids, train_sample, kmeans_iters, seed, id_col, vec_col
+        )
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    _ivf_assign(corpus, cents, id_col, vec_col).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/assignments")
+    return cents
+
+
+def ann_ivf_query_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve cosine top-k from a PERSISTED IVF index (build_ivf_index):
+    centroids are a tiny driver read; the assignment scan is pruned to
+    the probed cells' partitions. Same result as the inline ann_ivf_topk
+    over the same centroids (asserted in tests)."""
+    crows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cents = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    c_assigned = spark.read.parquet(f"{path}/assignments")
+    return _ivf_probe_topk(c_assigned, queries, cents, k, n_probe, id_col, vec_col)
 
 
 def embedding_neardup(

@@ -617,3 +617,43 @@ def test_training_shards_deterministic_and_complete(spark, tmp_path):
         ).collect()
     }
     assert m1 == expect
+
+
+def test_ivf_index_roundtrip_matches_inline(spark, tmp_path):
+    """Persisted-index serving must reproduce the inline IVF result
+    exactly (same centroids → same cells → same candidates), and the
+    assignment layout must be hive-partitioned by cell."""
+    import os
+
+    from spark_nnd_spark.operators.similarity import (
+        ann_ivf_query_index,
+        ann_ivf_topk,
+        build_ivf_index,
+        train_ivf_centroids,
+    )
+    from spark_nnd_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "ivf")
+    cents = build_ivf_index(emb, idx, n_centroids=8, seed=42)
+    got = {
+        (r["query_id"], r["nb_id"], r["rank"])
+        for r in ann_ivf_query_index(spark, idx, queries, k=5, n_probe=3).collect()
+    }
+    inline = {
+        (r["query_id"], r["nb_id"], r["rank"])
+        for r in ann_ivf_topk(
+            emb, queries, k=5, n_probe=3, centroids=cents
+        ).collect()
+    }
+    assert got == inline and len(got) > 0
+    # hive layout: one directory per cell
+    cells = [d for d in os.listdir(f"{idx}/assignments") if d.startswith("cell=")]
+    assert len(cells) == len({c for _, _, c in []} | {int(d.split("=")[1]) for d in cells})
+    assert len(cells) >= 2
+    # re-training is deterministic
+    cents2 = train_ivf_centroids(emb, n_centroids=8, seed=42)
+    import numpy as np2
+
+    assert np2.allclose(cents, cents2)
