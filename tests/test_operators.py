@@ -657,3 +657,41 @@ def test_ivf_index_roundtrip_matches_inline(spark, tmp_path):
     import numpy as np2
 
     assert np2.allclose(cents, cents2)
+
+
+def test_chunking_covers_every_token_exactly_with_stride(spark):
+    """q65 invariants: every token of every doc lands in ≥1 chunk;
+    every chunk except possibly the last is full-size; consecutive
+    chunks overlap by CHUNK_TOKENS - CHUNK_STRIDE tokens."""
+    from spark_nnd_spark.queries.pipeline import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        q65_chunk_documents,
+    )
+    from spark_nnd_spark.sources import load_table
+
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    chunks = q65_chunk_documents(spark, SF_SMOKE).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, toks in docs.items():
+        if not toks:
+            assert doc_id not in by_doc
+            continue
+        rows = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        # contiguous chunk indexes from 0
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        covered = 0
+        for r in rows:
+            start = r["chunk_idx"] * CHUNK_STRIDE
+            got = r["chunk_text"].split(" ") if r["chunk_text"] else []
+            assert got == toks[start : start + CHUNK_TOKENS]
+            assert r["n_tokens"] == len(got)
+            covered = max(covered, start + len(got))
+        assert covered == len(toks)  # full coverage, nothing beyond
+        if len(rows) > 1:
+            assert all(r["n_tokens"] == CHUNK_TOKENS for r in rows[:-1])
