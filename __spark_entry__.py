@@ -32,7 +32,8 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   q60 unigram LM score, q61 dedup keep/drop verdict, q64 MinHash
   estimator calibration, q65 token chunking with overlap, q66
   per-source sequence packing (queries/pipeline.py); q59 deterministic
-  k-means step (queries/knn.py + operators/clustering.py).
+  k-means step, q67 IVF cell introspection (queries/knn.py +
+  operators/clustering.py, operators/similarity.py).
 """
 
 from __future__ import annotations

@@ -306,6 +306,62 @@ def _kmeans_oracle(k: int = KMEANS_K) -> str:
     """
 
 
+def q67_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index introspection: per-cell occupancy and mean
+    within-cell cosine to the centroid — the balance/coherence check
+    an operator runs before trusting an index (hot cells → probe cost,
+    empty cells → wasted centroids). Fixed centroids make the
+    assignment literal-for-literal replayable in the oracle, like
+    q33."""
+    from spark_nnd_spark.operators.similarity import _ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = fixed_centroids(64, 16, 42)
+    assigned = _ivf_assign(emb, cents, id_col="vec_id", vec_col="embedding")
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+    from spark_nnd_spark.functions.vector import cosine_similarity_expr
+
+    return (
+        assigned.join(F.broadcast(cent_df), "cell")
+        .withColumn("cos", cosine_similarity_expr("c_vec", "centroid"))
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("cos"), 6).alias("mean_cosine"),
+        )
+        .select(F.col("cell").cast("long").alias("cell"), "n_members", "mean_cosine")
+        .orderBy("cell")
+    )
+
+
+def _ivf_cells_oracle() -> str:
+    cents = fixed_centroids(64, 16, 42)
+
+    def cell_dots(v: str) -> str:
+        norm = f"greatest(sqrt(list_dot_product({v},{v})), 1e-12)"
+        return (
+            "["
+            + ",".join(f"list_dot_product({v}, {_vec_lit(c)}) / {norm}" for c in cents)
+            + "]"
+        )
+
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        cd AS (SELECT vec_id, cv, {cell_dots('cv')} AS dots FROM c),
+        assigned AS (
+            SELECT vec_id, cv, list_position(dots, list_max(dots)) - 1 AS cell,
+                   dots[list_position(dots, list_max(dots))] AS cos
+            FROM cd
+        )
+        SELECT cell::BIGINT AS cell, COUNT(*) AS n_members,
+               round(AVG(cos), 6) AS mean_cosine
+        FROM assigned GROUP BY cell ORDER BY cell
+    """
+
+
 KNN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_knn_exact": q24_knn_exact,
     "q25_nnd_graph": q25_nnd_graph,
@@ -313,6 +369,7 @@ KNN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30_ann_ivf_topk": q30_ann_ivf_topk,
     "q33_ann_recall": q33_ann_recall,
     "q59_kmeans_step": q59_kmeans_step,
+    "q67_ivf_cells": q67_ivf_cells,
 }
 
 KNN_ORACLES: dict[str, str] = {
@@ -336,4 +393,5 @@ KNN_ORACLES: dict[str, str] = {
     """,
     "q33_ann_recall": _ann_recall_oracle(),
     "q59_kmeans_step": _kmeans_oracle(),
+    "q67_ivf_cells": _ivf_cells_oracle(),
 }
