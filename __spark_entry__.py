@@ -31,7 +31,8 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   FULL OUTER join (queries/relational.py); q58 ordered funnel,
   q60 unigram LM score, q61 dedup keep/drop verdict, q64 MinHash
   estimator calibration, q65 token chunking with overlap, q66
-  per-source sequence packing (queries/pipeline.py); q59 deterministic
+  per-source sequence packing, q68 BM25 retrieval scoring
+  (queries/pipeline.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).
 """

@@ -770,6 +770,52 @@ def q66_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_QUERY = ["spark", "table", "value"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPN = 20
+
+
+def q68_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over the corpus — the scoring behind
+    'select training docs matching this topic query'. Query terms are
+    literals; document frequencies and avg doc length are corpus
+    aggregates (broadcast as one-row joins); the per-doc score is a
+    single re-aggregation of the filtered posting list. The posting
+    scan filters to the query terms BEFORE any shuffle, so the
+    exchange carries O(docs containing a query term), not O(tokens)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        TX.token_count_expr("text").cast("double").alias("dl"),
+        F.explode(TX.tokens_expr("text")).alias("token"),
+    ).filter(F.col("token").isin(BM25_QUERY))
+    tf = toks.groupBy("doc_id", "token", "dl").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    stats = d.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(TX.token_count_expr("text")).alias("avgdl"),
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = idf * (
+        F.col("tf") * (BM25_K1 + 1)
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"), F.count("*").alias("n_terms"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOPN)
+        .select("doc_id", "n_terms", F.round("score", 6).alias("score"))
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -810,6 +856,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_minhash_calibration": q64_minhash_calibration,
     "q65_chunk_documents": q65_chunk_documents,
     "q66_pack_sequences": q66_pack_sequences,
+    "q68_bm25": q68_bm25,
 }
 
 
@@ -1380,6 +1427,35 @@ def pipeline_oracles() -> dict[str, str]:
         FROM documents
         WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
         ORDER BY source, doc_id
+    """
+    terms = ",".join(f"'{t}'" for t in BM25_QUERY)
+    k1, b = BM25_K1, BM25_B
+    oracles["q68_bm25"] = f"""
+        WITH toks AS (
+            SELECT doc_id, len({TX.tokens_sql()})::DOUBLE AS dl,
+                   unnest({TX.tokens_sql()}) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, dl, COUNT(*) AS tf
+            FROM toks WHERE token IN ({terms})
+            GROUP BY doc_id, token, dl
+        ),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        stats AS (SELECT COUNT(*)::DOUBLE AS n_docs,
+                         AVG(len({TX.tokens_sql()})) AS avgdl
+                  FROM documents),
+        scored AS (
+            SELECT doc_id,
+                   SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * ({k1} + 1)
+                          / (tf + {k1} * (1 - {b} + {b} * dl / avgdl)))) AS score,
+                   COUNT(*) AS n_terms
+            FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_terms, round(score, 6) AS score
+        FROM scored ORDER BY score DESC, doc_id LIMIT {BM25_TOPN}
     """
     return oracles
 
