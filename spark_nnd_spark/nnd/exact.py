@@ -72,20 +72,39 @@ def _exact_topk_kernel(k: int):
         np.maximum(d2, 0.0, out=d2)
         d2[a_ids[:, None] == b_ids[None, :]] = np.inf  # no self-edges
         kk = min(k + 8, n)
-        idx = (
-            np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-            if kk < n
-            else np.broadcast_to(np.arange(n), (len(A), n)).copy()
-        )
+        if kk < n:
+            idx = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            # Tie-safety: if candidates beyond the cut tie the kk-th
+            # boundary distance (duplicate vectors are routine in
+            # dedup-oriented corpora), argpartition splits the tied set
+            # arbitrarily and the documented (sim desc, id asc) order
+            # could emit the wrong ids. Detect boundary ties within an
+            # epsilon and fall back to scoring the full row for those
+            # rows only.
+            rows = np.arange(len(A))
+            boundary = d2[rows[:, None], idx].max(axis=1)
+            eps = 1e-9 * (1.0 + np.abs(boundary))
+            tied = (d2 <= (boundary + eps)[:, None]).sum(axis=1) > kk
+        else:
+            idx = np.broadcast_to(np.arange(n), (len(A), n)).copy()
+            tied = np.zeros(len(A), dtype=bool)
         cand_ids = b_ids[idx]
         diff = A[:, None, :] - B[idx]
         d2x = np.einsum("mkd,mkd->mk", diff, diff)
         sim = 1.0 / (1.0 + np.sqrt(d2x))
         out_id, out_rank, out_nb, out_sim = [], [], [], []
         for i in range(len(A)):
-            valid = cand_ids[i] != a_ids[i]
-            order = np.lexsort((cand_ids[i][valid], -sim[i][valid]))[:k]
-            ids, sims = cand_ids[i][valid][order], sim[i][valid][order]
+            if tied[i]:
+                # Rare path: exact-score every candidate in the row so
+                # the id-ascending tiebreak sees the whole tied set.
+                diff_i = A[i][None, :] - B
+                d2_i = np.einsum("kd,kd->k", diff_i, diff_i)
+                row_ids, row_sim = b_ids, 1.0 / (1.0 + np.sqrt(d2_i))
+            else:
+                row_ids, row_sim = cand_ids[i], sim[i]
+            valid = row_ids != a_ids[i]
+            order = np.lexsort((row_ids[valid], -row_sim[valid]))[:k]
+            ids, sims = row_ids[valid][order], row_sim[valid][order]
             out_id.extend([a_ids[i]] * len(ids))
             out_rank.extend(range(1, len(ids) + 1))
             out_nb.extend(ids)

@@ -57,10 +57,15 @@ def connected_components(
         msgs = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
         ).select(F.col("dst").alias("id"), "component")
+        # Materialized (same discipline as the labels checkpoint): the
+        # pointer-jump self-join below consumes `propagated` on BOTH
+        # sides, and without a cut Catalyst re-executes the
+        # join+min-aggregate subtree once per consumer.
         propagated = (
             msgs.unionByName(labels)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
         )
         # Pointer jumping (path compression): component ids are always
         # real node ids within the same component, so follow one level —

@@ -113,7 +113,17 @@ def salted_join(
     retries and re-runs place rows identically. Result set is exactly
     the plain join's (asserted by the q52 oracle, which IS the plain
     join).
+
+    Only ``inner``/``left`` joins are supported: the right side is
+    replicated ``n_salts``×, so a right/full outer join would emit each
+    unmatched right row once per salt copy — a different result set
+    than the plain join.
     """
+    if how.replace("_", "").lower() in {"right", "rightouter", "full", "fullouter", "outer"}:
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the replicated right side would duplicate unmatched right rows"
+        )
     l = left.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)))
     r = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

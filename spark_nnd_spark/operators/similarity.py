@@ -36,6 +36,11 @@ from pyspark.sql import types as T
 from spark_nnd_spark.functions.vector import cosine_similarity_expr, dot_expr
 
 
+# Hard cap on rows a query_pred self-search may collect to the driver
+# (the broadcast-small contract, enforced rather than assumed).
+MAX_QUERY_ROWS = 4096
+
+
 def _as_double(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("array<double>")
@@ -180,9 +185,21 @@ def ann_lsh_topk(
 
     if query_pred is not None:
         spark = corpus.sparkSession
-        qrows = corpus.filter(query_pred).select(
-            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("q_vec")
-        ).collect()
+        # Queries are broadcast-small by contract; enforce it instead of
+        # letting a broad predicate silently OOM the driver. limit(N+1)
+        # bounds what can ever reach the driver before the check fires.
+        qrows = (
+            corpus.filter(query_pred)
+            .select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("q_vec"))
+            .limit(MAX_QUERY_ROWS + 1)
+            .collect()
+        )
+        if len(qrows) > MAX_QUERY_ROWS:
+            raise ValueError(
+                f"query_pred matched more than {MAX_QUERY_ROWS} rows; "
+                "self-search queries must be broadcast-small — pass a "
+                "narrower predicate or use the `queries` DataFrame path"
+            )
         if not qrows:
             return spark.createDataFrame(
                 [], "query_id long, nb_id long, rank int, cosine double"

@@ -619,17 +619,20 @@ def q60_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model score per document — mean log-probability
     of its tokens under the corpus unigram distribution, the classic
     cheap quality/perplexity proxy. Vocabulary and corpus total are
-    aggregates of the same token stream; the per-doc score is a
-    broadcast-joined narrow rescan. At 100 TB the vocabulary join
-    becomes a shuffled hash join and everything still holds; the log
-    sums are rounded to 6dp on both sides."""
+    aggregates of the same token stream. Only the 1-row corpus total
+    carries a broadcast hint; the vocabulary join is left to the
+    size-threshold/AQE planner, because a web-scale corpus can hold
+    billions of distinct tokens and a forced broadcast of that side
+    would OOM building the broadcast relation (q39's shape, which is
+    the template here). The log sums are rounded to 6dp on both
+    sides."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(TX.tokens_expr("text")).alias("token")
     ).filter(F.col("token") != "")
     vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
-    scored = toks.join(F.broadcast(vocab.crossJoin(total)), "token")
+    scored = toks.join(vocab, "token").crossJoin(F.broadcast(total))
     return (
         scored.groupBy("doc_id")
         .agg(

@@ -47,15 +47,31 @@ def read_csv(
     path: str,
     schema: T.StructType | str | None = None,
     header: bool = True,
+    infer: bool = False,
+    sampling_ratio: float = 0.01,
     **options: str,
 ) -> DataFrame:
+    """CSV reader with a pinned schema.
+
+    Inference is opt-in (``infer=True``) and sample-bounded
+    (``sampling_ratio``), never silent: full inferSchema reads the data
+    twice, and on a 100 TB landing directory that doubles the scan
+    bill. Pass the schema.
+    """
+    if schema is None and not infer:
+        raise ValueError(
+            "read_csv requires a schema; pass infer=True to accept a "
+            "sampled-inference extra scan (costly on large inputs)"
+        )
     reader = spark.read.option("header", str(header).lower())
     for k, v in options.items():
         reader = reader.option(k, v)
     if schema is not None:
         reader = reader.schema(schema)
     else:
-        reader = reader.option("inferSchema", "true")
+        reader = reader.option("inferSchema", "true").option(
+            "samplingRatio", str(sampling_ratio)
+        )
     return reader.csv(path)
 
 

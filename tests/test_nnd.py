@@ -129,6 +129,20 @@ def test_singleton_partition_empty_neighbors(spark):
     assert {n["id"] for n in g[0]["neighbors"]} == {1}
 
 
+def test_exact_graph_tiebreak_with_mass_duplicates(spark):
+    """More tied candidates than the kernel's k+8 argpartition cut:
+    40 identical vectors mean every neighbor ties at sim=1.0, so the
+    documented (sim desc, id asc) order must still emit the k smallest
+    other ids — exercises the boundary-tie fallback in exact.py."""
+    rows = [(i, [1.0, 2.0, 3.0], None, 0, False) for i in range(40)]
+    df = spark.createDataFrame(rows, POINT_DDL)
+    got = {r["id"]: r["neighbors"] for r in build_graph_exact(df, k=10).collect()}
+    for i in range(40):
+        expect = [j for j in range(40) if j != i][:10]
+        assert [n["id"] for n in got[i]] == expect, f"node {i}"
+        assert all(n["similarity"] == 1.0 for n in got[i])
+
+
 def test_update_graph_incremental(spark):
     from spark_nnd_spark.nnd.descent import update_graph
 
