@@ -70,27 +70,39 @@ def main() -> None:
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    all_queries["q25_nnd_graph"](spark, warm_dir).count()
+    try:
+        all_queries["q25_nnd_graph"](spark, warm_dir).count()
+    except Exception as exc:  # noqa: BLE001 - warmup is best-effort
+        print(f"# warmup failed (continuing): {exc}", file=sys.stderr)
 
+    # Per-query error isolation: one broken query must never zero the
+    # whole round's perf record (BENCH_r03 died at its first query and
+    # the round lost every number). Failures are recorded by name and
+    # the JSON line is always emitted.
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        n = all_queries[name](spark, sf_dir).count()
+        try:
+            n = all_queries[name](spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 - record and continue
+            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {times[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf),
-            }
-        )
-    )
+    out: dict = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

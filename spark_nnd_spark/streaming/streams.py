@@ -55,17 +55,16 @@ def _stream_dir(sf_dir: str, table: str = "events") -> str:
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source stream over the events parquet (schema pinned from a
-    batch read; file streams require an explicit schema)."""
-    from spark_nnd_spark.sources import load_table  # noqa: PLC0415
+    """File-source stream over the events parquet (schema pinned from the
+    raw physical read; file streams require an explicit schema)."""
+    from spark_nnd_spark.sources.tables import _normalize_events_ts  # noqa: PLC0415
 
-    batch = load_table(spark, sf_dir, "events")
-    raw_schema = T.StructType(
-        [
-            f if f.name != "ts" else T.StructField("ts", T.LongType())
-            for f in batch.schema.fields
-        ]
-    )
+    # Pin the stream schema to whatever the parquet physically stores
+    # (nanos-as-long bigint, timestamp_ntz, or timestamp — it has drifted
+    # between rounds), then reuse the batch loader's normalization so the
+    # stream always emits TimestampType ts, same as load_table.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source requires a directory; the corpus ships one
     # parquet file per table, so stage a symlink dir (per sf_dir, cached)
     stream_dir = _stream_dir(sf_dir)
@@ -73,8 +72,7 @@ def read_events_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(stream_dir)
-    # same nanos→micros conversion as the batch source (sources/tables.py)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_events_ts(df)
 
 
 def windowed_counts_stream(

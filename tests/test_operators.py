@@ -376,8 +376,10 @@ def test_stratified_sample_rates_per_stratum(spark):
 def test_range_join_matches_naive_theta_join(spark):
     from spark_nnd_spark.operators import events as EV
 
-    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
-        "event_id", "user_id", F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
+    from spark_nnd_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "ts"
     ).limit(2000)
     base = ev.select("event_id", "user_id", "ts")
     got = {
