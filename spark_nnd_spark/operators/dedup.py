@@ -63,7 +63,13 @@ def shingle_postings(
     """Inverted index: (shingle, doc_id) postings over distinct n-token
     shingles, optionally dropping shingles hotter than max_shingle_freq
     (df-cut — the skew guard for the self-join)."""
-    posts = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+    # Fan-out guard for tiny inputs only: a single-file corpus at test
+    # scale arrives in 1-2 splits, so the explode would run on 2 cores.
+    # At scale the parquet splits already provide parallelism and a
+    # blanket repartition is a full shuffle of the raw text — skip it.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = df.repartition(par) if df.rdd.getNumPartitions() < par // 2 else df
+    posts = src.select(
         F.col(id_col), F.explode(TX.shingles_expr(text_col, n)).alias("shingle")
     )
     if max_shingle_freq is None:

@@ -286,11 +286,28 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
-    """Spherical k-means on a deterministic hash-ordered sample,
-    trained driver-side (the standard IVF practice — training never
-    scans the full corpus; the sample collect is O(train_sample))."""
+    """Spherical k-means on a deterministic hash-thresholded sample,
+    trained driver-side (the standard IVF practice — the sample collect
+    is O(train_sample)).
+
+    Sampling is a two-step: (1) a deterministic md5-prefix threshold
+    filter (sampling.py idiom) keeps ~4×train_sample rows — a plain
+    filter the scan can stream through, with no ordering over the
+    corpus; (2) an xxhash64 orderBy+limit over just that small subset
+    pins the exact seeded sample. The previous global
+    ``orderBy(h).limit(n)`` compiled to TakeOrdered, which heap-sorts
+    every corpus row — a full-corpus ordering for a 4,096-row sample,
+    wrong shape at 100 TB."""
+    from spark_nnd_spark.operators.sampling import (  # noqa: PLC0415
+        sample_key_expr,
+        threshold_hex,
+    )
+
+    n_rows = corpus.count()
+    rate = min(1.0, (4.0 * train_sample) / max(n_rows, 1))
     sample = (
-        corpus.select(_as_double(vec_col).alias("v"), F.xxhash64(id_col, F.lit(seed)).alias("h"))
+        corpus.filter(sample_key_expr(F.col(id_col)) < threshold_hex(rate))
+        .select(_as_double(vec_col).alias("v"), F.xxhash64(id_col, F.lit(seed)).alias("h"))
         .orderBy("h")
         .limit(train_sample)
         .collect()
