@@ -92,14 +92,29 @@ def _exact_topk_kernel(k: int):
         diff = A[:, None, :] - B[idx]
         d2x = np.einsum("mkd,mkd->mk", diff, diff)
         sim = 1.0 / (1.0 + np.sqrt(d2x))
+        # Tied rows exact-score every candidate so the id-ascending
+        # tiebreak sees the whole tied set. Batched (chunked to bound
+        # the (rows × n × d) diff tensor at ~64 MB) rather than per-row:
+        # in a mass-duplicate block every row trips the fallback, and a
+        # per-row O(n·d) rescan inside the i-loop degraded the kernel
+        # to Python-loop speed. Same einsum reduction order per row, so
+        # the scores are bitwise-identical to the per-row computation.
+        tied_sim: dict[int, np.ndarray] = {}
+        tied_rows = np.flatnonzero(tied)
+        if len(tied_rows):
+            d = A.shape[1]
+            chunk = max(1, (8 << 20) // max(1, n * d))
+            for s in range(0, len(tied_rows), chunk):
+                sel = tied_rows[s : s + chunk]
+                diff_t = A[sel][:, None, :] - B[None, :, :]
+                d2_t = np.einsum("mkd,mkd->mk", diff_t, diff_t)
+                st = 1.0 / (1.0 + np.sqrt(d2_t))
+                for j, i in enumerate(sel):
+                    tied_sim[int(i)] = st[j]
         out_id, out_rank, out_nb, out_sim = [], [], [], []
         for i in range(len(A)):
             if tied[i]:
-                # Rare path: exact-score every candidate in the row so
-                # the id-ascending tiebreak sees the whole tied set.
-                diff_i = A[i][None, :] - B
-                d2_i = np.einsum("kd,kd->k", diff_i, diff_i)
-                row_ids, row_sim = b_ids, 1.0 / (1.0 + np.sqrt(d2_i))
+                row_ids, row_sim = b_ids, tied_sim[i]
             else:
                 row_ids, row_sim = cand_ids[i], sim[i]
             valid = row_ids != a_ids[i]

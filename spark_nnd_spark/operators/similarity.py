@@ -136,6 +136,7 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     query_pred: Column | None = None,
     dim: int | None = None,
+    max_query_rows: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table random-hyperplane LSH
     (``n_tables`` independent ``n_planes``-bit signatures, optional
@@ -156,7 +157,10 @@ def ann_lsh_topk(
     pushed down.
 
     ``dim`` skips the one-row driver job otherwise used to infer the
-    embedding width.
+    embedding width. ``max_query_rows`` bounds how many rows a
+    ``query_pred`` self-search may collect to the driver (default
+    MAX_QUERY_ROWS); raise it only for query sets you know are still
+    broadcast-safe.
 
     Returns (query_id, nb_id, rank, cosine) — ≤ k rows per query
     (fewer if the probed buckets hold < k candidates).
@@ -191,12 +195,12 @@ def ann_lsh_topk(
         qrows = (
             corpus.filter(query_pred)
             .select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("q_vec"))
-            .limit(MAX_QUERY_ROWS + 1)
+            .limit(max_query_rows + 1)
             .collect()
         )
-        if len(qrows) > MAX_QUERY_ROWS:
+        if len(qrows) > max_query_rows:
             raise ValueError(
-                f"query_pred matched more than {MAX_QUERY_ROWS} rows; "
+                f"query_pred matched more than {max_query_rows} rows; "
                 "self-search queries must be broadcast-small — pass a "
                 "narrower predicate or use the `queries` DataFrame path"
             )

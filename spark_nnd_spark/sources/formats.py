@@ -63,6 +63,11 @@ def read_csv(
             "read_csv requires a schema; pass infer=True to accept a "
             "sampled-inference extra scan (costly on large inputs)"
         )
+    if schema is not None and infer:
+        raise ValueError(
+            "read_csv got both schema and infer=True; the schema would "
+            "silently win and no inference would run — pass exactly one"
+        )
     reader = spark.read.option("header", str(header).lower())
     for k, v in options.items():
         reader = reader.option(k, v)

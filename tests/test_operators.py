@@ -270,6 +270,14 @@ def test_ann_lsh_query_pred_matches_queries_path(spark):
     assert empty.count() == 0
     assert empty.columns == ["query_id", "nb_id", "rank", "cosine"]
 
+    # broadcast-small cap is per-call tunable: a tiny cap trips on a
+    # 10-row query set, and raising it back restores the default path
+    with pytest.raises(ValueError, match="more than 4 rows"):
+        SIM.ann_lsh_topk(emb, None, query_pred=pred, dim=64, max_query_rows=4)
+    widened = SIM.ann_lsh_topk(emb, None, k=5, n_planes=8, seed=42,
+                               query_pred=pred, dim=64, max_query_rows=16)
+    assert sorted(map(tuple, widened.collect())) == sorted(map(tuple, old.collect()))
+
 
 def test_connected_components_long_chain_log_rounds(spark):
     """Pointer jumping: a 1000-node chain (diameter 999) must converge
@@ -457,6 +465,13 @@ def test_jsonl_csv_roundtrip(spark, tmp_path):
     write_csv(cust, cdir)
     back_c = read_csv(spark, cdir, schema="c_custkey long, c_name string, c_acctbal double")
     assert {tuple(r) for r in back_c.collect()} == {tuple(r) for r in cust.collect()}
+
+    # schema and infer are mutually exclusive: the schema would silently
+    # win and no inference would run — reject the ambiguous call
+    with pytest.raises(ValueError, match="both schema and infer"):
+        read_csv(spark, cdir, schema="c_custkey long", infer=True)
+    with pytest.raises(ValueError, match="requires a schema"):
+        read_csv(spark, cdir)
 
 
 def test_decontaminate_flags_planted_overlap(spark):
