@@ -30,6 +30,16 @@ from pyspark.sql import functions as F
 from spark_nnd_spark.functions import text as TX
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the input arrives in fewer than half the
+    default parallelism's partitions (a single-file corpus at test
+    scale lands in 1-2 splits, so per-row hashing would run on 2
+    cores). At scale the parquet splits already provide parallelism
+    and a blanket repartition is a full shuffle of raw document text."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par) if df.rdd.getNumPartitions() < par // 2 else df
+
+
 def exact_dedup(
     df: DataFrame, key: Column | str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -63,13 +73,7 @@ def shingle_postings(
     """Inverted index: (shingle, doc_id) postings over distinct n-token
     shingles, optionally dropping shingles hotter than max_shingle_freq
     (df-cut — the skew guard for the self-join)."""
-    # Fan-out guard for tiny inputs only: a single-file corpus at test
-    # scale arrives in 1-2 splits, so the explode would run on 2 cores.
-    # At scale the parquet splits already provide parallelism and a
-    # blanket repartition is a full shuffle of the raw text — skip it.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    src = df.repartition(par) if df.rdd.getNumPartitions() < par // 2 else df
-    posts = src.select(
+    posts = _fan_out(df).select(
         F.col(id_col), F.explode(TX.shingles_expr(text_col, n)).alias("shingle")
     )
     if max_shingle_freq is None:
@@ -144,19 +148,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature ARRAY<BIGINT>) — portable-arithmetic MinHash.
 
-    Two-stage plan for scale: (1) repartition the raw docs (a small
-    parquet often arrives as one split — without this the expensive
-    per-row hashing runs on one core), compute the per-shingle hash
-    array once; (2) exchange, then derive the ``num_hashes`` affine
-    minima from the precomputed array. The exchange is a projection-
-    collapse barrier — without it Catalyst inlines the shingle-hash
-    expression into all ``num_hashes`` lambda bodies and recomputes it
-    num_hashes times (measured 16× slowdown at sf0.1).
+    Two-stage plan for scale: (1) fan out the raw docs if they arrive
+    in few splits (``_fan_out`` — per-row hashing must use the whole
+    cluster), compute the per-shingle hash array once; (2) exchange,
+    then derive the ``num_hashes`` affine minima from the precomputed
+    array. The exchange is a projection-collapse barrier — without it
+    Catalyst inlines the shingle-hash expression into all
+    ``num_hashes`` lambda bodies and recomputes it num_hashes times
+    (measured 16× slowdown at sf0.1).
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    base = df.select(
-        F.col(id_col).alias("id"), TX.shingles_expr(text_col, n).alias("sh")
-    ).repartition(parallelism)
+    base = _fan_out(
+        df.select(F.col(id_col).alias("id"), TX.shingles_expr(text_col, n).alias("sh"))
+    )
     hs = base.select(
         "id", F.transform("sh", TX.token_hash_lambda).alias("hs")
     ).repartition(parallelism, "id")
@@ -236,9 +240,7 @@ def minhash_lsh_pairs(
     )
     # verify candidates with true shingle Jaccard (shingle sets
     # materialized once — joined on both pair sides)
-    sh = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    ).select(
+    sh = _fan_out(df).select(
         F.col(id_col).alias("id"), TX.shingles_expr(text_col, n).alias("sh")
     ).localCheckpoint(eager=True)
     return (

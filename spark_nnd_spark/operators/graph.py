@@ -42,9 +42,17 @@ def connected_components(
     Returns (id, component) for each distinct node in the edge list.
     """
     half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = half.unionByName(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    # Hash-partition the cached edges on the per-round join key: every
+    # round joins edges⋈labels on src, and a persisted repartition lets
+    # Catalyst reuse this distribution so only the (much smaller) labels
+    # side shuffles per round instead of the full edge list.
+    edges = (
+        half.unionByName(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition("src")
+        .persist()
+    )
 
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -52,6 +60,17 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    # Convergence metric: labels are strictly non-increasing per node
+    # (min-propagation can only lower a label; the pointer jump follows
+    # a node to its component's label, which is ≤ the component id), so
+    # the label sum is strictly decreasing until the fixpoint and
+    # "sum unchanged" ⇔ "no node changed". One map-side-combined
+    # aggregate per round — no join, no second action. DECIMAL(38,0)
+    # keeps the sum exact for any realistic node count (int64 ids
+    # could overflow a bigint sum at billions of nodes).
+    label_sum = labels.agg(
+        F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
 
     for it in range(max_iterations):
         msgs = edges.join(
@@ -84,17 +103,27 @@ def connected_components(
             .select("id", F.coalesce("__cc", "component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("component", "new_component")
-            .join(labels, "id")
-            .filter(F.col("new_component") != F.col("component"))
-            .count()
-        )
-        labels = new_labels
         if on_round is not None:
+            # Telemetry path: the hook contract reports an exact
+            # changed-node count, which needs the label-vs-label join.
+            changed = (
+                new_labels.withColumnRenamed("component", "new_component")
+                .join(labels, "id")
+                .filter(F.col("new_component") != F.col("component"))
+                .count()
+            )
+            labels = new_labels
             on_round(it + 1, int(changed))
-        if changed == 0:
-            break
+            if changed == 0:
+                break
+        else:
+            new_sum = new_labels.agg(
+                F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            labels = new_labels
+            if new_sum == label_sum:
+                break
+            label_sum = new_sum
 
     edges.unpersist()
     return labels.select("id", "component")

@@ -137,3 +137,31 @@ def test_chunking_is_narrow_until_sort(spark):
 def test_packing_is_single_source_exchange(spark):
     plan = _plan(spark, "q66_pack_sequences")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_shingle_postings_skips_repartition_on_wide_input(spark):
+    """The tiny-input fan-out repartition must NOT fire when parquet
+    splits already provide parallelism: at scale it would be a full
+    shuffle of raw document text before the explode."""
+    from pyspark.sql import functions as F
+
+    from spark_nnd_spark.operators.dedup import shingle_postings
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+
+    wide = docs.repartition(par)
+    plan_wide = (
+        shingle_postings(wide, max_shingle_freq=None)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly the caller's repartition — shingle_postings adds none
+    assert plan_wide.count("Exchange RoundRobinPartitioning") == 1
+
+    narrow = docs.coalesce(1)
+    plan_narrow = (
+        shingle_postings(narrow, max_shingle_freq=None)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # single-split input: the fan-out guard must kick in
+    assert "RoundRobinPartitioning" in plan_narrow
