@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_nnd_spark.sources import load_table
@@ -290,17 +290,28 @@ def q56_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     over account balance per nation: one exchange on c_nationkey, one
     sort, three frame-free rank functions evaluated in the same pass.
     The total order (acctbal DESC, custkey) leaves no peer rows, so
-    cume_dist is deterministic across engines."""
+    cume_dist is deterministic across engines.
+
+    percent_rank/cume_dist are small-denominator rationals ((rank-1)/
+    (n-1), rank/n) that can land EXACTLY on a half at the 6th decimal
+    (333/640 = 0.5203125 did, at sf0.1) — where Spark's round (half-up)
+    and DuckDB's (half-to-even) disagree. Both sides therefore use an
+    explicit floor(x*1e6 + 0.5)/1e6: the identical double arithmetic in
+    either engine, so the compare is tie-proof."""
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+
+    def r6(col: Column) -> Column:
+        return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
     return (
         c.select(
             "c_nationkey",
             "c_custkey",
             F.round("c_acctbal", 6).alias("acctbal"),
             F.ntile(4).over(w).cast("long").alias("quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            r6(F.percent_rank().over(w)).alias("pct_rank"),
+            r6(F.cume_dist().over(w)).alias("cume"),
         )
         .orderBy("c_nationkey", F.desc("acctbal"), "c_custkey")
     )
@@ -545,8 +556,8 @@ RELATIONAL_ORACLES: dict[str, str] = {
         SELECT c_nationkey, c_custkey,
                round(c_acctbal, 6) AS acctbal,
                NTILE(4) OVER w AS quartile,
-               round(PERCENT_RANK() OVER w, 6) AS pct_rank,
-               round(CUME_DIST() OVER w, 6) AS cume
+               floor(PERCENT_RANK() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+               floor(CUME_DIST() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cume
         FROM customer
         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
         ORDER BY c_nationkey, acctbal DESC, c_custkey
