@@ -31,8 +31,9 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   FULL OUTER join (queries/relational.py); q58 ordered funnel,
   q60 unigram LM score, q61 dedup keep/drop verdict, q64 MinHash
   estimator calibration, q65 token chunking with overlap, q66
-  per-source sequence packing, q68 BM25 retrieval scoring
-  (queries/pipeline.py); q59 deterministic
+  per-source sequence packing, q68 BM25 retrieval scoring,
+  q69 per-(source,lang) token-budget accounting, q70 Zipf vocabulary
+  head profile (queries/pipeline.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).
 """
@@ -78,8 +79,8 @@ _PRIORITY = [
     "q50_repetition", "q51_decontaminate", "q58_funnel_stages",
     "q59_kmeans_step", "q60_unigram_logprob", "q61_dedup_keep",
     "q64_minhash_calibration", "q65_chunk_documents", "q66_pack_sequences",
-    "q67_ivf_cells", "q68_bm25", "q25_nnd_graph", "q26_ann_lsh_topk",
-    "q30_ann_ivf_topk",
+    "q67_ivf_cells", "q68_bm25", "q69_token_budget", "q70_zipf_head",
+    "q25_nnd_graph", "q26_ann_lsh_topk", "q30_ann_ivf_topk",
     # events family (loader fixed this round)
     "q20_sessionize", "q21_tumbling_counts", "q22_running_value",
     "q23_latest_event", "q32_json_props", "q34_asof_join",
@@ -92,8 +93,7 @@ _PRIORITY = [
     "q27_image_stats", "q28_frame_sample", "q29_audio_stats",
     "q31_neardup_components", "q35_token_topk", "q36_lang_bigrams",
     "q37_quality_filter", "q39_tfidf_topk", "q40_stratified_sample",
-    "q42_simhash_neardup", "q44_label_centroids", "q45_pricing_summary",
-    "q46_ship_priority",
+    "q42_simhash_neardup", "q44_label_centroids",
 ]
 
 

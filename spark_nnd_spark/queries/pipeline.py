@@ -819,6 +819,91 @@ def q68_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q69_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting per (source, lang) — the first question
+    every pretraining data build answers: how many documents and
+    training tokens does each slice contribute, and what share of the
+    corpus is that. One narrow pass computes per-doc token counts,
+    one map-side-combined aggregate collapses to (source, lang) — the
+    shuffle carries O(slices), never O(docs) — and the corpus total is
+    a global window OVER the slice aggregate (single-partition frame
+    over O(slices) rows), so the corpus is scanned exactly once.
+    Share uses the tie-proof cross-engine rounding
+    (functions/numeric.py)."""
+    from pyspark.sql import Window
+
+    from spark_nnd_spark.functions.numeric import round_half_up_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "source",
+        "lang",
+        F.size(F.filter(TX.tokens_expr("text"), lambda t: t != F.lit(""))).alias("ntok"),
+    )
+    agg = per.groupBy("source", "lang").agg(
+        F.count("*").alias("docs"),
+        F.sum("ntok").alias("tokens"),
+    )
+    corpus_tokens = F.sum("tokens").over(Window.partitionBy()).cast("double")
+    return (
+        agg.select(
+            "source",
+            "lang",
+            "docs",
+            "tokens",
+            round_half_up_expr(F.col("tokens") / corpus_tokens).alias("token_share"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+ZIPF_TOPN = 50
+
+
+def q70_zipf_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head profile — token frequencies ranked with each
+    rank's CUMULATIVE share of all corpus tokens, the Zipf diagnostic
+    that tells a pipeline how top-heavy its token distribution is
+    (and how much a stopword cut would remove). The count aggregate
+    shuffles O(vocab) after map-side partials and is materialized once
+    (localCheckpoint) so the corpus-total aggregate and the top-N both
+    reuse it instead of re-scanning the corpus; rank + cumulative sum
+    run AFTER the top-N limit, so the single-partition window only
+    ever sees ZIPF_TOPN rows regardless of corpus size."""
+    from pyspark.sql import Window
+
+    from spark_nnd_spark.functions.numeric import round_half_up_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(TX.tokens_expr("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    total = counts.agg(F.sum("n").cast("double").alias("corpus_tokens"))
+    top = counts.orderBy(F.desc("n"), "token").limit(ZIPF_TOPN)
+    w = Window.orderBy(F.desc("n"), "token").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "n",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n"), "token"))
+            .cast("long")
+            .alias("rank"),
+            round_half_up_expr(
+                F.sum("n").over(w) / F.col("corpus_tokens")
+            ).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -860,6 +945,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_chunk_documents": q65_chunk_documents,
     "q66_pack_sequences": q66_pack_sequences,
     "q68_bm25": q68_bm25,
+    "q69_token_budget": q69_token_budget,
+    "q70_zipf_head": q70_zipf_head,
 }
 
 
@@ -1459,6 +1546,45 @@ def pipeline_oracles() -> dict[str, str]:
         )
         SELECT doc_id, n_terms, round(score, 6) AS score
         FROM scored ORDER BY score DESC, doc_id LIMIT {BM25_TOPN}
+    """
+    from spark_nnd_spark.functions.numeric import round_half_up_sql
+
+    oracles["q69_token_budget"] = f"""
+        WITH per AS (
+            SELECT source, lang,
+                   len(list_filter({TX.tokens_sql()}, t -> t <> '')) AS ntok
+            FROM documents
+        ),
+        agg AS (
+            SELECT source, lang, COUNT(*) AS docs,
+                   CAST(SUM(ntok) AS BIGINT) AS tokens
+            FROM per GROUP BY source, lang
+        ),
+        tot AS (SELECT SUM(tokens)::DOUBLE AS corpus_tokens FROM agg)
+        SELECT source, lang, docs, tokens,
+               {round_half_up_sql("tokens / corpus_tokens")} AS token_share
+        FROM agg CROSS JOIN tot
+        ORDER BY source, lang
+    """
+    oracles["q70_zipf_head"] = f"""
+        WITH toks AS (SELECT unnest({TX.tokens_sql()}) AS token FROM documents),
+        counts AS (
+            SELECT token, COUNT(*) AS n FROM toks WHERE token <> ''
+            GROUP BY token
+        ),
+        tot AS (SELECT SUM(n)::DOUBLE AS corpus_tokens FROM counts),
+        top AS (
+            SELECT token, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+            FROM counts ORDER BY n DESC, token LIMIT {ZIPF_TOPN}
+        )
+        SELECT token, n, rank,
+               {round_half_up_sql(
+                   "SUM(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING)"
+                   " / corpus_tokens"
+               )} AS cum_share
+        FROM top CROSS JOIN tot
+        ORDER BY rank
     """
     return oracles
 

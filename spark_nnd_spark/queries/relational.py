@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_nnd_spark.sources import load_table
@@ -298,12 +298,10 @@ def q56_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     and DuckDB's (half-to-even) disagree. Both sides therefore use an
     explicit floor(x*1e6 + 0.5)/1e6: the identical double arithmetic in
     either engine, so the compare is tie-proof."""
+    from spark_nnd_spark.functions.numeric import round_half_up_expr as r6
+
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
-
-    def r6(col: Column) -> Column:
-        return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
-
     return (
         c.select(
             "c_nationkey",

@@ -165,3 +165,24 @@ def test_shingle_postings_skips_repartition_on_wide_input(spark):
     )
     # single-split input: the fan-out guard must kick in
     assert "RoundRobinPartitioning" in plan_narrow
+
+
+def test_token_budget_scans_corpus_once(spark):
+    """q69: the shuffle must carry (source, lang) partial aggregates —
+    one hash exchange — and the corpus-total window must NOT trigger a
+    second corpus scan."""
+    plan = _plan(spark, "q69_token_budget")
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Scan parquet") == 1  # total derives from the agg
+
+
+def test_zipf_head_windows_after_limit(spark):
+    """q70: vocab counts are materialized once (both the top-N and the
+    corpus total read the checkpoint, no second corpus scan) and the
+    cumulative-share window runs AFTER the top-N limit."""
+    plan = _plan(spark, "q70_zipf_head")
+    assert "Scan parquet" not in plan  # reads the materialized counts
+    assert plan.count("Scan ExistingRDD") == 2  # top-N side + total side
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" in plan
