@@ -53,6 +53,8 @@ HEADLINE = [
     "q58_funnel_stages",
     "q59_kmeans_step",
     "q61_dedup_keep",
+    "q69_token_budget",
+    "q70_zipf_head",
 ]
 
 
