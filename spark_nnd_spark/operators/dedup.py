@@ -187,6 +187,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_band_freq: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, verified by true
     Jaccard over shingle sets.
@@ -204,9 +205,16 @@ def minhash_lsh_pairs(
     cap are dropped — their members are near-identical to each other
     and overwhelmingly still pair up through their other (colder)
     bands, while the join's worst case becomes O(cap²·n_buckets).
+
+    ``sigs`` optionally supplies precomputed ``minhash_signatures``
+    output (id, signature) so a caller that also consumes the
+    signatures directly (e.g. estimator calibration) computes them
+    once instead of per consumer; it must have been built with the
+    same (num_hashes, n).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    if sigs is None:
+        sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
     banded = sigs.select(
         "id",
         F.explode(

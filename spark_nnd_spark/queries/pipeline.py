@@ -380,14 +380,21 @@ def q39_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc window top-k. The corpus size joins in as a broadcast
     1-row aggregate (no driver collect); the df table joins on token
     (AQE broadcasts it at this scale; at 100 TB vocab it stays a hash
-    join, which is the right plan)."""
+    join, which is the right plan). tf is materialized once — it feeds
+    both the scoring join and the df aggregate, and without the cut
+    Catalyst re-executes the whole scan+explode+agg subtree for the
+    second consumer (a second full corpus scan)."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(TX.tokens_expr("text")).alias("token")).filter(
         F.col("token") != ""
     )
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = d.select(F.count("*").alias("n_docs"))
     scored = (
@@ -630,7 +637,17 @@ def q60_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(TX.tokens_expr("text")).alias("token")
     ).filter(F.col("token") != "")
-    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    # Materialized once: vocab feeds the scoring join AND the corpus
+    # total; without the cut the second consumer re-runs the whole
+    # scan+explode+agg (a third corpus scan). O(vocab) rows — the token
+    # stream itself is deliberately NOT checkpointed (that would
+    # materialize O(corpus)); two corpus scans (vocab build + scoring)
+    # is the floor without it.
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     total = vocab.agg(F.sum("cnt").alias("total"))
     scored = toks.join(vocab, "token").crossJoin(F.broadcast(total))
     return (
@@ -679,10 +696,15 @@ def q64_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold at 0 so the estimator's error is visible across the whole
     candidate range."""
     d = load_table(spark, sf_dir, "documents")
+    # Signatures computed ONCE and shared: both the banded candidate
+    # join (via the sigs= hook) and the estimator join below consume
+    # the same materialized (id, signature) rows instead of re-running
+    # the shingle+hash pipeline per consumer.
+    sigs = DD.minhash_signatures(d, num_hashes=16, n=3).localCheckpoint(eager=True)
     pairs = DD.minhash_lsh_pairs(
-        d, num_hashes=16, bands=4, n=3, threshold=0.0, max_band_freq=MAX_BAND_FREQ
+        d, num_hashes=16, bands=4, n=3, threshold=0.0, max_band_freq=MAX_BAND_FREQ,
+        sigs=sigs,
     )
-    sigs = DD.minhash_signatures(d, num_hashes=16, n=3)
     est = F.aggregate(
         F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
         F.lit(0),
@@ -793,7 +815,14 @@ def q68_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.token_count_expr("text").cast("double").alias("dl"),
         F.explode(TX.tokens_expr("text")).alias("token"),
     ).filter(F.col("token").isin(BM25_QUERY))
-    tf = toks.groupBy("doc_id", "token", "dl").agg(F.count("*").alias("tf"))
+    # Materialized once (rows: docs containing a query term × terms —
+    # tiny): tf feeds both the df aggregate and the scoring reagg, and
+    # without the cut the filtered corpus scan runs twice.
+    tf = (
+        toks.groupBy("doc_id", "token", "dl")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     stats = d.agg(
         F.count("*").cast("double").alias("n_docs"),
