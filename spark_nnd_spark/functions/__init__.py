@@ -1,3 +1,7 @@
+from spark_nnd_spark.functions.numeric import (
+    round_half_up_expr,
+    round_half_up_sql,
+)
 from spark_nnd_spark.functions.vector import (
     similarity_expr,
     subtract_expr,
@@ -8,6 +12,8 @@ from spark_nnd_spark.functions.vector import (
 )
 
 __all__ = [
+    "round_half_up_expr",
+    "round_half_up_sql",
     "similarity_expr",
     "subtract_expr",
     "l2_distance_expr",
