@@ -1,0 +1,102 @@
+"""Source-layer regression tests.
+
+The driver regenerates /root/testdata between rounds and has already
+changed the events.ts physical type once (TIMESTAMP(NANOS) → plain
+timestamp[us]), which broke every events query for a round. These tests
+pin the loader's contract directly: every known physical variant of ts
+normalizes to the same TimestampType values, and any OTHER schema drift
+fails loudly at the loader instead of as scattered AnalysisExceptions.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from spark_nnd_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+
+_TS_US = [1_700_000_000_000_000, 1_700_000_123_456_789]
+
+
+def test_events_ts_variants_normalize_identically(spark, tmp_path):
+    """bigint-nanos, timestamp[us] (NTZ), and tz-aware timestamp[us]
+    all load to the same TimestampType epoch-micros values."""
+    variants = {
+        "nanos_as_long": pa.array([v * 1000 for v in _TS_US], pa.int64()),
+        "timestamp_ntz": pa.array(_TS_US, pa.timestamp("us")),
+        "timestamp_utc": pa.array(_TS_US, pa.timestamp("us", tz="UTC")),
+    }
+    got = {}
+    for name, arr in variants.items():
+        d = (tmp_path / name)
+        d.mkdir()
+        t = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": arr,
+                "user_id": pa.array([10, 20], pa.int64()),
+                "event_type": pa.array(["view", "click"], pa.string()),
+                "value": pa.array([1.5, 2.5], pa.float64()),
+                "props": pa.array(["{}", "{}"], pa.string()),
+            }
+        )
+        pq.write_table(t, d / "events.parquet")
+        df = load_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        got[name] = [
+            r["us"]
+            for r in df.selectExpr("unix_micros(ts) AS us").orderBy("us").collect()
+        ]
+    assert got["nanos_as_long"] == got["timestamp_ntz"] == got["timestamp_utc"]
+    assert got["nanos_as_long"] == _TS_US
+
+
+def test_schema_drift_fails_loudly(spark, tmp_path):
+    """A regenerated events table with a renamed column must raise the
+    loader's single clear error, not a downstream AnalysisException."""
+    t = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([_TS_US[0]], pa.timestamp("us")),
+            "uid": pa.array([10], pa.int64()),  # renamed user_id
+            "event_type": pa.array(["view"], pa.string()),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    d = tmp_path / "drifted"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    with pytest.raises(ValueError, match="unexpected physical schema for table 'events'"):
+        load_table(spark, str(d), "events")
+
+
+def test_unknown_ts_dtype_rejected(spark, tmp_path):
+    """A ts column in a type the normalizer doesn't know (string) must
+    be rejected with the normalizer's message."""
+    t = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array(["2026-01-01"], pa.string()),
+            "user_id": pa.array([10], pa.int64()),
+            "event_type": pa.array(["view"], pa.string()),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    d = tmp_path / "badts"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    with pytest.raises(ValueError, match="unexpected physical dtype for events.ts"):
+        load_table(spark, str(d), "events")
+
+
+def test_real_corpus_loads_with_pinned_schema(spark):
+    """Every contract table at the smoke SF passes the schema pin."""
+    from spark_nnd_spark.sources.tables import TABLES
+
+    for name in TABLES:
+        df = load_table(spark, SF_SMOKE, name)
+        assert df.columns  # loaded and validated
