@@ -108,8 +108,7 @@ def jaccard_pairs(
     # (measured ~2x end-to-end at sf0.1). Same pattern as
     # simhash_neardup_pairs; the checkpoint is the size of one shuffle
     # of the same stream, i.e. cost-neutral at any scale.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    sizes = df.repartition(parallelism).select(
+    sizes = _fan_out(df).select(
         F.col(id_col).alias("id"), F.size(TX.shingles_expr(text_col, n)).alias("n_sh")
     ).localCheckpoint(eager=True)
     posts = shingle_postings(df, text_col, id_col, n, max_shingle_freq).localCheckpoint(
@@ -318,8 +317,11 @@ def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     recompute them SIMHASH_BITS times on one core.
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
+    # _fan_out spreads the hashing on few-split inputs; the keyed
+    # repartition after it is the projection-collapse barrier and must
+    # stay unconditionally (see minhash_signatures).
     hs = (
-        df.repartition(parallelism)
+        _fan_out(df)
         .select(
             F.col(id_col),
             F.transform(TX.tokens_expr(text_col), TX.token_hash_lambda).alias("hs"),
