@@ -48,8 +48,10 @@ def get_spark(
         # "zstd"} for compressible feature corpora; scripts/bench_nnd.py
         # does exactly that.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # events.parquet carries TIMESTAMP(NANOS); read as long nanos and
-        # convert in the source layer (sources/tables.py)
+        # Historical events.parquet generations carried TIMESTAMP(NANOS);
+        # with this set they read as long nanos and the source layer
+        # normalizes whatever dtype actually arrives (sources/tables.py
+        # _normalize_events_ts). Harmless for non-NANOS generations.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():

@@ -297,6 +297,14 @@ def test_connected_components_long_chain_log_rounds(spark):
     assert got == {i: 0 for i in range(1000)}
     assert len(rounds) <= 12, f"chain took {len(rounds)} rounds"
 
+    # The production convergence path (monotone label-sum aggregate,
+    # used when no on_round hook listens) must land on exactly the same
+    # fixpoint as the exact changed-count path exercised above.
+    got_sum_path = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got_sum_path == got
+
 
 def test_asof_join_edge_cases(spark):
     """asof_join semantics: latest right.ts <= left.ts per key; equal
