@@ -186,3 +186,14 @@ def test_zipf_head_windows_after_limit(spark):
     assert plan.count("Scan ExistingRDD") == 2  # top-N side + total side
     assert "TakeOrderedAndProject" in plan
     assert "Window" in plan
+
+
+def test_events_family_single_exchange_shapes(spark):
+    """The recovered events family must keep its one-wide-exchange
+    shapes: sessionize (user exchange), tumbling counts (window agg
+    exchange), sliding avg (type+frame window exchange) — each one
+    hash exchange over one corpus scan."""
+    for name in ("q20_sessionize", "q21_tumbling_counts", "q47_sliding_avg"):
+        plan = _plan(spark, name)
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert plan.count("Scan parquet") == 1, name
