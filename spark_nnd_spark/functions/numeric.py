@@ -23,6 +23,10 @@ def round_half_up_expr(col: Column, digits: int = 6) -> Column:
 
 
 def round_half_up_sql(expr: str, digits: int = 6) -> str:
-    """DuckDB rendering of ``round_half_up_expr`` (identical arithmetic)."""
+    """DuckDB rendering of ``round_half_up_expr`` (identical arithmetic).
+
+    ``expr`` must be DOUBLE-typed (quotients are; a bare decimal
+    literal is NOT — DuckDB parses those as DECIMAL, where the scale
+    multiply can overflow. CAST literals explicitly)."""
     scale = float(10**digits)
     return f"floor(({expr}) * {scale} + 0.5) / {scale}"

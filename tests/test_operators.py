@@ -720,3 +720,53 @@ def test_chunking_covers_every_token_exactly_with_stride(spark):
         assert covered == len(toks)  # full coverage, nothing beyond
         if len(rows) > 1:
             assert all(r["n_tokens"] == CHUNK_TOKENS for r in rows[:-1])
+
+
+def test_end_to_end_corpus_build_is_deterministic(spark, tmp_path):
+    """The full corpus-build chain a reference user would run — quality
+    gate → LSH near-dup keep/drop → stratified downsample → sharded
+    training export — must produce byte-identical shard membership and
+    content across two independent runs (the replayability contract
+    every resumable 100 TB build depends on)."""
+    from spark_nnd_spark.functions import text as TX
+    from spark_nnd_spark.operators import dedup as DD
+    from spark_nnd_spark.operators import sampling as SA
+    from spark_nnd_spark.operators.graph import connected_components
+    from spark_nnd_spark.sources import load_table
+    from spark_nnd_spark.sources.sinks import write_training_shards
+
+    def build(out_dir: str):
+        d = load_table(spark, SF_SMOKE, "documents")
+        # quality gate (narrow)
+        kept = d.filter(
+            (TX.token_count_expr("text") >= 5)
+            & (TX.stopword_ratio_expr("text") <= 0.6)
+        )
+        # near-dup keep/drop: keep component labels + singletons
+        pairs = DD.minhash_lsh_pairs(kept, num_hashes=16, bands=4, n=3, threshold=0.2)
+        comp = connected_components(pairs).select(
+            F.col("id").alias("doc_id"), "component"
+        )
+        deduped = (
+            kept.join(comp, "doc_id", "left")
+            .filter(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
+            .drop("component")
+        )
+        # deterministic stratified downsample by lang
+        sampled = SA.stratified_sample(
+            deduped, {"en": 0.5, "fr": 1.0, "de": 1.0, "es": 1.0, "ja": 1.0},
+            strata_col="lang", id_col="doc_id",
+        )
+        write_training_shards(sampled, out_dir, n_shards=4, id_col="doc_id",
+                              sort_within=["doc_id"])
+        return {
+            (r["shard"], r["doc_id"], r["text"])
+            for r in spark.read.parquet(out_dir).select("shard", "doc_id", "text").collect()
+        }
+
+    a = build(str(tmp_path / "run_a"))
+    b = build(str(tmp_path / "run_b"))
+    assert a == b and len(a) > 50
+    # every shard nonempty and membership follows the documented hash
+    shards = {s for s, _, _ in a}
+    assert shards == {0, 1, 2, 3}

@@ -137,3 +137,28 @@ def test_sample_decision_matches_python_md5(doc_id, rate):
         f"SELECT substr(md5(CAST({doc_id} AS VARCHAR)), 1, 8) < '{threshold_hex(rate)}'"
     ).fetchone()
     assert keep == dkeep
+
+
+# ---- cross-engine rounding (functions/numeric.py) --------------------
+
+ratio = st.fractions(min_value=0, max_value=1).map(float)
+
+
+@given(x=ratio)
+@settings(max_examples=200, deadline=None)
+def test_round_half_up_sql_matches_python(x):
+    """The DuckDB rendering of round_half_up must compute bit-identical
+    doubles to the same floor arithmetic in Python (which is what the
+    Spark expression compiles to): this is the property that made q56's
+    engine-tie bug impossible to reintroduce."""
+    import duckdb
+
+    from spark_nnd_spark.functions.numeric import round_half_up_sql
+
+    py = __import__("math").floor(x * 1000000.0 + 0.5) / 1000000.0
+    # CAST: a bare decimal literal parses as DECIMAL in DuckDB; the real
+    # oracles always feed DOUBLE expressions (quotients) to the helper.
+    (dk,) = duckdb.sql(
+        f"SELECT {round_half_up_sql(f'CAST({x!r} AS DOUBLE)')} AS v"
+    ).fetchone()
+    assert dk == py
