@@ -33,7 +33,8 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   estimator calibration, q65 token chunking with overlap, q66
   per-source sequence packing, q68 BM25 retrieval scoring,
   q69 per-(source,lang) token-budget accounting, q70 Zipf vocabulary
-  head profile (queries/pipeline.py); q59 deterministic
+  head profile, q71 cross-source near-dup overlap matrix
+  (queries/pipeline.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).
 """

@@ -933,6 +933,32 @@ def q70_zipf_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q71_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix — near-duplicate pair counts
+    per unordered source pair, the forensic that tells a corpus build
+    which feeds mirror each other (and how much dedup credit to expect
+    from dropping one). Reuses the q16 MinHash-LSH verified pairs
+    (same params), then two id→source hash joins and a tiny
+    (source_a, source_b) aggregate — the matrix is O(sources²) rows
+    regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        d, num_hashes=16, bands=4, n=3, threshold=0.2, max_band_freq=MAX_BAND_FREQ
+    )
+    src = d.select("doc_id", "source")
+    return (
+        pairs.join(src.withColumnsRenamed({"doc_id": "id_a", "source": "src_a"}), "id_a")
+        .join(src.withColumnsRenamed({"doc_id": "id_b", "source": "src_b"}), "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -976,6 +1002,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_bm25": q68_bm25,
     "q69_token_budget": q69_token_budget,
     "q70_zipf_head": q70_zipf_head,
+    "q71_source_overlap": q71_source_overlap,
 }
 
 
@@ -1012,6 +1039,36 @@ def _cc_ctes(sh: str, mh: str) -> str:
                 UNION
                 SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s
             )"""
+
+
+def _lsh_pairs_core_sql(sh: str, mh: str) -> str:
+    """The q16 MinHash-LSH verified-pairs pipeline as reusable SQL
+    (no final ORDER BY) — q16 orders it directly; q71 wraps it as a
+    CTE for the per-source-pair overlap matrix."""
+    return f"""
+            WITH sigs AS (SELECT doc_id, {mh} AS mh, {sh} AS s FROM documents),
+            banded0 AS (
+                SELECT doc_id, b.range AS band,
+                       mh[b.range * 4 + 1 : b.range * 4 + 4] AS bsig, s
+                FROM sigs, range(0, 4) b
+            ),
+            -- hot-bucket skew guard, mirroring minhash_lsh_pairs(max_band_freq)
+            banded AS (
+                SELECT * FROM banded0
+                QUALIFY COUNT(*) OVER (PARTITION BY band, bsig) <= {MAX_BAND_FREQ}
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                FROM banded x JOIN banded y
+                  ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+            ),
+            sh2 AS (SELECT doc_id, s FROM sigs)
+            SELECT id_a, id_b,
+                   round(len(list_intersect(a.s, b.s)) * 1.0
+                         / len(list_distinct(a.s || b.s)), 6) AS jaccard
+            FROM cand JOIN sh2 a ON id_a = a.doc_id JOIN sh2 b ON id_b = b.doc_id
+            WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) >= 0.2
+    """
 
 
 def _pipeline_oracles() -> dict[str, str]:
@@ -1072,31 +1129,7 @@ def _pipeline_oracles() -> dict[str, str]:
             SELECT doc_id, t.range AS hash_idx, mh[t.range + 1] AS h
             FROM sigs, range(0, 16) t ORDER BY doc_id, hash_idx
         """,
-        "q16_minhash_lsh_pairs": f"""
-            WITH sigs AS (SELECT doc_id, {mh} AS mh, {sh} AS s FROM documents),
-            banded0 AS (
-                SELECT doc_id, b.range AS band,
-                       mh[b.range * 4 + 1 : b.range * 4 + 4] AS bsig, s
-                FROM sigs, range(0, 4) b
-            ),
-            -- hot-bucket skew guard, mirroring minhash_lsh_pairs(max_band_freq)
-            banded AS (
-                SELECT * FROM banded0
-                QUALIFY COUNT(*) OVER (PARTITION BY band, bsig) <= {MAX_BAND_FREQ}
-            ),
-            cand AS (
-                SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-                FROM banded x JOIN banded y
-                  ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
-            ),
-            sh2 AS (SELECT doc_id, s FROM sigs)
-            SELECT id_a, id_b,
-                   round(len(list_intersect(a.s, b.s)) * 1.0
-                         / len(list_distinct(a.s || b.s)), 6) AS jaccard
-            FROM cand JOIN sh2 a ON id_a = a.doc_id JOIN sh2 b ON id_b = b.doc_id
-            WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) >= 0.2
-            ORDER BY id_a, id_b
-        """,
+        "q16_minhash_lsh_pairs": _lsh_pairs_core_sql(sh, mh) + " ORDER BY id_a, id_b",
         "q17_simhash_buckets": None,  # filled below (needs dedup.simhash_sql)
         "q31_neardup_components": _cc_ctes(sh, mh) + """
             SELECT s AS doc_id, least(s, min(d)) AS component
@@ -1614,6 +1647,17 @@ def pipeline_oracles() -> dict[str, str]:
                )} AS cum_share
         FROM top CROSS JOIN tot
         ORDER BY rank
+    """
+    oracles["q71_source_overlap"] = f"""
+        WITH pairs AS ({_lsh_pairs_core_sql(sh, mh)})
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               COUNT(*) AS n_pairs
+        FROM pairs p
+        JOIN documents da ON p.id_a = da.doc_id
+        JOIN documents db ON p.id_b = db.doc_id
+        GROUP BY 1, 2
+        ORDER BY source_a, source_b
     """
     return oracles
 
