@@ -197,3 +197,13 @@ def test_events_family_single_exchange_shapes(spark):
         plan = _plan(spark, name)
         assert plan.count("Exchange hashpartitioning") == 1, name
         assert plan.count("Scan parquet") == 1, name
+
+
+def test_source_overlap_no_cartesian(spark):
+    """q71: the source matrix must ride the banded equi-join pipeline —
+    no cartesian/broadcast-nested-loop anywhere, map-side partials on
+    the final (source_a, source_b) aggregate."""
+    plan = _plan(spark, "q71_source_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
