@@ -63,39 +63,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness checks only the first ~50 entries of
-# this dict (insertion order), and the repo declares 68 queries — so the
-# order below is a deliberate priority schedule, rotated per round:
-#   1. queries that have never received a driver CORRECTNESS row
-#      (q24, q33, q48-q51, q58-q61, q64-q68 + rows-only q25/q26/q30);
-#   2. the events family (q20-q23, q32, q34, q38, q41, q43, q47) — fixed
-#      this round after the testdata ts-dtype drift, needs fresh rows;
-#   3. the most drift-prone of the repeatedly-green set (dedup, ANN,
-#      multimodal, text, TPC-H-shaped);
-#   4. simple relational primitives (q1-q10, q52-q57, q62-q63) rotate to
-#      the back — each is double-green (r2+r3 driver hash) and covered
-#      by repo oracle-parity tests.
-_PRIORITY = [
-    # never driver-checked
-    "q24_knn_exact", "q33_ann_recall", "q48_event_gaps", "q49_pivot_counts",
-    "q50_repetition", "q51_decontaminate", "q58_funnel_stages",
-    "q59_kmeans_step", "q60_unigram_logprob", "q61_dedup_keep",
-    "q64_minhash_calibration", "q65_chunk_documents", "q66_pack_sequences",
-    "q67_ivf_cells", "q68_bm25", "q69_token_budget", "q70_zipf_head",
-    "q25_nnd_graph", "q26_ann_lsh_topk", "q30_ann_ivf_topk",
-    # events family (loader fixed this round)
-    "q20_sessionize", "q21_tumbling_counts", "q22_running_value",
-    "q23_latest_event", "q32_json_props", "q34_asof_join",
-    "q38_value_quantiles", "q41_rollup_counts", "q43_nearby_events",
-    "q47_sliding_avg",
-    # drift-prone greens
-    "q11_doc_stats", "q12_exact_dedup", "q13_fingerprint_dedup",
-    "q14_jaccard_pairs", "q15_minhash_signatures", "q16_minhash_lsh_pairs",
-    "q17_simhash_buckets", "q18_ann_brute_topk", "q19_embedding_neardup",
-    "q27_image_stats", "q28_frame_sample", "q29_audio_stats",
-    "q31_neardup_components", "q35_token_topk", "q36_lang_bigrams",
-    "q37_quality_filter", "q39_tfidf_topk", "q40_stratified_sample",
-    "q42_simhash_neardup", "q44_label_centroids",
-]
+# this dict (insertion order), and the repo declares 71 queries — so the
+# order is a priority schedule. It is GENERATED from the recorded
+# CORRECTNESS_r*.json history, not hand-maintained: queries that have
+# never received a driver row come first, then stalest-last-check first,
+# then fewest-total-checks first. By construction every query re-enters
+# the ~50-slot window at least every other round; a newly declared query
+# always lands at the very front on its first round.
+def _priority_order(names: list[str]) -> list[str]:
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    history: dict[str, list[int]] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for q in rows:
+            history.setdefault(q, []).append(rnd)
+
+    decl = {name: i for i, name in enumerate(names)}
+
+    def key(name: str):
+        rounds = history.get(name)
+        if not rounds:
+            return (0, 0, 0, decl[name])  # never driver-checked: front
+        return (1, max(rounds), len(rounds), decl[name])
+
+    return sorted(names, key=key)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -104,9 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from spark_nnd_spark.queries.relational import RELATIONAL_QUERIES
 
     merged = {**RELATIONAL_QUERIES, **PIPELINE_QUERIES, **KNN_QUERIES}
-    ordered = {name: merged[name] for name in _PRIORITY if name in merged}
-    ordered.update({n: f for n, f in merged.items() if n not in ordered})
-    return ordered
+    return {name: merged[name] for name in _priority_order(list(merged))}
 
 
 def oracle_sql() -> dict[str, str]:
