@@ -287,14 +287,18 @@ def q36_lang_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda s: s.contains(" "),
     )
-    # Project lang + the bigram array FIRST, behind an exchange barrier:
-    # fused with the generator, Catalyst re-inlines both expressions
-    # into the exploded stream and recomputes them per bigram row
-    # (measured 11.3s vs 1.5s at sf0.1 — same pathology as the MinHash
-    # projection collapse, dedup.py minhash_signatures).
+    # Project lang + the bigram array FIRST, behind a materialization
+    # barrier: fused with the generator, Catalyst re-inlines both
+    # expressions into the exploded stream and recomputes them per
+    # bigram row (measured 11.3s vs 1.5s at sf0.1 — same pathology as
+    # the MinHash projection collapse, dedup.py minhash_signatures).
+    # localCheckpoint (the q70 idiom), NOT repartition: a shuffle-as-
+    # barrier would move the whole projected (lang, bigram-array)
+    # stream — roughly the tokenized corpus — across the wire at scale,
+    # while the checkpoint pins the computed partitions in place.
     base = d.select(
         TX.predicted_lang_expr("text").alias("lang"), bigrams.alias("__bg")
-    ).repartition(spark.sparkContext.defaultParallelism)
+    ).localCheckpoint(eager=True)
     counts = (
         base.select("lang", F.explode("__bg").alias("bigram"))
         .groupBy("lang", "bigram")

@@ -188,6 +188,21 @@ def test_zipf_head_windows_after_limit(spark):
     assert "Window" in plan
 
 
+def test_lang_bigrams_barrier_is_not_a_shuffle(spark):
+    """q36: the anti-fusion barrier in front of the bigram explode must
+    be a checkpoint (data stays put), never a repartition — a shuffle-
+    as-barrier would move the whole projected (lang, bigram-array)
+    stream, roughly the tokenized corpus, at scale. Exchanges may carry
+    only the post-explode (lang, bigram) count stream."""
+    plan = _plan(spark, "q36_lang_bigrams")
+    assert "Scan parquet" not in plan  # reads the checkpointed projection
+    assert "RoundRobinPartitioning" not in plan
+    # the explode feeds the first (deepest) exchange directly: in the
+    # top-down plan string the Generate node sits BELOW every Exchange,
+    # so only exploded-and-partially-aggregated rows ever shuffle
+    assert plan.rindex("Exchange") < plan.index("Generate")
+
+
 def test_events_family_single_exchange_shapes(spark):
     """The recovered events family must keep its one-wide-exchange
     shapes: sessionize (user exchange), tumbling counts (window agg
