@@ -281,6 +281,40 @@ def _normalize_centroids(centroids: np.ndarray) -> np.ndarray:
     return cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
 
+# Footer-sampling cap for _estimate_rows: above this many input files
+# the estimate extrapolates from a prefix instead of opening every
+# footer (the estimate only sizes a sampling rate with 4x headroom, and
+# under-selection is caught by the escalation loop in the trainer).
+_EST_MAX_FOOTERS = 64
+
+
+def _estimate_rows(df: DataFrame) -> int | None:
+    """Row-count estimate from parquet footers — metadata-only, no
+    Spark job, no data scan. Returns None when the plan has no
+    file-backed inputs (caller falls back to the keep-everything
+    rate). Upstream filters make this an overestimate, which only
+    shrinks the sample — corrected by the caller's escalation loop."""
+    try:
+        files = [f for f in df.inputFiles() if ".parquet" in f]
+    except Exception:  # noqa: BLE001 - non-file plans (e.g. createDataFrame)
+        return None
+    if not files:
+        return None
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    def _path(uri: str) -> str:
+        return uri[7:] if uri.startswith("file://") else uri.removeprefix("file:")
+
+    try:
+        head = files[:_EST_MAX_FOOTERS]
+        total = sum(pq.ParquetFile(_path(f)).metadata.num_rows for f in head)
+        if len(files) > len(head):
+            total = int(total * len(files) / len(head))
+        return total
+    except Exception:  # noqa: BLE001 - unreadable footer → let caller fall back
+        return None
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -289,33 +323,54 @@ def train_ivf_centroids(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """Spherical k-means on a deterministic hash-thresholded sample,
     trained driver-side (the standard IVF practice — the sample collect
     is O(train_sample)).
 
     Sampling is a two-step: (1) a deterministic md5-prefix threshold
-    filter (sampling.py idiom) keeps ~4×train_sample rows — a plain
-    filter the scan can stream through, with no ordering over the
+    filter (sampling.py idiom) keeps ~4×train_sample expected rows — a
+    plain filter the scan can stream through, with no ordering over the
     corpus; (2) an xxhash64 orderBy+limit over just that small subset
     pins the exact seeded sample. The previous global
     ``orderBy(h).limit(n)`` compiled to TakeOrdered, which heap-sorts
     every corpus row — a full-corpus ordering for a 4,096-row sample,
-    wrong shape at 100 TB."""
+    wrong shape at 100 TB.
+
+    The filter rate is sized from ``n_rows`` when the caller knows it,
+    else from parquet footer metadata (no job, no scan — the old
+    ``corpus.count()`` here was a whole extra corpus pass per index
+    build). Because the threshold draw is Bernoulli, an unlucky draw
+    (or a stale estimate) can under-select; the loop then rewidens the
+    rate ×4 up to keep-everything, so the sample can silently shrink
+    below ``train_sample`` only when the corpus itself is smaller."""
     from spark_nnd_spark.operators.sampling import (  # noqa: PLC0415
         sample_key_expr,
         threshold_hex,
     )
 
-    n_rows = corpus.count()
-    rate = min(1.0, (4.0 * train_sample) / max(n_rows, 1))
-    sample = (
-        corpus.filter(sample_key_expr(F.col(id_col)) < threshold_hex(rate))
-        .select(_as_double(vec_col).alias("v"), F.xxhash64(id_col, F.lit(seed)).alias("h"))
-        .orderBy("h")
-        .limit(train_sample)
-        .collect()
-    )
+    n_est = n_rows if n_rows is not None else _estimate_rows(corpus)
+    rate = 1.0 if n_est is None else min(1.0, (4.0 * train_sample) / max(n_est, 1))
+    while True:
+        sample = (
+            corpus.filter(sample_key_expr(F.col(id_col)) < threshold_hex(rate))
+            .select(
+                _as_double(vec_col).alias("v"),
+                F.xxhash64(id_col, F.lit(seed)).alias("h"),
+            )
+            .orderBy("h")
+            .limit(train_sample)
+            .collect()
+        )
+        if len(sample) >= train_sample or rate >= 1.0:
+            break
+        rate = min(1.0, rate * 4.0)
+    if len(sample) < n_centroids:
+        raise ValueError(
+            f"IVF training needs >= n_centroids={n_centroids} vectors; "
+            f"corpus yielded only {len(sample)}"
+        )
     x = np.array([r["v"] for r in sample], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng([seed, len(x)])

@@ -684,6 +684,36 @@ def test_ivf_index_roundtrip_matches_inline(spark, tmp_path):
     assert np2.allclose(cents, cents2)
 
 
+def test_ivf_training_sizes_sample_without_a_count_job(spark):
+    """The trainer's sampling rate comes from parquet footers (no
+    corpus pass) or a caller-supplied n_rows; both must reproduce the
+    count()-sized sample bit-for-bit, and a corpus smaller than
+    n_centroids must fail loudly instead of silently training a
+    degenerate index."""
+    import numpy as np2
+    import pytest as pt
+
+    from spark_nnd_spark.operators.similarity import (
+        _estimate_rows,
+        train_ivf_centroids,
+    )
+    from spark_nnd_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    assert _estimate_rows(emb) == emb.count()
+    # createDataFrame plans have no files → None → keep-everything rate
+    mem = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    assert _estimate_rows(mem) is None
+    # metadata-sized, caller-sized, and in-memory paths all agree
+    a = train_ivf_centroids(emb, n_centroids=8, seed=42)
+    b = train_ivf_centroids(emb, n_centroids=8, seed=42, n_rows=emb.count())
+    assert np2.allclose(a, b)
+    with pt.raises(ValueError, match="n_centroids"):
+        train_ivf_centroids(mem.filter(F.col("vec_id") < 4), n_centroids=8, seed=1)
+
+
 def test_chunking_covers_every_token_exactly_with_stride(spark):
     """q65 invariants: every token of every doc lands in ≥1 chunk;
     every chunk except possibly the last is full-size; consecutive
