@@ -103,7 +103,14 @@ def main() -> None:
         "sf": float(sf),
     }
     if errors:
+        # A failed query silently shrinks the headline total, which
+        # reads as a speedup in round-over-round comparison — flag the
+        # incomplete set explicitly so no one compares it against a
+        # full-set round.
         out["errors"] = errors
+        out["n_failed"] = len(errors)
+        out["n_ok"] = len(times)
+        out["complete"] = False
     print(json.dumps(out))
 
 

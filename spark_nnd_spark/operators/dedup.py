@@ -30,14 +30,70 @@ from pyspark.sql import functions as F
 from spark_nnd_spark.functions import text as TX
 
 
+# _fan_out decisions memoized per (session, input files): the split
+# estimate for a given source never changes within a session, and the
+# RDD-conversion fallback costs an extra planning pass per call.
+_FAN_OUT_CACHE: dict[tuple, bool] = {}
+_FAN_OUT_MAX_FOOTERS = 64
+
+
+def _n_input_splits(df: DataFrame) -> int | None:
+    """Scan-parallelism estimate from parquet metadata: row groups are
+    the unit Spark splits parquet files at, so their count bounds the
+    achievable scan parallelism. Metadata-only (capped footer reads,
+    extrapolated for many-file inputs) — no job, no plan conversion.
+    None for non-file inputs."""
+    try:
+        files = [f for f in df.inputFiles() if ".parquet" in f]
+    except Exception:  # noqa: BLE001 - non-file plans
+        return None
+    if not files:
+        return None
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    def _path(uri: str) -> str:
+        return uri[7:] if uri.startswith("file://") else uri.removeprefix("file:")
+
+    try:
+        head = files[:_FAN_OUT_MAX_FOOTERS]
+        total = sum(pq.ParquetFile(_path(f)).metadata.num_row_groups for f in head)
+        if len(files) > len(head):
+            total = int(total * len(files) / len(head))
+        return total
+    except Exception:  # noqa: BLE001 - unreadable footer
+        return None
+
+
 def _fan_out(df: DataFrame) -> DataFrame:
     """Repartition ONLY when the input arrives in fewer than half the
-    default parallelism's partitions (a single-file corpus at test
-    scale lands in 1-2 splits, so per-row hashing would run on 2
-    cores). At scale the parquet splits already provide parallelism
-    and a blanket repartition is a full shuffle of raw document text."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(par) if df.rdd.getNumPartitions() < par // 2 else df
+    default parallelism's splits (a single-file corpus at test scale
+    lands in 1-2 splits, so per-row hashing would run on 2 cores). At
+    scale the parquet splits already provide parallelism and a blanket
+    repartition is a full shuffle of raw document text.
+
+    The split count comes from parquet row-group metadata when the
+    input is file-backed (no RDD conversion, no extra planning pass);
+    the RDD fallback for in-memory inputs is memoized per source."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    splits = _n_input_splits(df)
+    if splits is None:
+        try:
+            files = tuple(sorted(df.inputFiles()))
+        except Exception:  # noqa: BLE001
+            files = ()
+        # only file-backed plans get a memo key: all in-memory plans
+        # would otherwise share one entry despite differing layouts
+        key = (sc.applicationId, files) if files else None
+        if key is not None and key in _FAN_OUT_CACHE:
+            few = _FAN_OUT_CACHE[key]
+        else:
+            few = df.rdd.getNumPartitions() < par // 2
+            if key is not None:
+                _FAN_OUT_CACHE[key] = few
+    else:
+        few = splits < par // 2
+    return df.repartition(par) if few else df
 
 
 def exact_dedup(

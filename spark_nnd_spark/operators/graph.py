@@ -121,7 +121,11 @@ def connected_components(
                 F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
             ).collect()[0]["s"]
             labels = new_labels
-            if new_sum == label_sum:
+            # NULL sum (decimal overflow under non-ANSI mode, or an
+            # empty input) must never masquerade as a fixpoint: treat
+            # it as not-converged and keep iterating — the loop is then
+            # bounded by max_rounds instead of a spurious None == None.
+            if new_sum is not None and new_sum == label_sum:
                 break
             label_sum = new_sum
 
