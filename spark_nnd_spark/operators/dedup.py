@@ -157,19 +157,39 @@ def jaccard_pairs(
     ``|A∩B| / |A∪B| >= threshold`` over distinct n-token shingle sets.
     Docs with no shingles (< n tokens) pair with nothing.
     """
-    # Materialize both shared subtrees once (eager localCheckpoint):
-    # `posts` feeds the hot-shingle census plus BOTH sides of the
-    # self-join and `sizes` two verify joins — without the checkpoint
-    # each consumer re-executes the shingle tokenize+explode scan
-    # (measured ~2x end-to-end at sf0.1). Same pattern as
-    # simhash_neardup_pairs; the checkpoint is the size of one shuffle
-    # of the same stream, i.e. cost-neutral at any scale.
-    sizes = _fan_out(df).select(
-        F.col(id_col).alias("id"), F.size(TX.shingles_expr(text_col, n)).alias("n_sh")
-    ).localCheckpoint(eager=True)
-    posts = shingle_postings(df, text_col, id_col, n, max_shingle_freq).localCheckpoint(
-        eager=True
+    # Tokenize ONCE: the raw postings are checkpointed and every
+    # derived stream — the per-doc set sizes, the hot-shingle census,
+    # and the df-cut postings feeding BOTH sides of the self-join —
+    # reads the materialized stream instead of re-running the
+    # tokenize+explode scan (previously sizes, census and anti-join
+    # each re-tokenized the corpus: three full text passes). The
+    # second checkpoint pins the post-cut postings so the a/b join
+    # sides don't each re-run the census+anti-join. Each checkpoint is
+    # the size of one shuffle of the same stream, cost-neutral at any
+    # scale; the census anti-join broadcasts (hot shingles are few by
+    # construction).
+    raw = (
+        _fan_out(df)
+        .select(F.col(id_col), F.explode(TX.shingles_expr(text_col, n)).alias("shingle"))
+        .localCheckpoint(eager=True)
     )
+    # full set sizes (pre-cut, mirroring the oracle): shingles_expr is
+    # per-doc distinct, so the count equals F.size of the array; docs
+    # with zero shingles are absent here AND from the postings join, so
+    # they pair with nothing either way
+    sizes = raw.groupBy(id_col).agg(F.count("*").alias("n_sh")).select(
+        F.col(id_col).alias("id"), "n_sh"
+    )
+    if max_shingle_freq is None:
+        posts = raw
+    else:
+        hot = (
+            raw.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_freq)
+            .select("shingle")
+        )
+        posts = raw.join(hot, "shingle", "left_anti").localCheckpoint(eager=True)
     a = posts.select(F.col("shingle"), F.col(id_col).alias("id_a"))
     b = posts.select(F.col("shingle"), F.col(id_col).alias("id_b"))
     # the exploded postings look tiny to the size estimator (stats come
