@@ -7,7 +7,10 @@ normalization) at any SF dir so sf0.01-only divergences (float ties,
 sampling thresholds, percentile interpolation) surface before the
 driver sees them.
 
-Usage: python scripts/parity_sweep.py [SF_DIR]   (default /root/testdata/sf0.01)
+Usage: python scripts/parity_sweep.py [SF_DIR] [NAME_SUBSTR ...]
+(default /root/testdata/sf0.01, all queries; extra args keep only
+queries whose name contains any substring — e.g. `sf0.1 q2 asof` for a
+targeted bench-scale replay of a family)
 """
 
 from __future__ import annotations
@@ -23,7 +26,12 @@ import __spark_entry__ as entrymod
 from tests.test_oracle_parity import _canon
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2:]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _selected(name: str) -> bool:
+    return not ONLY or any(s in name for s in ONLY)
 
 
 def main() -> int:
@@ -35,7 +43,7 @@ def main() -> int:
         duck.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
     queries = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    oracles = {n: s for n, s in entrymod.oracle_sql().items() if _selected(n)}
     failures = []
     for name in sorted(oracles):
         t0 = time.time()
@@ -63,7 +71,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 - report and continue
             failures.append((name, [f"exception: {exc!r}"]))
             print(f"ERR  {name:28s} {time.time() - t0:6.2f}s {exc!r}", flush=True)
-    for name in sorted(set(queries) - set(oracles)):
+    for name in sorted(n for n in set(queries) - set(entrymod.oracle_sql()) if _selected(n)):
         t0 = time.time()
         n = queries[name](spark, SF).count()
         print(f"ROWS {name:28s} {time.time() - t0:6.2f}s ({n} rows, no oracle)", flush=True)
