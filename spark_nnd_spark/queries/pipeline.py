@@ -963,6 +963,159 @@ def q71_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q72_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal per document — the classic
+    gibberish/boilerplate detector (low entropy = repeated chars or
+    templated text, high = random noise). Entirely narrow: char split,
+    sorted-distinct alphabet, and a fold over the alphabet are all
+    JVM array expressions on one row — zero shuffle until the final
+    ORDER BY, so at 100 TB this is a pure map stage. The alphabet is
+    sorted before the fold so Spark's left-fold and DuckDB's list_sum
+    add the p·ln p terms in the same order (float addition is not
+    associative)."""
+    from spark_nnd_spark.functions.numeric import round_half_up_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    alphabet = F.array_sort(F.array_distinct(chars))
+    total = F.size(chars).cast("double")
+
+    def _p(c):
+        return F.size(F.filter(chars, lambda x: x == c)) / total
+
+    ent = -F.aggregate(
+        F.transform(alphabet, lambda c: _p(c) * F.log(_p(c))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size(alphabet).cast("long").alias("n_distinct_chars"),
+        round_half_up_expr(ent).alias("entropy"),
+    ).orderBy("doc_id")
+
+
+# Corpus-scrub blocklist: term hits are counted and redacted in one
+# narrow regex pass (word-boundary alternation — same RE2-compatible
+# pattern on both engines). The terms are chosen to actually occur in
+# the synthetic corpus so the query exercises nonzero redactions.
+BLOCKLIST_PATTERN = r"\b(customer|stream|merge)\b"
+
+
+def q73_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist scrub — the filter/redact primitive of corpus curation
+    (PII and unwanted-term removal share this exact shape: match count
+    for audit, redacted text for the output corpus). One narrow map
+    per document (regexp_count + regexp_replace + md5), no shuffle
+    until the final ORDER BY; at 100 TB this is a pure map stage and
+    the redacted corpus would stream straight to the sink. The md5 of
+    the redacted text is emitted instead of the text itself so the
+    driver compare stays small while still pinning every byte."""
+    d = load_table(spark, sf_dir, "documents")
+    pat = F.lit(BLOCKLIST_PATTERN)
+    redacted = F.regexp_replace(F.col("text"), BLOCKLIST_PATTERN, "[X]")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), pat).cast("long").alias("n_blocked"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+def q74_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source shingle novelty — how much of each source's 3-gram
+    vocabulary appears in no other source. The inter-source complement
+    of q71's overlap matrix: overlap says which feeds mirror each
+    other; novelty says what a feed uniquely contributes (the number a
+    curation run uses to decide if a source is worth its dedup cost).
+    Shuffles are all O(distinct (source, shingle)) with map-side
+    partial aggregation, never O(corpus): distinct pairs, a shingle-
+    count aggregate, one equi-join back (co-partitioned on shingle by
+    the preceding aggregates), and a tiny per-source rollup. The
+    distinct pairs feed BOTH sides of that join, so they are
+    materialized once (localCheckpoint) — without the barrier Catalyst
+    inlines the tokenize+explode+distinct subtree into each branch and
+    the corpus is scanned twice."""
+    from spark_nnd_spark.functions.numeric import round_half_up_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    srcsh = (
+        d.select("source", F.explode(TX.shingles_expr("text", 3)).alias("shingle"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nsrc = srcsh.groupBy("shingle").agg(F.count("*").alias("nsrc"))
+    uniq = F.sum(F.when(F.col("nsrc") == 1, 1).otherwise(0)).cast("long")
+    return (
+        srcsh.join(nsrc, "shingle")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            uniq.alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_shingles",
+            "n_unique",
+            round_half_up_expr(
+                F.col("n_unique") / F.col("n_shingles").cast("double")
+            ).alias("novelty"),
+        )
+        .orderBy("source")
+    )
+
+
+# Filter-cascade gate thresholds (stage 2/3 reuse q37's quality-gate
+# conventions; stage 1's token floor is set where the synthetic corpus
+# actually splits so the funnel shows real attrition at every SF).
+CASCADE_MIN_TOKENS = 40
+
+
+def q75_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-cascade audit — the per-stage attrition funnel every
+    corpus build reports (N in → N out per gate, gates applied in
+    sequence). All four gate booleans are computed in ONE narrow scan
+    and collapsed by ONE map-side-combined aggregate to a single row
+    of counters; the corpus is scanned exactly once regardless of how
+    many gates the cascade has. The single counter row is materialized
+    (localCheckpoint) before being fanned out into per-stage rows, so
+    the four stage projections don't re-trigger the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = TX.token_count_expr("text")
+    b1 = n_tok >= CASCADE_MIN_TOKENS
+    b2 = b1 & (TX.stopword_ratio_expr("text") <= 0.6)
+    b3 = b2 & (TX.type_token_ratio_expr("text") >= 0.3)
+    b4 = b3 & (TX.predicted_lang_expr("text") == "en")
+
+    def cnt(b, name):
+        return F.sum(b.cast("long")).alias(name)
+
+    counters = d.agg(
+        F.count("*").alias("n0"),
+        cnt(b1, "p1"), cnt(b2, "p2"), cnt(b3, "p3"), cnt(b4, "p4"),
+    ).localCheckpoint(eager=True)
+
+    gates = [
+        (1, "min_tokens", "n0", "p1"),
+        (2, "stopword_ratio", "p1", "p2"),
+        (3, "type_token_ratio", "p2", "p3"),
+        (4, "lang_en", "p3", "p4"),
+    ]
+    stages = [
+        counters.select(
+            F.lit(i).cast("long").alias("stage"),
+            F.lit(gate).alias("gate"),
+            F.col(n_in).alias("n_in"),
+            F.col(n_pass).alias("n_pass"),
+            (F.col(n_in) - F.col(n_pass)).alias("n_fail"),
+        )
+        for i, gate, n_in, n_pass in gates
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("stage")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -1007,6 +1160,10 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_token_budget": q69_token_budget,
     "q70_zipf_head": q70_zipf_head,
     "q71_source_overlap": q71_source_overlap,
+    "q72_char_entropy": q72_char_entropy,
+    "q73_blocklist_scrub": q73_blocklist_scrub,
+    "q74_shingle_novelty": q74_shingle_novelty,
+    "q75_filter_cascade": q75_filter_cascade,
 }
 
 
@@ -1662,6 +1819,75 @@ def pipeline_oracles() -> dict[str, str]:
         JOIN documents db ON p.id_b = db.doc_id
         GROUP BY 1, 2
         ORDER BY source_a, source_b
+    """
+    oracles["q72_char_entropy"] = f"""
+        WITH c AS (
+            SELECT doc_id, string_split(text, '') AS chars FROM documents
+        ),
+        d2 AS (
+            SELECT doc_id, chars,
+                   list_sort(list_distinct(chars)) AS alphabet,
+                   len(chars)::DOUBLE AS total
+            FROM c
+        )
+        SELECT doc_id,
+               len(alphabet)::BIGINT AS n_distinct_chars,
+               {round_half_up_sql(
+                   "-list_sum(list_transform(alphabet, ch ->"
+                   " (len(list_filter(chars, x -> x = ch)) / total)"
+                   " * ln(len(list_filter(chars, x -> x = ch)) / total)))"
+               )} AS entropy
+        FROM d2 ORDER BY doc_id
+    """
+    oracles["q73_blocklist_scrub"] = f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{BLOCKLIST_PATTERN}'))::BIGINT
+                   AS n_blocked,
+               md5(regexp_replace(text, '{BLOCKLIST_PATTERN}', '[X]', 'g'))
+                   AS redacted_md5
+        FROM documents ORDER BY doc_id
+    """
+    oracles["q74_shingle_novelty"] = f"""
+        WITH srcsh AS (
+            SELECT DISTINCT source, shingle FROM (
+                SELECT source, unnest({TX.shingles_sql()}) AS shingle
+                FROM documents
+            )
+        ),
+        nsrc AS (SELECT shingle, COUNT(*) AS nsrc FROM srcsh GROUP BY shingle)
+        SELECT source,
+               COUNT(*)::BIGINT AS n_shingles,
+               CAST(SUM(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unique,
+               {round_half_up_sql(
+                   "SUM(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END)"
+                   " / COUNT(*)::DOUBLE"
+               )} AS novelty
+        FROM srcsh JOIN nsrc USING (shingle)
+        GROUP BY source ORDER BY source
+    """
+    oracles["q75_filter_cascade"] = f"""
+        WITH b AS (
+            SELECT ({TX.token_count_sql()} >= {CASCADE_MIN_TOKENS}) AS b1,
+                   ({TX.stopword_ratio_sql()} <= 0.6) AS b2,
+                   ({TX.type_token_ratio_sql()} >= 0.3) AS b3,
+                   ({TX.predicted_lang_sql()} = 'en') AS b4
+            FROM documents
+        ),
+        s AS (
+            SELECT COUNT(*)::BIGINT AS n0,
+                   CAST(SUM(CASE WHEN b1 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+                   CAST(SUM(CASE WHEN b1 AND b2 THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+                   CAST(SUM(CASE WHEN b1 AND b2 AND b3 THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+                   CAST(SUM(CASE WHEN b1 AND b2 AND b3 AND b4 THEN 1 ELSE 0 END) AS BIGINT) AS p4
+            FROM b
+        )
+        SELECT 1::BIGINT AS stage, 'min_tokens' AS gate,
+               n0 AS n_in, p1 AS n_pass, n0 - p1 AS n_fail FROM s
+        UNION ALL SELECT 2, 'stopword_ratio', p1, p2, p1 - p2 FROM s
+        UNION ALL SELECT 3, 'type_token_ratio', p2, p3, p2 - p3 FROM s
+        UNION ALL SELECT 4, 'lang_en', p3, p4, p3 - p4 FROM s
+        ORDER BY stage
     """
     return oracles
 

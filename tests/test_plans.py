@@ -222,3 +222,37 @@ def test_source_overlap_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan
+
+
+def test_char_entropy_and_scrub_are_pure_map_stages(spark):
+    """q72/q73: per-document quality signals must stay narrow — one
+    parquet scan, no hash exchange at all (the only exchange is the
+    presentation sort's range partitioning)."""
+    for name in ("q72_char_entropy", "q73_blocklist_scrub"):
+        plan = _plan(spark, name)
+        assert plan.count("Scan parquet") == 1, name
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_shingle_novelty_shuffles_distinct_pairs_only(spark):
+    """q74: the distinct (source, shingle) pairs are materialized once
+    and feed both sides of the shingle join — the final plan reads the
+    checkpoint (no parquet scan at all), aggregates with map-side
+    partials, and the join is an equi-join, never nested-loop."""
+    plan = _plan(spark, "q74_shingle_novelty")
+    assert "Scan parquet" not in plan  # both branches read the checkpoint
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_filter_cascade_scans_corpus_once(spark):
+    """q75: all four gate booleans collapse in ONE aggregate over ONE
+    corpus scan, materialized before the per-stage fan-out — the four
+    stage projections read the checkpointed counter row, so the plan
+    contains no parquet scan at all and four ExistingRDD reads."""
+    plan = _plan(spark, "q75_filter_cascade")
+    assert "Scan parquet" not in plan
+    assert plan.count("Scan ExistingRDD") == 4
