@@ -55,6 +55,12 @@ HEADLINE = [
     "q61_dedup_keep",
     "q69_token_budget",
     "q70_zipf_head",
+    "q71_source_overlap",
+    "q72_char_entropy",
+    "q73_blocklist_scrub",
+    "q74_shingle_novelty",
+    "q75_filter_cascade",
+    "q76_quantized_topk",
 ]
 
 

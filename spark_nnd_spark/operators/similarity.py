@@ -77,6 +77,83 @@ def ann_brute_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|v|/127``,
+    ``q_i = floor(v_i/scale + 0.5) ∈ [-127, 127]``.
+
+    The 100 TB motivation: a quantized corpus ships 1 byte per
+    dimension instead of 8 (float64 on the wire), so every downstream
+    shuffle/broadcast of embedding payloads shrinks 8×, and similarity
+    becomes integer arithmetic — exactly reproducible across engines
+    (no float-summation-order concerns), which is also what makes the
+    quantized tier fully oracle-checkable. Entirely JVM array
+    expressions; zero shuffle.
+
+    Returns (id, scale DOUBLE, qvec ARRAY<LONG>, qnorm2 LONG)."""
+    v = _as_double(vec_col)
+    scale = F.greatest(
+        F.array_max(F.transform(v, F.abs)) / F.lit(127.0), F.lit(1e-12)
+    )
+    qvec = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        scale.alias("scale"),
+        qvec.alias("qvec"),
+        F.aggregate(
+            qvec, F.lit(0).cast("long"), lambda a, x: a + x * x
+        ).alias("qnorm2"),
+    )
+
+
+def quantized_brute_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors — the
+    ann_brute_topk plan shape (corpus streams, quantized query side
+    broadcast, per-query window top-k) with an integer dot product:
+    ``qcos = Σ qa_i·qb_i / sqrt(qnorm2_a · qnorm2_b)``. The integer
+    sums are exact, so ranking is deterministic bit-for-bit.
+
+    Returns (query_id, nb_id, rank, qcosine)."""
+    query_id_col = query_id_col or id_col
+    qz = quantize_embeddings(queries, query_id_col, vec_col).select(
+        F.col("id").alias("query_id"),
+        F.col("qvec").alias("q_q"),
+        F.col("qnorm2").alias("q_n"),
+    )
+    cz = quantize_embeddings(corpus, id_col, vec_col).select(
+        F.col("id").alias("nb_id"),
+        F.col("qvec").alias("c_q"),
+        F.col("qnorm2").alias("c_n"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_q", "c_q", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    scored = (
+        cz.crossJoin(F.broadcast(qz))
+        .filter(F.col("query_id") != F.col("nb_id"))
+        .withColumn(
+            "qcosine",
+            dot / F.sqrt(F.greatest(F.col("c_n") * F.col("q_n"), F.lit(1)).cast("double")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcosine"), F.asc("nb_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nb_id", "rank", "qcosine")
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     """Deterministic random hyperplanes for sign-LSH."""
     rng = np.random.default_rng([seed, dim, n_planes])

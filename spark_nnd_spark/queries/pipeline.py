@@ -1116,6 +1116,19 @@ def q75_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("stage")
 
 
+def q76_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-k (operators/similarity.py
+    quantize_embeddings / quantized_brute_topk) — q18's brute tier at
+    1/8th the wire bytes, with integer dots making the approximate
+    tier itself hash-checkable (unlike the float LSH/IVF tiers, which
+    need the q33 recall surrogate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SIM.quantized_brute_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id", "nb_id", "rank", F.round("qcosine", 6).alias("qcosine")
+    ).orderBy("query_id", "rank")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -1164,6 +1177,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q73_blocklist_scrub": q73_blocklist_scrub,
     "q74_shingle_novelty": q74_shingle_novelty,
     "q75_filter_cascade": q75_filter_cascade,
+    "q76_quantized_topk": q76_quantized_topk,
 }
 
 
@@ -1888,6 +1902,42 @@ def pipeline_oracles() -> dict[str, str]:
         UNION ALL SELECT 3, 'type_token_ratio', p2, p3, p2 - p3 FROM s
         UNION ALL SELECT 4, 'lang_en', p3, p4, p3 - p4 FROM s
         ORDER BY stage
+    """
+    oracles["q76_quantized_topk"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (
+            SELECT vec_id, v,
+                   greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+                            1e-12) AS sc
+            FROM e
+        ),
+        z AS (
+            SELECT vec_id,
+                   list_transform(v, x -> CAST(floor(x / sc + 0.5) AS BIGINT)) AS qv
+            FROM s
+        ),
+        n AS (
+            SELECT vec_id, qv,
+                   CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+            FROM z
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS nb_id,
+                   CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+                                                i -> c.qv[i] * q.qv[i]))
+                        AS BIGINT)
+                       / sqrt(greatest(c.n2 * q.n2, 1)::DOUBLE) AS qcosine
+            FROM n c CROSS JOIN (SELECT * FROM n WHERE vec_id < 10) q
+            WHERE q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, nb_id, qcosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY qcosine DESC, nb_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, nb_id, rank, round(qcosine, 6) AS qcosine
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     """
     return oracles
 

@@ -800,3 +800,27 @@ def test_end_to_end_corpus_build_is_deterministic(spark, tmp_path):
     # every shard nonempty and membership follows the documented hash
     shards = {s for s, _, _ in a}
     assert shards == {0, 1, 2, 3}
+
+
+def test_quantized_topk_tracks_exact_brute(spark):
+    """int8 quantization must (a) keep every |q_i| <= 127 with exact
+    integer norms, and (b) rank nearly the same neighbors as the exact
+    float tier — per-dim error is <= scale/2, tiny vs 64-dim dot."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qz = SIM.quantize_embeddings(emb).collect()
+    for r in qz[:50]:
+        assert all(abs(x) <= 127 for x in r["qvec"])
+        assert r["qnorm2"] == sum(x * x for x in r["qvec"])
+
+    q = emb.filter(F.col("vec_id") < 20)
+    brute = SIM.ann_brute_topk(emb, q, k=5).collect()
+    quant = SIM.quantized_brute_topk(emb, q, k=5).collect()
+    bt, qt = {}, {}
+    for r in brute:
+        bt.setdefault(r["query_id"], set()).add(r["nb_id"])
+    for r in quant:
+        qt.setdefault(r["query_id"], set()).add(r["nb_id"])
+    recall = sum(len(bt[k] & qt.get(k, set())) for k in bt) / sum(
+        len(v) for v in bt.values()
+    )
+    assert recall >= 0.9, f"quantized recall {recall:.2f}"

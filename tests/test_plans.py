@@ -256,3 +256,12 @@ def test_filter_cascade_scans_corpus_once(spark):
     plan = _plan(spark, "q75_filter_cascade")
     assert "Scan parquet" not in plan
     assert plan.count("Scan ExistingRDD") == 4
+
+
+def test_quantized_topk_broadcasts_query_side(spark):
+    """q76: identical scale posture to q18 — the quantized corpus
+    streams (no exchange before the join), the tiny quantized query
+    side is the broadcast build."""
+    plan = _plan(spark, "q76_quantized_topk")
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
+    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]" in plan
