@@ -89,7 +89,18 @@ def main() -> None:
     # the JSON line is always emitted.
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+    import gc
+
     for name in HEADLINE:
+        # Reclaim the previous query's localCheckpoint RDDs before
+        # timing the next one: the Python wrappers must be collected
+        # first (their py4j refs pin the JVM RDDs), then a JVM GC lets
+        # ContextCleaner unpersist them. Without this, checkpointed
+        # blocks accumulate across the 35-query run and later queries
+        # absorb unrelated memory pressure (measured: same query 2x
+        # slower late in a run than standalone).
+        gc.collect()
+        spark._jvm.System.gc()  # noqa: SLF001
         t0 = time.perf_counter()
         try:
             n = all_queries[name](spark, sf_dir).count()

@@ -320,12 +320,30 @@ def minhash_lsh_pairs(
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
+        # pinned once: read by the ids derivation below AND the final
+        # verify-join chain (without this the band self-join runs twice)
+        .localCheckpoint(eager=True)
     )
-    # verify candidates with true shingle Jaccard (shingle sets
-    # materialized once — joined on both pair sides)
-    sh = _fan_out(df).select(
-        F.col(id_col).alias("id"), TX.shingles_expr(text_col, n).alias("sh")
-    ).localCheckpoint(eager=True)
+    # Verify candidates with true shingle Jaccard. Shingle sets are
+    # computed ONLY for docs that appear in some candidate pair: the
+    # candidate id list semi-joins the corpus before tokenization, so
+    # the materialized verify side is O(candidate docs), not O(corpus)
+    # — previously the full corpus's shingle arrays were checkpointed
+    # even when candidates touched a fraction of it, a tokenized-corpus
+    # materialization that would dominate at 100 TB. AQE picks a
+    # broadcast semi-join while the id list is small and falls back to
+    # a keyed join when it isn't.
+    ids = (
+        cand.select(F.col("id_a").alias("cid"))
+        .union(cand.select(F.col("id_b")))
+        .distinct()
+    )
+    sh = (
+        _fan_out(df)
+        .join(ids, F.col(id_col) == F.col("cid"), "left_semi")
+        .select(F.col(id_col).alias("id"), TX.shingles_expr(text_col, n).alias("sh"))
+        .localCheckpoint(eager=True)
+    )
     return (
         cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
