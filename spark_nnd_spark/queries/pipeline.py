@@ -1028,25 +1028,25 @@ def q74_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     other; novelty says what a feed uniquely contributes (the number a
     curation run uses to decide if a source is worth its dedup cost).
     Shuffles are all O(distinct (source, shingle)) with map-side
-    partial aggregation, never O(corpus): distinct pairs, a shingle-
-    count aggregate, one equi-join back (co-partitioned on shingle by
-    the preceding aggregates), and a tiny per-source rollup. The
-    distinct pairs feed BOTH sides of that join, so they are
-    materialized once (localCheckpoint) — without the barrier Catalyst
-    inlines the tokenize+explode+distinct subtree into each branch and
-    the corpus is scanned twice."""
+    partial aggregation, never O(corpus): distinct pairs, then ONE
+    per-shingle aggregate that carries each shingle's source list
+    (bounded by the number of sources, a catalog-sized constant —
+    never by corpus size), exploded back out and rolled up per source.
+    No self-join, no materialization barrier: each shingle's
+    source-count rides along with its sources in the same aggregate
+    row, so the novelty flag needs no second pass over the pairs."""
     from spark_nnd_spark.functions.numeric import round_half_up_expr
 
     d = load_table(spark, sf_dir, "documents")
-    srcsh = (
-        d.select("source", F.explode(TX.shingles_expr("text", 3)).alias("shingle"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    srcsh = d.select(
+        "source", F.explode(TX.shingles_expr("text", 3)).alias("shingle")
+    ).distinct()
+    per_shingle = srcsh.groupBy("shingle").agg(
+        F.count("*").alias("nsrc"), F.collect_list("source").alias("srcs")
     )
-    nsrc = srcsh.groupBy("shingle").agg(F.count("*").alias("nsrc"))
     uniq = F.sum(F.when(F.col("nsrc") == 1, 1).otherwise(0)).cast("long")
     return (
-        srcsh.join(nsrc, "shingle")
+        per_shingle.select(F.explode("srcs").alias("source"), "nsrc")
         .groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_shingles"),

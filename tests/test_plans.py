@@ -236,16 +236,15 @@ def test_char_entropy_and_scrub_are_pure_map_stages(spark):
 
 
 def test_shingle_novelty_shuffles_distinct_pairs_only(spark):
-    """q74: the distinct (source, shingle) pairs are materialized once
-    and feed both sides of the shingle join — the final plan reads the
-    checkpoint (no parquet scan at all), aggregates with map-side
-    partials, and the join is an equi-join, never nested-loop."""
+    """q74: one corpus scan, no join at all — the per-shingle aggregate
+    carries each shingle's (bounded) source list next to its source
+    count, so novelty needs no second pass over the pairs. Exchanges
+    carry distinct (source, shingle) pairs or smaller, all with
+    map-side partials."""
     plan = _plan(spark, "q74_shingle_novelty")
-    assert "Scan parquet" not in plan  # both branches read the checkpoint
-    assert plan.count("Scan ExistingRDD") == 2
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
     assert "partial_count" in plan
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_filter_cascade_scans_corpus_once(spark):
