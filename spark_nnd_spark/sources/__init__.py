@@ -1,4 +1,11 @@
-from spark_nnd_spark.sources.formats import read_csv, read_jsonl, write_csv, write_jsonl
+from spark_nnd_spark.sources.formats import (
+    read_csv,
+    read_jsonl,
+    read_orc,
+    write_csv,
+    write_jsonl,
+    write_orc,
+)
 from spark_nnd_spark.sources.tables import TABLES, load_table, load_tables, register_views
 
 __all__ = [
@@ -7,7 +14,9 @@ __all__ = [
     "load_tables",
     "register_views",
     "read_csv",
+    "read_orc",
     "read_jsonl",
     "write_csv",
     "write_jsonl",
+    "write_orc",
 ]

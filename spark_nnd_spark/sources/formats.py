@@ -87,3 +87,20 @@ def write_csv(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC reader — columnar like parquet (stripe/row-group stats, so
+    predicate pushdown and column pruning both work), common as the
+    interchange format of Hive-era warehouses. Self-describing schema;
+    nothing to pin."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

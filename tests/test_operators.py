@@ -824,3 +824,28 @@ def test_quantized_topk_tracks_exact_brute(spark):
         len(v) for v in bt.values()
     )
     assert recall >= 0.9, f"quantized recall {recall:.2f}"
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC sink/source: values survive a partitioned round-trip and the
+    columnar scan keeps predicate pushdown + column pruning (the reason
+    ORC is first-class next to parquet)."""
+    from spark_nnd_spark.sources import read_orc, write_orc
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    odir = str(tmp_path / "docs_orc")
+    write_orc(docs, odir, partition_by=["lang"])
+    back = read_orc(spark, odir)
+    want = {(r["doc_id"], r["text"], r["lang"]) for r in docs.collect()}
+    got = {(r["doc_id"], r["text"], r["lang"]) for r in back.collect()}
+    assert got == want
+
+    plan = (
+        back.filter(F.col("doc_id") < 100)
+        .select("doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
