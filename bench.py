@@ -61,6 +61,7 @@ HEADLINE = [
     "q74_shingle_novelty",
     "q75_filter_cascade",
     "q76_quantized_topk",
+    "q77_weighted_sample",
 ]
 
 

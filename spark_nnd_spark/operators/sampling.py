@@ -93,3 +93,46 @@ def stratified_sample(
     return df.filter(
         sample_key_expr(id_col) < stratified_threshold_expr(rates, strata_col, default_rate)
     )
+
+
+def weighted_key_expr(id_col: Column | str, weight: Column) -> Column:
+    """Efraimidis–Spirakis exponential-race key: ``-ln(u)/w`` with the
+    uniform ``u ∈ (0,1)`` derived from the row's md5 (the same stable
+    32-bit prefix the Bernoulli sampler uses), so the draw is
+    deterministic and engine-portable. Taking the k SMALLEST keys of a
+    stratum is an exact weighted sample without replacement — the
+    quality-weighted corpus downsample (weight = quality score means
+    high-quality docs win their races more often), computed as a
+    narrow per-row expression + one per-stratum top-k window."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    u = (
+        F.conv(sample_key_expr(c), 16, 10).cast("long") + F.lit(1)
+    ) / F.lit(float(_SPACE + 1))
+    return -F.log(u) / weight
+
+
+def weighted_key_sql(id_col: str, weight: str) -> str:
+    """DuckDB rendering of weighted_key_expr (identical arithmetic)."""
+    u = f"(('0x' || {sample_key_sql(id_col)})::UBIGINT + 1) / {float(_SPACE + 1)}"
+    return f"-ln({u}) / ({weight})"
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight: Column,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k-by-race weighted sample per stratum. One hash exchange on
+    the stratum column (the top-k window); everything else narrow."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    key = weighted_key_expr(id_col, weight)
+    w = Window.partitionBy(strata_col).orderBy(F.col("skey").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("skey", key)
+        .withColumn("srank", F.row_number().over(w))
+        .filter(F.col("srank") <= k)
+        .drop("skey", "srank")
+    )

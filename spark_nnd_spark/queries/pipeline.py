@@ -1129,6 +1129,29 @@ def q76_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+WEIGHTED_SAMPLE_K = 20
+
+
+def q77_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis–Spirakis exponential
+    race, operators/sampling.py weighted_key_expr): per source, the 20
+    documents that win a -ln(u)/weight race with u derived from
+    md5(doc_id) and weight = n_chars — the quality-weighted corpus
+    downsample, reproducible across engines/reruns. Narrow key
+    computation; one hash exchange for the per-source top-k window."""
+    from spark_nnd_spark.operators.sampling import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = weighted_sample(
+        d,
+        k=WEIGHTED_SAMPLE_K,
+        weight=F.col("n_chars").cast("double"),
+        strata_col="source",
+        id_col="doc_id",
+    )
+    return out.select("source", "doc_id", "n_chars").orderBy("source", "doc_id")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -1178,6 +1201,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_shingle_novelty": q74_shingle_novelty,
     "q75_filter_cascade": q75_filter_cascade,
     "q76_quantized_topk": q76_quantized_topk,
+    "q77_weighted_sample": q77_weighted_sample,
 }
 
 
@@ -1938,6 +1962,20 @@ def pipeline_oracles() -> dict[str, str]:
         )
         SELECT query_id, nb_id, rank, round(qcosine, 6) AS qcosine
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """
+    from spark_nnd_spark.operators.sampling import weighted_key_sql
+
+    oracles["q77_weighted_sample"] = f"""
+        SELECT source, doc_id, n_chars FROM (
+            SELECT source, doc_id, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY {weighted_key_sql("doc_id", "n_chars")} ASC,
+                                doc_id ASC
+                   ) AS r
+            FROM documents
+        ) WHERE r <= {WEIGHTED_SAMPLE_K}
+        ORDER BY source, doc_id
     """
     return oracles
 

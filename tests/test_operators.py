@@ -849,3 +849,30 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     )
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan
     assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Efraimidis-Spirakis property: expected inclusion grows with
+    weight, so the sampled mean weight must exceed the corpus mean.
+    Also: determinism (two runs identical) and exact per-stratum k."""
+    from spark_nnd_spark.operators.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = weighted_sample(
+        docs, k=10, weight=F.col("n_chars").cast("double"),
+        strata_col="source", id_col="doc_id",
+    )
+    rows = out.collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r["n_chars"])
+    n_src = docs.select("source").distinct().count()
+    assert len(per_src) == n_src
+    assert all(len(v) == 10 for v in per_src.values())
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = sum(sum(v) for v in per_src.values()) / sum(
+        len(v) for v in per_src.values()
+    )
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+    again = {(r["doc_id"],) for r in out.collect()}
+    assert again == {(r["doc_id"],) for r in rows}

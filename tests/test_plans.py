@@ -264,3 +264,11 @@ def test_quantized_topk_broadcasts_query_side(spark):
     plan = _plan(spark, "q76_quantized_topk")
     assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
     assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]" in plan
+
+
+def test_weighted_sample_is_single_stratum_exchange(spark):
+    """q77: the race key is a narrow per-row expression; the only hash
+    exchange is the per-source top-k window."""
+    plan = _plan(spark, "q77_weighted_sample")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Scan parquet") == 1
