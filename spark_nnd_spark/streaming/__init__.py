@@ -6,6 +6,7 @@ from spark_nnd_spark.streaming.streams import (
     read_events_kafka,
     read_events_stream,
     run_to_memory_sink,
+    run_to_parquet_sink,
     sessionize_stream,
     user_running_totals_stream,
     windowed_counts_stream,
@@ -19,6 +20,7 @@ __all__ = [
     "read_events_kafka",
     "read_events_stream",
     "run_to_memory_sink",
+    "run_to_parquet_sink",
     "sessionize_stream",
     "user_running_totals_stream",
     "windowed_counts_stream",

@@ -175,6 +175,38 @@ def run_to_memory_sink(
     return q
 
 
+def run_to_parquet_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    timeout_sec: int = 120,
+) -> Any:
+    """Production file sink: parquet append with a checkpointLocation.
+
+    The checkpoint's offset WAL plus the file-sink output manifest make
+    batch replays idempotent — a query restarted from the same
+    checkpoint resumes at the first unprocessed input file and never
+    re-emits rows it already committed, i.e. exactly-once file output
+    across restarts (asserted in tests/test_streaming.py). This is the
+    landing-zone pattern for a continuously-ingesting 100 TB corpus:
+    the downstream batch layer reads the sink directory through the
+    manifest and sees only committed files.
+
+    Drains all available input (``availableNow``) and returns the
+    query handle."""
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q
+
+
 def dedup_stream(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
 ) -> DataFrame:

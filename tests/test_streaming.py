@@ -179,3 +179,41 @@ def test_attribution_stream_matches_batch(spark, events_batch):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_file_sink_exactly_once_across_restart(spark, tmp_path):
+    """The production sink contract: a query restarted from the same
+    checkpoint resumes at the first unprocessed input file and never
+    re-emits committed rows — output equals the batch twin with zero
+    duplicates, and an idle restart writes nothing."""
+    import pyarrow.parquet as pq
+
+    from spark_nnd_spark.streaming import run_to_parquet_sink
+
+    tbl = pq.read_table(f"{SF_SMOKE}/events.parquet")
+    half = tbl.num_rows // 2
+    indir = tmp_path / "in"
+    indir.mkdir()
+    pq.write_table(tbl.slice(0, half), indir / "part1.parquet")
+    schema = spark.read.parquet(str(indir / "part1.parquet")).schema
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        s = spark.readStream.schema(schema).parquet(str(indir))
+        run_to_parquet_sink(s.filter(F.col("value") > 0), out, ckpt)
+
+    drain()
+    n_first = spark.read.parquet(out).count()
+    assert n_first > 0
+
+    # late files land; restart from the same checkpoint
+    pq.write_table(tbl.slice(half), indir / "part2.parquet")
+    drain()
+    got = spark.read.parquet(out)
+    want = spark.read.parquet(str(indir)).filter(F.col("value") > 0)
+    assert got.count() == want.count() > n_first
+    assert got.select("event_id").distinct().count() == got.count()
+
+    # idle restart: no new input, no new rows
+    drain()
+    assert spark.read.parquet(out).count() == want.count()
