@@ -37,7 +37,8 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   q72 char-entropy quality signal, q73 blocklist scrub/redaction,
   q74 per-source shingle novelty, q75 filter-cascade attrition audit,
   q76 int8-quantized cosine top-k, q77 deterministic weighted
-  sampling (Efraimidis-Spirakis race) (queries/pipeline.py); q59 deterministic
+  sampling (Efraimidis-Spirakis race), q78 span-level
+  contamination pairs (queries/pipeline.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).
 """
@@ -66,7 +67,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness checks only the first ~50 entries of
-# this dict (insertion order), and the repo declares 77 queries — so the
+# this dict (insertion order), and the repo declares 78 queries — so the
 # order is a priority schedule. It is GENERATED from the recorded
 # CORRECTNESS_r*.json history, not hand-maintained: queries that have
 # never received a driver row come first, then stalest-last-check first,

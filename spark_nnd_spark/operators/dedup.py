@@ -579,3 +579,36 @@ def decontaminate(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Span-level decontamination forensic: WHICH eval doc contaminates
+    which training doc — (corpus id, bench_id, n_shared) for every pair
+    sharing ≥ 1 distinct n-token shingle. ``decontaminate`` gives the
+    per-doc verdict a pipeline filters on; this gives the audit trail a
+    leak investigation needs (trace a contaminated doc to the specific
+    eval items it leaks).
+
+    Same scale shape as ``decontaminate``: the eval-side postings
+    (shingle → bench_id, eval suites are MBs) broadcast, the corpus
+    postings stream through a broadcast hash join, and the pair
+    aggregate is map-side partial — the corpus never shuffles raw text,
+    only (corpus_id, bench_id) hit partials."""
+    bench_posts = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(TX.shingles_expr(text_col, n)).alias("shingle"),
+    )
+    posts = corpus.select(
+        F.col(id_col), F.explode(TX.shingles_expr(text_col, n)).alias("shingle")
+    )
+    return (
+        posts.join(F.broadcast(bench_posts), "shingle")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )

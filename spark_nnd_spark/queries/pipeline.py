@@ -1152,6 +1152,21 @@ def q77_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("source", "doc_id", "n_chars").orderBy("source", "doc_id")
 
 
+def q78_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination audit (operators/dedup.
+    contamination_pairs): q51 says WHETHER a training doc leaks the
+    eval set; this says WHICH eval doc it leaks and how many distinct
+    5-shingles they share — the trace a leak investigation follows.
+    Bench postings broadcast; the corpus never shuffles raw text."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < Q51_BENCH_MAX_ID)
+    corpus = d.filter(F.col("doc_id") >= Q51_BENCH_MAX_ID)
+    return (
+        DD.contamination_pairs(corpus, bench, n=5)
+        .orderBy("doc_id", "bench_id")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -1202,6 +1217,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_filter_cascade": q75_filter_cascade,
     "q76_quantized_topk": q76_quantized_topk,
     "q77_weighted_sample": q77_weighted_sample,
+    "q78_contamination_pairs": q78_contamination_pairs,
 }
 
 
@@ -1976,6 +1992,21 @@ def pipeline_oracles() -> dict[str, str]:
             FROM documents
         ) WHERE r <= {WEIGHTED_SAMPLE_K}
         ORDER BY source, doc_id
+    """
+    oracles["q78_contamination_pairs"] = f"""
+        WITH bench AS (
+            SELECT doc_id AS bench_id,
+                   unnest({TX.shingles_sql('text', 5)}) AS shingle
+            FROM documents WHERE doc_id < {Q51_BENCH_MAX_ID}
+        ),
+        posts AS (
+            SELECT doc_id, unnest({TX.shingles_sql('text', 5)}) AS shingle
+            FROM documents WHERE doc_id >= {Q51_BENCH_MAX_ID}
+        )
+        SELECT doc_id, bench_id, COUNT(*) AS n_shared
+        FROM posts JOIN bench USING (shingle)
+        GROUP BY doc_id, bench_id
+        ORDER BY doc_id, bench_id
     """
     return oracles
 

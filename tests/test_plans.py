@@ -272,3 +272,15 @@ def test_weighted_sample_is_single_stratum_exchange(spark):
     plan = _plan(spark, "q77_weighted_sample")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Scan parquet") == 1
+
+
+def test_contamination_pairs_broadcasts_bench_postings(spark):
+    """q78: the eval-side postings must be the broadcast build; the
+    corpus streams into the join with no exchange before it, and the
+    pair aggregate combines map-side."""
+    plan = _plan(spark, "q78_contamination_pairs")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    # the only hash exchange carries (doc_id, bench_id) hit partials —
+    # the corpus text itself never shuffles
+    assert plan.count("Exchange hashpartitioning") == 1
