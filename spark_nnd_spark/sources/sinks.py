@@ -101,3 +101,38 @@ def write_training_shards(
     if sort_within:
         sharded = sharded.sortWithinPartitions(*sort_within)
     sharded.write.mode(mode).partitionBy("shard").parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "error",
+) -> int:
+    """Small-files maintenance: rewrite a landing directory's many tiny
+    parquet files into ~``target_file_bytes`` files. The other half of
+    the small-files problem `write_table(target_file_rows=...)` solves
+    at write time — streaming sinks and incremental backfills
+    accumulate per-micro-batch files regardless of how carefully the
+    batch layer writes, and at 100 TB an uncompacted landing zone turns
+    every scan's task scheduling into the bottleneck (one task per tiny
+    file).
+
+    The output file count is sized from FILE METADATA (os.stat over the
+    directory tree — no data scan, no Spark job), and the rewrite uses
+    ``coalesce`` (narrow, no shuffle: tasks concatenate input splits).
+    Returns the number of output files requested. Writes to ``dest`` —
+    never in place (Spark cannot atomically overwrite a directory it is
+    reading; callers swap directories after the rewrite commits)."""
+    import math  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.stat(os.path.join(root, f)).st_size
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src).coalesce(n_files).write.mode(mode).parquet(dest)
+    return n_files

@@ -876,3 +876,25 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
     again = {(r["doc_id"],) for r in out.collect()}
     assert again == {(r["doc_id"],) for r in rows}
+
+
+def test_compact_parquet_merges_tiny_files(spark, tmp_path):
+    """32 tiny files in, a handful out, same rows; file count sized
+    from metadata without scanning data."""
+    import glob
+
+    from spark_nnd_spark.sources.sinks import compact_parquet
+
+    src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    docs.repartition(32).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 32
+
+    n = compact_parquet(spark, src, dest, target_file_bytes=10**12)
+    assert n == 1
+    assert len(glob.glob(f"{dest}/*.parquet")) == 1
+    back = spark.read.parquet(dest)
+    assert back.count() == docs.count()
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }

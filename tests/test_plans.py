@@ -284,3 +284,51 @@ def test_contamination_pairs_broadcasts_bench_postings(spark):
     # the only hash exchange carries (doc_id, bench_id) hit partials —
     # the corpus text itself never shuffles
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Scale posture: a hot key must trigger AQE's skew-join split (the
+    runtime answer to data skew at 100 TB — oversized partitions are
+    subdivided instead of straggling). Thresholds are lowered so the
+    local fixture crosses them; broadcast is disabled to force the
+    shuffled join AQE optimizes."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        hot = spark.range(300_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        )
+        cold = spark.range(2_000).select(
+            (F.col("id") % 100 + 1).alias("k"), F.col("id").alias("v")
+        )
+        left = hot.union(cold)
+        right = spark.range(101).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        # execute THIS DataFrame's own QueryExecution (count() would
+        # build a different one and leave j's plan un-finalized)
+        assert len(j.collect()) == 302_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
