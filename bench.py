@@ -62,6 +62,7 @@ HEADLINE = [
     "q75_filter_cascade",
     "q76_quantized_topk",
     "q77_weighted_sample",
+    "q79_pq_adc_topk",
 ]
 
 

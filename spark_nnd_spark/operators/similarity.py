@@ -154,6 +154,148 @@ def quantized_brute_topk(
     )
 
 
+def pq_codebooks(
+    dim: int, m: int = 8, n_codes: int = 16, seed: int = 42
+) -> np.ndarray:
+    """Deterministic product-quantization codebooks: ``m`` subvector
+    spaces × ``n_codes`` centroids × ``dim/m`` dims, seeded normal
+    scaled by 1/sqrt(dim) — the per-dimension magnitude of ANY
+    unit-normalized embedding space (a unit vector spreads unit energy
+    over dim coordinates), so the codes land in the data's range
+    without seeing the data. Data-independent (like fixed_centroids),
+    so an oracle can replay them as literals. Real deployments
+    k-means-train these; the geometry of encode/ADC is identical
+    either way."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subvectors")
+    rng = np.random.default_rng([seed, dim, m, n_codes, 11])
+    return rng.standard_normal((m, n_codes, dim // m)) / np.sqrt(dim)
+
+
+def _pq_sqdist_expr(vec, offset: int, code: np.ndarray):
+    """Σ_d (vec[offset+d] - code_d)² as an unrolled literal expression
+    (products, not pow(), so both engines do the same arithmetic);
+    left-to-right addition matches the oracle's list_sum order."""
+    total = None
+    for d, c in enumerate(code):
+        diff = F.element_at(vec, offset + d + 1) - F.lit(float(c))
+        term = diff * diff
+        total = term if total is None else total + term
+    return total
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: per subvector, the argmin-L2 code index (ties →
+    smaller code, via struct-ordered array_min). Returns (id,
+    codes ARRAY<INT>) — m bytes of index per vector instead of
+    8·dim bytes of floats, the ~64× memory/wire shrink that lets a
+    billion-vector index live in RAM. Pure JVM expressions."""
+    m, n_codes, sub = codebooks.shape
+    v = _as_double(vec_col)
+    code_cols = []
+    for j in range(m):
+        pairs = F.array(
+            *[
+                F.struct(
+                    _pq_sqdist_expr(v, j * sub, codebooks[j][k]).alias("d"),
+                    F.lit(k).alias("c"),
+                )
+                for k in range(n_codes)
+            ]
+        )
+        code_cols.append(F.array_min(pairs)["c"])
+    return df.select(F.col(id_col).alias("id"), F.array(*code_cols).alias("codes"))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    codebooks: np.ndarray | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance PQ top-k — the classic billion-scale ANN
+    shape: the corpus is reduced to m-byte code arrays ONCE (encode is
+    a narrow map; at scale the codes are the persisted index), each
+    query precomputes its m×n_codes lookup table of exact
+    subvector-to-centroid distances ONCE (a few hundred doubles,
+    broadcast with the query), and the per-pair cost collapses to m
+    table lookups + adds — compare brute's O(dim) multiplies per pair,
+    on 64× more bytes. Approximate L2; ranking is deterministic
+    (identical double sums both engines, ties → nb_id).
+
+    With ``rerank=R`` the ADC pass becomes a shortlist: the top-R
+    candidates per query are re-scored with EXACT cosine (features
+    fetched for only R rows per query via an id equi-join against the
+    corpus) and the final top-k ranks by true similarity — the
+    production PQ shape (IVFADC+rerank), which buys back the recall
+    the coarse codes lose while still never scanning features for the
+    other N−R candidates. Rerank output: (query_id, nb_id, rank,
+    cosine).
+
+    Returns (query_id, nb_id, rank, pq_dist)."""
+    query_id_col = query_id_col or id_col
+    cb = codebooks if codebooks is not None else pq_codebooks(dim, m, n_codes, seed)
+    m, n_codes, sub = cb.shape
+    enc = pq_encode(corpus, cb, id_col, vec_col).withColumnRenamed("id", "nb_id")
+    qv = _as_double(vec_col)
+    lut = F.array(
+        *[
+            F.array(*[_pq_sqdist_expr(qv, j * sub, cb[j][kk]) for kk in range(n_codes)])
+            for j in range(m)
+        ]
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), lut.alias("lut")
+    )
+    dist = None
+    for j in range(m):
+        # element_at is 1-based (subvector slot); [] is 0-based (code)
+        term = F.expr(f"element_at(lut, {j + 1})[element_at(codes, {j + 1})]")
+        dist = term if dist is None else dist + term
+    scored = (
+        enc.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("nb_id"))
+        .withColumn("pq_dist", dist)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("pq_dist"), F.asc("nb_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if rerank is None:
+        return ranked.filter(F.col("rank") <= k).select(
+            "query_id", "nb_id", "rank", "pq_dist"
+        )
+    shortlist = ranked.filter(F.col("rank") <= rerank).select("query_id", "nb_id")
+    c_feats = corpus.select(
+        F.col(id_col).alias("nb_id"), _as_double(vec_col).alias("c_vec")
+    )
+    q_feats = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("q_vec")
+    )
+    exact = (
+        shortlist.join(c_feats, "nb_id")
+        .join(F.broadcast(q_feats), "query_id")
+        .withColumn("cosine", cosine_similarity_expr("q_vec", "c_vec"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nb_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nb_id", "rank", "cosine")
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     """Deterministic random hyperplanes for sign-LSH."""
     rng = np.random.default_rng([seed, dim, n_planes])
@@ -392,6 +534,86 @@ def _estimate_rows(df: DataFrame) -> int | None:
         return None
 
 
+def _collect_training_sample(
+    corpus: DataFrame,
+    train_sample: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    n_rows: int | None,
+) -> np.ndarray:
+    """The shared deterministic-sample collector of the index trainers
+    (IVF centroids, PQ codebooks): md5-threshold pre-filter sized from
+    metadata, seeded xxhash64 order over the surviving subset, ×4 rate
+    escalation on under-selection. Returns an (n, dim) float64 array
+    (raw, un-normalized — callers normalize as their metric needs)."""
+    from spark_nnd_spark.operators.sampling import (  # noqa: PLC0415
+        sample_key_expr,
+        threshold_hex,
+    )
+
+    n_est = n_rows if n_rows is not None else _estimate_rows(corpus)
+    rate = 1.0 if n_est is None else min(1.0, (4.0 * train_sample) / max(n_est, 1))
+    while True:
+        sample = (
+            corpus.filter(sample_key_expr(F.col(id_col)) < threshold_hex(rate))
+            .select(
+                _as_double(vec_col).alias("v"),
+                F.xxhash64(id_col, F.lit(seed)).alias("h"),
+            )
+            .orderBy("h")
+            .limit(train_sample)
+            .collect()
+        )
+        if len(sample) >= train_sample or rate >= 1.0:
+            break
+        rate = min(1.0, rate * 4.0)
+    return np.array([r["v"] for r in sample], dtype=np.float64)
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    train_sample: int = 4096,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> np.ndarray:
+    """Data-trained PQ codebooks: per-subspace Lloyd k-means on the
+    deterministic training sample (driver-side numpy on O(train_sample)
+    rows, the standard practice — same shape as train_ivf_centroids).
+    Trained codebooks lift PQ recall far above the seeded
+    data-independent ones (q79 keeps the seeded variant because a
+    static oracle can replay it; production indexes pass these in via
+    ``pq_adc_topk(codebooks=...)``)."""
+    x = _collect_training_sample(corpus, train_sample, seed, id_col, vec_col, n_rows)
+    if len(x) < n_codes:
+        raise ValueError(
+            f"PQ training needs >= n_codes={n_codes} vectors; got {len(x)}"
+        )
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subvectors")
+    sub = dim // m
+    rng = np.random.default_rng([seed, m, n_codes, 23])
+    books = np.empty((m, n_codes, sub))
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        c = xs[rng.choice(len(xs), size=n_codes, replace=False)].copy()
+        for _ in range(kmeans_iters):
+            d = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for kk in range(n_codes):
+                members = xs[assign == kk]
+                if len(members):
+                    c[kk] = members.mean(0)
+        books[j] = c
+    return books
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -422,33 +644,12 @@ def train_ivf_centroids(
     (or a stale estimate) can under-select; the loop then rewidens the
     rate ×4 up to keep-everything, so the sample can silently shrink
     below ``train_sample`` only when the corpus itself is smaller."""
-    from spark_nnd_spark.operators.sampling import (  # noqa: PLC0415
-        sample_key_expr,
-        threshold_hex,
-    )
-
-    n_est = n_rows if n_rows is not None else _estimate_rows(corpus)
-    rate = 1.0 if n_est is None else min(1.0, (4.0 * train_sample) / max(n_est, 1))
-    while True:
-        sample = (
-            corpus.filter(sample_key_expr(F.col(id_col)) < threshold_hex(rate))
-            .select(
-                _as_double(vec_col).alias("v"),
-                F.xxhash64(id_col, F.lit(seed)).alias("h"),
-            )
-            .orderBy("h")
-            .limit(train_sample)
-            .collect()
-        )
-        if len(sample) >= train_sample or rate >= 1.0:
-            break
-        rate = min(1.0, rate * 4.0)
-    if len(sample) < n_centroids:
+    x = _collect_training_sample(corpus, train_sample, seed, id_col, vec_col, n_rows)
+    if len(x) < n_centroids:
         raise ValueError(
             f"IVF training needs >= n_centroids={n_centroids} vectors; "
-            f"corpus yielded only {len(sample)}"
+            f"corpus yielded only {len(x)}"
         )
-    x = np.array([r["v"] for r in sample], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng([seed, len(x)])
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]

@@ -1167,6 +1167,27 @@ def q78_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M, PQ_CODES, PQ_SEED, PQ_DIM = 8, 16, 42, 64
+
+
+def q79_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/similarity.py
+    pq_encode / pq_adc_topk) — the billion-scale ANN shape: corpus
+    reduced to 8 code bytes per vector, per-query lookup tables
+    precomputed once, per-pair cost = 8 table lookups. Codebooks are
+    seeded data-independent (pq_codebooks), so the DuckDB oracle
+    replays encode + ADC from literals and the whole approximate tier
+    hash-matches (the q33/q67 convention)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SIM.pq_adc_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+        m=PQ_M, n_codes=PQ_CODES, seed=PQ_SEED, dim=PQ_DIM,
+    )
+    return out.select(
+        "query_id", "nb_id", "rank", F.round("pq_dist", 6).alias("pq_dist")
+    ).orderBy("query_id", "rank")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -1218,6 +1239,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_quantized_topk": q76_quantized_topk,
     "q77_weighted_sample": q77_weighted_sample,
     "q78_contamination_pairs": q78_contamination_pairs,
+    "q79_pq_adc_topk": q79_pq_adc_topk,
 }
 
 
@@ -2008,7 +2030,74 @@ def pipeline_oracles() -> dict[str, str]:
         GROUP BY doc_id, bench_id
         ORDER BY doc_id, bench_id
     """
+    oracles["q79_pq_adc_topk"] = _pq_adc_oracle_sql()
     return oracles
+
+
+def _pq_adc_oracle_sql() -> str:
+    """q79 oracle: replay PQ encode + ADC from codebook literals (the
+    q33/q67 convention — seeded data-independent inputs make the
+    approximate tier deterministic enough to hash-check). Arithmetic
+    mirrors the Spark expressions exactly: squared diffs as products
+    (not pow), left-to-right list_sum, struct-ordered argmin with
+    code-index tiebreak, rank ties broken by nb_id."""
+    from spark_nnd_spark.operators.similarity import pq_codebooks
+
+    cb = pq_codebooks(PQ_DIM, PQ_M, PQ_CODES, PQ_SEED)
+    sub = PQ_DIM // PQ_M
+    cb_lit = (
+        "["
+        + ", ".join(
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(float(x)) for x in code) + "]" for code in space
+            )
+            + "]"
+            for space in cb
+        )
+        + "]"
+    )
+
+    def sqdist(vec: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {sub + 1}), d -> "
+            f"({vec}[j * {sub} + d] - cb[j + 1][k + 1][d])"
+            f" * ({vec}[j * {sub} + d] - cb[j + 1][k + 1][d])))"
+        )
+
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cbt AS (SELECT {cb_lit} AS cb),
+        enc AS (
+            SELECT vec_id,
+                   list_transform(range(0, {PQ_M}), j ->
+                       (list_min(list_transform(range(0, {PQ_CODES}), k ->
+                           {{'d': {sqdist('v')}, 'c': k}}))).c
+                   ) AS codes
+            FROM e CROSS JOIN cbt
+        ),
+        lut AS (
+            SELECT vec_id AS query_id,
+                   list_transform(range(0, {PQ_M}), j ->
+                       list_transform(range(0, {PQ_CODES}), k -> {sqdist('v')})
+                   ) AS lut
+            FROM e CROSS JOIN cbt WHERE vec_id < 10
+        ),
+        scored AS (
+            SELECT query_id, c.vec_id AS nb_id,
+                   list_sum(list_transform(range(0, {PQ_M}), j ->
+                       lut[j + 1][codes[j + 1] + 1])) AS pq_dist
+            FROM enc c CROSS JOIN lut WHERE query_id <> c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, nb_id, pq_dist,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY pq_dist ASC, nb_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, nb_id, rank, round(pq_dist, 6) AS pq_dist
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """
 
 
 PIPELINE_ORACLES = pipeline_oracles()

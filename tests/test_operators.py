@@ -898,3 +898,30 @@ def test_compact_parquet_merges_tiny_files(spark, tmp_path):
     assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
         r["doc_id"] for r in docs.select("doc_id").collect()
     }
+
+
+def test_pq_adc_rerank_recovers_recall(spark):
+    """The production PQ chain: trained per-subspace codebooks (Lloyd
+    on the deterministic sample) + ADC shortlist + exact rerank must
+    recover most of brute-force recall; the raw coarse-code pass alone
+    does not (that is the point of reranking). Codes stay in range."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    brute = SIM.ann_brute_topk(emb, q, k=5).collect()
+    bt = {}
+    for r in brute:
+        bt.setdefault(r["query_id"], set()).add(r["nb_id"])
+
+    cb = SIM.train_pq_codebooks(emb, m=16, n_codes=16)
+    assert cb.shape == (16, 16, 4)
+    codes = SIM.pq_encode(emb, cb).collect()
+    assert all(0 <= c < 16 for r in codes for c in r["codes"])
+
+    out = SIM.pq_adc_topk(emb, q, k=5, codebooks=cb, rerank=50).collect()
+    qt = {}
+    for r in out:
+        qt.setdefault(r["query_id"], set()).add(r["nb_id"])
+    recall = sum(len(bt[k] & qt.get(k, set())) for k in bt) / sum(
+        len(v) for v in bt.values()
+    )
+    assert recall >= 0.8, f"PQ+rerank recall {recall:.2f}"
