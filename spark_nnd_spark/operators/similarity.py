@@ -172,16 +172,32 @@ def pq_codebooks(
     return rng.standard_normal((m, n_codes, dim // m)) / np.sqrt(dim)
 
 
-def _pq_sqdist_expr(vec, offset: int, code: np.ndarray):
-    """Σ_d (vec[offset+d] - code_d)² as an unrolled literal expression
-    (products, not pow(), so both engines do the same arithmetic);
-    left-to-right addition matches the oracle's list_sum order."""
-    total = None
-    for d, c in enumerate(code):
-        diff = F.element_at(vec, offset + d + 1) - F.lit(float(c))
-        term = diff * diff
-        total = term if total is None else total + term
-    return total
+def _pq_space_lit(space: np.ndarray):
+    """One subspace's codebook as an array<array<double>> literal.
+    Catalyst constant-folds the nested CreateArray of foldable
+    literals into a single Literal — the codes become DATA in the
+    plan, not code, keeping the generated method tiny (the unrolled
+    per-term expression form compiled a >1000-node codegen unit whose
+    janino compile dominated the whole query on small inputs)."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in code]) for code in space]
+    )
+
+
+def _pq_dists_expr(vec, j: int, sub: int, space_lit):
+    """Array of K squared distances between subvector j of ``vec`` and
+    each code: zip_with products folded left-to-right (0.0 + t1 + …,
+    exact identity to the oracle's list_sum order — terms are squares,
+    so the leading 0.0 changes nothing)."""
+    subv = F.slice(vec, j * sub + 1, sub)
+    return F.transform(
+        space_lit,
+        lambda code: F.aggregate(
+            F.zip_with(subv, code, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
 
 
 def pq_encode(
@@ -199,14 +215,9 @@ def pq_encode(
     v = _as_double(vec_col)
     code_cols = []
     for j in range(m):
-        pairs = F.array(
-            *[
-                F.struct(
-                    _pq_sqdist_expr(v, j * sub, codebooks[j][k]).alias("d"),
-                    F.lit(k).alias("c"),
-                )
-                for k in range(n_codes)
-            ]
+        dists = _pq_dists_expr(v, j, sub, _pq_space_lit(codebooks[j]))
+        pairs = F.transform(
+            dists, lambda d, i: F.struct(d.alias("d"), i.alias("c"))
         )
         code_cols.append(F.array_min(pairs)["c"])
     return df.select(F.col(id_col).alias("id"), F.array(*code_cols).alias("codes"))
@@ -252,10 +263,7 @@ def pq_adc_topk(
     enc = pq_encode(corpus, cb, id_col, vec_col).withColumnRenamed("id", "nb_id")
     qv = _as_double(vec_col)
     lut = F.array(
-        *[
-            F.array(*[_pq_sqdist_expr(qv, j * sub, cb[j][kk]) for kk in range(n_codes)])
-            for j in range(m)
-        ]
+        *[_pq_dists_expr(qv, j, sub, _pq_space_lit(cb[j])) for j in range(m)]
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), lut.alias("lut")
