@@ -38,7 +38,8 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   q74 per-source shingle novelty, q75 filter-cascade attrition audit,
   q76 int8-quantized cosine top-k, q77 deterministic weighted
   sampling (Efraimidis-Spirakis race), q78 span-level
-  contamination pairs, q79 product-quantization ADC top-k
+  contamination pairs, q79 product-quantization ADC top-k,
+  q80 hybrid BM25+vector retrieval with reciprocal-rank fusion
   (queries/pipeline.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).
@@ -68,7 +69,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness checks only the first ~50 entries of
-# this dict (insertion order), and the repo declares 79 queries — so the
+# this dict (insertion order), and the repo declares 80 queries — so the
 # order is a priority schedule. It is GENERATED from the recorded
 # CORRECTNESS_r*.json history, not hand-maintained: queries that have
 # never received a driver row come first, then stalest-last-check first,

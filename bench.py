@@ -63,6 +63,7 @@ HEADLINE = [
     "q76_quantized_topk",
     "q77_weighted_sample",
     "q79_pq_adc_topk",
+    "q80_hybrid_rrf",
 ]
 
 

@@ -1188,6 +1188,108 @@ def q79_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+RRF_K = 60
+RRF_CAND = 100
+RRF_TOPN = 20
+
+
+def q80_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion — the modern
+    two-tower selection stack: a BM25 keyword list (q68 scoring) and a
+    vector-similarity list (cosine to the vec_id=0 embedding) are each
+    cut to RRF_CAND candidates, ranked, and fused with
+    1/(K+rank_text) + 1/(K+rank_vec). The production shape: each
+    retriever's global ordering ends at a top-N limit (TakeOrdered —
+    no single-partition pass over the corpus), and every window after
+    that sees ≤ RRF_CAND rows regardless of corpus size. Ranks are 0
+    when a doc is absent from that retriever's list (no NULLs — the
+    cross-engine hash treats them differently)."""
+    from pyspark.sql import Window
+
+    from spark_nnd_spark.functions.numeric import round_half_up_expr
+    from spark_nnd_spark.functions.vector import cosine_similarity_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+
+    # text retriever: q68's BM25 scoring, cut to RRF_CAND
+    toks = d.select(
+        "doc_id",
+        TX.token_count_expr("text").cast("double").alias("dl"),
+        F.explode(TX.tokens_expr("text")).alias("token"),
+    ).filter(F.col("token").isin(BM25_QUERY))
+    tf = (
+        toks.groupBy("doc_id", "token", "dl")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    stats = d.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(TX.token_count_expr("text")).alias("avgdl"),
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    term_score = idf * (
+        F.col("tf") * (BM25_K1 + 1)
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    t_top = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(RRF_CAND)
+    )
+    t_rank = t_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .cast("long")
+        .alias("rank_t"),
+    )
+
+    # vector retriever: cosine to the vec_id=0 query, cut to RRF_CAND
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    v_top = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity_expr(
+                F.col("embedding").cast("array<double>"), F.col("qv")
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "doc_id")
+        .limit(RRF_CAND)
+    )
+    v_rank = v_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), "doc_id"))
+        .cast("long")
+        .alias("rank_v"),
+    )
+
+    rrf_term = lambda c: F.when(  # noqa: E731
+        F.col(c).isNotNull(), F.lit(1.0) / (F.lit(RRF_K) + F.col(c))
+    ).otherwise(F.lit(0.0))
+    fused = t_rank.join(v_rank, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("rank_t", F.lit(0)).cast("long").alias("rank_t"),
+        F.coalesce("rank_v", F.lit(0)).cast("long").alias("rank_v"),
+        round_half_up_expr(rrf_term("rank_t") + rrf_term("rank_v")).alias("rrf"),
+    )
+    w = Window.orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= RRF_TOPN)
+        .orderBy("rank")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -1240,6 +1342,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_weighted_sample": q77_weighted_sample,
     "q78_contamination_pairs": q78_contamination_pairs,
     "q79_pq_adc_topk": q79_pq_adc_topk,
+    "q80_hybrid_rrf": q80_hybrid_rrf,
 }
 
 
@@ -2031,6 +2134,69 @@ def pipeline_oracles() -> dict[str, str]:
         ORDER BY doc_id, bench_id
     """
     oracles["q79_pq_adc_topk"] = _pq_adc_oracle_sql()
+    terms_rrf = ",".join(f"'{t}'" for t in BM25_QUERY)
+    cos_rrf = (
+        "list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*cv[i]))"
+        " / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))"
+        " * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))))"
+    )
+    oracles["q80_hybrid_rrf"] = f"""
+        WITH toks AS (
+            SELECT doc_id, len({TX.tokens_sql()})::DOUBLE AS dl,
+                   unnest({TX.tokens_sql()}) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, dl, COUNT(*) AS tf
+            FROM toks WHERE token IN ({terms_rrf})
+            GROUP BY doc_id, token, dl
+        ),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        stats AS (SELECT COUNT(*)::DOUBLE AS n_docs,
+                         AVG(len({TX.tokens_sql()})) AS avgdl
+                  FROM documents),
+        t_top AS (
+            SELECT doc_id,
+                   SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * ({BM25_K1} + 1)
+                          / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl)))) AS score
+            FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT {RRF_CAND}
+        ),
+        t_rank AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank_t
+            FROM t_top
+        ),
+        qvec AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        v_top AS (
+            SELECT vec_id AS doc_id, {cos_rrf} AS cosine
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS cv
+                  FROM embeddings WHERE vec_id <> 0) CROSS JOIN qvec
+            ORDER BY cosine DESC, doc_id LIMIT {RRF_CAND}
+        ),
+        v_rank AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rank_v
+            FROM v_top
+        ),
+        fused AS (
+            SELECT doc_id,
+                   CAST(COALESCE(rank_t, 0) AS BIGINT) AS rank_t,
+                   CAST(COALESCE(rank_v, 0) AS BIGINT) AS rank_v,
+                   {round_half_up_sql(
+                       "COALESCE(1.0 / (" + str(RRF_K) + " + rank_t), 0.0)"
+                       " + COALESCE(1.0 / (" + str(RRF_K) + " + rank_v), 0.0)"
+                   )} AS rrf
+            FROM t_rank FULL OUTER JOIN v_rank USING (doc_id)
+        )
+        SELECT doc_id, rank_t, rank_v, rrf,
+               CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+        FROM fused
+        QUALIFY rank <= {RRF_TOPN}
+        ORDER BY rank
+    """
     return oracles
 
 

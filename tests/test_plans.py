@@ -332,3 +332,12 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_hybrid_rrf_cuts_before_windows(spark):
+    """q80: each retriever's corpus-wide ordering must end at a top-N
+    limit (TakeOrderedAndProject), so every window downstream sees
+    <= RRF_CAND rows — no single-partition pass over the corpus. The
+    final rrf rank<=TOPN collapses to a third TakeOrdered."""
+    plan = _plan(spark, "q80_hybrid_rrf")
+    assert plan.count("TakeOrderedAndProject") == 3
