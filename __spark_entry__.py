@@ -39,7 +39,11 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   q76 int8-quantized cosine top-k, q77 deterministic weighted
   sampling (Efraimidis-Spirakis race), q78 span-level
   contamination pairs, q79 product-quantization ADC top-k,
-  q80 hybrid BM25+vector retrieval with reciprocal-rank fusion
+  q80 hybrid BM25+vector retrieval with reciprocal-rank fusion,
+  q81 day-grain cohort retention triangle, q82 near-dup cluster-size
+  histogram, q83 incremental batch-vs-corpus dedup verdicts,
+  q84 per-type z-score anomalies, q85 event-type co-occurrence lift,
+  q86 language-ID confusion matrix
   (queries/pipeline.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).

@@ -64,6 +64,9 @@ HEADLINE = [
     "q77_weighted_sample",
     "q79_pq_adc_topk",
     "q80_hybrid_rrf",
+    "q81_retention_cohorts",
+    "q83_incremental_dedup",
+    "q84_event_anomaly",
 ]
 
 

@@ -612,3 +612,87 @@ def contamination_pairs(
         .groupBy(id_col, "bench_id")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def incremental_dedup(
+    df: DataFrame,
+    is_batch: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup verdicts: for each document
+    where ``is_batch`` holds, decide ``exact`` (byte-identical text
+    already in the corpus side), ``near`` (verified MinHash-LSH
+    near-duplicate of a corpus doc), or ``novel``.
+
+    This is the steady-state ingestion shape of a training-data
+    pipeline: a new crawl snapshot lands and must be admitted or
+    dropped against everything already indexed. At scale the corpus
+    side's digests and band signatures are precomputed and stored
+    (the LSH banding makes the probe a plain equi-join into that
+    index, never a corpus rescan); here both sides derive from one
+    DataFrame split by a predicate so the whole verdict is replayable
+    against a SQL oracle.
+    """
+    flagged = df.withColumn("_is_batch", is_batch)
+    batch_ids = flagged.filter(F.col("_is_batch")).select(id_col)
+
+    # exact tier: digest semi-join against the corpus side
+    digests = flagged.select(id_col, F.md5(text_col).alias("digest"), "_is_batch")
+    exact = (
+        digests.filter(F.col("_is_batch"))
+        .join(
+            digests.filter(~F.col("_is_batch")).select("digest").distinct(),
+            "digest",
+            "left_semi",
+        )
+        .select(id_col)
+        .withColumn("_exact", F.lit(True))
+    )
+
+    # near tier: verified LSH pairs that cross the batch/corpus boundary
+    pairs = minhash_lsh_pairs(
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        n=n,
+        threshold=threshold,
+        max_band_freq=max_band_freq,
+    )
+    flags = flagged.select(id_col, "_is_batch")
+    sided = pairs.join(
+        flags.select(F.col(id_col).alias("id_a"), F.col("_is_batch").alias("_ba")),
+        "id_a",
+    ).join(
+        flags.select(F.col(id_col).alias("id_b"), F.col("_is_batch").alias("_bb")),
+        "id_b",
+    )
+    near = (
+        sided.filter(F.col("_ba") & ~F.col("_bb"))
+        .select(F.col("id_a").alias(id_col))
+        .unionByName(
+            sided.filter(F.col("_bb") & ~F.col("_ba")).select(
+                F.col("id_b").alias(id_col)
+            )
+        )
+        .distinct()
+        .withColumn("_near", F.lit(True))
+    )
+
+    verdict = (
+        F.when(F.col("_exact"), F.lit("exact"))
+        .when(F.col("_near"), F.lit("near"))
+        .otherwise(F.lit("novel"))
+    )
+    return (
+        batch_ids.join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(id_col, verdict.alias("verdict"))
+    )

@@ -250,3 +250,49 @@ def funnel_stages(df: DataFrame, steps: list[str]) -> DataFrame:
     for i, step in enumerate(steps):
         stage = F.when(F.col(f"t_{step}").isNotNull(), i + 1).otherwise(stage)
     return out.groupBy("user_id").agg(*aggs).withColumn("stage", stage.cast("long"))
+
+
+def retention_cohorts(df: DataFrame, bucket_seconds: int = 86400) -> DataFrame:
+    """Cohort retention matrix: bucket event time into days (or any
+    ``bucket_seconds`` grid), define each user's cohort as their first
+    active bucket, and count distinct users active at each
+    (cohort, offset) cell — the classic triangle retention table.
+
+    Scale: one shuffle keyed on user_id covers both the first-bucket
+    aggregate and the join back (same hash partitioning, the exchange
+    is reused), then a map-side-combining aggregate on the
+    O(buckets²/2) cell grid. No per-user state on the driver.
+    """
+    bucket = F.floor(F.col("ts").cast("long") / F.lit(bucket_seconds)).cast("long")
+    ev = df.select("user_id", bucket.alias("bucket"))
+    first = ev.groupBy("user_id").agg(F.min("bucket").alias("cohort"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            F.col("cohort"),
+            (F.col("bucket") - F.col("cohort")).alias("offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def value_zscores(df: DataFrame, z_threshold: float = 3.0) -> DataFrame:
+    """Per-type z-score anomaly flags: events whose ``value`` deviates
+    from their event_type's mean by more than ``z_threshold`` sample
+    standard deviations.
+
+    Scale: the per-type stats aggregate is map-side partial and
+    produces O(types) rows, broadcast back onto the stream — the
+    event side never shuffles. Returns (event_id, event_type, value,
+    z) unrounded; presentation rounding is the caller's concern.
+    """
+    stats = df.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        df.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > F.lit(z_threshold))
+    )

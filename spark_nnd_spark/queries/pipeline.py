@@ -1290,6 +1290,135 @@ def q80_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q81_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle over events: users bucketed into
+    day-grain cohorts by first activity, distinct-active counts per
+    (cohort, day offset) cell. Pure integer output — hash-exact."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        EV.retention_cohorts(e, bucket_seconds=86400)
+        .select(
+            F.col("cohort").alias("cohort_day"),
+            F.col("offset").alias("day_offset"),
+            "n_users",
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+def q82_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram: MinHash-LSH pairs → connected
+    components → component sizes → (size, n_clusters). The corpus-
+    health dashboard number a dedup pass is judged by."""
+    from spark_nnd_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        d, num_hashes=16, bands=4, n=3, threshold=0.2, max_band_freq=MAX_BAND_FREQ
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def q83_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion verdicts: treat source='src0' as the
+    incoming batch, everything else as the indexed corpus; each batch
+    doc is 'exact' / 'near' / 'novel' (operators/dedup.py
+    incremental_dedup)."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.incremental_dedup(
+        d,
+        F.col("source") == "src0",
+        num_hashes=16,
+        bands=4,
+        n=3,
+        threshold=0.2,
+        max_band_freq=MAX_BAND_FREQ,
+    ).orderBy("doc_id")
+
+
+def q84_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers: events whose value is more than 3
+    sample standard deviations from their event_type mean. Stats are
+    O(types) and broadcast — the event stream never shuffles."""
+    from spark_nnd_spark.functions.numeric import round_half_up_expr
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        EV.value_zscores(e, z_threshold=3.0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            round_half_up_expr(F.col("z")).alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q85_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence lift across users:
+    lift(a,b) = P(user does a AND b) / (P(a) · P(b)). All inputs are
+    distinct-user counts, so the ratio is exact integer arithmetic in
+    doubles — deterministic across engines. The user-level self-join
+    fans out ≤ T²/2 rows per user (T = #types, tiny), then aggregates
+    to the O(T²) pair grid map-side."""
+    from spark_nnd_spark.functions.numeric import round_half_up_expr
+
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    totals = ut.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    nu = ut.select("user_id").distinct().agg(F.count("*").alias("n_users"))
+    pairs = (
+        ut.alias("a")
+        .join(ut.alias("b"), "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    lift = (F.col("n_both").cast("double") * F.col("n_users").cast("double")) / (
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return (
+        pairs.join(
+            F.broadcast(totals.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("na"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("nb"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            round_half_up_expr(lift).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def q86_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: declared lang × n-gram-heuristic
+    predicted lang (functions/text.py) with document counts — the
+    standard language-filter QA artifact."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", TX.predicted_lang_expr("text").alias("pred_lang"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -1343,6 +1472,12 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_contamination_pairs": q78_contamination_pairs,
     "q79_pq_adc_topk": q79_pq_adc_topk,
     "q80_hybrid_rrf": q80_hybrid_rrf,
+    "q81_retention_cohorts": q81_retention_cohorts,
+    "q82_cluster_sizes": q82_cluster_sizes,
+    "q83_incremental_dedup": q83_incremental_dedup,
+    "q84_event_anomaly": q84_event_anomaly,
+    "q85_type_affinity": q85_type_affinity,
+    "q86_lang_confusion": q86_lang_confusion,
 }
 
 
@@ -2196,6 +2331,94 @@ def pipeline_oracles() -> dict[str, str]:
         FROM fused
         QUALIFY rank <= {RRF_TOPN}
         ORDER BY rank
+    """
+    oracles["q81_retention_cohorts"] = """
+        WITH ev AS (
+            SELECT user_id,
+                   ((epoch_us(ts::TIMESTAMP) // 1000000) // 86400) AS bucket
+            FROM events
+        ),
+        f AS (SELECT user_id, MIN(bucket) AS cohort FROM ev GROUP BY 1)
+        SELECT cohort AS cohort_day, bucket - cohort AS day_offset,
+               COUNT(DISTINCT ev.user_id) AS n_users
+        FROM ev JOIN f USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort_day, day_offset
+    """
+    oracles["q82_cluster_sizes"] = _cc_ctes(sh, mh) + """,
+        comp AS (
+            SELECT s AS doc_id, least(s, min(d)) AS component
+            FROM reach GROUP BY s
+        ),
+        sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+        SELECT cluster_size, COUNT(*) AS n_clusters
+        FROM sizes GROUP BY 1 ORDER BY cluster_size
+    """
+    oracles["q83_incremental_dedup"] = f"""
+        WITH pairs AS ({_lsh_pairs_core_sql(sh, mh)}),
+        flags AS (SELECT doc_id, source = 'src0' AS is_batch FROM documents),
+        corp_dig AS (SELECT DISTINCT md5(text) AS digest FROM documents
+                     WHERE source <> 'src0'),
+        ex AS (
+            SELECT DISTINCT d.doc_id FROM documents d
+            JOIN corp_dig c ON md5(d.text) = c.digest
+            WHERE d.source = 'src0'
+        ),
+        near AS (
+            SELECT p.id_a AS doc_id FROM pairs p
+            JOIN flags a ON p.id_a = a.doc_id JOIN flags b ON p.id_b = b.doc_id
+            WHERE a.is_batch AND NOT b.is_batch
+            UNION
+            SELECT p.id_b FROM pairs p
+            JOIN flags a ON p.id_a = a.doc_id JOIN flags b ON p.id_b = b.doc_id
+            WHERE b.is_batch AND NOT a.is_batch
+        )
+        SELECT d.doc_id,
+               CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                    WHEN n.doc_id IS NOT NULL THEN 'near'
+                    ELSE 'novel' END AS verdict
+        FROM documents d
+        LEFT JOIN ex e ON d.doc_id = e.doc_id
+        LEFT JOIN near n ON d.doc_id = n.doc_id
+        WHERE d.source = 'src0'
+        ORDER BY d.doc_id
+    """
+    oracles["q84_event_anomaly"] = f"""
+        WITH s AS (
+            SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+            FROM events GROUP BY 1
+        )
+        SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+               {round_half_up_sql("(e.value - s.mu) / s.sigma")} AS z
+        FROM events e JOIN s USING (event_type)
+        WHERE abs((e.value - s.mu) / s.sigma) > 3.0
+        ORDER BY e.event_id
+    """
+    oracles["q85_type_affinity"] = f"""
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        tot AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY 1),
+        nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n_both
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, n_both,
+               {round_half_up_sql(
+                   "(n_both::DOUBLE * n_users::DOUBLE)"
+                   " / (ta.n_t::DOUBLE * tb.n_t::DOUBLE)"
+               )} AS lift
+        FROM pairs
+        JOIN tot ta ON type_a = ta.event_type
+        JOIN tot tb ON type_b = tb.event_type
+        CROSS JOIN nu
+        ORDER BY type_a, type_b
+    """
+    oracles["q86_lang_confusion"] = f"""
+        SELECT lang, {TX.predicted_lang_sql()} AS pred_lang,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang
     """
     return oracles
 

@@ -341,3 +341,33 @@ def test_hybrid_rrf_cuts_before_windows(spark):
     final rrf rank<=TOPN collapses to a third TakeOrdered."""
     plan = _plan(spark, "q80_hybrid_rrf")
     assert plan.count("TakeOrderedAndProject") == 3
+
+
+def test_event_anomaly_broadcasts_stats(spark):
+    """q84: the O(types) stats side must broadcast — the event stream
+    itself never hash-shuffles (only the stats aggregate does)."""
+    plan = _plan(spark, "q84_event_anomaly")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly the stats aggregate's exchange; the probe side is scan→join
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_retention_cohorts_two_aggregate_exchanges(spark):
+    """q81: one user_id exchange (first-bucket aggregate + join back
+    reuse the same partitioning) and one (cohort, offset) aggregate —
+    partial map-side. No cartesian, no round-robin."""
+    plan = _plan(spark, "q81_retention_cohorts")
+    assert "CartesianProduct" not in plan
+    assert "RoundRobinPartitioning" not in plan
+    assert "partial_min" in plan  # first-bucket agg combines map-side
+
+
+def test_type_affinity_broadcasts_all_dims(spark):
+    """q85: totals and the user-count scalar are O(types)/O(1) and must
+    broadcast; the only wide work is the distinct + self-join on
+    user_id."""
+    plan = _plan(spark, "q85_type_affinity")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # the scalar crossJoin
