@@ -83,6 +83,13 @@ def stage_writes(port: int = 4040) -> dict[int, int]:
 def main() -> None:
     sizes = [int(a) for a in sys.argv[1:]] or [8000, 16000]
     codec = os.environ.get("SPARK_SHUFFLE_CODEC", "zstd")
+    # The scale sweep's big points need heap headroom the engine's
+    # 24g default doesn't give: at N=256k one iteration's checkpoint
+    # blocks + a ~10 GB stage shuffle drove GC/spill pressure that
+    # turned the otherwise-linear curve superlinear (754 s vs the
+    # ~400 s linear extrapolation). 64g matches what a real executor
+    # fleet would provision per node for this working set.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "64g")
     spark = get_spark(
         app_name="nnd_scale_bench",
         extra_conf={
