@@ -43,7 +43,9 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   q81 day-grain cohort retention triangle, q82 near-dup cluster-size
   histogram, q83 incremental batch-vs-corpus dedup verdicts,
   q84 per-type z-score anomalies, q85 event-type co-occurrence lift,
-  q86 language-ID confusion matrix
+  q86 language-ID confusion matrix, q87 bigram-LM quality score,
+  q88 directed shingle-containment near-dups, q89 per-source
+  token-length deciles
   (queries/pipeline.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).

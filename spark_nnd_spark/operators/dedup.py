@@ -214,6 +214,76 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.7,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Directed shingle-containment near-dup pairs:
+    ``|A∩B| / |A| >= threshold`` emits (contained, container,
+    containment). The asymmetric complement to ``jaccard_pairs`` —
+    a short doc wholly embedded in a long one (quote farms, boilerplate
+    wrappers, excerpt pages) scores near-1 containment but low Jaccard,
+    so symmetric dedup never sees it.
+
+    Same inverted-index plan as jaccard_pairs (postings checkpointed
+    once, df-cut skew guard, shuffle-hash self-join); both directions
+    of each undirected intersection are tested, so one join pass yields
+    all directed edges.
+    """
+    raw = (
+        _fan_out(df)
+        .select(F.col(id_col), F.explode(TX.shingles_expr(text_col, n)).alias("shingle"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = raw.groupBy(id_col).agg(F.count("*").alias("n_sh")).select(
+        F.col(id_col).alias("id"), "n_sh"
+    )
+    if max_shingle_freq is None:
+        posts = raw
+    else:
+        hot = (
+            raw.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_freq)
+            .select("shingle")
+        )
+        posts = raw.join(hot, "shingle", "left_anti").localCheckpoint(eager=True)
+    a = posts.select(F.col("shingle"), F.col(id_col).alias("id_a"))
+    b = posts.select(F.col("shingle"), F.col(id_col).alias("id_b"))
+    inter = (
+        a.hint("shuffle_hash").join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    j = inter.join(
+        sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a"
+    ).join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+    fwd = (
+        j.withColumn("containment", F.col("inter") / F.col("n_a"))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.col("id_a").alias("contained"),
+            F.col("id_b").alias("container"),
+            "containment",
+        )
+    )
+    rev = (
+        j.withColumn("containment", F.col("inter") / F.col("n_b"))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.col("id_b").alias("contained"),
+            F.col("id_a").alias("container"),
+            "containment",
+        )
+    )
+    return fwd.unionByName(rev)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

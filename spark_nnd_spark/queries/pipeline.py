@@ -1419,6 +1419,90 @@ def q86_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q87_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model score per document: mean
+    log P(w2|w1) with add-k smoothing (k=0.5) under the corpus bigram
+    distribution — the next quality-proxy step up from q60's unigram
+    score. V is the distinct-left-context vocabulary (the convention is
+    mirrored in the oracle). Context totals and V derive from the
+    O(distinct-bigrams) count table, never a second corpus pass; only
+    single-token docs (no bigrams) are absent from the output."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens_expr("text")
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        lambda s: s.contains(" "),
+    )
+    # q36's anti-fusion barrier: without it the bigram generator is
+    # re-inlined per exploded row
+    base = d.select("doc_id", bigrams.alias("__bg")).localCheckpoint(eager=True)
+    db = base.select("doc_id", F.explode("__bg").alias("bg"))
+    counts = (
+        db.groupBy("bg").agg(F.count("*").alias("c2")).localCheckpoint(eager=True)
+    )
+    lefts = (
+        counts.select(F.substring_index("bg", " ", 1).alias("w1"), "c2")
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    v = lefts.agg(F.count("*").alias("v"))
+    scored = (
+        db.join(counts, "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(lefts, "w1")
+        .crossJoin(F.broadcast(v))
+    )
+    logp = F.log((F.col("c2") + 0.5) / (F.col("c1") + 0.5 * F.col("v")))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q88_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment near-dups: docs whose shingle set is ≥ 70%
+    inside another doc's (operators/dedup.py containment_pairs) — the
+    subset-duplication case symmetric Jaccard misses."""
+    d = load_table(spark, sf_dir, "documents")
+    out = DD.containment_pairs(
+        d, n=3, threshold=0.7, max_shingle_freq=MAX_SHINGLE_FREQ
+    )
+    return out.select(
+        "contained", "container", F.round("containment", 6).alias("containment")
+    ).orderBy("contained", "container")
+
+
+def q89_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length deciles: NTILE(10) within each source
+    over (n_tokens, doc_id), then per-decile count / min / max — the
+    length-distribution diagnostic behind chunking and packing
+    decisions. The window partitions by source, so the sort is
+    per-source, never global."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("source", "doc_id", TX.token_count_expr("text").alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    return (
+        base.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("source", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("source", "decile")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -1478,6 +1562,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q84_event_anomaly": q84_event_anomaly,
     "q85_type_affinity": q85_type_affinity,
     "q86_lang_confusion": q86_lang_confusion,
+    "q87_bigram_lm": q87_bigram_lm,
+    "q88_containment_pairs": q88_containment_pairs,
+    "q89_length_deciles": q89_length_deciles,
 }
 
 
@@ -2419,6 +2506,74 @@ def pipeline_oracles() -> dict[str, str]:
         SELECT lang, {TX.predicted_lang_sql()} AS pred_lang,
                COUNT(*) AS n_docs
         FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang
+    """
+    oracles["q87_bigram_lm"] = f"""
+        WITH t AS (SELECT doc_id, {TX.tokens_sql()} AS toks FROM documents),
+        db AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i + 1]))
+                   AS bg
+            FROM t
+        ),
+        counts AS (SELECT bg, COUNT(*) AS c2 FROM db GROUP BY 1),
+        lefts AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c2)::DOUBLE AS c1
+                  FROM counts GROUP BY 1),
+        vv AS (SELECT COUNT(*) AS v FROM lefts)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               round(AVG(ln((c2 + 0.5) / (c1 + 0.5 * v))), 6) AS avg_logprob
+        FROM db
+        JOIN counts USING (bg)
+        JOIN lefts ON split_part(bg, ' ', 1) = lefts.w1
+        CROSS JOIN vv
+        GROUP BY doc_id ORDER BY doc_id
+    """
+    oracles["q88_containment_pairs"] = f"""
+        WITH sh0 AS (SELECT doc_id, {sh} AS s FROM documents),
+        posts0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh0),
+        posts AS (
+            SELECT doc_id, shingle FROM posts0
+            QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {MAX_SHINGLE_FREQ}
+        ),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM posts a JOIN posts b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        sizes AS (SELECT doc_id, len(s) AS n FROM sh0),
+        j AS (
+            SELECT id_a, id_b, i, na.n AS n_a, nb.n AS n_b
+            FROM inter
+            JOIN sizes na ON id_a = na.doc_id
+            JOIN sizes nb ON id_b = nb.doc_id
+        )
+        SELECT contained, container, round(containment, 6) AS containment
+        FROM (
+            SELECT id_a AS contained, id_b AS container,
+                   i * 1.0 / n_a AS containment FROM j
+            WHERE i * 1.0 / n_a >= 0.7
+            UNION ALL
+            SELECT id_b, id_a, i * 1.0 / n_b FROM j
+            WHERE i * 1.0 / n_b >= 0.7
+        )
+        ORDER BY contained, container
+    """
+    oracles["q89_length_deciles"] = f"""
+        WITH base AS (
+            SELECT source, doc_id, {TX.token_count_sql()} AS n_tokens
+            FROM documents
+        ),
+        tiled AS (
+            SELECT source, n_tokens,
+                   CAST(NTILE(10) OVER (PARTITION BY source
+                                        ORDER BY n_tokens, doc_id) AS BIGINT)
+                   AS decile
+            FROM base
+        )
+        SELECT source, decile, COUNT(*) AS n_docs,
+               MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+        FROM tiled GROUP BY 1, 2 ORDER BY source, decile
     """
     return oracles
 

@@ -925,3 +925,23 @@ def test_pq_adc_rerank_recovers_recall(spark):
         len(v) for v in bt.values()
     )
     assert recall >= 0.8, f"PQ+rerank recall {recall:.2f}"
+
+
+def test_containment_pairs_directed(spark):
+    """containment_pairs: a short doc fully embedded in a long one must
+    yield a (short -> long) directed edge with containment 1.0, with NO
+    reverse edge (the long doc is not contained in the short one), and
+    the pair must be invisible to symmetric Jaccard at the same bar."""
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"extra{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "totally unrelated words here now")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["contained"], r["container"]): r["containment"]
+        for r in DD.containment_pairs(docs, n=3, threshold=0.7).collect()
+    }
+    assert rows == {(1, 2): 1.0}
+    jac = DD.jaccard_pairs(docs, n=3, threshold=0.7).collect()
+    assert jac == []  # symmetric dedup misses the subset duplicate
