@@ -67,7 +67,14 @@ HEADLINE = [
     "q81_retention_cohorts",
     "q83_incremental_dedup",
     "q84_event_anomaly",
+    "q88_containment_pairs",
 ]
+
+
+def _canary_run(spark) -> float:
+    t0 = time.perf_counter()
+    spark.range(500_000_000).selectExpr("sum(id * 2) AS s").collect()
+    return round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
@@ -150,6 +157,17 @@ def main() -> None:
             runs[name].append(dt)
             times[name] = min(times[name], dt)
 
+    # Host-speed canary: a fixed CPU-bound reference workload (pure
+    # codegen'd aggregation over a generated range — no disk, no
+    # Python workers). Its wall time calibrates round-over-round
+    # comparisons: this guest's measured throughput swings ~3x with
+    # host scheduling weather (the same query measured 5s and 25s back
+    # to back), so a round whose canary is 2x slower should have its
+    # query totals read accordingly. min-of-3 for the same reason.
+    canary = min(
+        _canary_run(spark) for _ in range(3)
+    )
+
     total = round(sum(times.values()), 3)
     out: dict = {
         "metric": "headline_queries_total_wall",
@@ -157,6 +175,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "runs": {n: r for n, r in runs.items() if len(r) > 1},
+        "host_canary_sec": canary,
         "sf": float(sf),
     }
     if errors:
