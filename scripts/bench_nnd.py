@@ -83,13 +83,19 @@ def stage_writes(port: int = 4040) -> dict[int, int]:
 def main() -> None:
     sizes = [int(a) for a in sys.argv[1:]] or [8000, 16000]
     codec = os.environ.get("SPARK_SHUFFLE_CODEC", "zstd")
-    # The scale sweep's big points need heap headroom the engine's
-    # 24g default doesn't give: at N=256k one iteration's checkpoint
-    # blocks + a ~10 GB stage shuffle drove GC/spill pressure that
-    # turned the otherwise-linear curve superlinear (754 s vs the
-    # ~400 s linear extrapolation). 64g matches what a real executor
-    # fleet would provision per node for this working set.
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "64g")
+    # The scale sweep's big points get heap headroom beyond the
+    # engine's 24g default: at N=256k one iteration's checkpoint
+    # blocks + a ~10 GB stage shuffle sit in the storage/execution
+    # pool. 40g completes N=256k reliably while leaving the 125 GiB
+    # guest room for the OS page cache the 55 GB shuffle relies on
+    # (64g worked too but risks the whole-box memory ceiling once
+    # Python workers and page cache are counted). NOTE two operational
+    # hazards at N>=256k: the point needs ~55 GB free in /tmp (a
+    # killed run leaks its blockmgr-* dir — clean before rerunning),
+    # and host scheduling jitter swings wall time ~2-3x between hours
+    # (compare shuffle bytes, which are exact and stable, before
+    # reading anything into a slow wall number).
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "40g")
     spark = get_spark(
         app_name="nnd_scale_bench",
         extra_conf={

@@ -1,4 +1,5 @@
 from spark_nnd_spark.streaming.streams import (
+    anomaly_stream,
     attribution_stream,
     dedup_stream,
     quality_filter_stream,
@@ -13,6 +14,7 @@ from spark_nnd_spark.streaming.streams import (
 )
 
 __all__ = [
+    "anomaly_stream",
     "attribution_stream",
     "dedup_stream",
     "quality_filter_stream",

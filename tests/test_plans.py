@@ -371,3 +371,21 @@ def test_type_affinity_broadcasts_all_dims(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "BroadcastNestedLoopJoin" in plan  # the scalar crossJoin
+
+
+def test_bigram_lm_derives_from_checkpoints(spark):
+    """q87: the bigram stream and its count table are materialized
+    once; context totals and V derive from the counts, so the final
+    plan reads checkpoints — no parquet rescan, no cartesian."""
+    plan = _plan(spark, "q87_bigram_lm")
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_pairs_shuffle_hash_no_cartesian(spark):
+    """q88: the posting self-join must be the hinted shuffle-hash join
+    on shingle (parallel fan-out), never a cartesian or a broadcast
+    build over the whole posting stream."""
+    plan = _plan(spark, "q88_containment_pairs")
+    assert "CartesianProduct" not in plan
+    assert "ShuffledHashJoin" in plan

@@ -217,3 +217,27 @@ def test_file_sink_exactly_once_across_restart(spark, tmp_path):
     # idle restart: no new input, no new rows
     drain()
     assert spark.read.parquet(out).count() == want.count()
+
+
+def test_anomaly_stream_matches_batch(spark, events_batch):
+    """Stream-static join: scoring the replayed stream against the
+    batch-computed per-type stats snapshot flags exactly the events the
+    batch q84 flags (broadcast static side, stateless stream)."""
+    from spark_nnd_spark.queries.pipeline import q84_event_anomaly
+    from spark_nnd_spark.streaming.streams import anomaly_stream
+
+    stats = events_batch.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    stream = anomaly_stream(read_events_stream(spark, SF_SMOKE), stats)
+    run_to_memory_sink(stream, "anom", output_mode="append")
+    got = {
+        r["event_id"]: r["event_type"]
+        for r in spark.sql("SELECT * FROM anom").collect()
+    }
+    want = {
+        r["event_id"]: r["event_type"]
+        for r in q84_event_anomaly(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
