@@ -45,7 +45,11 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   q84 per-type z-score anomalies, q85 event-type co-occurrence lift,
   q86 language-ID confusion matrix, q87 bigram-LM quality score,
   q88 directed shingle-containment near-dups, q89 per-source
-  token-length deciles
+  token-length deciles, q90 event-type Markov transition matrix,
+  q91 winnowing-fingerprint near-dup pairs (local passage copies),
+  q92 recency-decay engagement scores, q93 top-vocab token PMI
+  collocations, q94 exactly-k per-source deterministic sample,
+  q95 user lifecycle-stage census
   (queries/pipeline.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).
@@ -75,7 +79,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness checks only the first ~50 entries of
-# this dict (insertion order), and the repo declares 80 queries — so the
+# this dict (insertion order), and the repo declares 95 queries — so the
 # order is a priority schedule. It is GENERATED from the recorded
 # CORRECTNESS_r*.json history, not hand-maintained: queries that have
 # never received a driver row come first, then stalest-last-check first,

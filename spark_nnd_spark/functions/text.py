@@ -245,3 +245,65 @@ def predicted_lang_sql(text: str = "text") -> str:
         f"{{'neg': -({scores[lang]}), 'lang': '{lang}'}}" for lang in sorted(LANG_MARKERS)
     )
     return f"(list_min([{structs}])).lang"
+
+
+# ------------------------------------------------------------ winnowing
+
+def ordered_shingle_hashes_expr(text: Column | str, n: int = 4) -> Column:
+    """Positional n-token shingle hashes — NOT distinct and NOT
+    reordered, because winnowing's window selection is
+    position-sensitive. Short docs (< n tokens) yield an empty array."""
+    toks = tokens_expr(text)
+    return F.when(F.size(toks) < n, F.array().cast("array<long>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: token_hash_lambda(F.array_join(F.slice(toks, i, n), " ")),
+        )
+    )
+
+
+def ordered_shingle_hashes_sql(text: str = "text", n: int = 4) -> str:
+    toks = tokens_sql(text)
+    shingle = (
+        f"array_to_string(list_transform(range(i, i + {n}), j -> {toks}[j]), ' ')"
+    )
+    inner = (
+        f"list_transform(range(1, len({toks}) - {n} + 2), "
+        f"i -> {token_hash_sql(shingle)})"
+    )
+    return f"CASE WHEN len({toks}) < {n} THEN [] ELSE {inner} END"
+
+
+def winnow_select_expr(hashes: Column | str, w: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003): slide a window of ``w`` consecutive shingle hashes
+    and record each window's MINIMUM; the fingerprint set is the
+    distinct minima. Guarantees every run of ``w`` shingles contributes
+    a fingerprint (the window-coverage property the matching guarantee
+    rests on) while keeping only ~2/(w+1) of the hashes — the standard
+    local-document-fingerprint scheme behind plagiarism/near-dup
+    detection at corpus scale. A doc shorter than one window (but with
+    ≥1 shingle) is its own single window; empty in → empty out.
+
+    Pure array-lambda arithmetic (no shuffle, no UDF); pass a
+    pre-projected hashes column so the shingle hashing runs once."""
+    hs = _c(hashes) if isinstance(hashes, str) else hashes
+    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(hs) - w + 1))
+    mins = F.transform(starts, lambda s: F.array_min(F.slice(hs, s, w)))
+    return F.when(F.size(hs) == 0, F.array().cast("array<long>")).otherwise(
+        F.array_distinct(mins)
+    )
+
+
+def winnow_select_sql(hashes: str, w: int = 4) -> str:
+    """DuckDB rendering of winnow_select_expr. ``hashes`` should be a
+    column name (it is referenced several times); DuckDB list slices
+    are 1-based, inclusive on both ends, and clamp to the list end."""
+    mins = (
+        f"list_transform(range(1, greatest(1, len({hashes}) - {w - 1}) + 1), "
+        f"s -> list_min(({hashes})[s : s + {w - 1}]))"
+    )
+    return (
+        f"CASE WHEN len({hashes}) = 0 THEN [] "
+        f"ELSE list_distinct({mins}) END"
+    )

@@ -766,3 +766,54 @@ def incremental_dedup(
         .join(near, id_col, "left")
         .select(id_col, verdict.alias("verdict"))
     )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int | None = None,
+) -> DataFrame:
+    """Winnowed-fingerprint near-dup pairs (Schleimer/Wilkerson/Aiken
+    winnowing, SIGMOD 2003): each doc keeps the local-minimum hashes of
+    its positional n-token shingle stream (~2/(w+1) of them,
+    functions/text.py winnow_select_expr — pure array arithmetic, no
+    shuffle), and pairs sharing >= min_shared selected fingerprints are
+    emitted with the shared count. Winnowing's window guarantee makes
+    any shared run of ~w+n consecutive tokens surface at least one
+    common fingerprint, so this catches LOCAL copied passages that
+    whole-document MinHash dilutes away.
+
+    Scale shape = the jaccard_pairs inverted index over a stream ~2/(w+1)
+    the size: postings checkpointed once, optional df-cut skew guard,
+    shuffle-hash equi-self-join on the fingerprint — never all-pairs.
+    """
+    posts = (
+        _fan_out(df)
+        .withColumn("_hs", TX.ordered_shingle_hashes_expr(text_col, n))
+        .select(
+            F.col(id_col),
+            F.explode(TX.winnow_select_expr(F.col("_hs"), w)).alias("fp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    if max_fp_freq is not None:
+        hot = (
+            posts.groupBy("fp")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_fp_freq)
+            .select("fp")
+        )
+        posts = posts.join(hot, "fp", "left_anti").localCheckpoint(eager=True)
+    a = posts.select("fp", F.col(id_col).alias("id_a"))
+    b = posts.select("fp", F.col(id_col).alias("id_b"))
+    return (
+        a.hint("shuffle_hash").join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

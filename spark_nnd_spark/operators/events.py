@@ -296,3 +296,85 @@ def value_zscores(df: DataFrame, z_threshold: float = 3.0) -> DataFrame:
         .select("event_id", "event_type", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) > F.lit(z_threshold))
     )
+
+
+def type_transitions(df: DataFrame) -> DataFrame:
+    """First-order Markov transition counts over each user's
+    time-ordered event stream: (prev_type, next_type, n, prob) where
+    prob is the row-normalized transition probability. The behavioral
+    fingerprint behind session-flow dashboards and synthetic-stream
+    generators.
+
+    Scale: one exchange on user_id for the LEAD window (the same
+    partitioning sessionize uses — co-schedulable), then a map-side
+    partial aggregate down to O(types²) rows; the normalizing window
+    runs on that tiny aggregate, never on the stream. Returns prob
+    unrounded; presentation rounding is the caller's concern.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = df.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("prev_type"), "next_type"
+    ).agg(F.count("*").alias("n"))
+    tot = Window.partitionBy("prev_type")
+    return counts.withColumn("prob", F.col("n") / F.sum("n").over(tot))
+
+
+def decayed_engagement(df: DataFrame, halflife_days: int = 7) -> DataFrame:
+    """Per-user recency-weighted engagement: sum(value · 0.5^age) with
+    age = whole halflife periods between the event and the newest event
+    in the stream — the 'is this user still active, weighted by how
+    recently' score feeding retention models.
+
+    The weight base is 0.5 raised to an INTEGER period count, which is
+    exact in binary floating point — so the score replays bit-for-bit
+    on any engine (fractional exponents would tie the result to libm).
+    Scale: the reference timestamp is a one-row aggregate broadcast
+    onto the stream (no shuffle of events), then one map-side-combined
+    aggregate per user. Returns score unrounded.
+    """
+    ref = df.agg(F.max(F.col("ts").cast("long")).alias("_ref_s"))
+    periods = F.floor(
+        (F.col("_ref_s") - F.col("ts").cast("long"))
+        / F.lit(86400 * halflife_days)
+    )
+    wt = F.pow(F.lit(0.5), periods.cast("double"))
+    return (
+        df.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value") * wt).alias("score"),
+        )
+    )
+
+
+def lifecycle_stages(
+    df: DataFrame,
+    core_days: int = 28,
+    regular_days: int = 25,
+) -> DataFrame:
+    """Classify each user into a lifecycle stage from activity shape:
+    'one_shot' (single event), 'core' (active ≥ core_days distinct
+    days), 'regular' (≥ regular_days), else 'casual'. Returns one row
+    per user: (user_id, n_events, active_days, stage).
+
+    Scale: a single map-side-combined aggregate on user_id (count +
+    distinct-day count via a two-level aggregate) — no window, no
+    second scan.
+    """
+    day = F.floor(F.col("ts").cast("long") / F.lit(86400))
+    per_user = df.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct(day).alias("active_days"),
+    )
+    stage = (
+        F.when(F.col("n_events") == 1, F.lit("one_shot"))
+        .when(F.col("active_days") >= core_days, F.lit("core"))
+        .when(F.col("active_days") >= regular_days, F.lit("regular"))
+        .otherwise(F.lit("casual"))
+    )
+    return per_user.withColumn("stage", stage)

@@ -136,3 +136,31 @@ def weighted_sample(
         .filter(F.col("srank") <= k)
         .drop("skey", "srank")
     )
+
+
+def per_group_exact_sample(
+    df: DataFrame, group_col: str, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exactly-k deterministic sample per group: rank each group's rows
+    by their md5 draw (the same stable key the Bernoulli sampler uses)
+    and keep the k smallest. Unlike the rate-based samplers this pins
+    the OUTPUT size per group — the shape needed when building balanced
+    eval slices ('exactly 1000 docs per source') where a Bernoulli draw
+    would leave slice sizes noisy. Deterministic, nested in k (the
+    top-5 sample is a prefix of the top-10), and engine-replayable.
+
+    Scale: one hash exchange on the group column for the top-k window;
+    the rank key is a narrow per-row expression. Skew note: a window
+    sort is per-group; a pathologically hot group can instead take the
+    group-local top-k via repartition+mapInPandas, but for bounded
+    group counts (sources, langs) this is the right shape.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(group_col).orderBy(
+        sample_key_expr(id_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )

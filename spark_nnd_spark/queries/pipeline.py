@@ -1503,6 +1503,155 @@ def q89_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q90–q95 parameters (mirrored into the oracles below).
+WINNOW_N = 4  # shingle width (tokens) for winnowing fingerprints
+WINNOW_W = 4  # winnowing window: ≥1 fingerprint per W consecutive shingles
+WINNOW_MIN_SHARED = 2
+PMI_VOCAB = 20  # co-occurrence vocabulary: top-N tokens by doc frequency
+PMI_MIN_PAIRS = 5
+DECAY_HALFLIFE_DAYS = 7
+GROUP_SAMPLE_K = 10
+LIFECYCLE_CORE_DAYS = 28
+LIFECYCLE_REGULAR_DAYS = 25
+
+
+def q90_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types
+    (operators/events.py type_transitions): one user_id exchange for
+    the LEAD window, map-side partial aggregate to O(types²) rows, the
+    normalizing window only on that aggregate."""
+    from spark_nnd_spark.functions.numeric import round_half_up_expr
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        EV.type_transitions(e)
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            round_half_up_expr(F.col("prob")).alias("prob"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+def q91_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint near-dup pairs (operators/dedup.py
+    winnow_pairs): local-passage copy detection — any shared run of
+    ~W+N consecutive tokens is guaranteed to surface a common selected
+    fingerprint, a case whole-document MinHash dilutes away. Inverted
+    index over the ~2/(W+1)-selected hashes, df-cut skew guard, never
+    all-pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        DD.winnow_pairs(
+            d,
+            n=WINNOW_N,
+            w=WINNOW_W,
+            min_shared=WINNOW_MIN_SHARED,
+            max_fp_freq=MAX_SHINGLE_FREQ,
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q92_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user recency-weighted engagement score (operators/events.py
+    decayed_engagement): weekly half-life, weight = 0.5^integer-periods
+    (exact in binary FP → engine-replayable), reference timestamp
+    broadcast — the event stream never shuffles before the per-user
+    aggregate."""
+    from spark_nnd_spark.functions.numeric import round_half_up_expr
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        EV.decayed_engagement(e, halflife_days=DECAY_HALFLIFE_DAYS)
+        .select(
+            "user_id",
+            "n_events",
+            round_half_up_expr(F.col("score")).alias("decay_score"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q93_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between top-vocabulary tokens
+    co-occurring in the same document — the collocation signal behind
+    phrase mining and topic drift checks. The vocabulary is the top
+    PMI_VOCAB tokens by doc frequency (broadcast), so the pair space is
+    bounded O(docs · V²/2) regardless of corpus size; tokenization runs
+    once (checkpointed postings feed both the df aggregate and the
+    pair join)."""
+    from spark_nnd_spark.functions.numeric import round_half_up_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(TX.tokens_expr("text"))).alias("token"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("dfreq"))
+    vocab = dfreq.orderBy(F.desc("dfreq"), "token").limit(PMI_VOCAB)
+    vp = toks.join(F.broadcast(vocab.select("token")), "token")
+    pairs = (
+        vp.alias("a")
+        .join(vp.alias("b"), "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .groupBy(F.col("a.token").alias("tok_a"), F.col("b.token").alias("tok_b"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= PMI_MIN_PAIRS)
+    )
+    nd = d.agg(F.count("*").cast("double").alias("n_docs"))
+    va = vocab.select(F.col("token").alias("tok_a"), F.col("dfreq").alias("df_a"))
+    vb = vocab.select(F.col("token").alias("tok_b"), F.col("dfreq").alias("df_b"))
+    pmi = F.log(F.col("n_ab") * F.col("n_docs") / (F.col("df_a") * F.col("df_b")))
+    return (
+        pairs.join(F.broadcast(va), "tok_a")
+        .join(F.broadcast(vb), "tok_b")
+        .crossJoin(F.broadcast(nd))
+        .select("tok_a", "tok_b", "n_ab", round_half_up_expr(pmi).alias("pmi"))
+        .orderBy("tok_a", "tok_b")
+    )
+
+
+def q94_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k deterministic sample per source (operators/sampling.py
+    per_group_exact_sample): md5-ranked top-k window — pinned slice
+    sizes for balanced eval sets, nested in k, engine-replayable."""
+    from spark_nnd_spark.operators.sampling import per_group_exact_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        per_group_exact_sample(d, "source", GROUP_SAMPLE_K, "doc_id")
+        .select("source", "sample_rank", "doc_id")
+        .orderBy("source", "sample_rank")
+    )
+
+
+def q95_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User lifecycle-stage census (operators/events.py
+    lifecycle_stages): one map-side-combined aggregate per user, then a
+    O(users) rollup to stage counts with average activity shape."""
+    from spark_nnd_spark.functions.numeric import round_half_up_expr
+
+    e = load_table(spark, sf_dir, "events")
+    staged = EV.lifecycle_stages(
+        e, core_days=LIFECYCLE_CORE_DAYS, regular_days=LIFECYCLE_REGULAR_DAYS
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count("*").alias("n_users"),
+            round_half_up_expr(F.avg("n_events")).alias("avg_events"),
+            round_half_up_expr(F.avg("active_days")).alias("avg_active_days"),
+        )
+        .orderBy("stage")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -1565,6 +1714,12 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_bigram_lm": q87_bigram_lm,
     "q88_containment_pairs": q88_containment_pairs,
     "q89_length_deciles": q89_length_deciles,
+    "q90_event_transitions": q90_event_transitions,
+    "q91_winnow_pairs": q91_winnow_pairs,
+    "q92_decay_engagement": q92_decay_engagement,
+    "q93_token_pmi": q93_token_pmi,
+    "q94_group_sample": q94_group_sample,
+    "q95_user_lifecycle": q95_user_lifecycle,
 }
 
 
@@ -2574,6 +2729,107 @@ def pipeline_oracles() -> dict[str, str]:
         SELECT source, decile, COUNT(*) AS n_docs,
                MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
         FROM tiled GROUP BY 1, 2 ORDER BY source, decile
+    """
+    oracles["q90_event_transitions"] = f"""
+        WITH seq AS (
+            SELECT event_type AS prev_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        ),
+        c AS (
+            SELECT prev_type, next_type, COUNT(*) AS n
+            FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT prev_type, next_type, n,
+               {round_half_up_sql("n * 1.0 / SUM(n) OVER (PARTITION BY prev_type)")}
+               AS prob
+        FROM c ORDER BY prev_type, next_type
+    """
+    oracles["q91_winnow_pairs"] = f"""
+        WITH h AS (
+            SELECT doc_id,
+                   {TX.ordered_shingle_hashes_sql('text', WINNOW_N)} AS hs
+            FROM documents
+        ),
+        fp0 AS (
+            SELECT doc_id,
+                   unnest({TX.winnow_select_sql('hs', WINNOW_W)}) AS fp
+            FROM h
+        ),
+        fp AS (
+            SELECT * FROM fp0
+            QUALIFY COUNT(*) OVER (PARTITION BY fp) <= {MAX_SHINGLE_FREQ}
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+        ORDER BY id_a, id_b
+    """
+    oracles["q92_decay_engagement"] = f"""
+        WITH ref AS (
+            SELECT MAX(epoch_us(ts::TIMESTAMP) // 1000000) AS ref_s FROM events
+        )
+        SELECT user_id, COUNT(*) AS n_events,
+               {round_half_up_sql(
+                   "SUM(value * pow(0.5, ((ref_s - epoch_us(ts::TIMESTAMP) // 1000000)"
+                   f" // {86400 * DECAY_HALFLIFE_DAYS})::DOUBLE))"
+               )} AS decay_score
+        FROM events, ref
+        GROUP BY user_id ORDER BY user_id
+    """
+    oracles["q93_token_pmi"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_distinct({TX.tokens_sql()})) AS token
+            FROM documents
+        ),
+        dfreq AS (SELECT token, COUNT(*) AS dfreq FROM toks GROUP BY 1),
+        vocab AS (
+            SELECT token, dfreq FROM dfreq
+            ORDER BY dfreq DESC, token LIMIT {PMI_VOCAB}
+        ),
+        vp AS (SELECT t.doc_id, t.token FROM toks t JOIN vocab USING (token)),
+        pairs AS (
+            SELECT a.token AS tok_a, b.token AS tok_b, COUNT(*) AS n_ab
+            FROM vp a JOIN vp b ON a.doc_id = b.doc_id AND a.token < b.token
+            GROUP BY 1, 2 HAVING COUNT(*) >= {PMI_MIN_PAIRS}
+        ),
+        nd AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents)
+        SELECT tok_a, tok_b, n_ab,
+               {round_half_up_sql("ln(n_ab * n_docs / (va.dfreq * vb.dfreq))")}
+               AS pmi
+        FROM pairs
+        JOIN vocab va ON tok_a = va.token
+        JOIN vocab vb ON tok_b = vb.token, nd
+        ORDER BY tok_a, tok_b
+    """
+    oracles["q94_group_sample"] = f"""
+        SELECT source, sample_rank, doc_id FROM (
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY {SA.sample_key_sql('doc_id')}, doc_id
+                   ) AS sample_rank
+            FROM documents
+        ) WHERE sample_rank <= {GROUP_SAMPLE_K}
+        ORDER BY source, sample_rank
+    """
+    oracles["q95_user_lifecycle"] = f"""
+        WITH per AS (
+            SELECT user_id, COUNT(*) AS n_events,
+                   COUNT(DISTINCT (epoch_us(ts::TIMESTAMP) // 1000000) // 86400)
+                   AS active_days
+            FROM events GROUP BY 1
+        )
+        SELECT CASE WHEN n_events = 1 THEN 'one_shot'
+                    WHEN active_days >= {LIFECYCLE_CORE_DAYS} THEN 'core'
+                    WHEN active_days >= {LIFECYCLE_REGULAR_DAYS} THEN 'regular'
+                    ELSE 'casual' END AS stage,
+               COUNT(*) AS n_users,
+               {round_half_up_sql("AVG(n_events * 1.0)")} AS avg_events,
+               {round_half_up_sql("AVG(active_days * 1.0)")} AS avg_active_days
+        FROM per GROUP BY 1 ORDER BY stage
     """
     return oracles
 

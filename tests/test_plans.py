@@ -389,3 +389,38 @@ def test_containment_pairs_shuffle_hash_no_cartesian(spark):
     plan = _plan(spark, "q88_containment_pairs")
     assert "CartesianProduct" not in plan
     assert "ShuffledHashJoin" in plan
+
+
+def test_winnow_pairs_shuffle_hash_no_cartesian(spark):
+    """q91: the fingerprint self-join must be the hinted shuffle-hash
+    equi-join, never a cartesian; the winnow selection itself is array
+    arithmetic, so the plan must not add an exchange before the posting
+    explode."""
+    plan = _plan(spark, "q91_winnow_pairs")
+    assert "CartesianProduct" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_event_transitions_single_stream_exchange(spark):
+    """q90: one hashpartitioning exchange on user_id for the LEAD
+    window; the normalizing window runs on the O(types²) aggregate, so
+    the event stream is exchanged exactly once."""
+    plan = _plan(spark, "q90_event_transitions")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_decay_engagement_broadcasts_reference_ts(spark):
+    """q92: the max-timestamp reference is a one-row broadcast; the
+    event stream's only exchange is the per-user aggregate."""
+    plan = _plan(spark, "q92_decay_engagement")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_token_pmi_broadcasts_vocab(spark):
+    """q93: the vocabulary and df sides are broadcast (bounded V), so
+    the only wide work is the doc_id-keyed pair join over vocab-filtered
+    postings — never a cartesian."""
+    plan = _plan(spark, "q93_token_pmi")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan

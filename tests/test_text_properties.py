@@ -15,6 +15,7 @@ except ImportError:  # pragma: no cover
     pytest.skip("hypothesis not installed", allow_module_level=True)
 
 from spark_nnd_spark.functions import text as TX
+from tests.conftest import SF_SMOKE
 
 P = TX.P
 
@@ -162,3 +163,33 @@ def test_round_half_up_sql_matches_python(x):
         f"SELECT {round_half_up_sql(f'CAST({x!r} AS DOUBLE)')} AS v"
     ).fetchone()
     assert dk == py
+
+
+def test_winnow_window_guarantee_and_python_parity(spark):
+    """Winnowing contract (Schleimer et al.): every window of W
+    consecutive shingle hashes contains at least one selected
+    fingerprint, and the Spark array-lambda selection equals a plain
+    Python reimplementation on the same hashes."""
+    from pyspark.sql import functions as F
+
+    from spark_nnd_spark.functions import text as TX
+
+    n, w = 4, 4
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)
+    rows = (
+        docs.withColumn("hs", TX.ordered_shingle_hashes_expr("text", n))
+        .select("doc_id", "hs", TX.winnow_select_expr(F.col("hs"), w).alias("sel"))
+        .collect()
+    )
+    assert any(len(r["hs"]) >= w for r in rows)
+    for r in rows:
+        hs, sel = list(r["hs"]), set(r["sel"])
+        expected = (
+            {min(hs[s : s + w]) for s in range(0, max(1, len(hs) - w + 1))}
+            if hs
+            else set()
+        )
+        assert sel == expected, f"doc {r['doc_id']}"
+        # window guarantee: every w-window holds a selected hash
+        for s in range(0, len(hs) - w + 1):
+            assert any(h in sel for h in hs[s : s + w]), f"doc {r['doc_id']} window {s}"
