@@ -68,6 +68,8 @@ HEADLINE = [
     "q83_incremental_dedup",
     "q84_event_anomaly",
     "q88_containment_pairs",
+    "q91_winnow_pairs",
+    "q93_token_pmi",
 ]
 
 

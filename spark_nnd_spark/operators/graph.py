@@ -131,3 +131,63 @@ def connected_components(
 
     edges.unpersist()
     return labels.select("id", "component")
+
+
+def pagerank(
+    pairs: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair list — the
+    centrality layer on top of the near-dup graph (which documents are
+    the 'hubs' of a duplication cluster — the canonical copies other
+    docs orbit). Undirected pairs become two directed edges; ranks
+    start uniform at 1/N and update ``iterations`` times with the
+    standard damped rule r(v) = 0.15/N + damping·Σ r(u)/deg(u).
+
+    A FIXED iteration count (not convergence-tested) keeps the result
+    an exact closed-form arithmetic expression, so a DuckDB oracle can
+    replay it by unrolling the same iterations (queries/pipeline.py
+    q96). Returns (id, deg, rank) for every node that appears in a
+    pair; rank unrounded.
+
+    Scale: edges are distributed by src once and checkpointed (per
+    round, only (id, rank/deg) doubles shuffle — O(E) per iteration,
+    the same budget as one connected-components round); N comes from
+    one O(nodes) aggregate collapsed to a driver literal so the base
+    term folds into codegen. Each iteration checkpoints to stop plan
+    growth — the descent.py A13 discipline.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
+    n = deg.count()
+    if n == 0:
+        return deg.select(
+            F.col("src").alias("id"), "deg", F.lit(0.0).alias("rank")
+        )
+    nodes = deg.select(F.col("src").alias("id"), "deg")
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        inflow = (
+            edges.join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(inflow.withColumnRenamed("dst", "id"), "id", "left")
+            .withColumn(
+                "rank",
+                F.lit(0.15 / n)
+                + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0)),
+            )
+            .select("id", "deg", "rank")
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -1652,6 +1652,73 @@ def q95_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_ITERATIONS = 3
+PR_DAMPING = 0.85
+
+
+def q96_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the MinHash-LSH near-dup graph
+    (operators/graph.py pagerank, fixed 3 damped iterations — exact
+    closed-form arithmetic, so the DuckDB oracle unrolls the same
+    iterations): ranks the canonical 'hub' copies inside duplication
+    clusters. Edges shuffle once; per round only (id, rank/deg)
+    doubles move."""
+    from spark_nnd_spark.functions.numeric import round_half_up_expr
+    from spark_nnd_spark.operators.graph import pagerank
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        d, num_hashes=16, bands=4, n=3, threshold=0.2, max_band_freq=MAX_BAND_FREQ
+    )
+    return (
+        pagerank(pairs, iterations=PR_ITERATIONS, damping=PR_DAMPING)
+        .select(
+            F.col("id").alias("doc_id"),
+            "deg",
+            round_half_up_expr(F.col("rank")).alias("rank"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q97_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal slice audit: join the text corpus to its embedding
+    table on the shared id space and profile each (lang, label) cell —
+    doc count, mean embedding L2 norm, mean token length. The
+    modality-alignment sanity check of a multimodal training build
+    (does each language cover every label, do norms drift by slice).
+
+    Scale: a 1:1 equi-join on the id (bucketable/co-partitionable at
+    scale), norms computed as array arithmetic in codegen, then one
+    map-side-combined aggregate to O(langs × labels) rows."""
+    from spark_nnd_spark.functions.numeric import round_half_up_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, v: acc + v * v,
+        )
+    )
+    j = d.join(e, d["doc_id"] == e["vec_id"]).select(
+        "lang",
+        "label",
+        norm.alias("norm"),
+        TX.token_count_expr("text").alias("ntok"),
+    )
+    return (
+        j.groupBy("lang", "label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            round_half_up_expr(F.avg("norm")).alias("avg_norm"),
+            round_half_up_expr(F.avg("ntok")).alias("avg_tokens"),
+        )
+        .orderBy("lang", "label")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -1720,6 +1787,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q93_token_pmi": q93_token_pmi,
     "q94_group_sample": q94_group_sample,
     "q95_user_lifecycle": q95_user_lifecycle,
+    "q96_pagerank": q96_pagerank,
+    "q97_cross_modal": q97_cross_modal,
 }
 
 
@@ -2830,6 +2899,49 @@ def pipeline_oracles() -> dict[str, str]:
                {round_half_up_sql("AVG(n_events * 1.0)")} AS avg_events,
                {round_half_up_sql("AVG(active_days * 1.0)")} AS avg_active_days
         FROM per GROUP BY 1 ORDER BY stage
+    """
+    # q96: unroll the same fixed damped iterations the Spark operator
+    # runs (identical double arithmetic: 1.0/n and 0.15/n are IEEE
+    # divisions in both engines, 0.85 the same double literal).
+    pr_iters = ""
+    prev = "r0"
+    for k in range(1, PR_ITERATIONS + 1):
+        pr_iters += f""",
+        i{k} AS (
+            SELECT e.dst AS id, SUM(r.rank / r.deg) AS inflow
+            FROM e JOIN {prev} r ON e.src = r.id GROUP BY 1
+        ),
+        r{k} AS (
+            SELECT d.src AS id, d.deg,
+                   0.15::DOUBLE / nn.n
+                   + {PR_DAMPING}::DOUBLE * coalesce(i.inflow, 0.0::DOUBLE)
+                   AS rank
+            FROM deg d LEFT JOIN i{k} i ON d.src = i.id, nn
+        )"""
+        prev = f"r{k}"
+    oracles["q96_pagerank"] = f"""
+        WITH pairs AS ({_lsh_pairs_core_sql(sh, mh)}),
+        e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+        deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+        nn AS (SELECT COUNT(*) AS n FROM deg),
+        r0 AS (SELECT src AS id, deg, 1.0::DOUBLE / nn.n AS rank FROM deg, nn)
+        {pr_iters}
+        SELECT id AS doc_id, deg, {round_half_up_sql("rank")} AS rank
+        FROM {prev} ORDER BY doc_id
+    """
+    oracles["q97_cross_modal"] = f"""
+        WITH j AS (
+            SELECT d.lang, e.label,
+                   sqrt(list_sum(list_transform(e.embedding::DOUBLE[],
+                                                x -> x * x))) AS norm,
+                   {TX.token_count_sql('d.text')} AS ntok
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        )
+        SELECT lang, label, COUNT(*) AS n_docs,
+               {round_half_up_sql("AVG(norm)")} AS avg_norm,
+               {round_half_up_sql("AVG(ntok * 1.0)")} AS avg_tokens
+        FROM j GROUP BY 1, 2 ORDER BY lang, label
     """
     return oracles
 

@@ -945,3 +945,29 @@ def test_containment_pairs_directed(spark):
     assert rows == {(1, 2): 1.0}
     jac = DD.jaccard_pairs(docs, n=3, threshold=0.7).collect()
     assert jac == []  # symmetric dedup misses the subset duplicate
+
+
+def test_pagerank_matches_hand_computation_and_conserves_mass(spark):
+    """pagerank: with no dangling nodes total rank is conserved
+    (sum == 1 every iteration), and a 3-node path graph matches the
+    closed-form hand computation of 3 damped rounds."""
+    from spark_nnd_spark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {r["id"]: (r["deg"], r["rank"]) for r in pagerank(pairs).collect()}
+
+    # replay the exact same arithmetic in python
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2)]
+    deg = {1: 1, 2: 2, 3: 1}
+    n = 3
+    rank = {v: 1.0 / n for v in deg}
+    for _ in range(3):
+        inflow = {v: 0.0 for v in deg}
+        for s, d in edges:
+            inflow[d] += rank[s] / deg[s]
+        rank = {v: 0.15 / n + 0.85 * inflow[v] for v in deg}
+    assert set(got) == set(deg)
+    for v in deg:
+        assert got[v][0] == deg[v]
+        assert abs(got[v][1] - rank[v]) < 1e-12, v
+    assert abs(sum(r for _, r in got.values()) - 1.0) < 1e-9

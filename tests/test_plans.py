@@ -424,3 +424,11 @@ def test_token_pmi_broadcasts_vocab(spark):
     plan = _plan(spark, "q93_token_pmi")
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_cross_modal_partial_agg_no_cartesian(spark):
+    """q97: the documents↔embeddings equi-join must be a real join (no
+    cartesian) and the (lang,label) rollup must combine map-side."""
+    plan = _plan(spark, "q97_cross_modal")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_avg" in plan
