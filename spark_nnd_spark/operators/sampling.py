@@ -154,6 +154,11 @@ def per_group_exact_sample(
     sort is per-group; a pathologically hot group can instead take the
     group-local top-k via repartition+mapInPandas, but for bounded
     group counts (sources, langs) this is the right shape.
+
+    Distinct from operators/relational.sample_per_group (reference
+    parity: RATE-based tagging via xxhash64, NND.scala:146-152): this
+    one pins the absolute count and uses the md5 key so a DuckDB
+    oracle can replay it.
     """
     from pyspark.sql import Window  # noqa: PLC0415
 

@@ -1719,6 +1719,82 @@ def q97_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OOV_VOCAB = 100  # global vocabulary size for the coverage audit
+
+
+def q98_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection per near-dup cluster: LSH pairs →
+    connected components → keep the longest doc (tiebreak smallest id)
+    as each cluster's canonical copy — the 'which copy survives' policy
+    layer above q61's boolean verdict. One window over O(cluster
+    members) rows; the corpus never re-shuffles."""
+    from pyspark.sql import Window
+
+    from spark_nnd_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        d, num_hashes=16, bands=4, n=3, threshold=0.2, max_band_freq=MAX_BAND_FREQ
+    )
+    comp = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    members = comp.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(Window.partitionBy("component")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("rep_doc_id"),
+            "n_members",
+            F.col("n_chars").alias("rep_chars"),
+        )
+        .orderBy("component")
+    )
+
+
+def q99_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: fraction of each language's token
+    occurrences that fall outside the global top-OOV_VOCAB vocabulary —
+    the out-of-vocabulary rate that decides whether a fixed vocab (or
+    BPE merge table) trained on the corpus head serves every language
+    slice. Token stream materialized once (checkpoint) and consumed by
+    both the vocabulary head and the per-lang rollup; the vocabulary is
+    broadcast, so the stream shuffles only for the O(langs) final
+    aggregate."""
+    from spark_nnd_spark.functions.numeric import round_half_up_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("lang", F.explode(TX.tokens_expr("text")).alias("token"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(OOV_VOCAB)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_oov"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            round_half_up_expr(F.col("n_oov") / F.col("n_tokens")).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -1789,6 +1865,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q95_user_lifecycle": q95_user_lifecycle,
     "q96_pagerank": q96_pagerank,
     "q97_cross_modal": q97_cross_modal,
+    "q98_cluster_reps": q98_cluster_reps,
+    "q99_oov_rate": q99_oov_rate,
 }
 
 
@@ -2942,6 +3020,41 @@ def pipeline_oracles() -> dict[str, str]:
                {round_half_up_sql("AVG(norm)")} AS avg_norm,
                {round_half_up_sql("AVG(ntok * 1.0)")} AS avg_tokens
         FROM j GROUP BY 1, 2 ORDER BY lang, label
+    """
+    oracles["q98_cluster_reps"] = _cc_ctes(sh, mh) + """,
+        comp AS (
+            SELECT s AS doc_id, least(s, min(d)) AS component
+            FROM reach GROUP BY s
+        ),
+        m AS (
+            SELECT c.component, c.doc_id, d.n_chars
+            FROM comp c JOIN documents d USING (doc_id)
+        )
+        SELECT component, doc_id AS rep_doc_id, n_members, n_chars AS rep_chars
+        FROM (
+            SELECT component, doc_id, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY component
+                                      ORDER BY n_chars DESC, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY component) AS n_members
+            FROM m
+        ) WHERE rn = 1 ORDER BY component
+    """
+    oracles["q99_oov_rate"] = f"""
+        WITH toks AS (
+            SELECT lang, unnest({TX.tokens_sql()}) AS token FROM documents
+        ),
+        vocab AS (
+            SELECT token FROM (
+                SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1
+            ) ORDER BY cnt DESC, token LIMIT {OOV_VOCAB}
+        )
+        SELECT lang, COUNT(*) AS n_tokens,
+               SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+               {round_half_up_sql(
+                   "SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)"
+               )} AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON t.token = v.token
+        GROUP BY lang ORDER BY lang
     """
     return oracles
 

@@ -34,6 +34,11 @@ EVENTS_FAMILY = [
     "q48_event_gaps",
     "q49_pivot_counts",
     "q58_funnel_stages",
+    "q81_retention_cohorts",
+    "q84_event_anomaly",
+    "q90_event_transitions",
+    "q92_decay_engagement",
+    "q95_user_lifecycle",
 ]
 
 pytestmark = pytest.mark.skipif(
