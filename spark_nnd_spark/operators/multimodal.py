@@ -224,3 +224,58 @@ def audio_stats(
             )
 
     return df.mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
+PHASH_SCHEMA = "id long, phash long"
+
+
+def perceptual_hash(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    height: int = 16,
+    width: int = 16,
+    block: int = 2,
+    codec: str = "raw",
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint per image: decode to
+    (height, width), mean-pool block×block cells to a coarse grid,
+    threshold every cell against the grid's mean (strict >), and pack
+    the bits row-major MSB-first into one signed int64 — the standard
+    cheap perceptual-dedup key (identical hash ⇒ visually near-identical
+    image under the pooled-luminance model).
+
+    All arithmetic is exact in float64 (uint8 sums → quarter-integers,
+    means divide by powers of two), so the bit pattern — and therefore
+    the hash — replays bit-for-bit in any engine (DuckDB oracle: q100).
+    Same scale shape as the other kernels here: Arrow-batched
+    mapInPandas, narrow, no shuffle; the grouping downstream keys on
+    the int64, never the payload.
+    """
+    n = height * width
+    gh, gw = height // block, width // block
+    n_bits = gh * gw
+    if n_bits != 64:
+        raise ValueError(f"aHash packs 64 bits; got {gh}x{gw} grid")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = (1 << np.arange(n_bits - 1, -1, -1, dtype=np.uint64)).astype(
+            np.uint64
+        )
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack([_decode(p, n, codec) for p in pdf[payload_col]]).astype(
+                np.float64
+            )
+            g = a.reshape(-1, gh, block, gw, block).mean(axis=(2, 4)).reshape(
+                len(pdf), n_bits
+            )
+            m = g.mean(axis=1, keepdims=True)
+            bits = (g > m).astype(np.uint64)
+            h = (bits * weights).sum(axis=1, dtype=np.uint64).view(np.int64)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(np.int64), "phash": h}
+            )
+
+    return df.mapInPandas(run, PHASH_SCHEMA)

@@ -1795,6 +1795,25 @@ def q99_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q100_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-dedup buckets for image payloads: aHash each image
+    (operators/multimodal.py perceptual_hash — 2×2 mean-pool to an 8×8
+    grid, threshold on the grid mean, 64 bits packed MSB-first) and
+    group identical hashes, the q17-simhash shape transplanted to the
+    image modality. Exact power-of-two float arithmetic makes the bits
+    engine-replayable, so the DuckDB oracle recomputes the hash from
+    the payload bytes. Narrow kernel → one int64-keyed aggregate."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = MM.perceptual_hash(d, id_col="doc_id")
+    return (
+        out.groupBy("phash")
+        .agg(F.min("id").alias("doc_id"), F.count("*").alias("bucket_size"))
+        .orderBy("phash")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -1867,6 +1886,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q97_cross_modal": q97_cross_modal,
     "q98_cluster_reps": q98_cluster_reps,
     "q99_oov_rate": q99_oov_rate,
+    "q100_phash_buckets": q100_phash_buckets,
 }
 
 
@@ -3055,6 +3075,51 @@ def pipeline_oracles() -> dict[str, str]:
                )} AS oov_rate
         FROM toks t LEFT JOIN vocab v ON t.token = v.token
         GROUP BY lang ORDER BY lang
+    """
+    # q100: replay the aHash bit arithmetic from the payload bytes
+    # (ASCII corpus ⇒ bytes == codepoints, the q27 trick). Cell (i//8,
+    # i%8) of the 8x8 grid mean-pools pixels {base+1, base+2, base+17,
+    # base+18} (1-based) with base = (i//8)*32 + (i%8)*2; all means
+    # divide by powers of two, so the threshold compare is exact. The
+    # 64-bit pack runs in HUGEINT and wraps to the signed BIGINT numpy
+    # produces via view(int64).
+    cell = (
+        "(p[(i // 8) * 32 + (i % 8) * 2 + 1]"
+        " + p[(i // 8) * 32 + (i % 8) * 2 + 2]"
+        " + p[(i // 8) * 32 + (i % 8) * 2 + 17]"
+        " + p[(i // 8) * 32 + (i % 8) * 2 + 18]) / 4.0"
+    )
+    oracles["q100_phash_buckets"] = f"""
+        WITH px AS (
+            SELECT doc_id,
+                   list_transform(range(1, 257),
+                       i -> CASE WHEN i <= len(text)
+                                 THEN unicode(substr(text, i, 1))
+                                 ELSE 0 END) AS p
+            FROM documents
+        ),
+        grid AS (
+            SELECT doc_id,
+                   list_transform(range(0, 64), i -> {cell}) AS g
+            FROM px
+        ),
+        packed AS (
+            SELECT doc_id,
+                   list_sum(list_transform(range(0, 64),
+                       i -> CASE WHEN g[i + 1] > list_avg(g)
+                                 THEN 1::HUGEINT << (63 - i)
+                                 ELSE 0::HUGEINT END)) AS hug
+            FROM grid
+        ),
+        h AS (
+            SELECT doc_id,
+                   (CASE WHEN hug >= 9223372036854775808::HUGEINT
+                         THEN hug - 18446744073709551616::HUGEINT
+                         ELSE hug END)::BIGINT AS phash
+            FROM packed
+        )
+        SELECT phash, MIN(doc_id) AS doc_id, COUNT(*) AS bucket_size
+        FROM h GROUP BY 1 ORDER BY phash
     """
     return oracles
 

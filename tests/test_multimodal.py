@@ -97,3 +97,35 @@ def test_preserves_partitioning(spark):
     out = MM.image_stats(df)
     assert out.rdd.getNumPartitions() == 8
     assert out.count() == 64
+
+
+def test_perceptual_hash_matches_python_and_flags_neardups(spark):
+    """aHash kernel: equals a plain-python reimplementation, identical
+    payloads collide, and a payload differing only in one low-contrast
+    byte still collides (the perceptual property), while a structurally
+    different payload does not."""
+    import numpy as np
+
+    base = bytes(range(200)) + b"\x00" * 56
+    tweaked = bytearray(base)
+    tweaked[10] = tweaked[10] + 1  # sub-threshold luminance nudge
+    other = bytes(reversed(base))
+    df = spark.createDataFrame(
+        [(1, base), (2, bytes(tweaked)), (3, other), (4, base)],
+        "id long, payload binary",
+    )
+    got = {r["id"]: r["phash"] for r in MM.perceptual_hash(df).collect()}
+
+    def ahash(payload: bytes) -> int:
+        arr = np.frombuffer(payload[:256].ljust(256, b"\x00"), np.uint8)
+        g = arr.reshape(8, 2, 8, 2).mean(axis=(1, 3)).ravel()
+        bits = g > g.mean()
+        h = 0
+        for b in bits:
+            h = (h << 1) | int(b)
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    for i, p in [(1, base), (2, bytes(tweaked)), (3, other), (4, base)]:
+        assert got[i] == ahash(p), i
+    assert got[1] == got[4] == got[2]  # identical + near-identical collide
+    assert got[1] != got[3]
