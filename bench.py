@@ -70,6 +70,7 @@ HEADLINE = [
     "q88_containment_pairs",
     "q91_winnow_pairs",
     "q93_token_pmi",
+    "q100_phash_buckets",
 ]
 
 
