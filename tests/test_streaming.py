@@ -241,3 +241,69 @@ def test_anomaly_stream_matches_batch(spark, events_batch):
         for r in q84_event_anomaly(spark, SF_SMOKE).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_transitions_stream_deltas_sum_to_batch(spark, events_batch):
+    from spark_nnd_spark.streaming.streams import transitions_stream
+
+    stream = transitions_stream(read_events_stream(spark, SF_SMOKE))
+    run_to_memory_sink(stream, "trans", output_mode="update")
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in spark.sql(
+            """SELECT prev_type, next_type, SUM(delta) AS n
+               FROM trans GROUP BY 1, 2"""
+        ).collect()
+    }
+    want = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in EV.type_transitions(events_batch)
+        .select("prev_type", "next_type", "n")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_transitions_stream_state_straddles_batches(spark, events_batch, tmp_path):
+    """Split the event log into 3 time-ordered files processed one per
+    micro-batch (maxFilesPerTrigger=1): transitions straddling batch
+    boundaries must still be counted exactly once via the carried
+    last-event state."""
+    import os
+
+    from spark_nnd_spark.streaming.streams import transitions_stream
+
+    d = tmp_path / "ev_chunks"
+    d.mkdir()
+    pdf = (
+        events_batch.select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        p = d / f"chunk{i}.parquet"
+        pdf.iloc[cuts[i] : cuts[i + 1]].to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))  # file order = time order
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    run_to_memory_sink(transitions_stream(stream), "trans3", output_mode="update")
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in spark.sql(
+            "SELECT prev_type, next_type, SUM(delta) AS n FROM trans3 GROUP BY 1, 2"
+        ).collect()
+    }
+    want = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in EV.type_transitions(events_batch)
+        .select("prev_type", "next_type", "n")
+        .collect()
+    }
+    assert got == want and len(got) > 0
