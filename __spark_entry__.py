@@ -55,7 +55,8 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   representative selection (longest-doc policy over CC labels),
   q99 per-language out-of-vocabulary rate vs the global top-100
   vocabulary, q100 perceptual-hash (aHash) dedup buckets over image
-  payloads
+  payloads, q101 per-source token-distribution drift (total-variation
+  distance vs the corpus over top-vocab + OOV mass)
   (queries/pipeline.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).
@@ -85,7 +86,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness checks only the first ~50 entries of
-# this dict (insertion order), and the repo declares 100 queries — so the
+# this dict (insertion order), and the repo declares 101 queries — so the
 # order is a priority schedule. It is GENERATED from the recorded
 # CORRECTNESS_r*.json history, not hand-maintained: queries that have
 # never received a driver row come first, then stalest-last-check first,

@@ -1814,6 +1814,70 @@ def q100_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRIFT_VOCAB = 50  # restricted support for the total-variation distance
+
+
+def q101_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift: total-variation distance
+    between each source's token distribution and the whole corpus,
+    restricted to the global top-DRIFT_VOCAB vocabulary plus one pooled
+    out-of-vocabulary bucket — the 'did this source's language shift'
+    monitor a continuously-ingesting corpus runs per batch.
+
+    Scale: the token stream is materialized once (checkpoint) and feeds
+    the global counts, the per-source totals, and the vocab-restricted
+    per-(source, token) counts; the vocabulary and global distribution
+    are broadcast (O(V) rows), the dense source×vocab grid is
+    O(sources · V) — the event stream never shuffles twice. All
+    probabilities are single divisions of exact counts, so both engines
+    compute identical doubles; only the 51-term sum carries float
+    noise, absorbed by the 6-decimal rounding."""
+    from spark_nnd_spark.functions.numeric import round_half_up_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("source", F.explode(TX.tokens_expr("text")).alias("token"))
+        .localCheckpoint(eager=True)
+    )
+    g = toks.groupBy("token").agg(F.count("*").alias("g_cnt"))
+    vocab = g.orderBy(F.desc("g_cnt"), "token").limit(DRIFT_VOCAB)
+    g_tot = toks.agg(F.count("*").alias("g_tot"))
+    s_tot = toks.groupBy("source").agg(F.count("*").alias("s_tot"))
+    sc = (
+        toks.join(F.broadcast(vocab.select("token")), "token")
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("s_cnt"))
+    )
+    grid = (
+        s_tot.crossJoin(F.broadcast(vocab))
+        .join(sc, ["source", "token"], "left")
+        .na.fill({"s_cnt": 0})
+        .crossJoin(F.broadcast(g_tot))
+    )
+    term = F.abs(
+        F.col("s_cnt") / F.col("s_tot") - F.col("g_cnt") / F.col("g_tot")
+    )
+    per_source = grid.groupBy("source", "s_tot", "g_tot").agg(
+        F.sum(term).alias("vocab_l1"),
+        F.sum("s_cnt").alias("s_in_vocab"),
+        F.sum("g_cnt").alias("g_in_vocab"),
+    )
+    oov = F.abs(
+        (F.col("s_tot") - F.col("s_in_vocab")) / F.col("s_tot")
+        - (F.col("g_tot") - F.col("g_in_vocab")) / F.col("g_tot")
+    )
+    return (
+        per_source.select(
+            "source",
+            F.col("s_tot").alias("n_tokens"),
+            round_half_up_expr(
+                F.lit(0.5) * (F.col("vocab_l1") + oov)
+            ).alias("tv_distance"),
+        )
+        .orderBy("source")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -1887,6 +1951,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q98_cluster_reps": q98_cluster_reps,
     "q99_oov_rate": q99_oov_rate,
     "q100_phash_buckets": q100_phash_buckets,
+    "q101_source_drift": q101_source_drift,
 }
 
 
@@ -3120,6 +3185,43 @@ def pipeline_oracles() -> dict[str, str]:
         )
         SELECT phash, MIN(doc_id) AS doc_id, COUNT(*) AS bucket_size
         FROM h GROUP BY 1 ORDER BY phash
+    """
+    oracles["q101_source_drift"] = f"""
+        WITH toks AS (
+            SELECT source, unnest({TX.tokens_sql()}) AS token FROM documents
+        ),
+        g AS (SELECT token, COUNT(*) AS g_cnt FROM toks GROUP BY 1),
+        vocab AS (
+            SELECT token, g_cnt FROM g
+            ORDER BY g_cnt DESC, token LIMIT {DRIFT_VOCAB}
+        ),
+        gt AS (SELECT COUNT(*) AS g_tot FROM toks),
+        st AS (SELECT source, COUNT(*) AS s_tot FROM toks GROUP BY 1),
+        sc AS (
+            SELECT source, token, COUNT(*) AS s_cnt
+            FROM toks JOIN vocab USING (token) GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT st.source, st.s_tot, v.token, v.g_cnt,
+                   coalesce(sc.s_cnt, 0) AS s_cnt, gt.g_tot
+            FROM st CROSS JOIN vocab v CROSS JOIN gt
+            LEFT JOIN sc ON sc.source = st.source AND sc.token = v.token
+        ),
+        per AS (
+            SELECT source, s_tot, g_tot,
+                   SUM(abs(s_cnt * 1.0 / s_tot - g_cnt * 1.0 / g_tot))
+                   AS vocab_l1,
+                   SUM(s_cnt)::BIGINT AS s_in_vocab,
+                   SUM(g_cnt)::BIGINT AS g_in_vocab
+            FROM grid GROUP BY 1, 2, 3
+        )
+        SELECT source, s_tot AS n_tokens,
+               {round_half_up_sql(
+                   "0.5 * (vocab_l1"
+                   " + abs((s_tot - s_in_vocab) * 1.0 / s_tot"
+                   "       - (g_tot - g_in_vocab) * 1.0 / g_tot))"
+               )} AS tv_distance
+        FROM per ORDER BY source
     """
     return oracles
 
