@@ -432,3 +432,21 @@ def test_cross_modal_partial_agg_no_cartesian(spark):
     plan = _plan(spark, "q97_cross_modal")
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial_avg" in plan
+
+
+def test_oov_rate_broadcasts_vocab(spark):
+    """q99: the top-N vocabulary joins the token stream as a broadcast
+    (bounded V) — the stream's only hash exchanges are its own
+    aggregates, never a shuffle keyed on the vocab join."""
+    plan = _plan(spark, "q99_oov_rate")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_drift_single_token_materialization(spark):
+    """q101: the exploded token stream is checkpointed once and feeds
+    the global counts, per-source totals, and vocab-restricted counts —
+    the final plan must not rescan the documents parquet."""
+    plan = _plan(spark, "q101_source_drift")
+    assert "Scan parquet" not in plan
+    assert "BroadcastExchange" in plan
