@@ -56,7 +56,8 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   q99 per-language out-of-vocabulary rate vs the global top-100
   vocabulary, q100 perceptual-hash (aHash) dedup buckets over image
   payloads, q101 per-source token-distribution drift (total-variation
-  distance vs the corpus over top-vocab + OOV mass)
+  distance vs the corpus over top-vocab + OOV mass), q102 per-user
+  behavioral entropy over event types (bot/monoculture signal)
   (queries/pipeline.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).
@@ -86,7 +87,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness checks only the first ~50 entries of
-# this dict (insertion order), and the repo declares 101 queries — so the
+# this dict (insertion order), and the repo declares 102 queries — so the
 # order is a priority schedule. It is GENERATED from the recorded
 # CORRECTNESS_r*.json history, not hand-maintained: queries that have
 # never received a driver row come first, then stalest-last-check first,

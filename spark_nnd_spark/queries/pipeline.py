@@ -1878,6 +1878,32 @@ def q101_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q102_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity: Shannon entropy (nats) of each
+    user's event-type distribution — the bot/monoculture signal (a
+    single-action scripted user scores 0, a uniform explorer ln(types)).
+    One map-side-combined (user, type) aggregate, then the normalizing
+    window and entropy sum run on that O(users·types) table — the event
+    stream is exchanged exactly once."""
+    from pyspark.sql import Window
+
+    from spark_nnd_spark.functions.numeric import round_half_up_expr
+
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    c = c.withColumn("tot", F.sum("n").over(Window.partitionBy("user_id")))
+    p = F.col("n") / F.col("tot")
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.max("tot").alias("n_events"),
+            F.count("*").alias("n_types"),
+            round_half_up_expr(-F.sum(p * F.log(p))).alias("entropy"),
+        )
+        .orderBy("user_id")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -1952,6 +1978,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q99_oov_rate": q99_oov_rate,
     "q100_phash_buckets": q100_phash_buckets,
     "q101_source_drift": q101_source_drift,
+    "q102_behavior_entropy": q102_behavior_entropy,
 }
 
 
@@ -3222,6 +3249,23 @@ def pipeline_oracles() -> dict[str, str]:
                    "       - (g_tot - g_in_vocab) * 1.0 / g_tot))"
                )} AS tv_distance
         FROM per ORDER BY source
+    """
+    oracles["q102_behavior_entropy"] = f"""
+        WITH c AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT user_id, n,
+                   SUM(n) OVER (PARTITION BY user_id) AS tot
+            FROM c
+        )
+        SELECT user_id, MAX(tot)::BIGINT AS n_events,
+               COUNT(*) AS n_types,
+               {round_half_up_sql(
+                   "-SUM((n * 1.0 / tot) * ln(n * 1.0 / tot))"
+               )} AS entropy
+        FROM w GROUP BY user_id ORDER BY user_id
     """
     return oracles
 

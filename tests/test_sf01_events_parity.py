@@ -39,6 +39,7 @@ EVENTS_FAMILY = [
     "q90_event_transitions",
     "q92_decay_engagement",
     "q95_user_lifecycle",
+    "q102_behavior_entropy",
 ]
 
 pytestmark = pytest.mark.skipif(
