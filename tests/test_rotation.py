@@ -48,14 +48,22 @@ def test_stalest_checked_queries_precede_fresher_ones():
     )
 
 
-def test_window_contains_the_rotated_out_relational_block():
-    """Round-4 verdict condition: the r5 window must re-admit the
-    primitives (q1-q10 / q52-q57) that sat out r4."""
-    window = list(entrymod.queries())[:50]
-    assert all(f"q{i}_" in "".join(window) for i in range(1, 11)) or any(
-        q.startswith(("q52_", "q53_", "q54_", "q55_", "q56_", "q57_"))
-        for q in window
-    )
+def test_window_is_exactly_the_never_or_stalest_checked_fifty():
+    """The generator's invariant (round-agnostic): the driver-checked
+    window (first 50 entries) consists of the queries with the oldest
+    last-check round — never-checked (last = -1) first, then stalest.
+    No query outside the window may be staler than one inside it."""
+    order = list(entrymod.queries())
+    hist = _history()
+    window, rest = order[:50], order[50:]
+
+    def last_check(q: str) -> int:
+        return max(hist[q]) if q in hist else -1
+
+    if rest:
+        assert max(last_check(q) for q in window) <= min(
+            last_check(q) for q in rest
+        ), "a query outside the window is staler than one inside it"
 
 
 def test_new_query_lands_at_the_front():
