@@ -375,36 +375,89 @@ def _transitions_fn(
 ) -> Iterator[pd.DataFrame]:
     """Explicit-state kernel: carry the user's last (type, ts, event_id)
     across micro-batches and emit per-batch transition-count deltas.
-    Rows inside a batch are sorted by (ts, event_id) — the same total
-    order the batch operator's LEAD window uses."""
-    last_type, _, _ = state.get if state.exists else (None, 0, 0)
-    counts: dict[tuple[str, str], int] = {}
-    last_ts, last_eid = 0, 0
-    for pdf in batches:
-        if len(pdf) == 0:
-            continue
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for t, ts, eid in zip(pdf["event_type"], pdf["ts"], pdf["event_id"]):
-            if last_type is not None:
-                counts[(last_type, t)] = counts.get((last_type, t), 0) + 1
-            # ts arrives as a pandas Timestamp (TimestampType input) or a
-            # raw integer (nanos-as-long parquet) — state stores the int
-            last_type, last_ts, last_eid = (
-                t,
-                int(getattr(ts, "value", ts)),
-                int(eid),
-            )
-    if last_type is not None:
-        state.update((last_type, last_ts, last_eid))
-    if counts:
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]] * len(counts),
-                "prev_type": [k[0] for k in counts],
-                "next_type": [k[1] for k in counts],
-                "delta": list(counts.values()),
-            }
+
+    The whole micro-batch group is materialized and sorted ONCE by
+    (ts, event_id) — ``applyInPandasWithState`` may deliver one group's
+    rows as several Arrow chunks (``maxRecordsPerBatch``) in arbitrary
+    order, so sorting each chunk independently would miscount
+    transitions that cross a chunk boundary. Groups are per-user
+    micro-batch slices, so the concat is micro-batch-bounded, not
+    stream-bounded.
+
+    The carried event is merged into the sorted sequence at its true
+    event-time position using the stored (last_ts, last_event_id):
+    rows arriving in a later micro-batch with a smaller (ts, event_id)
+    than the carried event are ordered BEFORE it, so every pair emitted
+    this batch respects global event-time order. Remaining limit
+    (documented, inherent to O(1)-per-user state): if rows precede the
+    carried event, the transition already emitted INTO the carried
+    event in an earlier batch is not retracted, and the earliest new
+    row's own predecessor is unknown (uncounted). Under event-time-
+    ordered micro-batch arrival — the normal watermarked-ingest case —
+    neither case triggers and delta sums over any batch prefix
+    reproduce the batch operator's counts exactly."""
+    pdfs = [p for p in batches if len(p)]
+    if not pdfs:
+        return
+    pdf = pd.concat(pdfs, ignore_index=True).sort_values(
+        ["ts", "event_id"], ignore_index=True
+    )
+    # ts arrives as datetime64 (TimestampType input) or raw int64
+    # (nanos-as-long parquet) — state stores the int either way
+    ts_int = pdf["ts"].to_numpy().astype("int64")
+    eid = pdf["event_id"].to_numpy().astype("int64")
+    types = pdf["event_type"]
+
+    prev = types.shift(1)
+    extra_pair: tuple[str, str] | None = None
+    carried_is_last = False
+    if state.exists:
+        last_type, last_ts, last_eid = state.get
+        # rows strictly before the carried event in (ts, event_id) order
+        pos = int(
+            ((ts_int < last_ts) | ((ts_int == last_ts) & (eid < last_eid))).sum()
         )
+        if pos == 0:
+            prev.iloc[0] = last_type  # carried → first row (in-order case)
+        else:
+            extra_pair = (types.iloc[pos - 1], last_type)  # row[pos-1] → carried
+            if pos < len(pdf):
+                prev.iloc[pos] = last_type  # carried → row[pos]
+            else:
+                carried_is_last = True  # every new row precedes the carried event
+            # prev.iloc[0] stays NaN: row[0]'s true predecessor is the
+            # pre-carried history, which O(1) state cannot reconstruct
+
+    mask = prev.notna()
+    pairs = pd.DataFrame(
+        {"prev_type": prev[mask], "next_type": types[mask], "delta": 1}
+    )
+    if extra_pair is not None:
+        pairs = pd.concat(
+            [
+                pairs,
+                pd.DataFrame(
+                    {
+                        "prev_type": [extra_pair[0]],
+                        "next_type": [extra_pair[1]],
+                        "delta": [1],
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+
+    if not carried_is_last:
+        state.update((types.iloc[-1], int(ts_int[-1]), int(eid[-1])))
+
+    if len(pairs):
+        counts = (
+            pairs.groupby(["prev_type", "next_type"], sort=False)["delta"]
+            .sum()
+            .reset_index()
+        )
+        counts.insert(0, "user_id", key[0])
+        yield counts
 
 
 def transitions_stream(events: DataFrame) -> DataFrame:
@@ -414,7 +467,13 @@ def transitions_stream(events: DataFrame) -> DataFrame:
     straddles a batch boundary is still counted exactly once). Summing
     the emitted deltas per (prev_type, next_type) over any prefix of
     batches reproduces the batch operator's counts over the same events
-    (asserted replay-equals-batch in tests/test_streaming.py).
+    (asserted replay-equals-batch in tests/test_streaming.py), provided
+    micro-batch arrival respects event-time order at batch granularity
+    — no event arrives in a later batch with a smaller (ts, event_id)
+    than the user's carried last event. Out-of-order stragglers are
+    still ordered correctly against rows in their own batch via the
+    stored (last_ts, last_event_id); see ``_transitions_fn`` for the
+    exact residual approximation.
 
     Emitting deltas instead of running totals keeps the output a pure
     append of increments, so the downstream aggregate can live in the

@@ -307,3 +307,91 @@ def test_transitions_stream_state_straddles_batches(spark, events_batch, tmp_pat
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for kernel-level unit tests."""
+
+    def __init__(self, value=None):
+        self._value = value
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = value
+
+
+def _run_kernel(chunks, state):
+    import pandas as pd
+
+    from spark_nnd_spark.streaming.streams import _transitions_fn
+
+    out = list(_transitions_fn((7,), iter(chunks), state))
+    if not out:
+        return {}
+    pdf = pd.concat(out, ignore_index=True)
+    return {
+        (r.prev_type, r.next_type): int(r.delta) for r in pdf.itertuples()
+    }
+
+
+def test_transitions_kernel_sorts_across_arrow_chunks():
+    """applyInPandasWithState may split one group's micro-batch across
+    several Arrow chunks in arbitrary order; transitions crossing a
+    chunk boundary must be computed on the globally sorted sequence,
+    not per-chunk."""
+    import pandas as pd
+
+    # global (ts, event_id) order: a(1) b(2) c(3) d(4) — delivered as
+    # two interleaved, unsorted chunks {c, a} and {d, b}
+    chunk1 = pd.DataFrame(
+        {"user_id": [7, 7], "ts": [3, 1], "event_id": [3, 1],
+         "event_type": ["c", "a"]}
+    )
+    chunk2 = pd.DataFrame(
+        {"user_id": [7, 7], "ts": [4, 2], "event_id": [4, 2],
+         "event_type": ["d", "b"]}
+    )
+    state = _FakeState()
+    got = _run_kernel([chunk1, chunk2], state)
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("c", "d"): 1}
+    assert state.get == ("d", 4, 4)
+
+
+def test_transitions_kernel_orders_straggler_against_carried_event():
+    """An event arriving in a later micro-batch with a smaller
+    (ts, event_id) than the carried last event must be ordered BEFORE
+    it — the carried event is merged at its true event-time position."""
+    import pandas as pd
+
+    state = _FakeState(("x", 10, 10))
+    batch = pd.DataFrame(
+        {"user_id": [7, 7], "ts": [5, 20], "event_id": [5, 20],
+         "event_type": ["early", "late"]}
+    )
+    got = _run_kernel([batch], state)
+    # true order: early(5) x(10) late(20) → early→x and x→late;
+    # NOT x→early (which naive front-insertion would produce)
+    assert got == {("early", "x"): 1, ("x", "late"): 1}
+    assert state.get == ("late", 20, 20)
+
+
+def test_transitions_kernel_keeps_carried_event_when_all_rows_precede_it():
+    import pandas as pd
+
+    state = _FakeState(("x", 100, 100))
+    batch = pd.DataFrame(
+        {"user_id": [7, 7], "ts": [1, 2], "event_id": [1, 2],
+         "event_type": ["a", "b"]}
+    )
+    got = _run_kernel([batch], state)
+    # order: a(1) b(2) x(100) → a→b (adjacent new rows) and b→x
+    assert got == {("a", "b"): 1, ("b", "x"): 1}
+    # the carried event is still the user's last — state must not regress
+    assert state.get == ("x", 100, 100)
