@@ -57,8 +57,12 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   vocabulary, q100 perceptual-hash (aHash) dedup buckets over image
   payloads, q101 per-source token-distribution drift (total-variation
   distance vs the corpus over top-vocab + OOV mass), q102 per-user
-  behavioral entropy over event types (bot/monoculture signal)
-  (queries/pipeline.py); q59 deterministic
+  behavioral entropy over event types (bot/monoculture signal),
+  q103 incremental dedup verdicts served from a PERSISTED near-dup
+  index (digests + LSH bands + bucket stats + shingle sidecar; probes
+  never re-shingle the corpus), q104 perceptual-hash near-dup pairs at
+  hamming ≤ 3 (banded pigeonhole-exact candidates over the aHash
+  int64) (queries/pipeline.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).
 """

@@ -71,6 +71,8 @@ HEADLINE = [
     "q91_winnow_pairs",
     "q93_token_pmi",
     "q100_phash_buckets",
+    "q103_indexed_dedup",
+    "q104_phash_pairs",
 ]
 
 
@@ -172,6 +174,12 @@ def main() -> None:
     )
 
     total = round(sum(times.values()), 3)
+    # Reference canary: round 5's recorded host_canary_sec (the first
+    # round that measured one). normalized_total rescales this round's
+    # total to r5's host speed — round-over-round comparisons should
+    # read it instead of the raw total, which swings ~3x with host
+    # scheduling weather.
+    REF_CANARY_SEC = 0.231
     out: dict = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -179,6 +187,10 @@ def main() -> None:
         "queries": times,
         "runs": {n: r for n, r in runs.items() if len(r) > 1},
         "host_canary_sec": canary,
+        "ref_canary_sec": REF_CANARY_SEC,
+        "normalized_total": (
+            round(total * (REF_CANARY_SEC / canary), 3) if canary > 0 else total
+        ),
         "sf": float(sf),
     }
     if errors:

@@ -323,6 +323,28 @@ def minhash_signatures(
     )
 
 
+def _band_explode(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, signature) → (id, band, band_sig): split each MinHash
+    signature into ``bands`` contiguous slices. Shared by the inline
+    LSH join (minhash_lsh_pairs) and the persisted index
+    (build_neardup_index / neardup_query_index) so the banding can
+    never drift between the build and probe sides."""
+    return sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.slice("signature", b * rows_per_band + 1, rows_per_band).alias(
+                        "sig"
+                    ),
+                ),
+            )
+        ).alias("bs"),
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("band_sig"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -360,18 +382,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     if sigs is None:
         sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.slice("signature", b * rows_per_band + 1, rows_per_band).alias("sig"),
-                ),
-            )
-        ).alias("bs"),
-    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("band_sig"))
+    banded = _band_explode(sigs, bands, rows_per_band)
     if max_band_freq is not None:
         hot = (
             banded.groupBy("band", "band_sig")
@@ -816,4 +827,268 @@ def winnow_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def build_neardup_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> None:
+    """Persist a near-duplicate index over the corpus so incremental
+    batches probe STORED signatures instead of re-shingling 100 TB of
+    already-ingested text per batch (the steady-state ingest shape
+    incremental_dedup's docstring promises; the dedup twin of
+    similarity.build_ivf_index).
+
+    Layout under ``path``:
+    - ``meta``        — 1 row (num_hashes, bands, n): probe-side
+      signatures MUST be built with the same parameters, so they are
+      recorded with the index, never trusted to the caller.
+    - ``digests``     — (doc_id, digest): the exact-dup tier.
+    - ``bands``       — (doc_id, band_sig), hive-partitioned by band:
+      the LSH probe is a plain equi-join into this table.
+    - ``band_stats``  — (band, band_sig, cnt): per-bucket occupancy,
+      so the query-time hot-bucket skew guard can reproduce the inline
+      census (corpus + batch counts) from O(buckets) stats instead of
+      rescanning corpus bands.
+    - ``shingles``    — (doc_id, sh): the verify sidecar — candidates
+      are confirmed with exact shingle Jaccard without touching the
+      corpus text. Stored as the same distinct string shingles the
+      inline path computes so the verdicts are bit-identical; a
+      production deployment at 100 TB would store 64-bit shingle
+      hashes instead (≈8 bytes/shingle) at the cost of hash-collision
+      noise in the verify tier.
+
+    Build cost: one signature pass + one tokenize pass + writes — all
+    narrow except the signature exchange that the inline path pays per
+    batch anyway.
+    """
+    spark = corpus.sparkSession
+    rows_per_band = num_hashes // bands
+    spark.createDataFrame(
+        [(num_hashes, bands, n)], "num_hashes int, bands int, n int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    corpus.select(
+        F.col(id_col), F.md5(text_col).alias("digest")
+    ).write.mode("overwrite").parquet(f"{path}/digests")
+    sigs = minhash_signatures(corpus, text_col, id_col, num_hashes, n)
+    _band_explode(sigs, bands, rows_per_band).withColumnRenamed(
+        "id", id_col
+    ).write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
+    # stats from the WRITTEN bands (re-read, not recomputed): one cheap
+    # scan of (id, 4 longs) rows instead of a second signature pass
+    spark.read.parquet(f"{path}/bands").groupBy("band", "band_sig").agg(
+        F.count("*").alias("cnt")
+    ).write.mode("overwrite").parquet(f"{path}/band_stats")
+    corpus.select(
+        F.col(id_col), TX.shingles_expr(text_col, n).alias("sh")
+    ).write.mode("overwrite").parquet(f"{path}/shingles")
+
+
+def neardup_query_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Incremental dedup verdicts against a PERSISTED near-dup index
+    (build_neardup_index): each batch doc is 'exact' (digest already
+    indexed), 'near' (Jaccard-verified LSH match against an indexed
+    doc), or 'novel'. Produces exactly the verdicts of
+    ``incremental_dedup(corpus ∪ batch, ...)`` — asserted index==inline
+    in tests — while touching only the batch text and the stored
+    index: the corpus is never re-shingled.
+
+    Parity details that make the equivalence exact:
+    - probe signatures use the (num_hashes, bands, n) recorded in the
+      index meta, not caller-supplied values;
+    - the hot-bucket census counts corpus + batch members combined
+      (corpus side from the O(buckets) band_stats, batch side counted
+      live), matching the inline census over the unioned DataFrame;
+    - candidate verification is exact shingle Jaccard between the
+      batch doc (tokenized here, only for candidate ids) and the
+      indexed shingle set.
+
+    Scale: every corpus-side input is index-backed — digests
+    (semi-join), bands (equi-join on (band, band_sig)), band_stats
+    (O(buckets)), shingles (semi-joined to candidate ids before the
+    verify join). The per-batch cost is O(batch) text work plus joins
+    sized by candidate volume, independent of corpus text size.
+    """
+    meta = spark.read.parquet(f"{path}/meta").first()
+    num_hashes, bands, n = meta["num_hashes"], meta["bands"], meta["n"]
+    rows_per_band = num_hashes // bands
+
+    batch_ids = batch.select(id_col)
+
+    # exact tier: digest semi-join into the stored digests
+    exact = (
+        batch.select(F.col(id_col), F.md5(text_col).alias("digest"))
+        .join(
+            spark.read.parquet(f"{path}/digests").select("digest").distinct(),
+            "digest",
+            "left_semi",
+        )
+        .select(id_col)
+        .withColumn("_exact", F.lit(True))
+    )
+
+    # near tier: band the batch, probe the stored bands
+    sigs = minhash_signatures(batch, text_col, id_col, num_hashes, n)
+    # checkpointed: feeds the census and the candidate join
+    b_banded = _band_explode(sigs, bands, rows_per_band).localCheckpoint(eager=True)
+    c_banded = spark.read.parquet(f"{path}/bands").select(
+        F.col(id_col).alias("id"), "band", "band_sig"
+    )
+    if max_band_freq is not None:
+        stats = spark.read.parquet(f"{path}/band_stats")
+        b_cnt = b_banded.groupBy("band", "band_sig").agg(
+            F.count("*").alias("bcnt")
+        )
+        hot = (
+            b_cnt.join(stats, ["band", "band_sig"], "full_outer")
+            .filter(
+                F.coalesce("cnt", F.lit(0)) + F.coalesce("bcnt", F.lit(0))
+                > max_band_freq
+            )
+            .select("band", "band_sig")
+            .localCheckpoint(eager=True)  # feeds both anti-joins
+        )
+        b_banded = b_banded.join(hot, ["band", "band_sig"], "left_anti")
+        c_banded = c_banded.join(hot, ["band", "band_sig"], "left_anti")
+    cand = (
+        b_banded.select("band", "band_sig", F.col("id").alias("bid"))
+        .join(
+            c_banded.select("band", "band_sig", F.col("id").alias("cid")),
+            ["band", "band_sig"],
+        )
+        .filter(F.col("bid") != F.col("cid"))
+        .select("bid", "cid")
+        .distinct()
+        # pinned once: feeds the two id derivations and the verify join
+        .localCheckpoint(eager=True)
+    )
+
+    # verify: exact Jaccard, batch shingles computed only for candidate
+    # ids, corpus shingles read from the index sidecar
+    b_sh = (
+        batch.join(
+            cand.select(F.col("bid").alias(id_col)).distinct(), id_col, "left_semi"
+        )
+        .select(F.col(id_col).alias("bid"), TX.shingles_expr(text_col, n).alias("sh_b"))
+    )
+    c_sh = (
+        spark.read.parquet(f"{path}/shingles")
+        .join(
+            cand.select(F.col("cid").alias(id_col)).distinct(), id_col, "left_semi"
+        )
+        .select(F.col(id_col).alias("cid"), F.col("sh").alias("sh_c"))
+    )
+    near = (
+        cand.join(b_sh, "bid")
+        .join(c_sh, "cid")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_b", "sh_c"))
+            / F.size(F.array_union("sh_b", "sh_c")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("bid").alias(id_col))
+        .distinct()
+        .withColumn("_near", F.lit(True))
+    )
+
+    verdict = (
+        F.when(F.col("_exact"), F.lit("exact"))
+        .when(F.col("_near"), F.lit("near"))
+        .otherwise(F.lit("novel"))
+    )
+    return (
+        batch_ids.join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(id_col, verdict.alias("verdict"))
+    )
+
+
+def hash_hamming_pairs(
+    df: DataFrame,
+    hash_col: str = "phash",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    bits: int = 64,
+    max_hamming: int = 3,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs over a fixed-width integer fingerprint (e.g. the
+    64-bit perceptual aHash) by hamming distance, banded for scale —
+    the q42 simhash machinery generalized to any packed bit hash.
+
+    Candidates: split the hash into ``n_bands`` equal bit bands and
+    equi-join docs agreeing on any band. Pigeonhole: any pair at
+    hamming ≤ n_bands − 1 has an untouched band, so for
+    ``max_hamming ≤ n_bands − 1`` recall is EXACT — banded output
+    equals the all-pairs filter (which is what the DuckDB oracle runs).
+    Verification is one XOR + popcount, whole-stage codegen.
+
+    ``max_band_freq`` (off by default — it trades the exactness
+    guarantee for bounded fan-out) drops band buckets hotter than the
+    cap, the same skew guard as the MinHash/SimHash paths: a bucket of
+    m identical-band docs fans out m²/2 candidates.
+    """
+    if bits % n_bands != 0:
+        raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
+    band_bits = bits // n_bands
+    band_mask = (1 << band_bits) - 1
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftrightunsigned(F.col(hash_col), band_bits * j)
+                        .bitwiseAND(F.lit(band_mask))
+                        .alias("band_val"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", "h", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val"))
+    if max_band_freq is not None:
+        hot = (
+            banded.groupBy("band", "band_val")
+            .agg(F.count("*").alias("bf"))
+            .filter(F.col("bf") > max_band_freq)
+            .select("band", "band_val")
+        )
+        banded = banded.join(hot, ["band", "band_val"], "left_anti")
+    # materialized once: both sides of the self-join read it (the q42
+    # pattern — without this the hash kernel upstream runs twice)
+    banded = banded.localCheckpoint(eager=True)
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "band_val"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.h").alias("h_a"),
+            F.col("y.h").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

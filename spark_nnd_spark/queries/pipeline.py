@@ -1904,6 +1904,64 @@ def q102_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# On-disk near-dup index over the corpus side (source != 'src0'),
+# built once per (session, sf_dir) — the q25/_NND_CACHE convention:
+# q103 measures the PROBE path; the build is the amortized ingest-time
+# cost a 100 TB pipeline pays once, not per batch.
+_NEARDUP_IDX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _neardup_index_for(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NEARDUP_IDX_CACHE:
+        path = tempfile.mkdtemp(prefix="neardup_idx_")
+        d = load_table(spark, sf_dir, "documents")
+        DD.build_neardup_index(
+            d.filter(F.col("source") != "src0"), path, num_hashes=16, bands=4, n=3
+        )
+        _NEARDUP_IDX_CACHE[key] = path
+    return _NEARDUP_IDX_CACHE[key]
+
+
+def q103_indexed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q83's verdicts served from a PERSISTED near-dup index
+    (operators/dedup.py build_neardup_index / neardup_query_index):
+    the corpus side (source != 'src0') is indexed once — digests, LSH
+    band signatures, per-bucket stats, shingle sidecar — and each
+    incoming batch probes the stored index instead of re-shingling the
+    corpus. Same verdicts as the inline path (asserted index==inline
+    in tests/test_operators.py), same oracle SQL as q83; at 100 TB
+    this is the difference between O(batch) and O(corpus) per ingest."""
+    d = load_table(spark, sf_dir, "documents")
+    idx = _neardup_index_for(spark, sf_dir)
+    return DD.neardup_query_index(
+        spark,
+        idx,
+        d.filter(F.col("source") == "src0"),
+        threshold=0.2,
+        max_band_freq=MAX_BAND_FREQ,
+    ).orderBy("doc_id")
+
+
+def q104_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup PAIRS at hamming ≤ 3 over the 64-bit aHash
+    (q100 buckets only exact-equal hashes; real image dedup needs a
+    distance). Banded pigeonhole candidates (operators/dedup.py
+    hash_hamming_pairs, the q42 machinery on the phash int64): 4
+    bands of 16 bits, so any pair at hamming ≤ 3 shares an untouched
+    band — recall is EXACT and the all-pairs DuckDB oracle must agree
+    row-for-row. Verification is one XOR+popcount, codegen'd."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    ph = MM.perceptual_hash(d, id_col="doc_id")
+    return DD.hash_hamming_pairs(
+        ph, hash_col="phash", id_col="id", n_bands=4, bits=64, max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -1979,6 +2037,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q100_phash_buckets": q100_phash_buckets,
     "q101_source_drift": q101_source_drift,
     "q102_behavior_entropy": q102_behavior_entropy,
+    "q103_indexed_dedup": q103_indexed_dedup,
+    "q104_phash_pairs": q104_phash_pairs,
 }
 
 
@@ -3266,6 +3326,49 @@ def pipeline_oracles() -> dict[str, str]:
                    "-SUM((n * 1.0 / tot) * ln(n * 1.0 / tot))"
                )} AS entropy
         FROM w GROUP BY user_id ORDER BY user_id
+    """
+    # q103 serves EXACTLY q83's verdicts from the persisted index, so
+    # the oracle is q83's SQL verbatim — the index is an execution
+    # strategy, not a semantic change (index==inline also asserted in
+    # tests/test_operators.py).
+    oracles["q103_indexed_dedup"] = oracles["q83_incremental_dedup"]
+    # q104: all-pairs hamming filter over the replayed aHash — the
+    # banded Spark plan is pigeonhole-exact at max_hamming 3 with 4
+    # bands, so the oracle may brute-force what the engine bands.
+    oracles["q104_phash_pairs"] = f"""
+        WITH px AS (
+            SELECT doc_id,
+                   list_transform(range(1, 257),
+                       i -> CASE WHEN i <= len(text)
+                                 THEN unicode(substr(text, i, 1))
+                                 ELSE 0 END) AS p
+            FROM documents
+        ),
+        grid AS (
+            SELECT doc_id,
+                   list_transform(range(0, 64), i -> {cell}) AS g
+            FROM px
+        ),
+        packed AS (
+            SELECT doc_id,
+                   list_sum(list_transform(range(0, 64),
+                       i -> CASE WHEN g[i + 1] > list_avg(g)
+                                 THEN 1::HUGEINT << (63 - i)
+                                 ELSE 0::HUGEINT END)) AS hug
+            FROM grid
+        ),
+        h AS (
+            SELECT doc_id,
+                   (CASE WHEN hug >= 9223372036854775808::HUGEINT
+                         THEN hug - 18446744073709551616::HUGEINT
+                         ELSE hug END)::BIGINT AS phash
+            FROM packed
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        ORDER BY id_a, id_b
     """
     return oracles
 

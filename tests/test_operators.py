@@ -971,3 +971,85 @@ def test_pagerank_matches_hand_computation_and_conserves_mass(spark):
         assert got[v][0] == deg[v]
         assert abs(got[v][1] - rank[v]) < 1e-12, v
     assert abs(sum(r for _, r in got.values()) - 1.0) < 1e-9
+
+
+def test_neardup_index_roundtrip_equals_inline(spark, tmp_path):
+    """Verdicts served from the persisted near-dup index must equal the
+    inline incremental_dedup over the same split, including the
+    hot-bucket census semantics (corpus stats + live batch counts ==
+    inline census over the union). Also checks the on-disk layout."""
+    import os
+
+    from spark_nnd_spark.operators.dedup import (
+        build_neardup_index,
+        incremental_dedup,
+        neardup_query_index,
+    )
+    from spark_nnd_spark.sources import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    corpus = d.filter(F.col("source") != "src0")
+    batch = d.filter(F.col("source") == "src0")
+    idx = str(tmp_path / "ndidx")
+    build_neardup_index(corpus, idx, num_hashes=16, bands=4, n=3)
+
+    for cap in (100, 2):  # generous cap and a cap that actually bites
+        inline = sorted(
+            tuple(r)
+            for r in incremental_dedup(
+                d,
+                F.col("source") == "src0",
+                num_hashes=16,
+                bands=4,
+                n=3,
+                threshold=0.2,
+                max_band_freq=cap,
+            ).collect()
+        )
+        indexed = sorted(
+            tuple(r)
+            for r in neardup_query_index(
+                spark, idx, batch, threshold=0.2, max_band_freq=cap
+            ).collect()
+        )
+        assert indexed == inline and len(indexed) > 0
+
+    # layout: bands hive-partitioned by band, all four sidecars present
+    bands = [p for p in os.listdir(f"{idx}/bands") if p.startswith("band=")]
+    assert len(bands) == 4
+    for part in ("meta", "digests", "band_stats", "shingles"):
+        assert os.path.isdir(f"{idx}/{part}")
+    # probe parameters come from the index meta, not the caller
+    meta = spark.read.parquet(f"{idx}/meta").first()
+    assert (meta["num_hashes"], meta["bands"], meta["n"]) == (16, 4, 3)
+
+
+def test_hash_hamming_pairs_banded_equals_brute(spark):
+    """Pigeonhole exactness: with max_hamming <= n_bands - 1 the banded
+    join must reproduce the all-pairs filter row-for-row."""
+    from spark_nnd_spark.operators.dedup import hash_hamming_pairs
+    from spark_nnd_spark.operators.multimodal import perceptual_hash
+    from spark_nnd_spark.sources import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    ph = perceptual_hash(d, id_col="doc_id")
+    banded = sorted(
+        tuple(r)
+        for r in hash_hamming_pairs(
+            ph, hash_col="phash", id_col="id", n_bands=4, max_hamming=3
+        ).collect()
+    )
+    a = ph.select(F.col("id").alias("id_a"), F.col("phash").alias("h_a"))
+    b = ph.select(F.col("id").alias("id_b"), F.col("phash").alias("h_b"))
+    brute = sorted(
+        tuple(r)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .collect()
+    )
+    assert banded == brute and len(banded) > 0
