@@ -224,6 +224,67 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def indexed_dedup_stream(
+    batch_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    timeout_sec: int = 180,
+) -> Any:
+    """Streaming ingest dedup against a PERSISTED near-dup index
+    (operators/dedup.build_neardup_index): each micro-batch of incoming
+    documents is probed through ``neardup_query_index`` inside
+    ``foreachBatch`` and its (doc_id, verdict) rows land in a
+    batchId-keyed parquet directory — the streaming face of the q103
+    ingest path, and the shape a 100 TB/day crawl dedup actually runs
+    (index built by the batch layer, probed continuously at ingest).
+
+    ``foreachBatch`` rather than a stream-static join chain: the probe
+    is a multi-join DAG with batch-only constructs (localCheckpoint
+    reuse barriers, distinct over candidates) that Structured
+    Streaming's incremental planner cannot host, and the micro-batch
+    IS the "incremental batch" the index API was designed around.
+    Idempotence: outputs are written ``overwrite`` into a directory
+    keyed by batchId, so a replayed batch (checkpoint restart) rewrites
+    the same directory instead of duplicating rows.
+
+    The probe runs WITHOUT the hot-bucket cap: with a cap, a doc's
+    verdict depends on which other docs share its micro-batch (the
+    census counts live batch members), which would make replay
+    batching-dependent. Uncapped, every verdict is a pure function of
+    (doc, index), so the union of per-batch verdicts equals one batch
+    probe of the whole stream — asserted replay-equals-batch in
+    tests/test_streaming.py.
+    """
+    from spark_nnd_spark.operators.dedup import neardup_query_index  # noqa: PLC0415
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        verdicts = neardup_query_index(
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+            max_band_freq=None,
+        )
+        verdicts.write.mode("overwrite").parquet(
+            f"{out_path}/ingest_batch={batch_id}"
+        )
+
+    q = (
+        batch_stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q
+
+
 def read_events_kafka(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -450,3 +450,26 @@ def test_source_drift_single_token_materialization(spark):
     plan = _plan(spark, "q101_source_drift")
     assert "Scan parquet" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_indexed_dedup_probes_stored_index_not_corpus_text(spark):
+    """q103's contract: the corpus side is served by the persisted index
+    — digest and shingle scans read the index parquet (the band probe
+    is consumed inside the eager candidate checkpoint upstream of the
+    final plan), and EVERY documents scan carries the batch predicate
+    (source = 'src0'), so corpus text is never re-read."""
+    plan = _plan(spark, "q103_indexed_dedup")
+    # corpus digests and shingles come from the index, not documents
+    assert "/digests" in plan and "/shingles" in plan
+    # every documents scan is batch-side: the src0 filter reaches it
+    doc_scans = [
+        seg[:400]
+        for seg in plan.split("FileScan parquet")[1:]
+        if "documents" in seg[:400]
+    ]
+    assert doc_scans, "expected batch-side documents scans"
+    for head in doc_scans:
+        assert "(source" in head and "src0" in head, (
+            "a documents scan without the batch predicate would mean "
+            "the probe is re-reading corpus text:\n" + head
+        )

@@ -395,3 +395,56 @@ def test_transitions_kernel_keeps_carried_event_when_all_rows_precede_it():
     assert got == {("a", "b"): 1, ("b", "x"): 1}
     # the carried event is still the user's last — state must not regress
     assert state.get == ("x", 100, 100)
+
+
+def test_indexed_dedup_stream_replays_batch_verdicts(spark, tmp_path):
+    """Stream the batch side in 3 micro-batches through the persisted
+    near-dup index: the union of per-batch verdicts must equal one
+    batch probe of the whole side (verdicts are per-doc pure functions
+    of (doc, index) when uncapped)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_nnd_spark.operators.dedup import (
+        build_neardup_index,
+        neardup_query_index,
+    )
+    from spark_nnd_spark.sources import load_table
+    from spark_nnd_spark.streaming.streams import indexed_dedup_stream
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    idx = str(tmp_path / "ndidx")
+    build_neardup_index(d.filter(F.col("source") != "src0"), idx)
+
+    batch_side = d.filter(F.col("source") == "src0").select("doc_id", "text")
+    src = tmp_path / "incoming"
+    src.mkdir()
+    pdf = batch_side.toPandas().sort_values("doc_id").reset_index(drop=True)
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        p = src / f"chunk{i}.parquet"
+        pdf.iloc[cuts[i] : cuts[i + 1]].to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "verdicts")
+    indexed_dedup_stream(
+        stream, idx, out, checkpoint=str(tmp_path / "ckpt")
+    )
+    got = sorted(
+        (r["doc_id"], r["verdict"])
+        for r in spark.read.parquet(out).select("doc_id", "verdict").collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["verdict"])
+        for r in neardup_query_index(spark, idx, batch_side).collect()
+    )
+    assert got == want and len(got) == n > 0
+    # one output directory per micro-batch (idempotence key)
+    assert len([p for p in os.listdir(out) if p.startswith("ingest_batch=")]) == 3
