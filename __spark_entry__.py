@@ -62,7 +62,9 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   index (digests + LSH bands + bucket stats + shingle sidecar; probes
   never re-shingle the corpus), q104 perceptual-hash near-dup pairs at
   hamming ≤ 3 (banded pigeonhole-exact candidates over the aHash
-  int64) (queries/pipeline.py); q59 deterministic
+  int64), q105 q16's verified LSH pairs served entirely from the
+  persisted index (stored bands + bucket stats + shingle sidecar; no
+  document text read) (queries/pipeline.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).
 """

@@ -73,6 +73,7 @@ HEADLINE = [
     "q100_phash_buckets",
     "q103_indexed_dedup",
     "q104_phash_pairs",
+    "q105_indexed_lsh_pairs",
 ]
 
 

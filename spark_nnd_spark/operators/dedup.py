@@ -1018,6 +1018,74 @@ def neardup_query_index(
     )
 
 
+def neardup_pairs_index(
+    spark,
+    path: str,
+    threshold: float = 0.2,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Verified MinHash-LSH near-dup pairs served ENTIRELY from a
+    persisted index (build_neardup_index over the same doc set):
+    banded self-join over the stored band signatures, hot-bucket cut
+    from the stored O(buckets) stats, Jaccard verify from the stored
+    shingle sidecar. Produces exactly ``minhash_lsh_pairs(corpus,...)``
+    with the index's (num_hashes, bands, n) — asserted index==inline
+    in tests — without touching document text at all.
+
+    This is the operator the corpus-health queries (cluster sizes,
+    keep/drop verdicts, cross-source overlap) should run at 100 TB:
+    signatures are computed once at ingest; every downstream consumer
+    joins stored integers. Per-query cost is the band self-join +
+    candidate-sized verify, independent of corpus text size.
+    """
+    c_banded = spark.read.parquet(f"{path}/bands")
+    id_col = [c for c in c_banded.columns if c not in ("band", "band_sig")][0]
+    banded = c_banded.select(F.col(id_col).alias("id"), "band", "band_sig")
+    if max_band_freq is not None:
+        hot = (
+            spark.read.parquet(f"{path}/band_stats")
+            .filter(F.col("cnt") > max_band_freq)
+            .select("band", "band_sig")
+        )
+        banded = banded.join(hot, ["band", "band_sig"], "left_anti")
+    # the same materialize-per-reuse barrier as the inline path: both
+    # self-join sides read one scan of the (already tiny) band table
+    banded = banded.localCheckpoint(eager=True)
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "band_sig"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds ids derivation + verify join
+    )
+    ids = (
+        cand.select(F.col("id_a").alias("cid"))
+        .union(cand.select(F.col("id_b")))
+        .distinct()
+    )
+    sh = (
+        spark.read.parquet(f"{path}/shingles")
+        .join(ids, F.col(id_col) == F.col("cid"), "left_semi")
+        .select(F.col(id_col).alias("id"), "sh")
+    )
+    return (
+        cand.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def hash_hamming_pairs(
     df: DataFrame,
     hash_col: str = "phash",

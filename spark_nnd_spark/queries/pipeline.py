@@ -1945,6 +1945,40 @@ def q103_indexed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Full-corpus near-dup index (every document, not just the q103 corpus
+# side) — the artifact the corpus-health queries probe. Built once per
+# (session, sf_dir); the amortized ingest-time cost.
+_NEARDUP_FULL_IDX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _neardup_full_index_for(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NEARDUP_FULL_IDX_CACHE:
+        path = tempfile.mkdtemp(prefix="neardup_full_idx_")
+        d = load_table(spark, sf_dir, "documents")
+        DD.build_neardup_index(d, path, num_hashes=16, bands=4, n=3)
+        _NEARDUP_FULL_IDX_CACHE[key] = path
+    return _NEARDUP_FULL_IDX_CACHE[key]
+
+
+def q105_indexed_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q16's verified near-dup pairs served ENTIRELY from the persisted
+    index (operators/dedup.py neardup_pairs_index): banded self-join
+    over stored signatures, census cut from stored bucket stats,
+    Jaccard verify from the stored shingle sidecar — document text is
+    never read. Same rows as q16 (asserted index==inline in tests),
+    same oracle SQL; this is how the q61/q71/q82-class corpus-health
+    queries run at 100 TB, where re-shingling per query is a full
+    corpus text scan each time."""
+    idx = _neardup_full_index_for(spark, sf_dir)
+    out = DD.neardup_pairs_index(spark, idx, threshold=0.2, max_band_freq=MAX_BAND_FREQ)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
 def q104_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup PAIRS at hamming ≤ 3 over the 64-bit aHash
     (q100 buckets only exact-equal hashes; real image dedup needs a
@@ -2039,6 +2073,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q102_behavior_entropy": q102_behavior_entropy,
     "q103_indexed_dedup": q103_indexed_dedup,
     "q104_phash_pairs": q104_phash_pairs,
+    "q105_indexed_lsh_pairs": q105_indexed_lsh_pairs,
 }
 
 
@@ -3332,6 +3367,9 @@ def pipeline_oracles() -> dict[str, str]:
     # strategy, not a semantic change (index==inline also asserted in
     # tests/test_operators.py).
     oracles["q103_indexed_dedup"] = oracles["q83_incremental_dedup"]
+    # q105 serves exactly q16's pairs from the persisted index — same
+    # reasoning as q103: execution strategy, not a semantic change.
+    oracles["q105_indexed_lsh_pairs"] = oracles["q16_minhash_lsh_pairs"]
     # q104: all-pairs hamming filter over the replayed aHash — the
     # banded Spark plan is pigeonhole-exact at max_hamming 3 with 4
     # bands, so the oracle may brute-force what the engine bands.

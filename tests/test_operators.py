@@ -1053,3 +1053,33 @@ def test_hash_hamming_pairs_banded_equals_brute(spark):
         .collect()
     )
     assert banded == brute and len(banded) > 0
+
+
+def test_neardup_pairs_index_equals_inline(spark, tmp_path):
+    """Pairs served from the persisted index must equal the inline
+    minhash_lsh_pairs over the same docs, including the census cut
+    (stored bucket stats == inline census over the full set)."""
+    from spark_nnd_spark.operators.dedup import (
+        build_neardup_index,
+        minhash_lsh_pairs,
+        neardup_pairs_index,
+    )
+    from spark_nnd_spark.sources import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    idx = str(tmp_path / "fullidx")
+    build_neardup_index(d, idx, num_hashes=16, bands=4, n=3)
+    for cap in (100, 2):
+        inline = sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in minhash_lsh_pairs(
+                d, num_hashes=16, bands=4, n=3, threshold=0.2, max_band_freq=cap
+            ).collect()
+        )
+        indexed = sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in neardup_pairs_index(
+                spark, idx, threshold=0.2, max_band_freq=cap
+            ).collect()
+        )
+        assert indexed == inline and len(indexed) > 0
