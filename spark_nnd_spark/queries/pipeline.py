@@ -99,9 +99,7 @@ def q31_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_nnd_spark.operators.graph import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(
-        d, num_hashes=16, bands=4, n=3, threshold=0.2, max_band_freq=MAX_BAND_FREQ
-    )
+    pairs = _indexed_lsh_pairs(spark, sf_dir)
     return connected_components(pairs).select(
         F.col("id").alias("doc_id"), "component"
     ).orderBy("doc_id")
@@ -669,16 +667,15 @@ def q60_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q61_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup END STEP: one keep/drop verdict per document. Keeper =
     the component label (min doc_id) of its near-dup cluster; docs
-    outside any cluster keep themselves. Composes minhash_lsh_pairs →
-    connected_components → left join back to the corpus — the exact
-    chain a training-data build runs before writing its final shard
-    set."""
+    outside any cluster keep themselves. Composes index-served LSH
+    pairs (_indexed_lsh_pairs — signatures computed once at index
+    build, not per query) → connected_components → left join back to
+    the corpus — the exact chain a training-data build runs before
+    writing its final shard set."""
     from spark_nnd_spark.operators.graph import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(
-        d, num_hashes=16, bands=4, n=3, threshold=0.2, max_band_freq=MAX_BAND_FREQ
-    )
+    pairs = _indexed_lsh_pairs(spark, sf_dir)
     comp = connected_components(pairs).select(F.col("id").alias("doc_id"), "component")
     return (
         d.select("doc_id")
@@ -946,9 +943,7 @@ def q71_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source_a, source_b) aggregate — the matrix is O(sources²) rows
     regardless of corpus size."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(
-        d, num_hashes=16, bands=4, n=3, threshold=0.2, max_band_freq=MAX_BAND_FREQ
-    )
+    pairs = _indexed_lsh_pairs(spark, sf_dir)
     src = d.select("doc_id", "source")
     return (
         pairs.join(src.withColumnsRenamed({"doc_id": "id_a", "source": "src_a"}), "id_a")
@@ -1313,9 +1308,7 @@ def q82_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_nnd_spark.operators.graph import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(
-        d, num_hashes=16, bands=4, n=3, threshold=0.2, max_band_freq=MAX_BAND_FREQ
-    )
+    pairs = _indexed_lsh_pairs(spark, sf_dir)
     comp = connected_components(pairs)
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return (
@@ -1667,9 +1660,7 @@ def q96_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_nnd_spark.operators.graph import pagerank
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(
-        d, num_hashes=16, bands=4, n=3, threshold=0.2, max_band_freq=MAX_BAND_FREQ
-    )
+    pairs = _indexed_lsh_pairs(spark, sf_dir)
     return (
         pagerank(pairs, iterations=PR_ITERATIONS, damping=PR_DAMPING)
         .select(
@@ -1733,9 +1724,7 @@ def q98_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_nnd_spark.operators.graph import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(
-        d, num_hashes=16, bands=4, n=3, threshold=0.2, max_band_freq=MAX_BAND_FREQ
-    )
+    pairs = _indexed_lsh_pairs(spark, sf_dir)
     comp = connected_components(pairs).withColumnRenamed("id", "doc_id")
     members = comp.join(d.select("doc_id", "n_chars"), "doc_id")
     w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
@@ -1961,6 +1950,22 @@ def _neardup_full_index_for(spark: SparkSession, sf_dir: str) -> str:
         DD.build_neardup_index(d, path, num_hashes=16, bands=4, n=3)
         _NEARDUP_FULL_IDX_CACHE[key] = path
     return _NEARDUP_FULL_IDX_CACHE[key]
+
+
+def _indexed_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified LSH near-dup pairs for the corpus-health queries
+    (q31/q61/q71/q82/q96/q98), served from the session-cached persisted
+    index (operators/dedup.py neardup_pairs_index) — identical rows to
+    the inline ``minhash_lsh_pairs(documents, 16, 4, 3, 0.2, cap)``
+    (asserted index==inline in tests/test_operators.py; every
+    consumer's oracle SQL still replays the inline pipeline), but the
+    corpus text is shingled once at index build instead of once per
+    query. At 100 TB this is the only viable shape: six health queries
+    re-tokenizing the corpus each would be six full text scans."""
+    idx = _neardup_full_index_for(spark, sf_dir)
+    return DD.neardup_pairs_index(
+        spark, idx, threshold=0.2, max_band_freq=MAX_BAND_FREQ
+    )
 
 
 def q105_indexed_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
