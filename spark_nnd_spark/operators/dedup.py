@@ -1018,6 +1018,49 @@ def neardup_query_index(
     )
 
 
+def extend_neardup_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Admit a batch into an existing near-dup index: append the new
+    docs' digests, band signatures, and shingle sidecars, then refresh
+    the bucket-occupancy stats — the write half of the continuous-
+    ingest loop (probe with neardup_query_index, admit the keepers,
+    extend; the next batch probes an index that already contains this
+    one). Signature parameters come from the stored meta, so an
+    extension can never be banded differently from the base build.
+
+    Appends are plain parquet appends (new files, existing files
+    untouched). band_stats is recomputed from the bands table — an
+    O(index-bands) integer scan, deliberately derived from bands
+    rather than merged with the old stats so a retried extension
+    cannot double-count; at 100 TB this scan is (id, band, 4 longs)
+    rows, orders of magnitude under one corpus text pass.
+    """
+    meta = spark.read.parquet(f"{path}/meta").first()
+    num_hashes, bands, n = meta["num_hashes"], meta["bands"], meta["n"]
+    rows_per_band = num_hashes // bands
+    new_docs.select(
+        F.col(id_col), F.md5(text_col).alias("digest")
+    ).write.mode("append").parquet(f"{path}/digests")
+    sigs = minhash_signatures(new_docs, text_col, id_col, num_hashes, n)
+    _band_explode(sigs, bands, rows_per_band).withColumnRenamed(
+        "id", id_col
+    ).write.mode("append").partitionBy("band").parquet(f"{path}/bands")
+    new_docs.select(
+        F.col(id_col), TX.shingles_expr(text_col, n).alias("sh")
+    ).write.mode("append").parquet(f"{path}/shingles")
+    # refresh stats AFTER the band append: reads bands, overwrites
+    # band_stats — safe without a barrier because stats derive from
+    # bands, never from the directory being overwritten
+    spark.read.parquet(f"{path}/bands").groupBy("band", "band_sig").agg(
+        F.count("*").alias("cnt")
+    ).write.mode("overwrite").parquet(f"{path}/band_stats")
+
+
 def neardup_pairs_index(
     spark,
     path: str,

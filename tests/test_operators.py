@@ -1083,3 +1083,49 @@ def test_neardup_pairs_index_equals_inline(spark, tmp_path):
             ).collect()
         )
         assert indexed == inline and len(indexed) > 0
+
+
+def test_extend_neardup_index_equals_fresh_build(spark, tmp_path):
+    """The continuous-ingest loop: an index built on part of the corpus
+    then EXTENDED with another slice must serve the same verdicts (and
+    the same pairs) as an index built fresh over the union."""
+    from spark_nnd_spark.operators.dedup import (
+        build_neardup_index,
+        extend_neardup_index,
+        neardup_pairs_index,
+        neardup_query_index,
+    )
+    from spark_nnd_spark.sources import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    base = d.filter(F.col("doc_id") % 3 == 0)
+    addition = d.filter(F.col("doc_id") % 3 == 1)
+    probe = d.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text")
+
+    grown = str(tmp_path / "grown")
+    build_neardup_index(base, grown)
+    extend_neardup_index(spark, grown, addition)
+    fresh = str(tmp_path / "fresh")
+    build_neardup_index(d.filter(F.col("doc_id") % 3 != 2), fresh)
+
+    for cap in (None, 2):
+        got = sorted(
+            tuple(r)
+            for r in neardup_query_index(
+                spark, grown, probe, max_band_freq=cap
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in neardup_query_index(
+                spark, fresh, probe, max_band_freq=cap
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+    got_pairs = sorted(
+        (r["id_a"], r["id_b"]) for r in neardup_pairs_index(spark, grown).collect()
+    )
+    want_pairs = sorted(
+        (r["id_a"], r["id_b"]) for r in neardup_pairs_index(spark, fresh).collect()
+    )
+    assert got_pairs == want_pairs
