@@ -139,3 +139,9 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+# N=512k note (round 6): the next doubling needs ~110 GB of shuffle in
+# /tmp (total shuffle is 2x per doubling, 55 GB at 256k) but the build
+# box has only ~80 GB free, so the sweep stops at 256k here; the
+# linearity assert (tests/test_nnd_scale.py) covers 2k..256k, ratio
+# 2.00 at every doubling.
