@@ -714,11 +714,13 @@ def incremental_dedup(
     This is the steady-state ingestion shape of a training-data
     pipeline: a new crawl snapshot lands and must be admitted or
     dropped against everything already indexed. At scale the corpus
-    side's digests and band signatures are precomputed and stored
-    (the LSH banding makes the probe a plain equi-join into that
-    index, never a corpus rescan); here both sides derive from one
-    DataFrame split by a predicate so the whole verdict is replayable
-    against a SQL oracle.
+    side's digests and band signatures are precomputed and stored —
+    that path exists as ``build_neardup_index`` /
+    ``neardup_query_index`` (verdicts asserted identical to this
+    inline form) with ``extend_neardup_index`` closing the ingest
+    loop; this inline form derives both sides from one DataFrame split
+    by a predicate so the whole verdict is replayable against a SQL
+    oracle.
     """
     flagged = df.withColumn("_is_batch", is_batch)
     batch_ids = flagged.filter(F.col("_is_batch")).select(id_col)

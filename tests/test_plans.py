@@ -473,3 +473,13 @@ def test_indexed_dedup_probes_stored_index_not_corpus_text(spark):
             "a documents scan without the batch predicate would mean "
             "the probe is re-reading corpus text:\n" + head
         )
+
+
+def test_indexed_pairs_never_scan_document_text(spark):
+    """q105's contract is absolute: pairs come entirely from the stored
+    index, so the final plan may not contain ANY documents scan — only
+    index parquet (shingle sidecar; the band self-join is consumed
+    inside the eager candidate checkpoint) and checkpointed RDDs."""
+    plan = _plan(spark, "q105_indexed_lsh_pairs")
+    assert "documents" not in plan
+    assert "/shingles" in plan
