@@ -64,7 +64,9 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   hamming ≤ 3 (banded pigeonhole-exact candidates over the aHash
   int64), q105 q16's verified LSH pairs served entirely from the
   persisted index (stored bands + bucket stats + shingle sidecar; no
-  document text read) (queries/pipeline.py); q59 deterministic
+  document text read), q106 q14's n-gram Jaccard pairs over the stored
+  shingle sidecar (no tokenization at query time)
+  (queries/pipeline.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).
 """

@@ -74,6 +74,7 @@ HEADLINE = [
     "q103_indexed_dedup",
     "q104_phash_pairs",
     "q105_indexed_lsh_pairs",
+    "q106_indexed_jaccard",
 ]
 
 

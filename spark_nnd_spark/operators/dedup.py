@@ -162,17 +162,27 @@ def jaccard_pairs(
     # and the df-cut postings feeding BOTH sides of the self-join —
     # reads the materialized stream instead of re-running the
     # tokenize+explode scan (previously sizes, census and anti-join
-    # each re-tokenized the corpus: three full text passes). The
-    # second checkpoint pins the post-cut postings so the a/b join
-    # sides don't each re-run the census+anti-join. Each checkpoint is
-    # the size of one shuffle of the same stream, cost-neutral at any
-    # scale; the census anti-join broadcasts (hot shingles are few by
-    # construction).
+    # each re-tokenized the corpus: three full text passes). Each
+    # checkpoint is the size of one shuffle of the same stream,
+    # cost-neutral at any scale.
     raw = (
         _fan_out(df)
         .select(F.col(id_col), F.explode(TX.shingles_expr(text_col, n)).alias("shingle"))
         .localCheckpoint(eager=True)
     )
+    return _jaccard_from_postings(raw, id_col, threshold, max_shingle_freq)
+
+
+def _jaccard_from_postings(
+    raw: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_shingle_freq: int | None,
+) -> DataFrame:
+    """The Jaccard-pairs core over materialized (id, shingle) postings —
+    shared by the tokenize-inline path (jaccard_pairs) and the
+    index-served path (jaccard_pairs_index), so the join/verify
+    semantics can never drift between them."""
     # full set sizes (pre-cut, mirroring the oracle): shingles_expr is
     # per-doc distinct, so the count equals F.size of the array; docs
     # with zero shingles are absent here AND from the postings join, so
@@ -189,6 +199,9 @@ def jaccard_pairs(
             .filter(F.col("df") > max_shingle_freq)
             .select("shingle")
         )
+        # the second checkpoint pins the post-cut postings so the a/b
+        # join sides don't each re-run the census+anti-join; the census
+        # anti-join broadcasts (hot shingles are few by construction)
         posts = raw.join(hot, "shingle", "left_anti").localCheckpoint(eager=True)
     a = posts.select(F.col("shingle"), F.col(id_col).alias("id_a"))
     b = posts.select(F.col("shingle"), F.col(id_col).alias("id_b"))
@@ -212,6 +225,29 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def jaccard_pairs_index(
+    spark,
+    path: str,
+    threshold: float = 0.2,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs served from the persisted index's
+    shingle sidecar (build_neardup_index): the postings stream is the
+    stored per-doc shingle arrays exploded — no tokenization, no
+    document text read. Same rows as ``jaccard_pairs(corpus, n=meta.n)``
+    (the sidecar stores exactly ``shingles_expr(text, n)``); asserted
+    index==inline in tests. The shingle regex/tokenize pass is the
+    dominant CPU cost of the inline path at scale — here it was paid
+    once at index build."""
+    sh = spark.read.parquet(f"{path}/shingles")
+    id_col = [c for c in sh.columns if c != "sh"][0]
+    raw = (
+        sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+        .localCheckpoint(eager=True)
+    )
+    return _jaccard_from_postings(raw, id_col, threshold, max_shingle_freq)
 
 
 def containment_pairs(

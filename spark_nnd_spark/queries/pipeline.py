@@ -1984,6 +1984,22 @@ def q105_indexed_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q106_indexed_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q14's n-gram Jaccard pairs served from the persisted index's
+    shingle sidecar (operators/dedup.py jaccard_pairs_index): the
+    inverted-index self-join runs over stored per-doc shingle arrays —
+    the tokenize/regex pass, the dominant CPU cost of the inline path,
+    was paid once at index build. Same rows as q14 (index==inline
+    asserted in tests), same oracle SQL."""
+    idx = _neardup_full_index_for(spark, sf_dir)
+    out = DD.jaccard_pairs_index(
+        spark, idx, threshold=0.2, max_shingle_freq=MAX_SHINGLE_FREQ
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
 def q104_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup PAIRS at hamming ≤ 3 over the 64-bit aHash
     (q100 buckets only exact-equal hashes; real image dedup needs a
@@ -2079,6 +2095,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q103_indexed_dedup": q103_indexed_dedup,
     "q104_phash_pairs": q104_phash_pairs,
     "q105_indexed_lsh_pairs": q105_indexed_lsh_pairs,
+    "q106_indexed_jaccard": q106_indexed_jaccard,
 }
 
 
@@ -3375,6 +3392,7 @@ def pipeline_oracles() -> dict[str, str]:
     # q105 serves exactly q16's pairs from the persisted index — same
     # reasoning as q103: execution strategy, not a semantic change.
     oracles["q105_indexed_lsh_pairs"] = oracles["q16_minhash_lsh_pairs"]
+    oracles["q106_indexed_jaccard"] = oracles["q14_jaccard_pairs"]
     # q104: all-pairs hamming filter over the replayed aHash — the
     # banded Spark plan is pigeonhole-exact at max_hamming 3 with 4
     # bands, so the oracle may brute-force what the engine bands.

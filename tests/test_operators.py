@@ -1129,3 +1129,33 @@ def test_extend_neardup_index_equals_fresh_build(spark, tmp_path):
         (r["id_a"], r["id_b"]) for r in neardup_pairs_index(spark, fresh).collect()
     )
     assert got_pairs == want_pairs
+
+
+def test_jaccard_pairs_index_equals_inline(spark, tmp_path):
+    """Jaccard pairs from the stored shingle sidecar must equal the
+    tokenize-inline path (the sidecar stores exactly shingles_expr's
+    output), with and without the df-cut."""
+    from spark_nnd_spark.operators.dedup import (
+        build_neardup_index,
+        jaccard_pairs,
+        jaccard_pairs_index,
+    )
+    from spark_nnd_spark.sources import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    idx = str(tmp_path / "jidx")
+    build_neardup_index(d, idx, num_hashes=16, bands=4, n=3)
+    for cut in (None, 2):
+        inline = sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in jaccard_pairs(
+                d, n=3, threshold=0.2, max_shingle_freq=cut
+            ).collect()
+        )
+        indexed = sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in jaccard_pairs_index(
+                spark, idx, threshold=0.2, max_shingle_freq=cut
+            ).collect()
+        )
+        assert indexed == inline and len(indexed) > 0
