@@ -483,3 +483,14 @@ def test_indexed_pairs_never_scan_document_text(spark):
     plan = _plan(spark, "q105_indexed_lsh_pairs")
     assert "documents" not in plan
     assert "/shingles" in plan
+
+
+def test_indexed_jaccard_never_scans_document_text(spark):
+    """q106: postings come from the stored shingle sidecar (consumed
+    inside the eager postings checkpoint), so the final plan contains
+    NO file scan at all — only checkpointed-RDD scans — and in
+    particular never touches the documents table."""
+    plan = _plan(spark, "q106_indexed_jaccard")
+    assert "documents" not in plan
+    assert "FileScan" not in plan
+    assert "Scan ExistingRDD" in plan
