@@ -65,7 +65,8 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   int64), q105 q16's verified LSH pairs served entirely from the
   persisted index (stored bands + bucket stats + shingle sidecar; no
   document text read), q106 q14's n-gram Jaccard pairs over the stored
-  shingle sidecar (no tokenization at query time)
+  shingle sidecar (no tokenization at query time), q107 q88's directed
+  containment pairs over the same sidecar
   (queries/pipeline.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).
@@ -95,7 +96,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness checks only the first ~50 entries of
-# this dict (insertion order), and the repo declares 106 queries — so the
+# this dict (insertion order), and the repo declares 107 queries — so the
 # order is a priority schedule. It is GENERATED from the recorded
 # CORRECTNESS_r*.json history, not hand-maintained: queries that have
 # never received a driver row come first, then stalest-last-check first,

@@ -75,6 +75,7 @@ HEADLINE = [
     "q104_phash_pairs",
     "q105_indexed_lsh_pairs",
     "q106_indexed_jaccard",
+    "q107_indexed_containment",
 ]
 
 

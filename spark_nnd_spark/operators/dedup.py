@@ -275,6 +275,18 @@ def containment_pairs(
         .select(F.col(id_col), F.explode(TX.shingles_expr(text_col, n)).alias("shingle"))
         .localCheckpoint(eager=True)
     )
+    return _containment_from_postings(raw, id_col, threshold, max_shingle_freq)
+
+
+def _containment_from_postings(
+    raw: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_shingle_freq: int | None,
+) -> DataFrame:
+    """Containment-pairs core over materialized (id, shingle) postings —
+    shared by the tokenize-inline path (containment_pairs) and the
+    index-served path (containment_pairs_index)."""
     sizes = raw.groupBy(id_col).agg(F.count("*").alias("n_sh")).select(
         F.col(id_col).alias("id"), "n_sh"
     )
@@ -318,6 +330,25 @@ def containment_pairs(
         )
     )
     return fwd.unionByName(rev)
+
+
+def containment_pairs_index(
+    spark,
+    path: str,
+    threshold: float = 0.7,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Directed containment pairs served from the persisted index's
+    shingle sidecar — the jaccard_pairs_index pattern on the asymmetric
+    measure. Same rows as ``containment_pairs(corpus, n=meta.n)``;
+    asserted index==inline in tests; no document text read."""
+    sh = spark.read.parquet(f"{path}/shingles")
+    id_col = [c for c in sh.columns if c != "sh"][0]
+    raw = (
+        sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+        .localCheckpoint(eager=True)
+    )
+    return _containment_from_postings(raw, id_col, threshold, max_shingle_freq)
 
 
 def minhash_signatures(

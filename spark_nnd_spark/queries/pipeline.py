@@ -2000,6 +2000,20 @@ def q106_indexed_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q107_indexed_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q88's directed containment pairs served from the persisted
+    index's shingle sidecar (operators/dedup.py
+    containment_pairs_index) — no tokenization at query time. Same
+    rows as q88 (index==inline asserted in tests), same oracle SQL."""
+    idx = _neardup_full_index_for(spark, sf_dir)
+    out = DD.containment_pairs_index(
+        spark, idx, threshold=0.7, max_shingle_freq=MAX_SHINGLE_FREQ
+    )
+    return out.select(
+        "contained", "container", F.round("containment", 6).alias("containment")
+    ).orderBy("contained", "container")
+
+
 def q104_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup PAIRS at hamming ≤ 3 over the 64-bit aHash
     (q100 buckets only exact-equal hashes; real image dedup needs a
@@ -2096,6 +2110,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q104_phash_pairs": q104_phash_pairs,
     "q105_indexed_lsh_pairs": q105_indexed_lsh_pairs,
     "q106_indexed_jaccard": q106_indexed_jaccard,
+    "q107_indexed_containment": q107_indexed_containment,
 }
 
 
@@ -3393,6 +3408,7 @@ def pipeline_oracles() -> dict[str, str]:
     # reasoning as q103: execution strategy, not a semantic change.
     oracles["q105_indexed_lsh_pairs"] = oracles["q16_minhash_lsh_pairs"]
     oracles["q106_indexed_jaccard"] = oracles["q14_jaccard_pairs"]
+    oracles["q107_indexed_containment"] = oracles["q88_containment_pairs"]
     # q104: all-pairs hamming filter over the replayed aHash — the
     # banded Spark plan is pigeonhole-exact at max_hamming 3 with 4
     # bands, so the oracle may brute-force what the engine bands.

@@ -1159,3 +1159,30 @@ def test_jaccard_pairs_index_equals_inline(spark, tmp_path):
             ).collect()
         )
         assert indexed == inline and len(indexed) > 0
+
+
+def test_containment_pairs_index_equals_inline(spark, tmp_path):
+    from spark_nnd_spark.operators.dedup import (
+        build_neardup_index,
+        containment_pairs,
+        containment_pairs_index,
+    )
+    from spark_nnd_spark.sources import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    idx = str(tmp_path / "cidx")
+    build_neardup_index(d, idx, num_hashes=16, bands=4, n=3)
+    for cut in (None, 2):
+        inline = sorted(
+            (r["contained"], r["container"], round(r["containment"], 9))
+            for r in containment_pairs(
+                d, n=3, threshold=0.3, max_shingle_freq=cut
+            ).collect()
+        )
+        indexed = sorted(
+            (r["contained"], r["container"], round(r["containment"], 9))
+            for r in containment_pairs_index(
+                spark, idx, threshold=0.3, max_shingle_freq=cut
+            ).collect()
+        )
+        assert indexed == inline and len(indexed) > 0

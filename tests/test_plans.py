@@ -494,3 +494,11 @@ def test_indexed_jaccard_never_scans_document_text(spark):
     assert "documents" not in plan
     assert "FileScan" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_indexed_containment_never_scans_document_text(spark):
+    """q107: same contract as q106 — sidecar postings only, no file
+    scan in the final plan."""
+    plan = _plan(spark, "q107_indexed_containment")
+    assert "documents" not in plan
+    assert "FileScan" not in plan
