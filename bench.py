@@ -76,6 +76,7 @@ HEADLINE = [
     "q105_indexed_lsh_pairs",
     "q106_indexed_jaccard",
     "q107_indexed_containment",
+    "q108_indexed_bm25",
 ]
 
 

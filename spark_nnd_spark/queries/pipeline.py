@@ -2014,6 +2014,42 @@ def q107_indexed_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("contained", "container")
 
 
+_TEXT_IDX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _text_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached persisted BM25 postings index over the documents
+    table (operators/retrieval.py build_text_index) — built once per
+    (session, sf_dir), the same amortized-ingest convention as the
+    near-dup index."""
+    import tempfile
+
+    from spark_nnd_spark.operators import retrieval as RT
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TEXT_IDX_CACHE:
+        path = tempfile.mkdtemp(prefix="text_idx_")
+        RT.build_text_index(load_table(spark, sf_dir, "documents"), path)
+        _TEXT_IDX_CACHE[key] = path
+    return _TEXT_IDX_CACHE[key]
+
+
+def q108_indexed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q68's BM25 retrieval served from the persisted postings index
+    (operators/retrieval.py bm25_query_index): the query's terms prune
+    the token-sorted postings parquet; no tokenization at query time.
+    Same rows as q68 (index==inline asserted in tests), same oracle."""
+    from spark_nnd_spark.operators import retrieval as RT
+
+    idx = _text_index_for(spark, sf_dir)
+    scored = RT.bm25_query_index(spark, idx, BM25_QUERY, k1=BM25_K1, b=BM25_B)
+    return (
+        scored.orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOPN)
+        .select("doc_id", "n_terms", F.round("score", 6).alias("score"))
+    )
+
+
 def q104_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup PAIRS at hamming ≤ 3 over the 64-bit aHash
     (q100 buckets only exact-equal hashes; real image dedup needs a
@@ -2111,6 +2147,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q105_indexed_lsh_pairs": q105_indexed_lsh_pairs,
     "q106_indexed_jaccard": q106_indexed_jaccard,
     "q107_indexed_containment": q107_indexed_containment,
+    "q108_indexed_bm25": q108_indexed_bm25,
 }
 
 
@@ -3409,6 +3446,7 @@ def pipeline_oracles() -> dict[str, str]:
     oracles["q105_indexed_lsh_pairs"] = oracles["q16_minhash_lsh_pairs"]
     oracles["q106_indexed_jaccard"] = oracles["q14_jaccard_pairs"]
     oracles["q107_indexed_containment"] = oracles["q88_containment_pairs"]
+    oracles["q108_indexed_bm25"] = oracles["q68_bm25"]
     # q104: all-pairs hamming filter over the replayed aHash — the
     # banded Spark plan is pigeonhole-exact at max_hamming 3 with 4
     # bands, so the oracle may brute-force what the engine bands.

@@ -1186,3 +1186,27 @@ def test_containment_pairs_index_equals_inline(spark, tmp_path):
             ).collect()
         )
         assert indexed == inline and len(indexed) > 0
+
+
+def test_bm25_index_equals_inline_query(spark, tmp_path):
+    """BM25 from the persisted postings index must reproduce the inline
+    q68 pipeline's scores exactly (same tf/df/dl/idf arithmetic)."""
+    from spark_nnd_spark.operators.retrieval import (
+        bm25_query_index,
+        build_text_index,
+    )
+    from spark_nnd_spark.queries.pipeline import q68_bm25, q108_indexed_bm25
+
+    inline = [tuple(r) for r in q68_bm25(spark, SF_SMOKE).collect()]
+    got = [tuple(r) for r in q108_indexed_bm25(spark, SF_SMOKE).collect()]
+    assert got == inline and len(got) > 0
+
+    # operator level, fresh index, different terms
+    from spark_nnd_spark.sources import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    idx = str(tmp_path / "tidx")
+    build_text_index(d, idx)
+    out = bm25_query_index(spark, idx, ["the", "data"]).collect()
+    assert len(out) > 0
+    assert all(r["n_terms"] >= 1 and r["score"] is not None for r in out)
