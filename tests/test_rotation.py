@@ -80,3 +80,13 @@ def test_priority_order_is_total_and_stable():
     names = list(entrymod.queries())
     assert entrymod._priority_order(names) == entrymod._priority_order(names)
     assert sorted(entrymod._priority_order(names)) == sorted(names)
+
+
+def test_bench_headline_names_are_declared_queries():
+    """bench.py's HEADLINE list must reference only declared queries —
+    a renamed query would otherwise silently error-isolate out of the
+    round's perf record."""
+    import bench
+
+    missing = set(bench.HEADLINE) - set(entrymod.queries())
+    assert not missing, f"HEADLINE names not in queries(): {sorted(missing)}"
