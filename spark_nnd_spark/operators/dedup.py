@@ -243,8 +243,11 @@ def jaccard_pairs_index(
     once at index build."""
     sh = spark.read.parquet(f"{path}/shingles")
     id_col = [c for c in sh.columns if c != "sh"][0]
+    # _fan_out: a compact sidecar can land in one split; the explode
+    # must use the whole cluster (same guard as the inline tokenize)
     raw = (
-        sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+        _fan_out(sh)
+        .select(F.col(id_col), F.explode("sh").alias("shingle"))
         .localCheckpoint(eager=True)
     )
     return _jaccard_from_postings(raw, id_col, threshold, max_shingle_freq)
@@ -345,7 +348,8 @@ def containment_pairs_index(
     sh = spark.read.parquet(f"{path}/shingles")
     id_col = [c for c in sh.columns if c != "sh"][0]
     raw = (
-        sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+        _fan_out(sh)
+        .select(F.col(id_col), F.explode("sh").alias("shingle"))
         .localCheckpoint(eager=True)
     )
     return _containment_from_postings(raw, id_col, threshold, max_shingle_freq)
