@@ -637,58 +637,26 @@ def simhash_neardup_pairs(
     than the cap are dropped before the self-join.
     """
     # Materialize the signatures ONCE (eager localCheckpoint): the
-    # sims subtree feeds three consumers (hot-band census, and both
-    # sides of the self-join), and Catalyst/AQE re-executes the
-    # tokenize+24-bit-aggregate scan for each — measured 4.3s vs ~10s
-    # for the whole operator at sf0.1. Same materialize-per-reuse
-    # pattern as the descent loop (nnd/descent.py). The checkpoint is
-    # O(N) (id, long) rows — negligible storage at any scale.
+    # sims subtree feeds multiple consumers inside the banded join
+    # (hot-band census and both self-join sides), and Catalyst/AQE
+    # re-executes the tokenize+24-bit-aggregate scan for each —
+    # measured 4.3s vs ~10s for the whole operator at sf0.1. The
+    # checkpoint is O(N) (id, long) rows — negligible at any scale.
+    # Banding/candidates/verify delegate to the generic packed-bit-hash
+    # machinery (hash_hamming_pairs) — one implementation for simhash
+    # and the perceptual aHash. The "first agreeing band" optimization
+    # is deliberately absent there too: a pair agreeing on a DROPPED
+    # band plus a kept one must still surface through the kept band,
+    # which a first-band filter can't see from the signatures alone.
     sims = simhash_df(df, text_col, id_col).localCheckpoint(eager=True)
-    banded = sims.select(
-        F.col(id_col).alias("id"),
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        (F.shiftright("simhash", 8 * j) % 256).alias("band_val"),
-                    )
-                    for j in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("bv"),
-    ).select("id", "simhash", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val"))
-    if max_band_freq is not None:
-        hot = (
-            banded.groupBy("band", "band_val")
-            .agg(F.count("*").alias("bf"))
-            .filter(F.col("bf") > max_band_freq)
-            .select("band", "band_val")
-        )
-        banded = banded.join(hot, ["band", "band_val"], "left_anti")
-    # Multi-band matches dedup via distinct. (A "first agreeing band"
-    # filter would save this exchange, but interacts wrongly with the
-    # hot-band guard: a pair agreeing on a DROPPED band plus a kept one
-    # must still surface through the kept band, which the filter can't
-    # see from the signatures alone. The distinct's shuffle is
-    # O(candidates) — the same order as the join output itself.)
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "band_val"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.simhash").alias("sh_a"),
-            F.col("y.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    return hash_hamming_pairs(
+        sims,
+        hash_col="simhash",
+        id_col=id_col,
+        n_bands=SIMHASH_BANDS,
+        bits=SIMHASH_BITS,
+        max_hamming=max_hamming,
+        max_band_freq=max_band_freq,
     )
 
 
