@@ -68,7 +68,9 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   shingle sidecar (no tokenization at query time), q107 q88's directed
   containment pairs over the same sidecar, q108 q68's BM25 retrieval
   from a persisted token-sorted postings index (query terms prune the
-  scan; no tokenization at query time)
+  scan; no tokenization at query time), q109 per-source distinct-token
+  cardinality via a KMV sketch (mergeable k-min partials, bounded
+  shuffle; bit-replayable in SQL unlike HLL) next to the exact count
   (queries/pipeline.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).
@@ -98,7 +100,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness checks only the first ~50 entries of
-# this dict (insertion order), and the repo declares 108 queries — so the
+# this dict (insertion order), and the repo declares 109 queries — so the
 # order is a priority schedule. It is GENERATED from the recorded
 # CORRECTNESS_r*.json history, not hand-maintained: queries that have
 # never received a driver row come first, then stalest-last-check first,

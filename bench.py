@@ -77,6 +77,7 @@ HEADLINE = [
     "q106_indexed_jaccard",
     "q107_indexed_containment",
     "q108_indexed_bm25",
+    "q109_kmv_distinct_tokens",
 ]
 
 

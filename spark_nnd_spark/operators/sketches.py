@@ -1,0 +1,126 @@
+"""Cardinality sketches: KMV (k-minimum-values) distinct counting.
+
+Extension layer (the reference has none of this — SURVEY.md §2.3).
+The standard approximate-distinct tool at 100 TB is a mergeable sketch:
+per-partition partials of bounded size, an associative merge, and an
+estimate read off the merged state — never a full distinct shuffle.
+
+KMV (Bar-Yossef et al. 2002): hash every value into [0, P); keep the k
+smallest DISTINCT hashes; estimate |set| ≈ (k−1)·P / h_(k) where h_(k)
+is the k-th smallest kept hash (exact count when fewer than k hashes
+exist). The merge is trivially associative — the global k-min set is
+contained in the union of per-partition k-min sets — which is what
+makes it a sketch rather than a sample.
+
+KMV over the repo's PORTABLE polynomial hash (functions/text.py) is
+chosen over HyperLogLog deliberately: Spark's HLL++ registers are not
+bit-compatible with any other engine's, so an HLL query can never be
+DuckDB-oracle-checked, while KMV's kept hashes — and therefore the
+estimate — replay bit-for-bit in SQL (q109).
+
+Scale shape: the partial pass is a narrow Arrow-batched mapInPandas
+keeping O(groups·k) state per partition; the only shuffle carries the
+partial k-min rows, O(partitions·groups·k) — independent of corpus
+size. Compare the exact distinct count, whose shuffle is O(distinct
+values): the sketch is the 100 TB path, the exact count exists here as
+the calibration column (the q33/q64 convention).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_nnd_spark.functions.text import P
+
+_PARTIAL_SCHEMA = "grp string, h long"
+
+# Knuth's multiplicative constant. P is prime and KMV_MIX < P is not a
+# multiple, so h -> (h * KMV_MIX) % P is a BIJECTION mod P: distinctness
+# is preserved exactly while the low-clustered polynomial token hashes
+# (short tokens hash to small ints) are spread across [0, P) — the
+# uniformity the KMV estimator requires. Max product ~2.65e18 < int64.
+KMV_MIX = 2654435761
+
+
+def kmv_mix_expr(h: Column) -> Column:
+    return (h * F.lit(KMV_MIX)) % F.lit(P)
+
+
+def kmv_mix_sql(h: str) -> str:
+    return f"(({h}) * {KMV_MIX}) % {P}"
+
+
+def _kmv_partials_kernel(k: int):
+    """Per-partition KMV partials: for every group seen in this
+    partition, the k smallest distinct hashes — O(groups·k) memory,
+    one pass, no sort of the full stream (np.unique sorts only the
+    bounded carry + one Arrow batch's group slice at a time)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[object, np.ndarray] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for grp, slice_ in pdf.groupby("grp", sort=False):
+                hs = np.unique(slice_["h"].to_numpy(np.int64))
+                cur = best.get(grp)
+                merged = hs if cur is None else np.unique(np.concatenate([cur, hs]))
+                best[grp] = merged[:k]
+        if best:
+            yield pd.DataFrame(
+                {
+                    "grp": np.repeat(
+                        np.array(list(best.keys()), dtype=object),
+                        [len(v) for v in best.values()],
+                    ),
+                    "h": np.concatenate(list(best.values())),
+                }
+            )
+
+    return run
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    hash_expr: Column,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate over ``hash_expr`` values
+    (hashes must be uniform in [0, P) — use the portable text hashes).
+
+    Returns (group, n_kept, kth_hash, kmv_estimate): n_kept < k means
+    the group had fewer than k distinct hashes and the estimate is the
+    exact count; kth_hash is null in that case. Deterministic — the
+    same rows replay in any engine that computes the same hashes.
+    """
+    hashed = df.select(
+        F.col(group_col).cast("string").alias("grp"), hash_expr.alias("h")
+    )
+    partials = hashed.mapInPandas(_kmv_partials_kernel(k), _PARTIAL_SCHEMA)
+    # merge: k smallest distinct across partition partials (the global
+    # k-min set is inside the union of partial k-min sets)
+    w = Window.partitionBy("grp").orderBy("h")
+    merged = (
+        partials.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    agg = merged.groupBy("grp").agg(
+        F.count("*").alias("n_kept"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(float(P)) / F.col("kth_hash"))
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_kept",
+        "kth_hash",
+        est.alias("kmv_estimate"),
+    )

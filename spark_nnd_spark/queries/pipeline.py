@@ -2050,6 +2050,51 @@ def q108_indexed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 16  # below the per-source vocab so the estimator branch (not the exact-count fallback) is what the oracle certifies
+
+
+def q109_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token cardinality via the KMV sketch
+    (operators/sketches.py kmv_distinct) next to the exact count — the
+    vocabulary-size monitor a continuously-ingesting corpus runs per
+    source without paying a full distinct shuffle. KMV over the
+    portable polynomial hash is used instead of HLL precisely so the
+    sketch state (kept hashes, k-th minimum, estimate) replays
+    bit-for-bit in the DuckDB oracle; the exact count is the
+    calibration column (the q33/q64 convention). Sketch shuffle is
+    O(partitions·sources·k); only the calibration column costs
+    O(distinct)."""
+    from spark_nnd_spark.functions.numeric import round_half_up_expr
+    from spark_nnd_spark.operators import sketches as SK
+
+    d = load_table(spark, sf_dir, "documents")
+    # hashed once (polynomial hash + KMV mixer — a bijection mod P, so
+    # distinct counts are unchanged while values spread uniformly),
+    # checkpointed: feeds the sketch AND the exact count
+    toks = (
+        d.select("source", F.explode(TX.tokens_expr("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .select(
+            "source",
+            SK.kmv_mix_expr(TX.token_hash_lambda(F.col("token"))).alias("h"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sk = SK.kmv_distinct(toks, "source", F.col("h"), k=KMV_K)
+    exact = toks.groupBy("source").agg(F.countDistinct("h").alias("n_distinct"))
+    return (
+        sk.join(exact, "source")
+        .select(
+            "source",
+            "n_distinct",
+            "n_kept",
+            "kth_hash",
+            round_half_up_expr(F.col("kmv_estimate")).alias("kmv_estimate"),
+        )
+        .orderBy("source")
+    )
+
+
 def q104_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup PAIRS at hamming ≤ 3 over the 64-bit aHash
     (q100 buckets only exact-equal hashes; real image dedup needs a
@@ -2148,6 +2193,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q106_indexed_jaccard": q106_indexed_jaccard,
     "q107_indexed_containment": q107_indexed_containment,
     "q108_indexed_bm25": q108_indexed_bm25,
+    "q109_kmv_distinct_tokens": q109_kmv_distinct_tokens,
 }
 
 
@@ -2477,6 +2523,7 @@ def _pipeline_oracles() -> dict[str, str]:
 
 def pipeline_oracles() -> dict[str, str]:
     from spark_nnd_spark.operators import sampling as SA
+    from spark_nnd_spark.operators import sketches as SKM
     from spark_nnd_spark.operators.dedup import SIMHASH_BANDS, simhash_sql
 
     oracles = _pipeline_oracles()
@@ -3447,6 +3494,32 @@ def pipeline_oracles() -> dict[str, str]:
     oracles["q106_indexed_jaccard"] = oracles["q14_jaccard_pairs"]
     oracles["q107_indexed_containment"] = oracles["q88_containment_pairs"]
     oracles["q108_indexed_bm25"] = oracles["q68_bm25"]
+    oracles["q109_kmv_distinct_tokens"] = f"""
+        WITH toks AS (
+            SELECT source, {SKM.kmv_mix_sql(TX.token_hash_sql('t'))} AS h
+            FROM (SELECT source, unnest({TX.tokens_sql()}) AS t FROM documents)
+            WHERE t <> ''
+        ),
+        dt AS (SELECT DISTINCT source, h FROM toks),
+        r AS (
+            SELECT source, h,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM dt
+        ),
+        kept AS (
+            SELECT source, COUNT(*) AS n_kept,
+                   MAX(CASE WHEN rn = {KMV_K} THEN h END) AS kth_hash
+            FROM r WHERE rn <= {KMV_K} GROUP BY source
+        ),
+        ex AS (SELECT source, COUNT(*) AS n_distinct FROM dt GROUP BY source)
+        SELECT source, n_distinct, n_kept, kth_hash,
+               {round_half_up_sql(
+                   f"CASE WHEN n_kept < {KMV_K} THEN n_kept::DOUBLE"
+                   f" ELSE ({KMV_K} - 1)::DOUBLE * {TX.P} / kth_hash END"
+               )} AS kmv_estimate
+        FROM kept JOIN ex USING (source)
+        ORDER BY source
+    """
     # q104: all-pairs hamming filter over the replayed aHash — the
     # banded Spark plan is pigeonhole-exact at max_hamming 3 with 4
     # bands, so the oracle may brute-force what the engine bands.

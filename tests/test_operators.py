@@ -1210,3 +1210,42 @@ def test_bm25_index_equals_inline_query(spark, tmp_path):
     out = bm25_query_index(spark, idx, ["the", "data"]).collect()
     assert len(out) > 0
     assert all(r["n_terms"] >= 1 and r["score"] is not None for r in out)
+
+
+def test_kmv_distinct_sketch_properties(spark):
+    """KMV sketch: (a) the exact-count branch fires below k and is
+    exact, (b) the estimator branch is within KMV's expected error for
+    uniform-ish hashes, (c) the merge is partitioning-independent —
+    the same data through 1 partition and 32 partitions yields
+    bit-identical sketch rows (the associativity that makes it a
+    sketch, not a sample)."""
+    from pyspark.sql import functions as F
+
+    from spark_nnd_spark.operators.sketches import kmv_distinct, kmv_mix_expr
+
+    big = spark.range(2000).select(
+        F.lit("big").alias("g"), F.col("id").alias("v")
+    )
+    small = spark.range(7).select(
+        F.lit("small").alias("g"), F.col("id").alias("v")
+    )
+    df = big.union(small)
+
+    def run(d):
+        return {
+            r["g"]: (r["n_kept"], r["kth_hash"], round(r["kmv_estimate"], 9))
+            for r in kmv_distinct(
+                d, "g", kmv_mix_expr(F.col("v")), k=64
+            ).collect()
+        }
+
+    one = run(df.coalesce(1))
+    many = run(df.repartition(32))
+    assert one == many  # merge associativity / determinism
+
+    n_kept_small, kth_small, est_small = one["small"]
+    assert (n_kept_small, kth_small, est_small) == (7, None, 7.0)
+    n_kept_big, kth_big, est_big = one["big"]
+    assert n_kept_big == 64 and kth_big is not None
+    # k=64 → relative std ≈ 1/sqrt(62) ≈ 13%; allow 4 sigma
+    assert abs(est_big - 2000) / 2000 < 0.5
