@@ -958,11 +958,14 @@ def neardup_query_index(
       batch doc (tokenized here, only for candidate ids) and the
       indexed shingle set.
 
-    Scale: every corpus-side input is index-backed — digests
-    (semi-join), bands (equi-join on (band, band_sig)), band_stats
-    (O(buckets)), shingles (semi-joined to candidate ids before the
-    verify join). The per-batch cost is O(batch) text work plus joins
-    sized by candidate volume, independent of corpus text size.
+    Scale: every corpus-side input is index-backed and only ever
+    STREAMS through broadcast joins or narrow filters — probe SHUFFLE
+    is O(batch + candidates), independent of corpus size (measured
+    flat across an 8x corpus sweep, BENCH_DEDUP_SCALE.json; before the
+    broadcast discipline it grew ~O(N)). The corpus-side scans remain
+    O(N) read I/O — shuffle-free and embarrassingly parallel; sorting
+    digests/bands at build time would add row-group min/max pruning on
+    top if scan I/O ever dominated.
     """
     meta = spark.read.parquet(f"{path}/meta").first()
     num_hashes, bands, n = meta["num_hashes"], meta["bands"], meta["n"]
@@ -970,14 +973,28 @@ def neardup_query_index(
 
     batch_ids = batch.select(id_col)
 
-    # exact tier: digest semi-join into the stored digests
-    exact = (
-        batch.select(F.col(id_col), F.md5(text_col).alias("digest"))
+    # O(batch) DISCIPLINE: every join against an index table below puts
+    # the BATCH-derived (small) side behind an explicit broadcast, so
+    # the corpus-sized tables (digests, bands, shingles, band_stats)
+    # only ever STREAM through broadcast hash joins or narrow filters —
+    # the probe's shuffle volume is O(batch + candidates), independent
+    # of corpus size. (Measured before this discipline: probe shuffle
+    # grew ~O(N) with the indexed corpus — scripts/bench_dedup.py.)
+
+    # exact tier: matched digests via broadcast of the batch digests;
+    # the corpus digest table streams (no distinct over the corpus —
+    # semi-join semantics are duplicate-tolerant)
+    b_dig = batch.select(F.col(id_col), F.md5(text_col).alias("digest"))
+    matched_dig = (
+        spark.read.parquet(f"{path}/digests")
         .join(
-            spark.read.parquet(f"{path}/digests").select("digest").distinct(),
-            "digest",
-            "left_semi",
+            F.broadcast(b_dig.select("digest").distinct()), "digest", "left_semi"
         )
+        .select("digest")
+        .distinct()  # O(matched) <= O(batch)
+    )
+    exact = (
+        b_dig.join(F.broadcast(matched_dig), "digest", "left_semi")
         .select(id_col)
         .withColumn("_exact", F.lit(True))
     )
@@ -990,25 +1007,41 @@ def neardup_query_index(
         F.col(id_col).alias("id"), "band", "band_sig"
     )
     if max_band_freq is not None:
+        # combined census without shuffling the O(buckets) stats table:
+        # corpus-only-hot buckets are a narrow filter over the stats
+        # scan; mixed buckets stream the stats through a broadcast join
+        # against the O(batch) batch-side counts; batch-only-hot
+        # buckets need no stats at all. Anti-join semantics tolerate
+        # the unions' duplicates.
         stats = spark.read.parquet(f"{path}/band_stats")
-        b_cnt = b_banded.groupBy("band", "band_sig").agg(
-            F.count("*").alias("bcnt")
+        b_cnt = (
+            b_banded.groupBy("band", "band_sig")
+            .agg(F.count("*").alias("bcnt"))
+            .localCheckpoint(eager=True)  # feeds two census consumers
+        )
+        corp_hot = stats.filter(F.col("cnt") > max_band_freq).select(
+            "band", "band_sig"
+        )
+        mixed_hot = (
+            stats.filter(F.col("cnt") <= max_band_freq)
+            .join(F.broadcast(b_cnt), ["band", "band_sig"])
+            .filter(F.col("cnt") + F.col("bcnt") > max_band_freq)
+            .select("band", "band_sig")
+        )
+        batch_hot = b_cnt.filter(F.col("bcnt") > max_band_freq).select(
+            "band", "band_sig"
         )
         hot = (
-            b_cnt.join(stats, ["band", "band_sig"], "full_outer")
-            .filter(
-                F.coalesce("cnt", F.lit(0)) + F.coalesce("bcnt", F.lit(0))
-                > max_band_freq
-            )
-            .select("band", "band_sig")
+            corp_hot.unionByName(mixed_hot)
+            .unionByName(batch_hot)
             .localCheckpoint(eager=True)  # feeds both anti-joins
         )
         b_banded = b_banded.join(hot, ["band", "band_sig"], "left_anti")
-        c_banded = c_banded.join(hot, ["band", "band_sig"], "left_anti")
+        c_banded = c_banded.join(F.broadcast(hot), ["band", "band_sig"], "left_anti")
     cand = (
-        b_banded.select("band", "band_sig", F.col("id").alias("bid"))
+        c_banded.select("band", "band_sig", F.col("id").alias("cid"))
         .join(
-            c_banded.select("band", "band_sig", F.col("id").alias("cid")),
+            F.broadcast(b_banded.select("band", "band_sig", F.col("id").alias("bid"))),
             ["band", "band_sig"],
         )
         .filter(F.col("bid") != F.col("cid"))
@@ -1019,7 +1052,8 @@ def neardup_query_index(
     )
 
     # verify: exact Jaccard, batch shingles computed only for candidate
-    # ids, corpus shingles read from the index sidecar
+    # ids, corpus shingles read from the index sidecar (streamed
+    # through a broadcast semi-join on the O(candidates) id list)
     b_sh = (
         batch.join(
             cand.select(F.col("bid").alias(id_col)).distinct(), id_col, "left_semi"
@@ -1029,7 +1063,9 @@ def neardup_query_index(
     c_sh = (
         spark.read.parquet(f"{path}/shingles")
         .join(
-            cand.select(F.col("cid").alias(id_col)).distinct(), id_col, "left_semi"
+            F.broadcast(cand.select(F.col("cid").alias(id_col)).distinct()),
+            id_col,
+            "left_semi",
         )
         .select(F.col(id_col).alias("cid"), F.col("sh").alias("sh_c"))
     )
