@@ -70,8 +70,15 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   from a persisted token-sorted postings index (query terms prune the
   scan; no tokenization at query time), q109 per-source distinct-token
   cardinality via a KMV sketch (mergeable k-min partials, bounded
-  shuffle; bit-replayable in SQL unlike HLL) next to the exact count
-  (queries/pipeline.py); q59 deterministic
+  shuffle; bit-replayable in SQL unlike HLL) next to the exact count,
+  q110 SCD2 versioned status-interval history per user (gaps-and-
+  islands + interval close, one user_id exchange), q111 hashed
+  linear quality-model inference (fastText-style hashing trick as a
+  zero-shuffle integer-exact array fold), q112 temperature-based
+  source mixing (α=0.5 rates from one O(sources) aggregate, broadcast
+  back; corpus never shuffles), q113 deterministic seeded-hash
+  training-shard assignment (replayable global shuffle, no global
+  sort) (queries/pipeline.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).
 """

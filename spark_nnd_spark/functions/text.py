@@ -307,3 +307,66 @@ def winnow_select_sql(hashes: str, w: int = 4) -> str:
         f"CASE WHEN len({hashes}) = 0 THEN [] "
         f"ELSE list_distinct({mins}) END"
     )
+
+
+# -------------------------------------- hashed linear quality model
+
+MODEL_DIM = 1024          # hashing-trick feature space
+MODEL_WMOD = 1997         # prime: bucket -> integer weight numerator
+MODEL_WMUL = 2654435761   # Knuth multiplicative constant
+MODEL_BIAS = 0.1
+
+
+def hashed_bucket_lambda(tok: Column) -> Column:
+    """Hashing-trick feature bucket of one token: the polynomial token
+    hash folded into MODEL_DIM buckets."""
+    return token_hash_lambda(tok) % MODEL_DIM
+
+
+def hashed_bucket_sql(tok: str) -> str:
+    return f"({token_hash_sql(tok)} % {MODEL_DIM})"
+
+
+def linear_score_expr(text: Column | str) -> Column:
+    """fastText-style linear quality model scored with pure built-in
+    expressions: each token hashes into one of MODEL_DIM buckets, the
+    bucket's weight is ``(bucket·MODEL_WMUL mod MODEL_WMOD)/MODEL_WMOD
+    − 0.5`` (a fixed pseudo-random weight table that never ships as
+    data — it's arithmetic), and the doc score is
+    ``sigmoid(bias + Σ weights)``.
+
+    The token sum runs ENTIRELY in 64-bit integers (Σ of the weight
+    NUMERATORS; the ``/MODEL_WMOD − 0.5·n`` rescale happens once at
+    the end), so the result is exact and order-independent — the
+    DuckDB oracle replays it bit-for-bit with no float-accumulation
+    hazard. A real trained model drops in by replacing the arithmetic
+    weight with a `MapType` literal / broadcast lookup; the plan shape
+    (narrow array-lambda fold, zero shuffle, zero UDF) is identical.
+    """
+    toks = tokens_expr(text)
+    num = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + (hashed_bucket_lambda(t) * MODEL_WMUL) % MODEL_WMOD,
+    )
+    z = (
+        F.lit(MODEL_BIAS)
+        + num.cast("double") / F.lit(float(MODEL_WMOD))
+        - F.lit(0.5) * F.size(toks)
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def linear_score_sql(text: str = "text") -> str:
+    """DuckDB rendering of linear_score_expr (same integer-exact sum,
+    same final double arithmetic)."""
+    toks = tokens_sql(text)
+    num = (
+        f"list_sum(list_prepend(0::BIGINT, list_transform({toks}, "
+        f"t -> ({hashed_bucket_sql('t')} * {MODEL_WMUL}) % {MODEL_WMOD})))"
+    )
+    z = (
+        f"({MODEL_BIAS} + CAST({num} AS DOUBLE) / {float(MODEL_WMOD)}"
+        f" - 0.5 * len({toks}))"
+    )
+    return f"(1.0 / (1.0 + exp(-{z})))"

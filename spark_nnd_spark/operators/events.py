@@ -378,3 +378,78 @@ def lifecycle_stages(
         .otherwise(F.lit("casual"))
     )
     return per_user.withColumn("stage", stage)
+
+
+def scd2_intervals(df: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history: collapse each
+    user's event stream into versioned status intervals — one row per
+    run of consecutive equal ``event_type`` with ``valid_from`` /
+    ``valid_to`` bounds and ``is_current`` on the open interval. The
+    gaps-and-islands + interval-close shape every warehouse uses to
+    keep entity history (a dimension's address/status changes) while
+    queries join on "the version valid at time t".
+
+    Scale: both windows and the run-collapse aggregate partition on
+    user_id, so the whole operator is ONE hash exchange; per-user
+    history is bounded by that user's event count, never the table.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    change = (
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w))
+    ).cast("int")
+    runs = df.withColumn(
+        "version",
+        F.sum(change).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    intervals = runs.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("status"),  # constant within a run
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return intervals.select(
+        "user_id",
+        "version",
+        "status",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+    )
+
+
+def scd2_intervals_sql(table: str = "events") -> str:
+    """DuckDB CTE prefix: relation ``scd2`` mirroring scd2_intervals."""
+    return f"""
+        lagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN LAG(event_type) OVER w IS NULL
+                         OR event_type <> LAG(event_type) OVER w
+                        THEN 1 ELSE 0 END AS is_change
+            FROM {table}
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        runs AS (
+            SELECT user_id, ts, event_id, event_type,
+                   SUM(is_change)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS version
+            FROM lagged
+        ),
+        intervals AS (
+            SELECT user_id, version,
+                   MIN(event_type) AS status,
+                   MIN(ts) AS valid_from,
+                   COUNT(*)::BIGINT AS n_events
+            FROM runs GROUP BY user_id, version
+        ),
+        scd2 AS (
+            SELECT user_id, version, status, valid_from,
+                   LEAD(valid_from) OVER wv AS valid_to,
+                   n_events,
+                   LEAD(valid_from) OVER wv IS NULL AS is_current
+            FROM intervals
+            WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+        )
+    """

@@ -169,3 +169,162 @@ def per_group_exact_sample(
         df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+# ------------------------------------------------- temperature mixing
+
+def uniform_draw_expr(id_col: Column | str) -> Column:
+    """The md5 prefix as a numeric uniform draw in (0, 1] — the form
+    needed when the keep-rate is DATA-DEPENDENT (computed per source at
+    runtime) and can't be pre-rendered as a hex threshold literal."""
+    return (
+        F.conv(sample_key_expr(id_col), 16, 10).cast("long") + F.lit(1)
+    ) / F.lit(float(_SPACE))
+
+
+def uniform_draw_sql(id_col: str) -> str:
+    """DuckDB rendering of uniform_draw_expr (identical arithmetic)."""
+    return f"((('0x' || {sample_key_sql(id_col)})::UBIGINT + 1) / {float(_SPACE)})"
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based source rebalance: sample each source s with
+    rate ``min(1, B · w_s / n_s)`` where ``w_s ∝ n_s^α`` and B is the
+    total row budget (``budget_frac`` of the corpus) — the standard
+    multilingual/multi-source mixing rule (α→1 keeps natural
+    proportions, α→0 equalizes sources) that upweights small sources
+    without duplicating rows.
+
+    α is fixed at 0.5 so the power is ``sqrt`` — correctly rounded
+    IEEE in every engine, which keeps the per-source rates (and hence
+    the row-level sample) bit-replayable by the DuckDB oracle.
+
+    Scale shape: one map-side-combined aggregate over the source
+    column (O(sources) rows), a broadcast of the rate table back onto
+    the stream, and a narrow per-row filter — the corpus itself never
+    shuffles, so this runs as a single scan at 100 TB.
+    """
+    if alpha != 0.5:
+        raise ValueError("alpha is fixed at 0.5 (sqrt) for engine-exact replay")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_s"))
+    # totals via an all-rows window over the O(sources) count table —
+    # single tiny partition, and the corpus aggregate runs exactly once
+    # (a self-join/crossJoin formulation would recompute the scan).
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(budget_frac)
+        * F.sum("n_s").over(wall)
+        * F.sqrt(F.col("n_s"))
+        / F.sum(F.sqrt("n_s")).over(wall)
+        / F.col("n_s"),
+    )
+    rates = counts.select(source_col, rate.alias("mix_rate"))
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(uniform_draw_expr(id_col) <= F.col("mix_rate"))
+        .drop("mix_rate")
+    )
+
+
+def temperature_mix_sql(
+    table: str = "documents",
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB CTE prefix replaying temperature_mix row-for-row: yields
+    a relation ``mixed`` with the sampled rows of ``table``. The rate
+    expression is written in the same operation order as the Spark
+    side so the doubles agree bit-for-bit."""
+    assert alpha == 0.5
+    return f"""
+        counts AS (
+            SELECT {source_col}, COUNT(*)::BIGINT AS n_s
+            FROM {table} GROUP BY 1
+        ),
+        tot AS (
+            SELECT SUM(n_s)::BIGINT AS n_total, SUM(sqrt(n_s)) AS z
+            FROM counts
+        ),
+        rates AS (
+            SELECT {source_col},
+                   least(1.0, {budget_frac} * n_total * sqrt(n_s) / z / n_s)
+                       AS mix_rate
+            FROM counts CROSS JOIN tot
+        ),
+        mixed AS (
+            SELECT t.*
+            FROM {table} t JOIN rates USING ({source_col})
+            WHERE {uniform_draw_sql("t." + id_col)} <= mix_rate
+        )
+    """
+
+
+# ------------------------------------------- deterministic sharding
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    seed: str = "r6",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    output: shard = md5(seed:id) mod n_shards, position = rank of the
+    same draw within the shard. Replaces the usual ``orderBy(rand())``
+    (non-replayable, full global sort) with a seeded hash: re-running
+    the job, or re-materializing one lost shard, reproduces byte-equal
+    ordering, and changing the seed is a fresh epoch-level shuffle.
+
+    Scale shape: one hash exchange on the shard id (uniform by
+    construction — md5 can't skew), then a per-shard sort of N/shards
+    rows; no global sort ever happens. The (shard, pos) pair is the
+    read order a training loader consumes shard-by-shard.
+    """
+    salted = F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+    key = sample_key_expr(salted)
+    d = df.withColumn("shard_key", key).withColumn(
+        "shard",
+        F.pmod(F.conv(F.col("shard_key"), 16, 10).cast("long"), F.lit(n_shards)),
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("shard").orderBy(F.col("shard_key").asc(), F.col(id_col).asc())
+    return (
+        d.withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("shard_key")
+    )
+
+
+def assign_shards_sql(
+    table: str = "documents",
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    seed: str = "r6",
+) -> str:
+    """DuckDB CTE prefix: relation ``sharded`` = table + (shard, pos)."""
+    skey = sample_key_sql(f"concat('{seed}', ':', CAST({id_col} AS VARCHAR))")
+    return f"""
+        keyed AS (
+            SELECT *, {skey} AS shard_key,
+                   (('0x' || {skey})::UBIGINT % {n_shards})::BIGINT AS shard
+            FROM {table}
+        ),
+        sharded AS (
+            SELECT * EXCLUDE (shard_key),
+                   ROW_NUMBER() OVER (PARTITION BY shard
+                                      ORDER BY shard_key, {id_col})::BIGINT AS pos
+            FROM keyed
+        )
+    """

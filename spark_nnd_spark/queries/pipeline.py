@@ -2112,6 +2112,80 @@ def q104_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q110_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history (operators/events.scd2_intervals): each
+    user's event stream collapsed to versioned status intervals with
+    valid_from/valid_to bounds — the warehouse shape for 'the version
+    valid at time t' joins. One user_id exchange end-to-end."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        EV.scd2_intervals(e)
+        .select(
+            "user_id",
+            "version",
+            "status",
+            F.col("valid_from").cast("long").alias("valid_from_epoch"),
+            F.col("valid_to").cast("long").alias("valid_to_epoch"),
+            "n_events",
+            "is_current",
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+def q111_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality-model inference (functions/text.py
+    linear_score_expr): fastText-style hashing-trick features scored
+    as a narrow array-lambda fold — zero shuffle, zero UDF, the
+    integer-exact sum makes the sigmoid bit-replayable in DuckDB. The
+    plan shape a learned quality filter runs with at 100 TB (swap the
+    arithmetic weight for a broadcast weight table)."""
+    d = load_table(spark, sf_dir, "documents")
+    score = TX.linear_score_expr("text")
+    return d.select(
+        "doc_id",
+        F.round(score, 6).alias("model_score"),
+        (score >= F.lit(0.5)).alias("keep"),
+    ).orderBy("doc_id")
+
+
+MIX_BUDGET_FRAC = 0.4
+
+
+def q112_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled source mixture (operators/sampling.py
+    temperature_mix, α=0.5): the multilingual-corpus rebalance rule —
+    per-source rates from one O(sources) aggregate, broadcast back,
+    row-level md5 draw. The corpus never shuffles."""
+    from spark_nnd_spark.operators import sampling as SA  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        SA.temperature_mix(d, alpha=0.5, budget_frac=MIX_BUDGET_FRAC)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+N_SHARDS = 8
+SHARD_SEED = "epoch0"
+
+
+def q113_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment (operators/sampling.py
+    assign_shards): seeded-hash global shuffle into N_SHARDS ordered
+    shards — replayable (re-running or re-materializing one lost shard
+    reproduces byte-equal order), no global sort, one shard exchange."""
+    from spark_nnd_spark.operators import sampling as SA  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        SA.assign_shards(d, n_shards=N_SHARDS, seed=SHARD_SEED)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -2194,6 +2268,10 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q107_indexed_containment": q107_indexed_containment,
     "q108_indexed_bm25": q108_indexed_bm25,
     "q109_kmv_distinct_tokens": q109_kmv_distinct_tokens,
+    "q110_scd2_history": q110_scd2_history,
+    "q111_model_scores": q111_model_scores,
+    "q112_temperature_mix": q112_temperature_mix,
+    "q113_shard_assign": q113_shard_assign,
 }
 
 
@@ -3557,6 +3635,30 @@ def pipeline_oracles() -> dict[str, str]:
         FROM h a JOIN h b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.phash, b.phash)) <= 3
         ORDER BY id_a, id_b
+    """
+    oracles["q110_scd2_history"] = f"""
+        WITH {EV.scd2_intervals_sql("events")}
+        SELECT user_id, version, status,
+               epoch_us(valid_from::TIMESTAMP) // 1000000 AS valid_from_epoch,
+               epoch_us(valid_to::TIMESTAMP) // 1000000 AS valid_to_epoch,
+               n_events, is_current
+        FROM scd2 ORDER BY user_id, version
+    """
+    oracles["q111_model_scores"] = f"""
+        SELECT doc_id,
+               round({TX.linear_score_sql("text")}, 6) AS model_score,
+               {TX.linear_score_sql("text")} >= 0.5 AS keep
+        FROM documents ORDER BY doc_id
+    """
+    oracles["q112_temperature_mix"] = f"""
+        WITH {SA.temperature_mix_sql("documents", 0.5, MIX_BUDGET_FRAC)}
+        SELECT doc_id, source FROM mixed ORDER BY doc_id
+    """
+    oracles["q113_shard_assign"] = f"""
+        WITH {SA.assign_shards_sql(
+            "(SELECT doc_id FROM documents)", N_SHARDS, "doc_id", SHARD_SEED
+        )}
+        SELECT doc_id, shard, pos FROM sharded ORDER BY shard, pos
     """
     return oracles
 

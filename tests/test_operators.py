@@ -1249,3 +1249,143 @@ def test_kmv_distinct_sketch_properties(spark):
     assert n_kept_big == 64 and kth_big is not None
     # k=64 → relative std ≈ 1/sqrt(62) ≈ 13%; allow 4 sigma
     assert abs(est_big - 2000) / 2000 < 0.5
+
+
+def test_scd2_intervals_tile_the_timeline(spark):
+    """SCD2 contract: per user, versions are 1..k, consecutive statuses
+    differ, valid_to of version v equals valid_from of v+1 (no gaps, no
+    overlaps), exactly one open (is_current) interval, and the interval
+    event counts sum back to the user's event count."""
+    from spark_nnd_spark.operators.events import scd2_intervals
+    from spark_nnd_spark.sources import load_table
+
+    e = load_table(spark, SF_SMOKE, "events")
+    iv = scd2_intervals(e).collect()
+    by_user: dict[int, list] = {}
+    for r in iv:
+        by_user.setdefault(r["user_id"], []).append(r)
+    ev_counts = {
+        r["user_id"]: r["n"]
+        for r in e.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_user, "no intervals produced"
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(r["n_events"] for r in rows) == ev_counts[uid]
+        assert sum(r["is_current"] for r in rows) == 1
+        assert rows[-1]["is_current"] and rows[-1]["valid_to"] is None
+        for a, b in zip(rows, rows[1:]):
+            assert a["status"] != b["status"], "runs must be maximal"
+            assert a["valid_to"] == b["valid_from"], "intervals must tile"
+
+
+def test_temperature_mix_rates_and_determinism(spark):
+    """Mixing contract: the sample is deterministic across runs, every
+    kept row exists in the corpus, and per-source keep-fractions track
+    the analytic rate min(1, B·w_s/n_s) (exact-Bernoulli md5 draw ⇒
+    binomial tolerance)."""
+    import math
+
+    from spark_nnd_spark.operators.sampling import temperature_mix
+    from spark_nnd_spark.sources import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    got1 = sorted(r["doc_id"] for r in temperature_mix(d, budget_frac=0.5).collect())
+    got2 = sorted(r["doc_id"] for r in temperature_mix(d, budget_frac=0.5).collect())
+    assert got1 == got2 and got1, "must be deterministic and non-empty"
+
+    n_by_src = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(n_by_src.values())
+    z = sum(math.sqrt(n) for n in n_by_src.values())
+    kept = {
+        r["source"]: r["n"]
+        for r in temperature_mix(d, budget_frac=0.5)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for src, n_s in n_by_src.items():
+        rate = min(1.0, 0.5 * n_total * math.sqrt(n_s) / z / n_s)
+        k = kept.get(src, 0)
+        tol = 4 * math.sqrt(n_s * rate * (1 - rate)) + 1
+        assert abs(k - n_s * rate) <= tol, (src, k, n_s * rate)
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    """α=0.5 must give a SMALLER keep-rate to larger sources (that is
+    the point of temperature mixing): observed keep-fraction ordering
+    is opposite to source-size ordering wherever rates are < 1."""
+    import math
+
+    from spark_nnd_spark.operators.sampling import temperature_mix
+    from spark_nnd_spark.sources import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    n_by_src = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(n_by_src.values())
+    z = sum(math.sqrt(n) for n in n_by_src.values())
+    rates = {
+        s: min(1.0, 0.25 * n_total * math.sqrt(n) / z / n)
+        for s, n in n_by_src.items()
+    }
+    bigger = max(n_by_src, key=n_by_src.get)
+    smaller = min(n_by_src, key=n_by_src.get)
+    if n_by_src[bigger] > n_by_src[smaller]:
+        assert rates[bigger] <= rates[smaller]
+
+
+def test_assign_shards_partition_and_order(spark):
+    """Sharding contract: a permutation (every row exactly once), pos
+    is a 1..k dense sequence per shard, shards are balanced within a
+    binomial envelope, and the seed changes the assignment while
+    keeping it a permutation."""
+    from spark_nnd_spark.operators.sampling import assign_shards
+    from spark_nnd_spark.sources import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    n = d.count()
+    out = assign_shards(d, n_shards=8, seed="a").collect()
+    assert len(out) == n
+    assert sorted(r["doc_id"] for r in out) == sorted(
+        r["doc_id"] for r in d.collect()
+    )
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    out_b = assign_shards(d, n_shards=8, seed="b").collect()
+    moved = sum(
+        1
+        for ra, rb in zip(
+            sorted(out, key=lambda r: r["doc_id"]),
+            sorted(out_b, key=lambda r: r["doc_id"]),
+        )
+        if ra["shard"] != rb["shard"]
+    )
+    assert moved > 0, "changing the seed must reshuffle"
+
+
+def test_linear_score_bounds_and_keep_flag(spark):
+    """Model-score contract: sigmoid output in (0,1) and keep flag
+    consistent with the 0.5 threshold."""
+    from spark_nnd_spark.functions.text import linear_score_expr
+    from spark_nnd_spark.sources import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    rows = d.select(
+        linear_score_expr("text").alias("s"),
+        (linear_score_expr("text") >= F.lit(0.5)).alias("keep"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["s"] < 1.0
+        assert r["keep"] == (r["s"] >= 0.5)

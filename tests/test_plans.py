@@ -502,3 +502,41 @@ def test_indexed_containment_never_scans_document_text(spark):
     plan = _plan(spark, "q107_indexed_containment")
     assert "documents" not in plan
     assert "FileScan" not in plan
+
+
+def test_scd2_single_user_exchange(spark):
+    """q110: both windows and the run-collapse aggregate cluster on
+    user_id, so the whole SCD2 build is ONE hashpartitioning exchange
+    (HashPartitioning(user_id) satisfies the (user_id, version) group
+    clustering — subset rule)."""
+    plan = _plan(spark, "q110_scd2_history")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_model_scores_narrow_no_shuffle_no_udf(spark):
+    """q111: the hashed-linear-model score is a pure array-lambda fold —
+    no exchange other than the output sort, and no Python evaluation
+    anywhere (the weight table is arithmetic, not data)."""
+    plan = _plan(spark, "q111_model_scores")
+    assert "Exchange hashpartitioning" not in plan
+    assert "EvalPython" not in plan  # neither batch nor arrow UDF nodes
+
+
+def test_temperature_mix_corpus_never_shuffles(spark):
+    """q112: the only hash exchange feeds the O(sources) count
+    aggregate; the rate table comes back as a broadcast, so the corpus
+    itself flows scan→filter with no wide movement."""
+    plan = _plan(spark, "q112_temperature_mix")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(source") == 1
+
+
+def test_shard_assign_single_shard_exchange(spark):
+    """q113: one hash exchange on the derived shard id (the per-shard
+    position window); no global sort before the final presentation
+    order-by."""
+    plan = _plan(spark, "q113_shard_assign")
+    assert plan.count("Exchange hashpartitioning(shard") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
