@@ -78,7 +78,10 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   source mixing (α=0.5 rates from one O(sources) aggregate, broadcast
   back; corpus never shuffles), q113 deterministic seeded-hash
   training-shard assignment (replayable global shuffle, no global
-  sort) (queries/pipeline.py); q59 deterministic
+  sort), q114 Matryoshka two-stage retrieval (coarse prefix-dim top-20
+  with an ids+score-only wide shuffle, exact full-dim rerank of the
+  bounded candidate set — deterministic cascade, hash-checkable)
+  (queries/pipeline.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).
 """

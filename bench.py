@@ -78,6 +78,11 @@ HEADLINE = [
     "q107_indexed_containment",
     "q108_indexed_bm25",
     "q109_kmv_distinct_tokens",
+    "q110_scd2_history",
+    "q111_model_scores",
+    "q112_temperature_mix",
+    "q113_shard_assign",
+    "q114_mrl_two_stage",
 ]
 
 

@@ -931,3 +931,69 @@ def label_centroids(
             F.count("*").alias("n"),
         )
     )
+
+
+def mrl_two_stage_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    prefix_dims: int = 16,
+    coarse_k: int = 20,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Matryoshka-style two-stage retrieval: coarse top-``coarse_k`` by
+    cosine over the first ``prefix_dims`` dimensions, then exact
+    full-dimension rerank of only those candidates to top-``k``.
+    Deterministic end-to-end (both stages are exact arithmetic with
+    total tie-breaks), so unlike LSH/IVF the whole cascade is
+    oracle-checkable row-for-row.
+
+    Scale shape vs ann_brute_topk: the wide part (corpus × queries
+    scored rows into the per-query window) ships only
+    (query_id, nb_id, pre_cosine) — the full vectors are DROPPED
+    before the coarse shuffle — and the full-dim work happens on a
+    candidate set bounded by queries·coarse_k, re-fetched with a
+    broadcast semi-probe against the corpus scan. With an
+    MRL-trained index the prefix slice would live in its own sidecar
+    column (the build_ivf_index pattern) so the coarse scan reads
+    prefix_dims/dims of the vector bytes; over raw parquet both scans
+    read the same column and the win is the narrow shuffle alone.
+    """
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("nb_id"), _as_double(vec_col).alias("c_vec"))
+
+    qp = q.select(
+        "query_id", F.slice("q_vec", 1, prefix_dims).alias("q_pre")
+    )
+    coarse = (
+        c.select("nb_id", F.slice("c_vec", 1, prefix_dims).alias("c_pre"))
+        .crossJoin(F.broadcast(qp))
+        .filter(F.col("query_id") != F.col("nb_id"))
+        .select(
+            "query_id",
+            "nb_id",
+            cosine_similarity_expr("q_pre", "c_pre").alias("pre_cosine"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("pre_cosine"), F.asc("nb_id"))
+    cand = (
+        coarse.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= coarse_k)
+        .select("query_id", "nb_id")
+    )
+    rerank = (
+        c.join(F.broadcast(cand), "nb_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine", cosine_similarity_expr("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nb_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nb_id", "rank", "cosine")
+    )

@@ -2186,6 +2186,29 @@ def q113_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MRL_PREFIX_DIMS = 16
+MRL_COARSE_K = 20
+
+
+def q114_mrl_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage retrieval (operators/similarity.py
+    mrl_two_stage_topk): coarse top-20 on the first 16 dims (wide
+    shuffle carries only ids+score, never vectors), exact full-dim
+    rerank of the bounded candidate set to top-5. Both stages exact ⇒
+    the whole cascade hash-checks against the SQL replay."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SIM.mrl_two_stage_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        prefix_dims=MRL_PREFIX_DIMS,
+        coarse_k=MRL_COARSE_K,
+        k=5,
+    )
+    return out.select(
+        "query_id", "nb_id", "rank", F.round("cosine", 6).alias("cosine")
+    ).orderBy("query_id", "rank")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -2272,6 +2295,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q111_model_scores": q111_model_scores,
     "q112_temperature_mix": q112_temperature_mix,
     "q113_shard_assign": q113_shard_assign,
+    "q114_mrl_two_stage": q114_mrl_two_stage,
 }
 
 
@@ -3659,6 +3683,46 @@ def pipeline_oracles() -> dict[str, str]:
             "(SELECT doc_id FROM documents)", N_SHARDS, "doc_id", SHARD_SEED
         )}
         SELECT doc_id, shard, pos FROM sharded ORDER BY shard, pos
+    """
+    p = MRL_PREFIX_DIMS
+    cos_pre = (
+        f"list_sum(list_transform(range(1, {p + 1}), i -> qv[i]*cv[i]))"
+        f" / (sqrt(list_sum(list_transform(range(1, {p + 1}), i -> qv[i]*qv[i])))"
+        f" * sqrt(list_sum(list_transform(range(1, {p + 1}), i -> cv[i]*cv[i]))))"
+    )
+    cos_full = (
+        "list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*cv[i]))"
+        " / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))"
+        " * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))))"
+    )
+    oracles["q114_mrl_two_stage"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS nb_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        coarse AS (
+            SELECT query_id, nb_id, {cos_pre} AS pre_cosine
+            FROM c CROSS JOIN q WHERE query_id <> nb_id
+        ),
+        cand AS (
+            SELECT query_id, nb_id FROM (
+                SELECT query_id, nb_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY pre_cosine DESC, nb_id) AS crank
+                FROM coarse
+            ) WHERE crank <= {MRL_COARSE_K}
+        ),
+        rer AS (
+            SELECT query_id, nb_id, {cos_full} AS cosine
+            FROM cand JOIN c USING (nb_id) JOIN q USING (query_id)
+        ),
+        ranked AS (
+            SELECT query_id, nb_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, nb_id) AS rank
+            FROM rer
+        )
+        SELECT query_id, nb_id, rank, round(cosine, 6) AS cosine
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     """
     return oracles
 

@@ -1389,3 +1389,37 @@ def test_linear_score_bounds_and_keep_flag(spark):
     for r in rows:
         assert 0.0 < r["s"] < 1.0
         assert r["keep"] == (r["s"] >= 0.5)
+
+
+def test_mrl_two_stage_equals_brute_when_coarse_covers_corpus(spark):
+    """MRL cascade contract: with coarse_k >= corpus size the coarse
+    stage is a no-op filter, so the two-stage result must EQUAL the
+    exact brute-force top-k row-for-row; with a tight coarse_k it
+    still returns k rows per query with descending cosines."""
+    from spark_nnd_spark.operators.similarity import ann_brute_topk, mrl_two_stage_topk
+    from spark_nnd_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    full = sorted(
+        (r["query_id"], r["rank"], r["nb_id"])
+        for r in mrl_two_stage_topk(emb, queries, coarse_k=n, k=5).collect()
+    )
+    brute = sorted(
+        (r["query_id"], r["rank"], r["nb_id"])
+        for r in ann_brute_topk(emb, queries, k=5).collect()
+    )
+    assert full == brute
+
+    tight = mrl_two_stage_topk(emb, queries, prefix_dims=16, coarse_k=20, k=5).collect()
+    per_q: dict[int, list] = {}
+    for r in tight:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert len(per_q) == 5
+    for rows in per_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        cosines = [r["cosine"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)

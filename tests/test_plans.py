@@ -540,3 +540,15 @@ def test_shard_assign_single_shard_exchange(spark):
     plan = _plan(spark, "q113_shard_assign")
     assert plan.count("Exchange hashpartitioning(shard") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_mrl_two_stage_no_cartesian_bounded_rerank(spark):
+    """q114: coarse scoring is the broadcast-queries nested-loop (like
+    q18, never a real cartesian shuffle), the candidate re-fetch and
+    query re-attach are broadcast joins, and the only hash exchanges
+    are the two per-query windows."""
+    plan = _plan(spark, "q114_mrl_two_stage")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(query_id") == 2
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BroadcastExchange" in plan
