@@ -29,6 +29,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -549,6 +550,131 @@ def transitions_stream(events: DataFrame) -> DataFrame:
             _transitions_fn,
             outputStructType=_TRANS_SCHEMA,
             stateStructType=_TRANS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_SCD2_SCHEMA = (
+    "user_id long, version long, status string, valid_from long,"
+    " valid_to long, n_events long"
+)
+_SCD2_STATE_SCHEMA = (
+    "status string, valid_from long, n_events long, version long,"
+    " last_ts long, last_event_id long"
+)
+
+
+def _scd2_fn(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Explicit-state kernel behind ``scd2_stream``: carry the user's
+    OPEN status interval (status, valid_from, n_events, version) across
+    micro-batches and emit intervals the moment they CLOSE (a row with
+    a different status arrives). The open interval never emits — SCD2
+    close events are append-only facts, so no retraction is needed.
+
+    The whole micro-batch group is concat'd and sorted once by
+    (ts, event_id) — the same Arrow-chunk discipline as
+    ``_transitions_fn``. Precondition (documented on the wrapper):
+    micro-batch arrival respects event-time order at batch granularity;
+    an interval, once closed, cannot be reopened by a straggler.
+    Run detection is vectorized (shift + cumsum), no per-row loop.
+    """
+    pdfs = [p for p in batches if len(p)]
+    if not pdfs:
+        return
+    pdf = pd.concat(pdfs, ignore_index=True).sort_values(
+        ["ts", "event_id"], ignore_index=True
+    )
+    ts_ns = pdf["ts"].to_numpy().astype("int64")
+    ts_s = ts_ns // 1_000_000_000
+    eid = pdf["event_id"].to_numpy().astype("int64")
+    types = pdf["event_type"].reset_index(drop=True)
+
+    # run ids within this batch (0-based; run 0 may merge into the carry)
+    new_run = (types != types.shift(1)).to_numpy()
+    new_run[0] = True
+    run_id = new_run.cumsum() - 1
+
+    runs = (
+        pd.DataFrame({"run": run_id, "status": types, "from_s": ts_s, "n": 1})
+        .groupby("run", sort=True)
+        .agg(status=("status", "first"), from_s=("from_s", "min"), n=("n", "sum"))
+    )
+    statuses = runs["status"].to_numpy(dtype=object)
+    froms = runs["from_s"].to_numpy().astype("int64")
+    ns = runs["n"].to_numpy().astype("int64")
+
+    # splice the carried open interval in front; merge run 0 into it
+    # when the status continues across the batch boundary. Within the
+    # batch consecutive runs already differ by construction, so after
+    # the splice EVERY adjacent pair differs — pure array arithmetic
+    # from here (no per-run Python loop).
+    if state.exists:
+        cur_status, cur_from, cur_n, cur_version, _lts, _leid = state.get
+        if statuses[0] == cur_status:
+            ns[0] += cur_n
+            froms[0] = cur_from
+        else:
+            statuses = np.concatenate(([cur_status], statuses))
+            froms = np.concatenate(([cur_from], froms))
+            ns = np.concatenate(([cur_n], ns))
+        base_version = cur_version  # first spliced interval keeps its version
+    else:
+        base_version = 1
+
+    k = len(statuses)
+    versions = base_version + np.arange(k, dtype="int64")
+    state.update(
+        (
+            str(statuses[-1]),
+            int(froms[-1]),
+            int(ns[-1]),
+            int(versions[-1]),
+            int(ts_ns[-1]),
+            int(eid[-1]),
+        )
+    )
+    if k > 1:  # all but the last (still-open) interval close this batch
+        yield pd.DataFrame(
+            {
+                "user_id": np.full(k - 1, key[0], dtype="int64"),
+                "version": versions[:-1],
+                "status": statuses[:-1],
+                "valid_from": froms[:-1],
+                "valid_to": froms[1:],
+                "n_events": ns[:-1],
+            }
+        )
+
+
+def scd2_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of operators/events.scd2_intervals: per-user SCD2
+    interval-CLOSE events via ``applyInPandasWithState``. Each emitted
+    row is a finished (user_id, version, status, valid_from, valid_to,
+    n_events) interval — epoch-second bounds — appearing exactly once,
+    in the micro-batch whose first differing-status row closed it; the
+    user's open interval lives only in state (O(users), independent of
+    stream length).
+
+    Replay property (tested): over any time-ordered micro-batch split,
+    the emitted rows equal the batch operator's CLOSED intervals
+    (valid_to IS NOT NULL) over the same prefix of events, and state
+    holds exactly the batch operator's open interval. Precondition, as
+    for ``transitions_stream``: no event arrives in a later micro-batch
+    with a smaller (ts, event_id) than the user's carried last event —
+    closed history is append-only, so a straggler cannot reopen it."""
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _scd2_fn,
+            outputStructType=_SCD2_SCHEMA,
+            stateStructType=_SCD2_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

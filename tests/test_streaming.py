@@ -448,3 +448,81 @@ def test_indexed_dedup_stream_replays_batch_verdicts(spark, tmp_path):
     assert got == want and len(got) == n > 0
     # one output directory per micro-batch (idempotence key)
     assert len([p for p in os.listdir(out) if p.startswith("ingest_batch=")]) == 3
+
+
+def test_scd2_stream_closed_intervals_match_batch(spark, events_batch):
+    """Single-drain replay: emitted interval-close rows must equal the
+    batch SCD2 operator's closed intervals (valid_to IS NOT NULL)."""
+    from spark_nnd_spark.streaming.streams import scd2_stream
+
+    stream = scd2_stream(read_events_stream(spark, SF_SMOKE))
+    run_to_memory_sink(stream, "scd2s", output_mode="update")
+    got = {
+        (r["user_id"], r["version"]): (
+            r["status"], r["valid_from"], r["valid_to"], r["n_events"]
+        )
+        for r in spark.sql("SELECT * FROM scd2s").collect()
+    }
+    want = {
+        (r["user_id"], r["version"]): (
+            r["status"],
+            r["valid_from"].timestamp().__trunc__(),
+            r["valid_to"].timestamp().__trunc__(),
+            r["n_events"],
+        )
+        for r in EV.scd2_intervals(events_batch)
+        .filter(F.col("valid_to").isNotNull())
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_scd2_stream_state_straddles_batches(spark, events_batch, tmp_path):
+    """3 time-ordered micro-batches: an interval spanning a batch
+    boundary must close exactly once with the merged event count, and
+    versions must stay dense per user."""
+    import os
+
+    from spark_nnd_spark.streaming.streams import scd2_stream
+
+    d = tmp_path / "scd2_chunks"
+    d.mkdir()
+    pdf = (
+        events_batch.select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        p = d / f"chunk{i}.parquet"
+        pdf.iloc[cuts[i] : cuts[i + 1]].to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    run_to_memory_sink(scd2_stream(stream), "scd2s3", output_mode="update")
+    rows = spark.sql("SELECT * FROM scd2s3").collect()
+    got = {
+        (r["user_id"], r["version"]): (
+            r["status"], r["valid_from"], r["valid_to"], r["n_events"]
+        )
+        for r in rows
+    }
+    assert len(got) == len(rows), "an interval closed twice"
+    want = {
+        (r["user_id"], r["version"]): (
+            r["status"],
+            r["valid_from"].timestamp().__trunc__(),
+            r["valid_to"].timestamp().__trunc__(),
+            r["n_events"],
+        )
+        for r in EV.scd2_intervals(events_batch)
+        .filter(F.col("valid_to").isNotNull())
+        .collect()
+    }
+    assert got == want
