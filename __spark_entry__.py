@@ -80,7 +80,10 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   training-shard assignment (replayable global shuffle, no global
   sort), q114 Matryoshka two-stage retrieval (coarse prefix-dim top-20
   with an ids+score-only wide shuffle, exact full-dim rerank of the
-  bounded candidate set — deterministic cascade, hash-checkable)
+  bounded candidate set — deterministic cascade, hash-checkable),
+  q115 explicit Bloom pre-filtered semi join (distributed word-packed
+  build, big side screened before the join exchange; exact join
+  removes false positives so the oracle is the plain semi join)
   (queries/pipeline.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).

@@ -83,6 +83,7 @@ HEADLINE = [
     "q112_temperature_mix",
     "q113_shard_assign",
     "q114_mrl_two_stage",
+    "q115_bloom_semi_join",
 ]
 
 

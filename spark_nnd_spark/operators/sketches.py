@@ -124,3 +124,100 @@ def kmv_distinct(
         "kth_hash",
         est.alias("kmv_estimate"),
     )
+
+
+# ----------------------------------------------------- bloom pre-join
+
+BLOOM_SEED2 = 0x9E3779B9  # second-hash salt (golden-ratio constant)
+
+
+def bloom_build(keys_df: DataFrame, key_col: str, m_bits: int = 1 << 14) -> list[int]:
+    """Build an m-bit / 2-hash Bloom filter over the DISTINCT values of
+    ``key_col``, returned as ``m_bits/64`` packed int64 words.
+
+    Distributed build: each key explodes to its two bit positions, a
+    word-indexed ``bit_or`` aggregate folds them map-side, and only the
+    O(m_bits/64) word rows ever reach the driver — the key set itself
+    is never collected (the O(centroids)-style bounded collect). Runs a
+    job at call time, like the eager-checkpoint sites.
+
+    Hashing uses Spark's xxhash64 with two salts. Unlike the md5
+    samplers this does NOT need an engine-portable hash: the filter
+    only PRE-FILTERS — false positives are removed by the exact join
+    that follows — so results (and the DuckDB oracle) are independent
+    of the hash choice.
+    """
+    assert m_bits % 64 == 0
+    k = F.col(key_col)
+    pos = F.explode(
+        F.array(
+            F.pmod(F.xxhash64(k), F.lit(m_bits)),
+            F.pmod(F.xxhash64(k, F.lit(BLOOM_SEED2)), F.lit(m_bits)),
+        )
+    ).alias("pos")
+    words = (
+        keys_df.select(k).distinct()
+        .select(pos)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.pmod(F.col("pos"), F.lit(64)).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    out = [0] * (m_bits // 64)
+    for r in words:
+        out[r["w"]] = r["word"]
+    return out
+
+
+def bloom_might_contain_expr(col: Column | str, words: list[int], m_bits: int) -> Column:
+    """``might_contain`` probe as a pure JVM expression over the word
+    array literal: both hash bits must be set. No false negatives."""
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.array(*[F.lit(w) for w in words])
+
+    def bit_set(pos: Column) -> Column:
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        bits = F.pmod(pos, F.lit(64)).cast("int")
+        return F.call_function("shiftright", word, bits).bitwiseAND(1) == 1
+
+    p1 = F.pmod(F.xxhash64(c), F.lit(m_bits))
+    p2 = F.pmod(F.xxhash64(c, F.lit(BLOOM_SEED2)), F.lit(m_bits))
+    return bit_set(p1) & bit_set(p2)
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    keys_df: DataFrame,
+    big_key: str,
+    keys_key: str | None = None,
+    m_bits: int = 1 << 14,
+) -> DataFrame:
+    """Semi-join ``big`` to ``keys_df`` with an explicit Bloom
+    pre-filter on the big side: rows failing ``might_contain`` are
+    dropped BEFORE the join's exchange, so the shuffle carries only
+    (true matches + the filter's false-positive mass) instead of the
+    whole stream — the manual form of runtime row-level filtering for
+    plans the optimizer's own bloom injection misses (non-equi-visible
+    keys, pre-aggregated inputs, reused filters across queries).
+
+    The exact left-semi join afterwards removes false positives, so
+    the RESULT equals a plain semi join (that is the oracle) — only
+    the shuffle volume changes. m_bits sizes the false-positive rate:
+    with 2 hashes, fpp ≈ (1 − e^{−2n/m})², e.g. n=8k keys, m=16k bits
+    → ~40%; m=128k bits → ~1.5%. At 100 TB you size m to the key
+    cardinality (KMV-estimated, kmv_distinct) and broadcast the words
+    array; it stays a few MB up to hundreds of millions of keys.
+    """
+    keys_key = keys_key or big_key
+    words = bloom_build(keys_df, keys_key, m_bits)
+    pre = big.filter(bloom_might_contain_expr(big_key, words, m_bits))
+    return pre.join(
+        keys_df.select(F.col(keys_key).alias(big_key)).distinct(),
+        big_key,
+        "left_semi",
+    )

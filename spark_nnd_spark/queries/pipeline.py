@@ -2186,6 +2186,35 @@ def q113_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_M_BITS = 1 << 16
+
+
+def q115_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom pre-filtered semi join (operators/sketches.py
+    bloom_semi_join): lineitems of urgent orders, with the big side
+    bloom-screened BEFORE the join exchange so the shuffle carries only
+    matches + false-positive mass. The exact semi join removes false
+    positives, so the result — and the DuckDB oracle — is the plain
+    semi join; the bloom changes shuffle volume, not answers."""
+    from spark_nnd_spark.operators.sketches import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    hit = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey", m_bits=BLOOM_M_BITS)
+    return (
+        hit.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 MRL_PREFIX_DIMS = 16
 MRL_COARSE_K = 20
 
@@ -2296,6 +2325,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q112_temperature_mix": q112_temperature_mix,
     "q113_shard_assign": q113_shard_assign,
     "q114_mrl_two_stage": q114_mrl_two_stage,
+    "q115_bloom_semi_join": q115_bloom_semi_join,
 }
 
 
@@ -3723,6 +3753,18 @@ def pipeline_oracles() -> dict[str, str]:
         )
         SELECT query_id, nb_id, rank, round(cosine, 6) AS cosine
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """
+    # q115: the bloom is a pre-filter only (no false negatives, exact
+    # join removes false positives) so the oracle is the PLAIN semi join.
+    oracles["q115_bloom_semi_join"] = """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*)::BIGINT AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        )
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
     """
     return oracles
 

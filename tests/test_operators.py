@@ -1423,3 +1423,44 @@ def test_mrl_two_stage_equals_brute_when_coarse_covers_corpus(spark):
         assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
         cosines = [r["cosine"] for r in rows]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_bloom_semi_join_exact_and_prefilter_selective(spark):
+    """Bloom contract: no false negatives (result == plain semi join)
+    and the pre-filter alone keeps every true match while dropping a
+    real fraction of non-matches (it's a filter, not a pass-through)."""
+    from spark_nnd_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain_expr,
+        bloom_semi_join,
+    )
+    from spark_nnd_spark.sources import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    urgent = load_table(spark, SF_SMOKE, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    m = 1 << 14
+    got = sorted(
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey", m_bits=m)
+        .select("l_orderkey", "l_linenumber")
+        .collect()
+    )
+    want = sorted(
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in li.join(
+            urgent.select(F.col("o_orderkey").alias("l_orderkey")).distinct(),
+            "l_orderkey",
+            "left_semi",
+        )
+        .select("l_orderkey", "l_linenumber")
+        .collect()
+    )
+    assert got == want and got, "bloom-prefixed semi join must equal plain semi join"
+
+    words = bloom_build(urgent, "o_orderkey", m_bits=m)
+    n_all = li.count()
+    n_pre = li.filter(bloom_might_contain_expr("l_orderkey", words, m)).count()
+    n_match = len(want)
+    assert n_match <= n_pre < n_all, (n_match, n_pre, n_all)

@@ -552,3 +552,17 @@ def test_mrl_two_stage_no_cartesian_bounded_rerank(spark):
     assert plan.count("Exchange hashpartitioning(query_id") == 2
     assert plan.count("Exchange hashpartitioning") == 2
     assert "BroadcastExchange" in plan
+
+
+def test_bloom_semi_join_filters_before_exchange(spark):
+    """q115: the big side carries the bloom might_contain filter (the
+    xxhash64+shiftright word probe) as a plain Filter over the scan —
+    BELOW the semi join's exchange — so shuffle volume is matches +
+    false positives, not the whole table."""
+    plan = _plan(spark, "q115_bloom_semi_join")
+    assert "LeftSemi" in plan
+    # the word-probe filter must live in the join's INPUT subtree (the
+    # plan renders children below the join node), i.e. evaluated
+    # pre-shuffle in the scan stage, not post-join
+    big_branch = plan.split("LeftSemi", 1)[1]
+    assert "xxhash64" in big_branch and "shiftright" in big_branch
