@@ -83,8 +83,10 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   bounded candidate set — deterministic cascade, hash-checkable),
   q115 explicit Bloom pre-filtered semi join (distributed word-packed
   build, big side screened before the join exchange; exact join
-  removes false positives so the oracle is the plain semi join)
-  (queries/pipeline.py); q59 deterministic
+  removes false positives so the oracle is the plain semi join),
+  q116 skew-resistant two-phase per-group top-K (Arrow local cut
+  before the window exchange — exact, shuffle bounded by
+  batches·groups·K) (queries/pipeline.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).
 """

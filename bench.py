@@ -84,6 +84,7 @@ HEADLINE = [
     "q113_shard_assign",
     "q114_mrl_two_stage",
     "q115_bloom_semi_join",
+    "q116_two_phase_topk",
 ]
 
 

@@ -2186,6 +2186,22 @@ def q113_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q116_two_phase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase per-group top-K (operators/relational.py
+    two_phase_topk): top-3 longest docs per source via an Arrow-batched
+    local cut, then the exact window over the bounded survivor set —
+    row-identical to the single-window form, shuffle bounded by
+    batches·groups·K instead of the full table."""
+    from spark_nnd_spark.operators.relational import two_phase_topk
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", TX.token_count_expr("text").alias("n_tokens"), "doc_id"
+    )
+    return two_phase_topk(d, "source", "n_tokens", "doc_id", k=3).orderBy(
+        "source", "rank"
+    )
+
+
 BLOOM_M_BITS = 1 << 16
 
 
@@ -2326,6 +2342,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q113_shard_assign": q113_shard_assign,
     "q114_mrl_two_stage": q114_mrl_two_stage,
     "q115_bloom_semi_join": q115_bloom_semi_join,
+    "q116_two_phase_topk": q116_two_phase_topk,
 }
 
 
@@ -3765,6 +3782,16 @@ def pipeline_oracles() -> dict[str, str]:
             SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
         )
         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+    """
+    # q116: the two-phase cut is exact, so the oracle is the plain window
+    oracles["q116_two_phase_topk"] = f"""
+        SELECT source, n_tokens, doc_id, rank FROM (
+            SELECT source, n_tokens, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY n_tokens DESC, doc_id)::BIGINT AS rank
+            FROM (SELECT source, {TX.token_count_sql()} AS n_tokens, doc_id
+                  FROM documents)
+        ) WHERE rank <= 3 ORDER BY source, rank
     """
     return oracles
 

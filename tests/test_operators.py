@@ -1464,3 +1464,33 @@ def test_bloom_semi_join_exact_and_prefilter_selective(spark):
     n_pre = li.filter(bloom_might_contain_expr("l_orderkey", words, m)).count()
     n_match = len(want)
     assert n_match <= n_pre < n_all, (n_match, n_pre, n_all)
+
+
+def test_two_phase_topk_equals_single_window(spark):
+    """Two-phase contract: exactly equals the single-window group_top_k
+    for every k tried, including k larger than some group sizes."""
+    from spark_nnd_spark.operators.relational import two_phase_topk
+    from spark_nnd_spark.sources import load_table
+    from spark_nnd_spark.functions.text import token_count_expr
+
+    d = load_table(spark, SF_SMOKE, "documents").select(
+        "source", token_count_expr("text").alias("n_tokens"), "doc_id"
+    )
+    for k in (1, 3, 1000):
+        got = sorted(
+            (r["source"], r["rank"], r["doc_id"], r["n_tokens"])
+            for r in two_phase_topk(d, "source", "n_tokens", "doc_id", k=k).collect()
+        )
+        want = sorted(
+            (r["source"], r["rank"], r["doc_id"], r["n_tokens"])
+            for r in group_top_k(
+                d,
+                ["source"],
+                [F.desc("n_tokens"), F.asc("doc_id")],
+                k,
+                rank_col="rank",
+            )
+            .withColumn("rank", F.col("rank").cast("long"))
+            .collect()
+        )
+        assert got == want and got

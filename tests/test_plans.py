@@ -566,3 +566,13 @@ def test_bloom_semi_join_filters_before_exchange(spark):
     # pre-shuffle in the scan stage, not post-join
     big_branch = plan.split("LeftSemi", 1)[1]
     assert "xxhash64" in big_branch and "shiftright" in big_branch
+
+
+def test_two_phase_topk_cuts_before_exchange(spark):
+    """q116: the Arrow local-cut (ArrowEvalPython / mapInPandas node)
+    must sit in the window exchange's input subtree, so the wide
+    shuffle sees only per-batch survivors."""
+    plan = _plan(spark, "q116_two_phase_topk")
+    assert plan.count("Exchange hashpartitioning(source") == 1
+    ex = plan.split("Exchange hashpartitioning(source", 1)[1]
+    assert "MapInPandas" in ex or "mapInPandas" in ex.lower()
