@@ -86,7 +86,12 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   removes false positives so the oracle is the plain semi join),
   q116 skew-resistant two-phase per-group top-K (Arrow local cut
   before the window exchange — exact, shuffle bounded by
-  batches·groups·K) (queries/pipeline.py); q59 deterministic
+  batches·groups·K), q117 per-source winsorization by percent_rank
+  (middle-90% trim, one exchange), q118 TPC-H-Q10-shaped returned-item
+  revenue top-20 (broadcast dims, TakeOrdered), q119 hopping
+  event-time windows (map-side overlap expansion, one aggregate
+  exchange) (queries/pipeline.py + queries/relational.py);
+  q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).
 """

@@ -85,6 +85,9 @@ HEADLINE = [
     "q114_mrl_two_stage",
     "q115_bloom_semi_join",
     "q116_two_phase_topk",
+    "q117_percentile_trim",
+    "q118_returned_revenue",
+    "q119_hopping_counts",
 ]
 
 

@@ -453,3 +453,25 @@ def scd2_intervals_sql(table: str = "events") -> str:
             WINDOW wv AS (PARTITION BY user_id ORDER BY version)
         )
     """
+
+
+def hopping_counts(df: DataFrame, size_hours: int = 2, slide_hours: int = 1) -> DataFrame:
+    """Hopping (sliding-tumbling) event-time windows via the native
+    ``F.window(size, slide)``: each event lands in size/slide
+    overlapping windows, counted per (window start, event_type).
+    Contrast tumbling_counts (slide == size). The expansion factor is
+    the fixed size/slide ratio, applied map-side before the partial
+    aggregate, so the shuffle still carries O(windows·types) partial
+    rows — never the event stream times the overlap."""
+    w = F.window(F.col("ts"), f"{size_hours} hours", f"{slide_hours} hours")
+    return (
+        df.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("c"),
+            # DECIMAL sum: exact and order-independent, so the result
+            # hash-matches the oracle regardless of aggregation order
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("string").alias("v"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "c", "v")
+        .orderBy("w_start", "event_type")
+    )

@@ -2186,6 +2186,46 @@ def q113_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q117_percentile_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorization by rank: keep docs whose token count
+    sits in the middle 90% of their source's distribution
+    (percent_rank ∈ [0.05, 0.95]) — the outlier-trimming step before
+    training-mix statistics. percent_rank is the exact rational
+    (rank−1)/(n−1), identical in every engine; one source exchange."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", TX.token_count_expr("text").alias("n_tokens")
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    pr = F.percent_rank().over(
+        Window.partitionBy("source").orderBy("n_tokens")
+    )
+    return (
+        d.withColumn("pr", pr)
+        .filter((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95))
+        .select("doc_id", "source", "n_tokens", F.round("pr", 6).alias("pr"))
+        .orderBy("doc_id")
+    )
+
+
+def q119_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping event-time windows (operators/events.hopping_counts,
+    size 2 h / slide 1 h): every event lands in exactly 2 overlapping
+    windows, expanded map-side before the partial aggregate — shuffle
+    carries O(windows·types), not 2× the stream."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        EV.hopping_counts(ev, size_hours=2, slide_hours=1)
+        .select(
+            F.col("w_start").cast("long").alias("w_start_epoch"),
+            "event_type",
+            "c",
+            "v",
+        )
+        .orderBy("w_start_epoch", "event_type")
+    )
+
+
 def q116_two_phase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant two-phase per-group top-K (operators/relational.py
     two_phase_topk): top-3 longest docs per source via an Arrow-batched
@@ -2343,6 +2383,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q114_mrl_two_stage": q114_mrl_two_stage,
     "q115_bloom_semi_join": q115_bloom_semi_join,
     "q116_two_phase_topk": q116_two_phase_topk,
+    "q117_percentile_trim": q117_percentile_trim,
+    "q119_hopping_counts": q119_hopping_counts,
 }
 
 
@@ -3792,6 +3834,29 @@ def pipeline_oracles() -> dict[str, str]:
             FROM (SELECT source, {TX.token_count_sql()} AS n_tokens, doc_id
                   FROM documents)
         ) WHERE rank <= 3 ORDER BY source, rank
+    """
+    oracles["q117_percentile_trim"] = f"""
+        SELECT doc_id, source, n_tokens, round(pr, 6) AS pr FROM (
+            SELECT doc_id, source, n_tokens,
+                   PERCENT_RANK() OVER (PARTITION BY source
+                                        ORDER BY n_tokens) AS pr
+            FROM (SELECT doc_id, source, {TX.token_count_sql()} AS n_tokens
+                  FROM documents)
+        ) WHERE pr >= 0.05 AND pr <= 0.95 ORDER BY doc_id
+    """
+    # q119: each event belongs to the 2 hour-aligned windows whose
+    # 2-hour span covers it: starts trunc(ts) and trunc(ts) - 1h.
+    oracles["q119_hopping_counts"] = """
+        WITH hop AS (
+            SELECT date_trunc('hour', ts::TIMESTAMP)
+                       - (i.range * INTERVAL 1 HOUR) AS w_start,
+                   event_type, value
+            FROM events, range(0, 2) i
+        )
+        SELECT epoch_us(w_start::TIMESTAMP) // 1000000 AS w_start_epoch,
+               event_type, COUNT(*)::BIGINT AS c,
+               SUM(value::DECIMAL(18,2))::VARCHAR AS v
+        FROM hop GROUP BY 1, 2 ORDER BY w_start_epoch, event_type
     """
     return oracles
 

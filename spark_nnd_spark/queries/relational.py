@@ -393,6 +393,39 @@ def q63_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q118_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped 4-table join: top-20 customers by revenue lost
+    to returned items. The two fact tables (orders⋈lineitem) are the
+    shuffled backbone; customer/nation broadcast; the returnflag filter
+    pushes into the lineitem scan; the top-20 is a TakeOrdered, never a
+    global sort."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (one - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(rev).alias("rev_d"),
+        )
+        .orderBy(F.desc("rev_d"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "n_name", "n_items", F.col("rev_d").cast("string").alias("revenue"))
+    )
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_filter_project": q1_filter_project,
     "q2_group_count": q2_group_count,
@@ -415,6 +448,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_above_cust_avg": q57_above_cust_avg,
     "q62_nation_volume": q62_nation_volume,
     "q63_full_outer": q63_full_outer,
+    "q118_returned_revenue": q118_returned_revenue,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -584,6 +618,22 @@ RELATIONAL_ORACLES: dict[str, str] = {
         JOIN nation ON c_nationkey = n_nationkey
         WHERE c_nationkey = s_nationkey
         GROUP BY n_name ORDER BY n_name
+    """,
+    "q118_returned_revenue": """
+        WITH agg AS (
+            SELECT c_custkey, n_name, COUNT(*) AS n_items,
+                   SUM(CAST(l_extendedprice::DECIMAL(18,2)
+                            * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))
+                            AS DECIMAL(18,4))) AS rev_d
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, n_name
+        )
+        SELECT c_custkey, n_name, n_items, rev_d::VARCHAR AS revenue
+        FROM agg ORDER BY rev_d DESC, c_custkey LIMIT 20
     """,
     "q63_full_outer": """
         WITH c AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust

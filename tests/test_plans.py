@@ -576,3 +576,30 @@ def test_two_phase_topk_cuts_before_exchange(spark):
     assert plan.count("Exchange hashpartitioning(source") == 1
     ex = plan.split("Exchange hashpartitioning(source", 1)[1]
     assert "MapInPandas" in ex or "mapInPandas" in ex.lower()
+
+
+def test_percentile_trim_single_source_exchange(spark):
+    """q117: the percent_rank window is the only hash exchange."""
+    plan = _plan(spark, "q117_percentile_trim")
+    assert plan.count("Exchange hashpartitioning(source") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_returned_revenue_broadcasts_dims_takeordered(spark):
+    """q118: customer/nation broadcast, the returnflag filter reaches
+    the lineitem scan, and the top-20 is a TakeOrdered, never a global
+    sort."""
+    plan = _plan(spark, "q118_returned_revenue")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(l_returnflag,R)" in plan  # pushed to the scan
+
+
+def test_hopping_counts_expands_before_partial_agg(spark):
+    """q119: the overlap expansion (Expand) runs map-side below the
+    single partial→final aggregate exchange."""
+    plan = _plan(spark, "q119_hopping_counts")
+    assert "Expand" in plan
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
