@@ -77,14 +77,21 @@ def read_events_stream(
 
 
 def windowed_counts_stream(
-    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Streaming twin of q21 tumbling counts: per (event-time window,
-    event_type) count + exact DECIMAL value sum, late data bounded by
-    the watermark."""
+    """Streaming twin of q21 tumbling counts (and, with ``slide`` set,
+    of q119 hopping counts): per (event-time window, event_type) count
+    + exact DECIMAL value sum, late data bounded by the watermark.
+    A slide < window makes the windows overlap; the native window()
+    state store tracks window/slide open windows per key, still
+    evicted past the watermark."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(w.alias("w"), "event_type")
         .agg(
             F.count("*").alias("c"),
             F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),

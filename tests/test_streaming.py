@@ -526,3 +526,24 @@ def test_scd2_stream_state_straddles_batches(spark, events_batch, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_hopping_counts_stream_matches_batch(spark, events_batch):
+    """Hopping twin: windowed_counts_stream(slide=1h, window=2h) must
+    reproduce the batch hopping operator exactly."""
+    from spark_nnd_spark.operators.events import hopping_counts
+    from spark_nnd_spark.streaming.streams import windowed_counts_stream
+
+    stream = windowed_counts_stream(
+        read_events_stream(spark, SF_SMOKE), window="2 hours", slide="1 hour"
+    )
+    run_to_memory_sink(stream, "hop", output_mode="complete")
+    got = {
+        (r["w_start_epoch"], r["event_type"]): (r["c"], r["v"])
+        for r in spark.sql("SELECT * FROM hop").collect()
+    }
+    want = {
+        (r["w_start"].timestamp().__trunc__(), r["event_type"]): (r["c"], r["v"])
+        for r in hopping_counts(events_batch, size_hours=2, slide_hours=1).collect()
+    }
+    assert got == want and len(got) > 0
