@@ -90,8 +90,11 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   (middle-90% trim, one exchange), q118 TPC-H-Q10-shaped returned-item
   revenue top-20 (broadcast dims, TakeOrdered), q119 hopping
   event-time windows (map-side overlap expansion, one aggregate
-  exchange) (queries/pipeline.py + queries/relational.py);
-  q59 deterministic
+  exchange), q120 deterministic label-propagation communities over the
+  near-dup graph (mode-with-min-tiebreak, fixed iterations,
+  oracle-unrolled), q121 per-node triangle participation (oriented
+  wedge join, √(2E) out-degree cap) (queries/pipeline.py +
+  queries/relational.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).
 """

@@ -191,3 +191,88 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def label_propagation(
+    pairs: DataFrame,
+    iterations: int = 2,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Deterministic synchronous label propagation: every node starts
+    as its own label; each round, a node adopts the MOST FREQUENT label
+    among its neighbors, ties broken by the smallest label (the
+    determinism the classic randomized LPA lacks — and what lets a
+    fixed-iteration run be replayed exactly by the SQL oracle).
+    Communities differ from connected components: a weakly-attached
+    bridge node joins its denser side rather than fusing both sides,
+    which is the distinction that matters when near-dup 'components'
+    are chains of borderline pairs.
+
+    Scale: per round, one join of the (id, label) table against the
+    pre-partitioned edge list + one (dst, label) count aggregate + one
+    per-node argmax window over O(distinct neighbor labels) rows —
+    labels-only shuffles, edges exchanged once up front, the
+    connected_components layout. Fixed iteration count keeps it
+    oracle-replayable (the PageRank q96 convention).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        half.unionByName(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition("src")
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(iterations):
+        votes = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst"), F.col("label"))
+            .agg(F.count("*").alias("n"))
+        )
+        w = Window.partitionBy("dst").orderBy(F.desc("n"), F.asc("label"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("id"), "label")
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    return labels
+
+
+def triangle_counts(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Per-node triangle participation over an undirected edge list.
+
+    Classic oriented wedge-join: orient every edge low-id → high-id,
+    join wedges (a<b, a<c with b<c) on the shared low endpoint, then
+    probe the oriented edge list for the closing (b, c) edge. Each
+    triangle a<b<c is found exactly once, at its smallest vertex, so no
+    dedup pass is needed. Orientation is the scale trick: wedge count
+    is Σ deg_out(v)², and out-degree under low→high orientation is
+    bounded by √(2E) for any graph — the skew cap that makes this
+    tractable where a naive 3-way self-join explodes on hub nodes.
+    Returns (id, n_triangles) for every node in ≥1 triangle.
+    """
+    e = pairs.select(
+        F.least(F.col(id_a), F.col(id_b)).alias("lo"),
+        F.greatest(F.col(id_a), F.col(id_b)).alias("hi"),
+    ).distinct()
+    w1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    w2 = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    wedges = w1.join(w2, "a").filter(F.col("b") < F.col("c"))
+    closing = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    tris = wedges.join(closing, ["b", "c"])  # rows (a, b, c), a<b<c
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return per_node

@@ -2186,6 +2186,40 @@ def q113_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LPA_ITERATIONS = 2
+
+
+def q120_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities over the near-dup
+    graph (operators/graph.label_propagation, fixed 2 iterations,
+    mode-with-min-tiebreak — oracle-unrolled like q96 PageRank):
+    bridge nodes join their denser side instead of fusing components."""
+    from spark_nnd_spark.operators.graph import label_propagation
+
+    pairs = _indexed_lsh_pairs(spark, sf_dir)
+    return (
+        label_propagation(pairs, iterations=LPA_ITERATIONS)
+        .select(F.col("id").alias("doc_id"), "label")
+        .orderBy("doc_id")
+    )
+
+
+def q121_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation in the near-dup graph
+    (operators/graph.triangle_counts, oriented wedge join): triangle
+    density separates tight duplicate cliques from chains of borderline
+    pairs — the structural signal behind 'is this cluster one document
+    or a drifting family'."""
+    from spark_nnd_spark.operators.graph import triangle_counts
+
+    pairs = _indexed_lsh_pairs(spark, sf_dir)
+    return (
+        triangle_counts(pairs)
+        .select(F.col("id").alias("doc_id"), "n_triangles")
+        .orderBy("doc_id")
+    )
+
+
 def q117_percentile_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source winsorization by rank: keep docs whose token count
     sits in the middle 90% of their source's distribution
@@ -2385,6 +2419,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q116_two_phase_topk": q116_two_phase_topk,
     "q117_percentile_trim": q117_percentile_trim,
     "q119_hopping_counts": q119_hopping_counts,
+    "q120_label_propagation": q120_label_propagation,
+    "q121_triangle_counts": q121_triangle_counts,
 }
 
 
@@ -3857,6 +3893,45 @@ def pipeline_oracles() -> dict[str, str]:
                event_type, COUNT(*)::BIGINT AS c,
                SUM(value::DECIMAL(18,2))::VARCHAR AS v
         FROM hop GROUP BY 1, 2 ORDER BY w_start_epoch, event_type
+    """
+    # q120: unroll the fixed LPA iterations (the q96 convention)
+    lpa_steps = []
+    for i in range(1, LPA_ITERATIONS + 1):
+        lpa_steps.append(f"""
+        , v{i} AS (
+            SELECT e.dst, l{i - 1}.label, COUNT(*) AS n
+            FROM e JOIN l{i - 1} ON e.src = l{i - 1}.id GROUP BY 1, 2
+        ),
+        l{i} AS (
+            SELECT dst AS id, label FROM (
+                SELECT dst, label,
+                       ROW_NUMBER() OVER (PARTITION BY dst
+                                          ORDER BY n DESC, label) AS rn
+                FROM v{i}
+            ) WHERE rn = 1
+        )""")
+    oracles["q120_label_propagation"] = f"""
+        WITH pairs AS ({_lsh_pairs_core_sql(sh, mh)}),
+        e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+        l0 AS (SELECT DISTINCT src AS id, src AS label FROM e)
+        {"".join(lpa_steps)}
+        SELECT id AS doc_id, label FROM l{LPA_ITERATIONS} ORDER BY doc_id
+    """
+    oracles["q121_triangle_counts"] = f"""
+        WITH pairs AS ({_lsh_pairs_core_sql(sh, mh)}),
+        e AS (SELECT DISTINCT least(id_a, id_b) AS lo,
+                              greatest(id_a, id_b) AS hi FROM pairs),
+        tri AS (
+            SELECT x.lo AS a, x.hi AS b, y.hi AS c
+            FROM e x JOIN e y ON x.lo = y.lo AND x.hi < y.hi
+            JOIN e z ON z.lo = x.hi AND z.hi = y.hi
+        ),
+        member AS (
+            SELECT unnest([a, b, c]) AS doc_id FROM tri
+        )
+        SELECT doc_id, COUNT(*)::BIGINT AS n_triangles
+        FROM member GROUP BY doc_id ORDER BY doc_id
     """
     return oracles
 

@@ -1494,3 +1494,52 @@ def test_two_phase_topk_equals_single_window(spark):
             .collect()
         )
         assert got == want and got
+
+
+def test_triangle_counts_hand_graph(spark):
+    """Two triangles sharing edge (2,3) plus a triangle-free square:
+    shared-edge nodes participate in 2 triangles, the others in 1,
+    square nodes in none. Duplicate/reversed input edges must not
+    double-count."""
+    from spark_nnd_spark.operators.graph import triangle_counts
+
+    edges = [
+        (1, 2), (2, 3), (1, 3),          # triangle A
+        (3, 2), (2, 4), (3, 4),          # triangle B (one edge reversed dup)
+        (10, 11), (11, 12), (12, 13), (13, 10),  # square, no diagonal
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_label_propagation_matches_reference_rule(spark):
+    """2-iteration LPA must equal a literal per-node replay of the
+    rule (mode of neighbor labels, ties to the smallest label)."""
+    from spark_nnd_spark.operators.graph import label_propagation
+
+    edges = [
+        (1, 2), (2, 3), (1, 3),      # tight clique
+        (3, 4),                      # bridge
+        (4, 5), (5, 6), (4, 6),      # second clique
+        (7, 8),                      # isolated pair
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["label"] for r in label_propagation(df, iterations=2).collect()}
+
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {v: v for v in adj}
+    for _ in range(2):
+        nxt = {}
+        for v, nbrs in adj.items():
+            counts: dict[int, int] = {}
+            for u in nbrs:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            nxt[v] = min(
+                counts, key=lambda lab: (-counts[lab], lab)
+            )
+        labels = nxt
+    assert got == labels
