@@ -93,8 +93,10 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   exchange), q120 deterministic label-propagation communities over the
   near-dup graph (mode-with-min-tiebreak, fixed iterations,
   oracle-unrolled), q121 per-node triangle participation (oriented
-  wedge join, √(2E) out-degree cap) (queries/pipeline.py +
-  queries/relational.py); q59 deterministic
+  wedge join, √(2E) out-degree cap), q122 count-min-sketch heavy
+  hitters beside exact counts (O(DEPTH·WIDTH)-bounded mergeable
+  sketch, portable hashing ⇒ every cell SQL-replayable)
+  (queries/pipeline.py + queries/relational.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).
 """

@@ -221,3 +221,80 @@ def bloom_semi_join(
         big_key,
         "left_semi",
     )
+
+
+# ------------------------------------------------ count-min sketch
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+# per-row salts: distinct odd constants; (h + salt) * KMV_MIX stays a
+# bijection mod P per row, so rows are differently-mixed uniform hashes
+CMS_SALTS = tuple(1 + 2 * i * 40503 for i in range(CMS_DEPTH))
+
+
+def cms_col_expr(h: Column, row: int) -> Column:
+    """Column index of a pre-hashed value in sketch row ``row``."""
+    return ((h + F.lit(CMS_SALTS[row])) * F.lit(KMV_MIX)) % F.lit(P) % F.lit(CMS_WIDTH)
+
+
+def cms_col_sql(h: str, row: int) -> str:
+    return f"((({h}) + {CMS_SALTS[row]}) * {KMV_MIX}) % {P} % {CMS_WIDTH}"
+
+
+def cms_sketch(df: DataFrame, hash_col: Column | str) -> DataFrame:
+    """Count-min sketch over a pre-hashed value stream: a bounded
+    (row, col) -> count table of at most CMS_DEPTH·CMS_WIDTH cells.
+
+    Scale shape: each value expands to CMS_DEPTH (row, col) cells
+    map-side, the partial aggregate folds them before the shuffle, so
+    the exchange carries O(DEPTH·WIDTH) partials per task — independent
+    of stream length, the same mergeability story as the KMV sketch
+    (two sketches merge by cell-wise addition). Point estimates read
+    ``min`` over the value's DEPTH cells and can only OVER-estimate
+    (collisions add, never subtract) — the property tests pin it.
+    Portable polynomial hashing keeps every cell, and therefore every
+    estimate, DuckDB-replayable — the sketch itself is the oracle
+    surface, not just its answers."""
+    h = F.col(hash_col) if isinstance(hash_col, str) else hash_col
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"), cms_col_expr(h, i).alias("col")
+                )
+                for i in range(CMS_DEPTH)
+            ]
+        )
+    ).alias("cell")
+    return (
+        df.select(cells)
+        .select("cell.row", "cell.col")
+        .groupBy("row", "col")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, hash_col: str) -> DataFrame:
+    """Point-estimate each key's count from a cms_sketch table: min of
+    its CMS_DEPTH cells. ``keys`` is small (the probe set) and fans out
+    ×DEPTH before a broadcast-friendly join on (row, col)."""
+    probes = keys.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        cms_col_expr(F.col(hash_col), i).alias("col"),
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    ).select("*", "cell.row", "cell.col").drop("cell")
+    key_cols = [c for c in keys.columns]
+    return (
+        probes.join(sketch, ["row", "col"])
+        .groupBy(*key_cols)
+        .agg(F.min("n").alias("cms_n"))
+    )

@@ -2186,6 +2186,39 @@ def q113_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_TOPK = 10
+
+
+def q122_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/sketches.cms_sketch):
+    the exact global top-10 tokens next to their CMS point estimates —
+    the q64/q109 calibration convention (sketch beside ground truth).
+    The token stream materializes once (checkpoint) and feeds both the
+    O(DEPTH·WIDTH)-bounded sketch aggregate and the exact count; the
+    estimate join fans the 10 probes out ×DEPTH against the tiny
+    sketch. Portable hashing makes every cell DuckDB-replayable."""
+    from spark_nnd_spark.operators.sketches import cms_estimate, cms_sketch
+
+    d = load_table(spark, sf_dir, "documents")
+    hashed = (
+        d.select(F.explode(TX.tokens_expr("text")).alias("token"))
+        .select("token", TX.token_hash_lambda(F.col("token")).alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    sketch = cms_sketch(hashed, "h")
+    top = (
+        hashed.groupBy("token")
+        .agg(F.count("*").alias("exact_n"), F.min("h").alias("h"))
+        .orderBy(F.desc("exact_n"), F.asc("token"))
+        .limit(CMS_TOPK)
+    )
+    return (
+        cms_estimate(sketch, top, "h")
+        .select("token", "exact_n", "cms_n")
+        .orderBy("token")
+    )
+
+
 LPA_ITERATIONS = 2
 
 
@@ -2421,6 +2454,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q119_hopping_counts": q119_hopping_counts,
     "q120_label_propagation": q120_label_propagation,
     "q121_triangle_counts": q121_triangle_counts,
+    "q122_cms_heavy_hitters": q122_cms_heavy_hitters,
 }
 
 
@@ -3932,6 +3966,36 @@ def pipeline_oracles() -> dict[str, str]:
         )
         SELECT doc_id, COUNT(*)::BIGINT AS n_triangles
         FROM member GROUP BY doc_id ORDER BY doc_id
+    """
+    salt_case = (
+        "CASE r.range "
+        + " ".join(f"WHEN {i} THEN {s}" for i, s in enumerate(SKM.CMS_SALTS))
+        + " END"
+    )
+    cms_col = (
+        f"(((hh + {salt_case}) * {SKM.KMV_MIX}) % {TX.P}) % {SKM.CMS_WIDTH}"
+    )
+    oracles["q122_cms_heavy_hitters"] = f"""
+        WITH toks AS (
+            SELECT unnest({TX.tokens_sql()}) AS token FROM documents
+        ),
+        hashed AS (SELECT token, {TX.token_hash_sql("token")} AS hh FROM toks),
+        cells AS (
+            SELECT r.range AS row, {cms_col} AS col
+            FROM hashed, range(0, {SKM.CMS_DEPTH}) r
+        ),
+        sketch AS (
+            SELECT row, col, COUNT(*)::BIGINT AS n FROM cells GROUP BY 1, 2
+        ),
+        top AS (
+            SELECT token, COUNT(*)::BIGINT AS exact_n, MIN(hh) AS hh
+            FROM hashed GROUP BY token
+            ORDER BY exact_n DESC, token LIMIT {CMS_TOPK}
+        )
+        SELECT t.token, t.exact_n, MIN(s.n) AS cms_n
+        FROM top t, range(0, {SKM.CMS_DEPTH}) r
+        JOIN sketch s ON s.row = r.range AND s.col = {cms_col.replace("hh", "t.hh")}
+        GROUP BY t.token, t.exact_n ORDER BY t.token
     """
     return oracles
 

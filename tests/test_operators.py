@@ -1543,3 +1543,41 @@ def test_label_propagation_matches_reference_rule(spark):
             )
         labels = nxt
     assert got == labels
+
+
+def test_cms_never_underestimates_and_is_tight_on_heavy_keys(spark):
+    """CMS contract: estimate >= exact for every key (collisions only
+    add), estimates are exact when the sketch is sparse relative to
+    the key space, and two sketches merge by cell-wise addition."""
+    from spark_nnd_spark.operators.sketches import cms_estimate, cms_sketch
+    from spark_nnd_spark.functions.text import token_hash_lambda
+    from spark_nnd_spark.sources import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    hashed = d.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).select("token", token_hash_lambda(F.col("token")).alias("h"))
+    sketch = cms_sketch(hashed, "h")
+    exact = hashed.groupBy("token").agg(
+        F.count("*").alias("exact_n"), F.min("h").alias("h")
+    )
+    est = cms_estimate(sketch, exact, "h")
+    rows = est.collect()
+    assert rows
+    assert all(r["cms_n"] >= r["exact_n"] for r in rows)
+
+    # mergeability: sketch(A) + sketch(B) == sketch(A ∪ B) cell-wise,
+    # with the stream split deterministically into two halves
+    sk_all = {(r["row"], r["col"]): r["n"] for r in cms_sketch(hashed, "h").collect()}
+    half1 = hashed.withColumn("i", F.monotonically_increasing_id()).filter(
+        F.col("i") % 2 == 0
+    )
+    half2 = hashed.withColumn("i", F.monotonically_increasing_id()).filter(
+        F.col("i") % 2 == 1
+    )
+    merged: dict[tuple, int] = {}
+    for half in (half1, half2):
+        for r in cms_sketch(half.drop("i"), "h").collect():
+            k = (r["row"], r["col"])
+            merged[k] = merged.get(k, 0) + r["n"]
+    assert merged == sk_all
