@@ -95,7 +95,9 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   oracle-unrolled), q121 per-node triangle participation (oriented
   wedge join, √(2E) out-degree cap), q122 count-min-sketch heavy
   hitters beside exact counts (O(DEPTH·WIDTH)-bounded mergeable
-  sketch, portable hashing ⇒ every cell SQL-replayable)
+  sketch, portable hashing ⇒ every cell SQL-replayable), q123 q114's
+  Matryoshka cascade served from a persisted prefix sidecar (coarse
+  stage reads prefix/dims of the vector bytes; index==inline asserted)
   (queries/pipeline.py + queries/relational.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).

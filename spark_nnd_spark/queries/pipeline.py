@@ -2186,6 +2186,46 @@ def q113_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Persisted MRL prefix sidecar — built once per (session, sf_dir),
+# the q103/_neardup_full_index_for convention.
+_MRL_IDX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _mrl_index_for(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MRL_IDX_CACHE:
+        path = tempfile.mkdtemp(prefix="mrl_idx_")
+        emb = load_table(spark, sf_dir, "embeddings")
+        SIM.build_mrl_index(emb, path, prefix_dims=MRL_PREFIX_DIMS)
+        _MRL_IDX_CACHE[key] = path
+    return _MRL_IDX_CACHE[key]
+
+
+def q123_indexed_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q114's Matryoshka cascade served from a PERSISTED prefix sidecar
+    (operators/similarity.py build_mrl_index / mrl_query_index): the
+    coarse stage scans only the 16-dim prefix column — prefix/dims of
+    the corpus vector bytes — and the rerank re-fetches full vectors
+    for the bounded candidate set. Same rows as q114 (asserted
+    index==inline in tests), same oracle SQL; columnar storage can
+    prune columns but not array elements, so the materialized slice is
+    what turns prefix scoring into an I/O win at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _mrl_index_for(spark, sf_dir)
+    out = SIM.mrl_query_index(
+        spark,
+        idx,
+        emb.filter(F.col("vec_id") < 10),
+        coarse_k=MRL_COARSE_K,
+        k=5,
+    )
+    return out.select(
+        "query_id", "nb_id", "rank", F.round("cosine", 6).alias("cosine")
+    ).orderBy("query_id", "rank")
+
+
 CMS_TOPK = 10
 
 
@@ -2455,6 +2495,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q120_label_propagation": q120_label_propagation,
     "q121_triangle_counts": q121_triangle_counts,
     "q122_cms_heavy_hitters": q122_cms_heavy_hitters,
+    "q123_indexed_mrl": q123_indexed_mrl,
 }
 
 
@@ -3997,6 +4038,9 @@ def pipeline_oracles() -> dict[str, str]:
         JOIN sketch s ON s.row = r.range AND s.col = {cms_col.replace("hh", "t.hh")}
         GROUP BY t.token, t.exact_n ORDER BY t.token
     """
+    # q123 serves q114's cascade from the stored sidecar — same rows,
+    # same SQL replay.
+    oracles["q123_indexed_mrl"] = oracles["q114_mrl_two_stage"]
     return oracles
 
 

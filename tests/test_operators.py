@@ -1581,3 +1581,31 @@ def test_cms_never_underestimates_and_is_tight_on_heavy_keys(spark):
             k = (r["row"], r["col"])
             merged[k] = merged.get(k, 0) + r["n"]
     assert merged == sk_all
+
+
+def test_mrl_index_roundtrip_equals_inline(spark, tmp_path):
+    """Persisted-index contract (the IVF/near-dup convention): serving
+    the cascade from the stored prefix sidecar + full table must be
+    row-identical to the inline operator over the same corpus."""
+    from spark_nnd_spark.operators.similarity import (
+        build_mrl_index,
+        mrl_query_index,
+        mrl_two_stage_topk,
+    )
+    from spark_nnd_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "mrl_idx")
+    build_mrl_index(emb, path, prefix_dims=16)
+    got = sorted(
+        (r["query_id"], r["rank"], r["nb_id"], round(r["cosine"], 9))
+        for r in mrl_query_index(spark, path, queries, coarse_k=20, k=5).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["nb_id"], round(r["cosine"], 9))
+        for r in mrl_two_stage_topk(
+            emb, queries, prefix_dims=16, coarse_k=20, k=5
+        ).collect()
+    )
+    assert got == want and got

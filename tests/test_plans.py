@@ -603,3 +603,13 @@ def test_hopping_counts_expands_before_partial_agg(spark):
     assert "Expand" in plan
     assert "partial_count" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_indexed_mrl_coarse_reads_prefix_sidecar_only(spark):
+    """q123: the coarse branch (everything feeding the first window)
+    must scan the index's prefix sidecar, not the embeddings table —
+    the full-vector scan appears only in the bounded rerank branch."""
+    plan = _plan(spark, "q123_indexed_mrl")
+    assert "/prefix" in plan and "/full" in plan
+    coarse = plan.split("/full", 1)[1]  # children render below: coarse side
+    assert "/prefix" in coarse
