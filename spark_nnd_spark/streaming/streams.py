@@ -686,3 +686,22 @@ def scd2_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def cms_sketch_stream(docs: DataFrame) -> DataFrame:
+    """Streaming count-min sketch over the document token stream — the
+    bounded-state trending-counts primitive. The batch operator
+    (operators/sketches.cms_sketch) composes directly onto the stream:
+    tokens explode to their DEPTH (row, col) cells map-side and the
+    running aggregate holds exactly the O(DEPTH·WIDTH) cell table as
+    state — a global heavy-hitter tracker whose memory never grows with
+    the stream, no watermark needed. Complete-mode output IS the
+    sketch; point estimates/top-k read it downstream exactly as in
+    batch (replay-equals-batch tested)."""
+    from spark_nnd_spark.functions.text import token_hash_lambda, tokens_expr
+    from spark_nnd_spark.operators.sketches import cms_sketch
+
+    hashed = docs.select(F.explode(tokens_expr("text")).alias("token")).select(
+        token_hash_lambda(F.col("token")).alias("h")
+    )
+    return cms_sketch(hashed, "h")

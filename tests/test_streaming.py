@@ -547,3 +547,26 @@ def test_hopping_counts_stream_matches_batch(spark, events_batch):
         for r in hopping_counts(events_batch, size_hours=2, slide_hours=1).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_cms_sketch_stream_matches_batch(spark):
+    """Streaming CMS replay: draining the document stream must produce
+    the exact batch sketch cell table (bounded O(DEPTH*WIDTH) state)."""
+    from spark_nnd_spark.functions.text import token_hash_lambda, tokens_expr
+    from spark_nnd_spark.operators.sketches import cms_sketch
+    from spark_nnd_spark.streaming.streams import (
+        cms_sketch_stream,
+        read_documents_stream,
+    )
+
+    stream = cms_sketch_stream(read_documents_stream(spark, SF_SMOKE))
+    run_to_memory_sink(stream, "cms", output_mode="complete")
+    got = {
+        (r["row"], r["col"]): r["n"] for r in spark.sql("SELECT * FROM cms").collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents")
+    hashed = docs.select(F.explode(tokens_expr("text")).alias("token")).select(
+        token_hash_lambda(F.col("token")).alias("h")
+    )
+    want = {(r["row"], r["col"]): r["n"] for r in cms_sketch(hashed, "h").collect()}
+    assert got == want and len(got) > 0
