@@ -136,3 +136,29 @@ def compact_parquet(
     n_files = max(1, math.ceil(total / target_file_bytes))
     spark.read.parquet(src).coalesce(n_files).write.mode(mode).parquet(dest)
     return n_files
+
+
+def backfill_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+) -> None:
+    """Idempotent partition backfill: rewrite ONLY the hive partitions
+    present in ``df``, leaving every other partition untouched — the
+    re-run-one-day shape of a production pipeline (a failed or revised
+    daily job re-emits its own partitions without clobbering the rest
+    of the dataset, which a plain ``mode=overwrite`` would truncate).
+
+    Implemented with Spark's dynamic partition overwrite
+    (``spark.sql.sources.partitionOverwriteMode=dynamic``), scoped to
+    this write and restored afterwards — the setting is session-global
+    and silently changes overwrite semantics for unrelated writers.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set(key, prev)

@@ -100,3 +100,42 @@ def test_real_corpus_loads_with_pinned_schema(spark):
     for name in TABLES:
         df = load_table(spark, SF_SMOKE, name)
         assert df.columns  # loaded and validated
+
+
+def test_backfill_rewrites_only_its_partitions(spark, tmp_path):
+    """backfill_partitions contract: re-emitting one partition replaces
+    that partition's rows exactly and leaves every other partition
+    byte-identical; the session-global overwrite mode is restored."""
+    from pyspark.sql import functions as F
+
+    from spark_nnd_spark.sources.sinks import backfill_partitions, write_table
+
+    path = str(tmp_path / "days")
+    base = spark.createDataFrame(
+        [("d1", 1, "a"), ("d1", 2, "b"), ("d2", 3, "c"), ("d3", 4, "d")],
+        "day string, id long, payload string",
+    )
+    write_table(base, path, mode="overwrite", partition_by=["day"])
+
+    fixed_d2 = spark.createDataFrame(
+        [("d2", 30, "c-fixed"), ("d2", 31, "c-new")],
+        "day string, id long, payload string",
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    backfill_partitions(fixed_d2, path, ["day"])
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        == prev_mode
+    )
+
+    got = {
+        (r["day"], r["id"], r["payload"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("d1", 1, "a"),
+        ("d1", 2, "b"),
+        ("d2", 30, "c-fixed"),
+        ("d2", 31, "c-new"),
+        ("d3", 4, "d"),
+    }
