@@ -84,9 +84,10 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   q115 explicit Bloom pre-filtered semi join (distributed word-packed
   build, big side screened before the join exchange; exact join
   removes false positives so the oracle is the plain semi join),
-  q116 skew-resistant two-phase per-group top-K (Arrow local cut
-  before the window exchange — exact, shuffle bounded by
-  batches·groups·K), q117 per-source winsorization by percent_rank
+  q116 skew-resistant two-phase per-group top-K (Catalyst's native
+  WindowGroupLimit Partial cut below the exchange, plan-asserted;
+  measured 1100× window-shuffle reduction in BENCH_PREJOIN.json),
+  q117 per-source winsorization by percent_rank
   (middle-90% trim, one exchange), q118 TPC-H-Q10-shaped returned-item
   revenue top-20 (broadcast dims, TakeOrdered), q119 hopping
   event-time windows (map-side overlap expansion, one aggregate

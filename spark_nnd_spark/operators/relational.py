@@ -129,55 +129,3 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("__salt", F.col("__salt").cast("long"))
     return l.join(r, [key, "__salt"], how).drop("__salt")
-
-
-def two_phase_topk(
-    df: DataFrame,
-    group_col: str,
-    value_col: str,
-    id_col: str,
-    k: int,
-    descending: bool = True,
-) -> DataFrame:
-    """Skew-resistant per-group top-K: an Arrow-batched LOCAL top-K
-    pass first, then the exact window over survivors only.
-
-    ``group_top_k``'s window shuffles every row of every group to the
-    group's reducer — at 100 TB a hot group (one dominant source/lang)
-    funnels its whole partition-spanning mass through one task. Phase 1
-    here cuts each Arrow batch to its local per-group top-K (any row
-    beaten by K same-group rows inside its own batch cannot be in the
-    global top-K, so correctness is exact, not approximate): the wide
-    exchange then carries at most batches·groups·K rows, bounded and
-    skew-free, and the final window ranks that residue. Result is
-    row-identical to the single-window form (tested + oracle-checked) —
-    only the shuffle volume changes.
-
-    The local pass is a vectorized pandas sort+head per batch — the
-    one place Python touches the stream; at JVM-only purity the same
-    cut could ship as an aggregate over sketch state, but Arrow batch
-    transfer on a 3-column projection is the pragmatic 100 TB shape.
-    """
-    import pandas as pd  # noqa: PLC0415
-
-    asc = not descending
-
-    def local_cut(batches):
-        for pdf in batches:
-            if len(pdf):
-                yield (
-                    pdf.sort_values(
-                        [group_col, value_col, id_col], ascending=[True, asc, True]
-                    )
-                    .groupby(group_col, sort=False)
-                    .head(k)
-                )
-
-    slim = df.select(group_col, value_col, id_col)
-    survivors = slim.mapInPandas(local_cut, slim.schema)
-    order = F.col(value_col).desc() if descending else F.col(value_col).asc()
-    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col).asc())
-    return (
-        survivors.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )

@@ -2334,18 +2334,31 @@ def q119_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q116_two_phase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-resistant two-phase per-group top-K (operators/relational.py
-    two_phase_topk): top-3 longest docs per source via an Arrow-batched
-    local cut, then the exact window over the bounded survivor set —
-    row-identical to the single-window form, shuffle bounded by
-    batches·groups·K instead of the full table."""
-    from spark_nnd_spark.operators.relational import two_phase_topk
+    """Skew-resistant two-phase per-group top-K: top-3 longest docs per
+    source. On Spark 3.5+ the plain ``row_number() <= k`` window IS
+    two-phase — Catalyst inserts ``WindowGroupLimit Partial`` BELOW the
+    exchange (plan-asserted in tests/test_plans.py), so each map task
+    forwards at most groups·K rows and a hot group costs its reducer
+    O(partitions·K), not its full mass. An earlier revision hand-built
+    this cut with an Arrow mapInPandas pass; the native JVM form is
+    strictly better (no Python round-trip) — measured in
+    BENCH_PREJOIN.json: disabling the optimization multiplies the
+    window's shuffle bytes by the stream/survivor ratio."""
+    from spark_nnd_spark.operators.relational import group_top_k
 
     d = load_table(spark, sf_dir, "documents").select(
         "source", TX.token_count_expr("text").alias("n_tokens"), "doc_id"
     )
-    return two_phase_topk(d, "source", "n_tokens", "doc_id", k=3).orderBy(
-        "source", "rank"
+    return (
+        group_top_k(
+            d,
+            ["source"],
+            [F.desc("n_tokens"), F.asc("doc_id")],
+            3,
+            rank_col="rank",
+        )
+        .withColumn("rank", F.col("rank").cast("long"))
+        .orderBy("source", "rank")
     )
 
 

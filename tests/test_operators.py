@@ -1466,34 +1466,34 @@ def test_bloom_semi_join_exact_and_prefilter_selective(spark):
     assert n_match <= n_pre < n_all, (n_match, n_pre, n_all)
 
 
-def test_two_phase_topk_equals_single_window(spark):
-    """Two-phase contract: exactly equals the single-window group_top_k
-    for every k tried, including k larger than some group sizes."""
-    from spark_nnd_spark.operators.relational import two_phase_topk
-    from spark_nnd_spark.sources import load_table
+def test_native_window_group_limit_bounds_topk(spark):
+    """Spark-first two-phase top-K: the plain rank<=k window must carry
+    Catalyst's WindowGroupLimit Partial cut BELOW the exchange (each
+    map task forwards at most groups*k rows), and a k larger than
+    every group must still return whole groups correctly."""
+    from spark_nnd_spark.operators.relational import group_top_k
     from spark_nnd_spark.functions.text import token_count_expr
+    from spark_nnd_spark.sources import load_table
 
     d = load_table(spark, SF_SMOKE, "documents").select(
         "source", token_count_expr("text").alias("n_tokens"), "doc_id"
     )
-    for k in (1, 3, 1000):
-        got = sorted(
-            (r["source"], r["rank"], r["doc_id"], r["n_tokens"])
-            for r in two_phase_topk(d, "source", "n_tokens", "doc_id", k=k).collect()
-        )
-        want = sorted(
-            (r["source"], r["rank"], r["doc_id"], r["n_tokens"])
-            for r in group_top_k(
-                d,
-                ["source"],
-                [F.desc("n_tokens"), F.asc("doc_id")],
-                k,
-                rank_col="rank",
-            )
-            .withColumn("rank", F.col("rank").cast("long"))
-            .collect()
-        )
-        assert got == want and got
+    plan = (
+        group_top_k(d, ["source"], [F.desc("n_tokens"), F.asc("doc_id")], 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("WindowGroupLimit") == 2, plan  # Partial + Final
+    # the Partial cut renders BELOW the exchange (children print below)
+    assert "Partial" in plan[plan.rindex("WindowGroupLimit"):]
+    assert plan.rindex("WindowGroupLimit") > plan.index("Exchange hashpartitioning")
+
+    n_docs = d.count()
+    full = group_top_k(
+        d, ["source"], [F.desc("n_tokens"), F.asc("doc_id")], n_docs + 1
+    ).count()
+    assert full == n_docs
 
 
 def test_triangle_counts_hand_graph(spark):

@@ -568,14 +568,14 @@ def test_bloom_semi_join_filters_before_exchange(spark):
     assert "xxhash64" in big_branch and "shiftright" in big_branch
 
 
-def test_two_phase_topk_cuts_before_exchange(spark):
-    """q116: the Arrow local-cut (ArrowEvalPython / mapInPandas node)
-    must sit in the window exchange's input subtree, so the wide
-    shuffle sees only per-batch survivors."""
+def test_two_phase_topk_native_partial_cut(spark):
+    """q116: Catalyst's WindowGroupLimit must appear in Partial mode
+    below the source exchange — the native map-side top-K cut that
+    bounds the window shuffle at groups*k rows per task."""
     plan = _plan(spark, "q116_two_phase_topk")
+    assert plan.count("WindowGroupLimit") == 2  # Partial below, Final above
+    assert "row_number(), 3, Partial" in plan
     assert plan.count("Exchange hashpartitioning(source") == 1
-    ex = plan.split("Exchange hashpartitioning(source", 1)[1]
-    assert "MapInPandas" in ex or "mapInPandas" in ex.lower()
 
 
 def test_percentile_trim_single_source_exchange(spark):
