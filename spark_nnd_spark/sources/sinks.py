@@ -162,3 +162,26 @@ def backfill_partitions(
         df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
     finally:
         spark.conf.set(key, prev)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Write parquet clustered by ``sort_cols`` WITHIN each task
+    (``sortWithinPartitions`` — no global sort, no extra exchange):
+    each row group's min/max statistics then cover a narrow key range,
+    so a filtered read skips whole row groups at the footer level (zone
+    maps). This is the layout decision that turns a 100 TB time-range
+    scan into a footer walk plus the few matching groups — asserted on
+    the actual parquet metadata in tests/test_sources.py, not just the
+    plan. Combine with ``partition_by`` for coarse pruning (partitions)
+    plus fine pruning (row groups) in one write."""
+    clustered = df.sortWithinPartitions(*sort_cols)
+    w = clustered.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

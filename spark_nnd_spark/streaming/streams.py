@@ -705,3 +705,82 @@ def cms_sketch_stream(docs: DataFrame) -> DataFrame:
         token_hash_lambda(F.col("token")).alias("h")
     )
     return cms_sketch(hashed, "h")
+
+
+_SEEN_SCHEMA = "user_id long, last_seen long, n_events long, active boolean"
+_SEEN_STATE_SCHEMA = "last_ts_ms long, n_events long"
+
+
+def _last_seen_fn(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Kernel behind ``user_last_seen_stream``: refresh the user's
+    (last event time, count) on data; on event-time TIMEOUT — no event
+    within ``idle`` of the watermark — emit one tombstone
+    (active=false) and REMOVE the state. The removal is the point:
+    state stays O(currently-active users), not O(users ever seen)."""
+    if state.hasTimedOut:
+        last_ms, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_seen": [last_ms // 1000],
+                "n_events": [n],
+                "active": [False],
+            }
+        )
+        return
+    pdfs = [p for p in batches if len(p)]
+    if not pdfs:
+        return
+    pdf = pd.concat(pdfs, ignore_index=True)
+    ts_ms = (pdf["ts"].to_numpy().astype("int64") // 1_000_000).max()
+    n_prev = 0
+    if state.exists:
+        last_prev, n_prev = state.get
+        ts_ms = max(ts_ms, last_prev)
+    n = n_prev + len(pdf)
+    state.update((int(ts_ms), int(n)))
+    state.setTimeoutTimestamp(int(ts_ms) + _IDLE_MS)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "last_seen": [int(ts_ms) // 1000],
+            "n_events": [int(n)],
+            "active": [True],
+        }
+    )
+
+
+_IDLE_MS = 30 * 60 * 1000  # 30 minutes
+
+
+def user_last_seen_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Presence tracker with EVENT-TIME STATE EVICTION: per user, emit
+    the running (last_seen, n_events) on every micro-batch that touches
+    them, and a single ``active=false`` tombstone once the watermark
+    passes ``last_seen + 30 min`` — at which point the user's state is
+    REMOVED. The other stateful twins keep O(users) state forever
+    (NoTimeout); this is the lifecycle pattern a 100 TB/day stream
+    needs for unbounded key spaces (session registries, device
+    presence, fraud velocity windows): ``setTimeoutTimestamp`` +
+    ``state.remove`` bound memory by the ACTIVE key set, with the
+    watermark — not wall clock — driving eviction, so replays evict
+    identically (tombstones asserted in tests/test_streaming.py)."""
+    return (
+        # NTZ parquet sources cast to TIMESTAMP (session tz is pinned
+        # UTC) — watermarks accept only the tz-aware type
+        events.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _last_seen_fn,
+            outputStructType=_SEEN_SCHEMA,
+            stateStructType=_SEEN_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -139,3 +139,71 @@ def test_backfill_rewrites_only_its_partitions(spark, tmp_path):
         ("d2", 31, "c-new"),
         ("d3", 4, "d"),
     }
+
+
+def test_write_sorted_produces_prunable_row_groups(spark, tmp_path):
+    """write_sorted contract, checked on the physical parquet footers:
+    with rows clustered by ts inside each file, row-group [min, max] ts
+    ranges must be (near-)disjoint — the property row-group pruning
+    needs — whereas an unsorted write of the same data has every group
+    spanning (almost) the full time range."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from spark_nnd_spark.sources import load_table
+    from spark_nnd_spark.sources.sinks import write_sorted
+    from tests.conftest import SF_SMOKE
+
+    # replicate the smoke events 20x so one file holds several 64 KiB
+    # row groups (runtime spark.conf can't reach the writer's hadoop
+    # conf — set it on the context's hadoopConfiguration directly)
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .crossJoin(spark.range(20).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("ts").cast("long") + F.col("rep")).alias("ts_s"),
+            "event_id",
+            "event_type",
+        )
+    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    prev = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", str(64 * 1024))
+    try:
+        sorted_path = str(tmp_path / "sorted")
+        write_sorted(ev.coalesce(1), sorted_path, ["ts_s"])
+        shuffled_path = str(tmp_path / "shuffled")
+        ev.orderBy(F.md5(F.col("event_id").cast("string"))).coalesce(1).write.parquet(
+            shuffled_path
+        )
+    finally:
+        if prev is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", prev)
+
+    def ranges(path):
+        import glob as g
+
+        f = g.glob(f"{path}/*.parquet")[0]
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "ts_s"
+        )
+        out = []
+        for r in range(md.num_row_groups):
+            st = md.row_group(r).column(idx).statistics
+            out.append((st.min, st.max))
+        return out
+
+    sr = ranges(sorted_path)
+    assert len(sr) >= 3, "need several row groups for the test to mean anything"
+    # sorted: consecutive groups tile the range without overlap
+    for (a_min, a_max), (b_min, b_max) in zip(sr, sr[1:]):
+        assert a_max <= b_min
+
+    ur = ranges(shuffled_path)
+    full_span = max(m for _, m in ur) - min(m for m, _ in ur)
+    # unsorted: every group spans (almost) the whole range — useless stats
+    assert all((mx - mn) > 0.5 * full_span for mn, mx in ur)

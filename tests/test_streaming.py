@@ -570,3 +570,69 @@ def test_cms_sketch_stream_matches_batch(spark):
     )
     want = {(r["row"], r["col"]): r["n"] for r in cms_sketch(hashed, "h").collect()}
     assert got == want and len(got) > 0
+
+
+def test_last_seen_stream_evicts_idle_users(spark, events_batch, tmp_path):
+    """Event-time eviction contract: draining the event log split into
+    4 time-ordered micro-batches must (a) emit an active row for every
+    user, (b) emit at most one tombstone per user, (c) tombstone ONLY
+    users whose last event sits more than the 30-min idle horizon
+    before the final watermark, and (d) every tombstone's last_seen
+    matches the user's true final event time (state held the full
+    history before eviction)."""
+    import os
+
+    from spark_nnd_spark.streaming.streams import _IDLE_MS, user_last_seen_stream
+
+    d = tmp_path / "seen_chunks"
+    d.mkdir()
+    pdf = (
+        events_batch.select("user_id", "ts", "event_id")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    n = len(pdf)
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    for i in range(4):
+        p = d / f"chunk{i}.parquet"
+        # microsecond timestamps: the session-wide nanosAsLong conf
+        # (set by read_events_stream) makes ns timestamps read as
+        # BIGINT, which a watermark rejects
+        pdf.iloc[cuts[i] : cuts[i + 1]].to_parquet(
+            p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    run_to_memory_sink(user_last_seen_stream(stream), "seen", output_mode="update")
+    rows = spark.sql("SELECT * FROM seen").collect()
+    active_users = {r["user_id"] for r in rows if r["active"]}
+    tombs = [r for r in rows if not r["active"]]
+
+    true_last = {
+        r["user_id"]: r["m"]
+        for r in events_batch.groupBy("user_id")
+        .agg(F.max(F.col("ts").cast("long")).alias("m"))
+        .collect()
+    }
+    assert active_users == set(true_last), "every user must appear active once"
+    assert len({r["user_id"] for r in tombs}) == len(tombs), "one tombstone max"
+    assert tombs, "the event log has multi-hour gaps; some users must evict"
+
+    # availableNow runs a final timeout sweep after the last data
+    # batch, with the watermark at end-of-stream max ts minus the
+    # 10-min delay: exactly the users idle past the horizon evict
+    final_wm = int(pdf["ts"].max().timestamp()) - 600
+    horizon = _IDLE_MS // 1000
+    for r in tombs:
+        assert r["last_seen"] + horizon <= final_wm, r
+        assert r["last_seen"] == true_last[r["user_id"]], r
+    # and ONLY those: every idle-past-horizon user must have evicted
+    should_evict = {u for u, m in true_last.items() if m + horizon <= final_wm}
+    assert {r["user_id"] for r in tombs} == should_evict
+    assert should_evict != set(true_last), "the freshest users must survive"
