@@ -99,6 +99,9 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   sketch, portable hashing ⇒ every cell SQL-replayable), q123 q114's
   Matryoshka cascade served from a persisted prefix sidecar (coarse
   stage reads prefix/dims of the vector bytes; index==inline asserted)
+  q124 write→read roundtrip through the engine's partitioned sorted
+  sink (partition pruning plan-asserted; oracle reads the ORIGINAL
+  table, so the hash match proves the write is faithful)
   (queries/pipeline.py + queries/relational.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).

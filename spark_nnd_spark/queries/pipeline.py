@@ -2226,6 +2226,49 @@ def q123_indexed_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+# Partitioned events dataset — written once per (session, sf_dir); the
+# roundtrip query reads it back so the driver's correctness gate also
+# covers the WRITE path (no other query touches sinks).
+_EVENTS_DS_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _partitioned_events_for(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from spark_nnd_spark.sources.sinks import write_sorted
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EVENTS_DS_CACHE:
+        path = tempfile.mkdtemp(prefix="events_ds_")
+        e = load_table(spark, sf_dir, "events")
+        write_sorted(
+            e, f"{path}/events", ["ts"], mode="overwrite", partition_by=["event_type"]
+        )
+        _EVENTS_DS_CACHE[key] = path
+    return _EVENTS_DS_CACHE[key]
+
+
+def q124_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write→read roundtrip through the engine's own sink layout
+    (sources/sinks.write_sorted: hive-partitioned by event_type,
+    ts-clustered row groups): read back ONE partition — the scan must
+    prune to it (PartitionFilters, plan-asserted) — and aggregate
+    purchase values per day. The oracle runs the same aggregate on the
+    ORIGINAL table, so a hash match proves the partitioned, sorted
+    copy is faithful: the correctness gate covering the write path."""
+    path = _partitioned_events_for(spark, sf_dir)
+    e = spark.read.parquet(f"{path}/events")
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("long").alias("day_epoch"))
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("string").alias("v"),
+        )
+        .orderBy("day_epoch")
+    )
+
+
 CMS_TOPK = 10
 
 
@@ -2509,6 +2552,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q121_triangle_counts": q121_triangle_counts,
     "q122_cms_heavy_hitters": q122_cms_heavy_hitters,
     "q123_indexed_mrl": q123_indexed_mrl,
+    "q124_partitioned_roundtrip": q124_partitioned_roundtrip,
 }
 
 
@@ -4054,6 +4098,15 @@ def pipeline_oracles() -> dict[str, str]:
     # q123 serves q114's cascade from the stored sidecar — same rows,
     # same SQL replay.
     oracles["q123_indexed_mrl"] = oracles["q114_mrl_two_stage"]
+    # q124 reads the engine's own partitioned copy; the oracle reads
+    # the ORIGINAL table — matching hashes prove the write is faithful.
+    oracles["q124_partitioned_roundtrip"] = """
+        SELECT epoch_us(date_trunc('day', ts::TIMESTAMP)) // 1000000 AS day_epoch,
+               COUNT(*)::BIGINT AS c,
+               SUM(value::DECIMAL(18,2))::VARCHAR AS v
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY day_epoch
+    """
     return oracles
 
 

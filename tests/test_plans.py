@@ -613,3 +613,13 @@ def test_indexed_mrl_coarse_reads_prefix_sidecar_only(spark):
     assert "/prefix" in plan and "/full" in plan
     coarse = plan.split("/full", 1)[1]  # children render below: coarse side
     assert "/prefix" in coarse
+
+
+def test_partitioned_roundtrip_prunes_to_one_partition(spark):
+    """q124: the event_type filter must prune at the PARTITION level of
+    the engine-written dataset (hive layout), not as a row filter over
+    a full scan."""
+    plan = _plan(spark, "q124_partitioned_roundtrip")
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert "(event_type" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "partial_count" in plan  # map-side combined aggregate
