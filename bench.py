@@ -88,6 +88,11 @@ HEADLINE = [
     "q117_percentile_trim",
     "q118_returned_revenue",
     "q119_hopping_counts",
+    "q120_label_propagation",
+    "q121_triangle_counts",
+    "q122_cms_heavy_hitters",
+    "q123_indexed_mrl",
+    "q124_partitioned_roundtrip",
 ]
 
 
