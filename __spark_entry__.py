@@ -101,7 +101,8 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   stage reads prefix/dims of the vector bytes; index==inline asserted)
   q124 write→read roundtrip through the engine's partitioned sorted
   sink (partition pruning plan-asserted; oracle reads the ORIGINAL
-  table, so the hash match proves the write is faithful)
+  table, so the hash match proves the write is faithful), q125 native
+  unpivot wide→long reshape (map-side Expand, one aggregate exchange)
   (queries/pipeline.py + queries/relational.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).

@@ -93,6 +93,7 @@ HEADLINE = [
     "q122_cms_heavy_hitters",
     "q123_indexed_mrl",
     "q124_partitioned_roundtrip",
+    "q125_unpivot_measures",
 ]
 
 

@@ -2269,6 +2269,31 @@ def q124_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q125_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (native ``unpivot``/melt — the inverse of q49's
+    pivot): stack lineitem's four measure columns into (measure, value)
+    rows and aggregate per (returnflag, measure). Unpivot is a
+    zero-shuffle map-side expansion (×4 here) feeding one partial+final
+    aggregate; the long form is what generic per-metric pipelines
+    (drift checks, quality dashboards) consume without per-column
+    code."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("string").alias("total"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
 CMS_TOPK = 10
 
 
@@ -2553,6 +2578,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q122_cms_heavy_hitters": q122_cms_heavy_hitters,
     "q123_indexed_mrl": q123_indexed_mrl,
     "q124_partitioned_roundtrip": q124_partitioned_roundtrip,
+    "q125_unpivot_measures": q125_unpivot_measures,
 }
 
 
@@ -4106,6 +4132,22 @@ def pipeline_oracles() -> dict[str, str]:
                SUM(value::DECIMAL(18,2))::VARCHAR AS v
         FROM events WHERE event_type = 'purchase'
         GROUP BY 1 ORDER BY day_epoch
+    """
+    # q125: UNION ALL mirrors Spark's unpivot row-for-row (a DuckDB
+    # UNPIVOT would also work; the explicit form keeps names exact)
+    oracles["q125_unpivot_measures"] = """
+        WITH long AS (
+            SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+            UNION ALL
+            SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+        )
+        SELECT l_returnflag, measure, COUNT(*)::BIGINT AS c,
+               SUM(value::DECIMAL(18,2))::VARCHAR AS total
+        FROM long GROUP BY 1, 2 ORDER BY l_returnflag, measure
     """
     return oracles
 

@@ -623,3 +623,12 @@ def test_partitioned_roundtrip_prunes_to_one_partition(spark):
     assert "PartitionFilters: [isnotnull(event_type" in plan
     assert "(event_type" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
     assert "partial_count" in plan  # map-side combined aggregate
+
+
+def test_unpivot_is_narrow_expand_single_agg_exchange(spark):
+    """q125: the wide→long reshape is a map-side Expand (no shuffle of
+    its own); the only hash exchange is the partial+final aggregate."""
+    plan = _plan(spark, "q125_unpivot_measures")
+    assert "Expand" in plan
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
