@@ -132,8 +132,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness checks only the first ~50 entries of
-# this dict (insertion order), and the repo declares 109 queries — so the
-# order is a priority schedule. It is GENERATED from the recorded
+# this dict (insertion order), and the repo declares more queries than
+# that — so the order is a priority schedule. It is GENERATED from the recorded
 # CORRECTNESS_r*.json history, not hand-maintained: queries that have
 # never received a driver row come first, then stalest-last-check first,
 # then fewest-total-checks first. By construction every query re-enters

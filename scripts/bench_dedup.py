@@ -65,7 +65,7 @@ def _tokens(i: int) -> np.ndarray:
     base = i - 1 if i % 10 == 9 else i
     rng = np.random.default_rng([SEED, base])
     toks = rng.zipf(1.5, DOC_TOKENS).astype(np.int64) % VOCAB
-    if i % 10 == 9:  # near-dup: 5 token edits on the predecessor
+    if i % 10 == 9:  # near-dup: MUTATIONS token edits on the predecessor
         mut = np.random.default_rng([SEED, 7, i])
         pos = mut.choice(DOC_TOKENS, MUTATIONS, replace=False)
         toks = toks.copy()

@@ -66,7 +66,10 @@ def _kmv_partials_kernel(k: int):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            for grp, slice_ in pdf.groupby("grp", sort=False):
+            # dropna=False: a null group key is a group like any other
+            # (Spark-side exact counts keep it; silently dropping it
+            # here would make the sketch asymmetric for generic callers)
+            for grp, slice_ in pdf.groupby("grp", sort=False, dropna=False):
                 hs = np.unique(slice_["h"].to_numpy(np.int64))
                 cur = best.get(grp)
                 merged = hs if cur is None else np.unique(np.concatenate([cur, hs]))
@@ -209,9 +212,18 @@ def bloom_semi_join(
     the RESULT equals a plain semi join (that is the oracle) — only
     the shuffle volume changes. m_bits sizes the false-positive rate:
     with 2 hashes, fpp ≈ (1 − e^{−2n/m})², e.g. n=8k keys, m=16k bits
-    → ~40%; m=128k bits → ~1.5%. At 100 TB you size m to the key
-    cardinality (KMV-estimated, kmv_distinct) and broadcast the words
-    array; it stays a few MB up to hundreds of millions of keys.
+    → ~40%; m=128k bits → ~1.5%. Size m to the key cardinality
+    (KMV-estimated, kmv_distinct).
+
+    Probe-side representation bound: ``bloom_might_contain_expr``
+    embeds the words as an m_bits/64-element LITERAL array expression,
+    practical up to m on the order of 2^20 bits (~16k literals; 2^18
+    is what the tests exercise). Beyond that — the hundreds-of-
+    millions-of-keys regime — the words belong in a real broadcast
+    variable probed by a vectorized Pandas UDF (np.ndarray bit test),
+    trading codegen for Arrow batches; the build side (bloom_build)
+    already scales, since only O(m_bits/64) word rows ever reach the
+    driver.
     """
     keys_key = keys_key or big_key
     words = bloom_build(keys_df, keys_key, m_bits)
