@@ -11,7 +11,12 @@ Layout under ``path``:
   sorted by token within partitions, so a query's ``token IN (...)``
   predicate prunes parquet row groups via min/max stats — the
   storage-layer analogue of an inverted index seek.
-- ``stats``    — one row (n_docs, avgdl), the BM25 corpus constants.
+- ``doclens``  — (doc_id, dl), one row per indexed doc: the O(docs)
+  scan that lets ``extend_text_index`` rebuild the corpus stats
+  exactly after an append, without re-touching text or postings.
+- ``stats``    — one row (n_docs, avgdl), the BM25 corpus constants,
+  always DERIVED from doclens (single source of truth — a retried
+  stats rebuild can never double-count).
 
 ``bm25_query_index`` reproduces the inline q68 scoring exactly
 (asserted index==inline in tests): same tf/df/dl derivations, same
@@ -38,7 +43,14 @@ def build_text_index(
     """Persist BM25 postings + corpus stats. Build cost: one tokenize
     pass and one (token, doc) aggregate — the same work ONE inline
     BM25 query pays for its own terms, here paid once for all terms."""
-    toks = corpus.select(
+    _write_postings(corpus, path, text_col, id_col, mode="overwrite")
+    _rebuild_stats(corpus.sparkSession, path)
+
+
+def _write_postings(
+    docs: DataFrame, path: str, text_col: str, id_col: str, mode: str
+) -> None:
+    toks = docs.select(
         F.col(id_col),
         TX.token_count_expr(text_col).cast("double").alias("dl"),
         F.explode(TX.tokens_expr(text_col)).alias("token"),
@@ -47,13 +59,51 @@ def build_text_index(
     (
         tf.repartition("token")
         .sortWithinPartitions("token")
-        .write.mode("overwrite")
+        .write.mode(mode)
         .parquet(f"{path}/postings")
     )
-    corpus.agg(
+    docs.select(
+        F.col(id_col), TX.token_count_expr(text_col).cast("double").alias("dl")
+    ).write.mode(mode).parquet(f"{path}/doclens")
+
+
+def _rebuild_stats(spark: SparkSession, path: str) -> None:
+    # stats from the WRITTEN doclens (re-read, not recomputed from
+    # text): one O(docs) two-column scan, and a retry can never
+    # double-count — the neardup band_stats convention.
+    spark.read.parquet(f"{path}/doclens").agg(
         F.count("*").cast("double").alias("n_docs"),
-        F.avg(TX.token_count_expr(text_col)).alias("avgdl"),
+        F.avg("dl").alias("avgdl"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def extend_text_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Admit a batch into an existing text index: append the new docs'
+    postings and doc lengths, then rebuild the corpus stats — the
+    write half of the continuous-ingest loop (the
+    extend_neardup_index twin, operators/dedup.py). Without this a
+    continuously-ingesting corpus rebuilds the whole postings table
+    per batch — exactly the O(corpus) cost the index exists to
+    amortize down to O(batch).
+
+    Appends are plain parquet appends (new files only; each appended
+    file is itself token-sorted, so row-group min/max pruning holds
+    per file — query terms still skip unrelated row groups in both
+    old and new files). ``stats`` is recomputed from the doclens
+    table, never merged with the old stats row, so a retried
+    extension cannot double-count the averages. Tokenization has no
+    tunable parameters, so unlike the neardup/MRL indexes there is no
+    meta to pin — probe and build use the same TX expressions by
+    construction.
+    """
+    _write_postings(new_docs, path, text_col, id_col, mode="append")
+    _rebuild_stats(spark, path)
 
 
 def bm25_query_index(

@@ -1022,6 +1022,37 @@ def build_mrl_index(
     c.write.mode("overwrite").parquet(f"{path}/full")
 
 
+def extend_mrl_index(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Admit new vectors into an existing MRL index: slice their
+    prefixes at the INDEX's prefix_dims and append to both sidecars —
+    the write half of the continuous-ingest loop (the
+    extend_neardup_index / extend_text_index twin). Without this a
+    continuously-ingesting embedding store re-materializes the whole
+    prefix sidecar per batch.
+
+    prefix_dims is read from the stored prefix rows, never taken from
+    the caller, so an extension can never be sliced differently from
+    the base build (the meta-pinning convention; here the data IS the
+    meta). Appends are plain parquet appends — new files only, one
+    narrow pass, no shuffle."""
+    prefix_dims = len(
+        spark.read.parquet(f"{path}/prefix").select("c_pre").first()["c_pre"]
+    )
+    c = new_vectors.select(
+        F.col(id_col).alias("nb_id"), _as_double(vec_col).alias("c_vec")
+    )
+    c.select(
+        "nb_id", F.slice("c_vec", 1, prefix_dims).alias("c_pre")
+    ).write.mode("append").parquet(f"{path}/prefix")
+    c.write.mode("append").parquet(f"{path}/full")
+
+
 def mrl_query_index(
     spark: SparkSession,
     path: str,

@@ -1609,3 +1609,79 @@ def test_mrl_index_roundtrip_equals_inline(spark, tmp_path):
         ).collect()
     )
     assert got == want and got
+
+
+def test_extend_text_index_equals_fresh_build(spark, tmp_path):
+    """The continuous-ingest loop for the BM25 postings index: an index
+    built on part of the corpus then EXTENDED with the rest must score
+    every query identically to an index built fresh over the union —
+    same postings, same doclens-derived corpus stats."""
+    from spark_nnd_spark.operators.retrieval import (
+        bm25_query_index,
+        build_text_index,
+        extend_text_index,
+    )
+    from spark_nnd_spark.sources import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    base = d.filter(F.col("doc_id") % 2 == 0)
+    addition = d.filter(F.col("doc_id") % 2 == 1)
+
+    grown = str(tmp_path / "grown")
+    build_text_index(base, grown)
+    extend_text_index(spark, grown, addition)
+    fresh = str(tmp_path / "fresh")
+    build_text_index(d, fresh)
+
+    for terms in (["the", "data"], ["spark", "table", "value"]):
+        got = sorted(
+            (r["doc_id"], r["n_terms"], round(r["score"], 9))
+            for r in bm25_query_index(spark, grown, terms).collect()
+        )
+        want = sorted(
+            (r["doc_id"], r["n_terms"], round(r["score"], 9))
+            for r in bm25_query_index(spark, fresh, terms).collect()
+        )
+        assert got == want and len(got) > 0
+    # stats parity: n_docs/avgdl must reflect the union exactly
+    g = spark.read.parquet(f"{grown}/stats").first()
+    f_ = spark.read.parquet(f"{fresh}/stats").first()
+    assert g["n_docs"] == f_["n_docs"]
+    assert abs(g["avgdl"] - f_["avgdl"]) < 1e-12
+
+
+def test_extend_mrl_index_equals_fresh_build(spark, tmp_path):
+    """The continuous-ingest loop for the MRL prefix sidecar: extending
+    must slice new vectors at the INDEX's stored prefix_dims (never a
+    caller value) and serve the same cascade as a fresh build."""
+    from spark_nnd_spark.operators.similarity import (
+        build_mrl_index,
+        extend_mrl_index,
+        mrl_query_index,
+    )
+    from spark_nnd_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    addition = emb.filter(F.col("vec_id") % 2 == 1)
+
+    grown = str(tmp_path / "grown")
+    build_mrl_index(base, grown, prefix_dims=16)
+    extend_mrl_index(spark, grown, addition)
+    fresh = str(tmp_path / "fresh")
+    build_mrl_index(emb, fresh, prefix_dims=16)
+
+    got = sorted(
+        (r["query_id"], r["rank"], r["nb_id"], round(r["cosine"], 9))
+        for r in mrl_query_index(spark, grown, queries, coarse_k=20, k=5).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["nb_id"], round(r["cosine"], 9))
+        for r in mrl_query_index(spark, fresh, queries, coarse_k=20, k=5).collect()
+    )
+    assert got == want and got
+    # the extension must have been sliced at the stored 16 dims
+    pre = spark.read.parquet(f"{grown}/prefix")
+    assert pre.filter(F.size("c_pre") != 16).count() == 0
+    assert pre.count() == emb.count()
