@@ -939,6 +939,7 @@ def neardup_query_index(
     id_col: str = "doc_id",
     threshold: float = 0.2,
     max_band_freq: int | None = None,
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup verdicts against a PERSISTED near-dup index
     (build_neardup_index): each batch doc is 'exact' (digest already
@@ -973,6 +974,32 @@ def neardup_query_index(
 
     batch_ids = batch.select(id_col)
 
+    # exclude_ids: treat the index AS IF these doc ids were never
+    # admitted — the replay-purity hook for the streaming ingest loop
+    # (a crashed micro-batch may have PARTIALLY admitted itself before
+    # the retry re-probes; excluding the batch's own ids restores the
+    # exact pre-batch index state, so retried verdicts equal the
+    # originals). Broadcast anti-joins: O(excluded) side is small, the
+    # corpus tables still stream. Incompatible with the hot-bucket
+    # census (band_stats counts can't subtract excluded members), so
+    # the capped path rejects it — the streaming probe is uncapped by
+    # design anyway.
+    if exclude_ids is not None and max_band_freq is not None:
+        raise ValueError(
+            "exclude_ids requires max_band_freq=None: the stored "
+            "band_stats census cannot subtract excluded members"
+        )
+    excl = (
+        F.broadcast(exclude_ids.select(F.col(exclude_ids.columns[0]).alias(id_col)).distinct())
+        if exclude_ids is not None
+        else None
+    )
+
+    def _minus_excluded(index_tbl: DataFrame) -> DataFrame:
+        return (
+            index_tbl.join(excl, id_col, "left_anti") if excl is not None else index_tbl
+        )
+
     # O(batch) DISCIPLINE: every join against an index table below puts
     # the BATCH-derived (small) side behind an explicit broadcast, so
     # the corpus-sized tables (digests, bands, shingles, band_stats)
@@ -986,7 +1013,7 @@ def neardup_query_index(
     # semi-join semantics are duplicate-tolerant)
     b_dig = batch.select(F.col(id_col), F.md5(text_col).alias("digest"))
     matched_dig = (
-        spark.read.parquet(f"{path}/digests")
+        _minus_excluded(spark.read.parquet(f"{path}/digests"))
         .join(
             F.broadcast(b_dig.select("digest").distinct()), "digest", "left_semi"
         )
@@ -1003,7 +1030,7 @@ def neardup_query_index(
     sigs = minhash_signatures(batch, text_col, id_col, num_hashes, n)
     # checkpointed: feeds the census and the candidate join
     b_banded = _band_explode(sigs, bands, rows_per_band).localCheckpoint(eager=True)
-    c_banded = spark.read.parquet(f"{path}/bands").select(
+    c_banded = _minus_excluded(spark.read.parquet(f"{path}/bands")).select(
         F.col(id_col).alias("id"), "band", "band_sig"
     )
     if max_band_freq is not None:

@@ -241,6 +241,7 @@ def indexed_dedup_stream(
     id_col: str = "doc_id",
     threshold: float = 0.2,
     timeout_sec: int = 180,
+    admit_novel: bool = False,
 ) -> Any:
     """Streaming ingest dedup against a PERSISTED near-dup index
     (operators/dedup.build_neardup_index): each micro-batch of incoming
@@ -266,22 +267,82 @@ def indexed_dedup_stream(
     (doc, index), so the union of per-batch verdicts equals one batch
     probe of the whole stream — asserted replay-equals-batch in
     tests/test_streaming.py.
+
+    ``admit_novel=True`` closes the steady-state ingest loop: after
+    writing verdicts, each micro-batch's NOVEL docs are admitted into
+    the index (operators/dedup.extend_neardup_index), so batch N+1's
+    probe sees batch N's documents — without it the index only ever
+    knows the base corpus and every re-crawled novel doc stays
+    "novel" forever. Replay safety has two layers:
+
+    - **Verdict purity**: the probe passes the micro-batch's own ids
+      as ``exclude_ids``, so a crashed batch that PARTIALLY admitted
+      itself before the retry re-probes still sees the exact
+      pre-batch index state — retried verdicts equal the originals
+      (a doc can otherwise match its own half-admitted digest and
+      flip novel→exact on replay).
+    - **At-most-once-observed admission**: a batchId-keyed marker
+      under ``<index>/admitted`` is written AFTER the extension; a
+      replayed batch whose marker exists skips entirely. A crash
+      between extension and marker re-extends on retry — duplicate
+      index rows, which every probe consumer tolerates (digest
+      matching is semi-join, candidates are distinct'd), so verdicts
+      are stable under any crash point.
+
+    Batches are sequential (Structured Streaming replays a failed
+    micro-batch before starting the next), so "index minus this
+    batch's ids" is exactly "index as of the original attempt".
     """
-    from spark_nnd_spark.operators.dedup import neardup_query_index  # noqa: PLC0415
+    from spark_nnd_spark.operators.dedup import (  # noqa: PLC0415
+        extend_neardup_index,
+        neardup_query_index,
+    )
+
+    def _dir_exists(spark, path: str) -> bool:
+        jvm = spark.sparkContext._jvm  # noqa: SLF001
+        jsc = spark.sparkContext._jsc  # noqa: SLF001
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        return fs.exists(hpath)
 
     def probe(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = f"{index_path}/admitted/ingest_batch={batch_id}"
+        # _SUCCESS, not the bare directory: a crashed marker write can
+        # leave a partial dir, which must NOT read as "processed"
+        if admit_novel and _dir_exists(spark, f"{marker}/_SUCCESS"):
+            # fully processed on a previous attempt (verdicts written,
+            # batch admitted) — replay is a no-op
+            return
+        # foreachBatch re-plans the batch DataFrame per action; pin it
+        # once so the verdict write, the novel cut, and the admission
+        # all read the same rows
+        batch_df = batch_df.localCheckpoint(eager=True)
         verdicts = neardup_query_index(
-            batch_df.sparkSession,
+            spark,
             index_path,
             batch_df,
             text_col=text_col,
             id_col=id_col,
             threshold=threshold,
             max_band_freq=None,
-        )
+            exclude_ids=batch_df.select(id_col) if admit_novel else None,
+        ).localCheckpoint(eager=True)
         verdicts.write.mode("overwrite").parquet(
             f"{out_path}/ingest_batch={batch_id}"
         )
+        if admit_novel:
+            novel = batch_df.join(
+                verdicts.filter(F.col("verdict") == "novel").select(id_col),
+                id_col,
+                "left_semi",
+            )
+            extend_neardup_index(
+                spark, index_path, novel, text_col=text_col, id_col=id_col
+            )
+            spark.createDataFrame(
+                [(batch_id,)], "ingest_batch long"
+            ).coalesce(1).write.mode("overwrite").parquet(marker)
 
     q = (
         batch_stream.writeStream.foreachBatch(probe)

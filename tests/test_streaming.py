@@ -636,3 +636,98 @@ def test_last_seen_stream_evicts_idle_users(spark, events_batch, tmp_path):
     should_evict = {u for u, m in true_last.items() if m + horizon <= final_wm}
     assert {r["user_id"] for r in tombs} == should_evict
     assert should_evict != set(true_last), "the freshest users must survive"
+
+
+def test_indexed_dedup_stream_admit_closes_ingest_loop(spark, tmp_path):
+    """probe→admit→extend: with admit_novel=True, batch N+1's verdicts
+    must reflect batch N's admissions — an exact re-send of a batch-0
+    novel doc reads 'exact' and a near-dup of one reads 'near', which
+    an un-admitting index can never produce. Then a full reprocess
+    (fresh checkpoint, same files, same already-extended index) must
+    land the SAME verdicts: batchId markers skip replayed batches, and
+    the exclude_ids probe purity means even a marker-less re-probe of
+    an already-admitted batch reproduces its original verdicts."""
+    import os
+
+    from spark_nnd_spark.operators.dedup import (
+        build_neardup_index,
+        neardup_query_index,
+    )
+    from spark_nnd_spark.streaming.streams import indexed_dedup_stream
+
+    base_words = [f"w{i:03d}" for i in range(40)]
+
+    def text(seed: int, edits: int = 0) -> str:
+        toks = [f"t{seed}_{w}" for w in base_words]
+        for e in range(edits):
+            toks[5 + 7 * e] = f"edit{seed}_{e}"
+        return " ".join(toks)
+
+    base = spark.createDataFrame(
+        [(i, text(i)) for i in range(10)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "ndidx")
+    build_neardup_index(base, idx)
+
+    # batch 0: two novel docs; batch 1: an exact copy of doc 1001, a
+    # near-dup (1 token edit, shingle-Jaccard ~0.85 — banding finds it
+    # deterministically for this fixed text) of doc 1002, and a fresh
+    # novel doc
+    b0 = [(1001, text(101)), (1002, text(102))]
+    b1 = [(2001, text(101)), (2002, text(102, edits=1)), (2003, text(103))]
+    src = tmp_path / "incoming"
+    src.mkdir()
+    import pandas as pd
+
+    for i, rows in enumerate([b0, b1]):
+        p = src / f"chunk{i}.parquet"
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = spark.read.parquet(str(src)).schema
+    out = str(tmp_path / "verdicts")
+
+    def run(ckpt: str) -> dict[int, str]:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        indexed_dedup_stream(
+            stream, idx, out, checkpoint=str(tmp_path / ckpt), admit_novel=True
+        )
+        return {
+            r["doc_id"]: r["verdict"] for r in spark.read.parquet(out).collect()
+        }
+
+    got = run("ckpt1")
+    want = {1001: "novel", 1002: "novel", 2001: "exact", 2002: "near", 2003: "novel"}
+    assert got == want
+    # all five novel docs were admitted (base 10 + 1001,1002 + 2003)
+    n_digests = spark.read.parquet(f"{idx}/digests").count()
+    assert n_digests == 13
+    assert sorted(
+        p for p in os.listdir(f"{idx}/admitted") if p.startswith("ingest_batch=")
+    ) == ["ingest_batch=0", "ingest_batch=1"]
+
+    # reprocess from scratch against the EXTENDED index: markers skip
+    # both batches — verdicts unchanged, index not double-extended
+    got2 = run("ckpt2")
+    assert got2 == want
+    assert spark.read.parquet(f"{idx}/digests").count() == n_digests
+
+    # exclude_ids purity (the crash-window guarantee): re-probing an
+    # already-admitted batch with its own ids excluded reproduces the
+    # original verdicts; without exclusion the docs match themselves
+    b0_df = spark.createDataFrame(b0, "doc_id long, text string")
+    pure = {
+        r["doc_id"]: r["verdict"]
+        for r in neardup_query_index(
+            spark, idx, b0_df, exclude_ids=b0_df.select("doc_id")
+        ).collect()
+    }
+    assert pure == {1001: "novel", 1002: "novel"}
+    polluted = {
+        r["doc_id"]: r["verdict"]
+        for r in neardup_query_index(spark, idx, b0_df).collect()
+    }
+    assert polluted == {1001: "exact", 1002: "exact"}
