@@ -102,7 +102,11 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   q124 write→read roundtrip through the engine's partitioned sorted
   sink (partition pruning plan-asserted; oracle reads the ORIGINAL
   table, so the hash match proves the write is faithful), q125 native
-  unpivot wide→long reshape (map-side Expand, one aggregate exchange)
+  unpivot wide→long reshape (map-side Expand, one aggregate exchange),
+  q126 per-source token-count quantiles from a mergeable
+  fixed-boundary histogram sketch (O(sources·bins) state, |est−exact|
+  ≤ bin width, integer cells + double interpolation replayed
+  bit-for-bit in SQL) beside exact-percentile calibration columns
   (queries/pipeline.py + queries/relational.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).

@@ -94,6 +94,7 @@ HEADLINE = [
     "q123_indexed_mrl",
     "q124_partitioned_roundtrip",
     "q125_unpivot_measures",
+    "q126_hist_quantiles",
 ]
 
 

@@ -310,3 +310,115 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, hash_col: str) -> DataFrame
         .groupBy(*key_cols)
         .agg(F.min("n").alias("cms_n"))
     )
+
+
+# -------------------------------------- fixed-boundary histogram sketch
+
+def hist_bin_expr(v: Column | str, lo: float, width: float, n_bins: int) -> Column:
+    """Bin index of a value in a fixed-boundary histogram: values below
+    ``lo`` clamp to bin 0, values past the last edge clamp to the top
+    bin. Pure double arithmetic (floor of a double division), so the
+    binning replays bit-for-bit in any engine — the portability
+    property the KMV/CMS hashes establish for this module."""
+    c = F.col(v) if isinstance(v, str) else v
+    b = F.floor((c.cast("double") - F.lit(float(lo))) / F.lit(float(width))).cast(
+        "long"
+    )
+    return F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
+
+
+def hist_bin_sql(v: str, lo: float, width: float, n_bins: int) -> str:
+    """DuckDB mirror of ``hist_bin_expr`` — every numeric literal cast
+    to DOUBLE because DuckDB parses ``8.0`` as DECIMAL, and exact
+    decimal arithmetic would diverge from Spark's IEEE doubles."""
+    return (
+        f"LEAST(GREATEST(CAST(FLOOR((CAST({v} AS DOUBLE) - CAST({lo} AS DOUBLE))"
+        f" / CAST({width} AS DOUBLE)) AS BIGINT), 0), {n_bins - 1})"
+    )
+
+
+def fixed_histogram(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    lo: float,
+    width: float,
+    n_bins: int,
+) -> DataFrame:
+    """Per-group fixed-boundary histogram: (grp, bin, cnt), only
+    occupied bins. THE mergeable quantile sketch for 100 TB streams:
+    per-partition state is O(groups·n_bins) counts folded map-side
+    (plain partial aggregation — Catalyst's hash aggregate IS the
+    sketch merge), the exchange carries O(partitions·groups·n_bins)
+    partials independent of row count, and two histograms merge by
+    cell-wise addition — the same mergeability story as KMV and CMS.
+    Compare the exact percentile, which must SORT each group (q38):
+    that is the calibration tier, this is the scale tier."""
+    return (
+        df.select(
+            F.col(group_col).cast("string").alias("grp"),
+            hist_bin_expr(value_col, lo, width, n_bins).alias("bin"),
+        )
+        .groupBy("grp", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    lo: float,
+    width: float,
+    n_bins: int,
+    probs: dict[str, float],
+) -> DataFrame:
+    """Per-group quantile ESTIMATES read off the fixed-boundary
+    histogram: for each probability p, find the bin holding the
+    rank-(p·n) value (the unique occupied bin with
+    cum−cnt < p·n ≤ cum) and interpolate linearly inside it:
+
+        est = lo + width · (bin + (p·n − cum_before) / cnt)
+
+    The true rank-⌈p·n⌉ order statistic provably lies in that bin, so
+    |estimate − exact| ≤ width — a deterministic error bound the
+    property tests assert, and the knob a 100 TB deployment turns
+    (more bins → tighter quantiles, state still O(groups·n_bins)).
+    Every step is integer counts + double arithmetic: unlike
+    approx_percentile/KLL/t-digest the whole sketch is
+    DuckDB-replayable (the KMV-over-HLL argument, sketches.py:16).
+
+    ``probs`` maps output labels to probabilities, e.g.
+    ``{"p50": 0.5, "p90": 0.9}`` → columns ``p50``, ``p90``.
+    Returns (grp, n, <label>...), one row per group with n ≥ 1.
+    """
+    hist = fixed_histogram(df, group_col, value_col, lo, width, n_bins)
+    w_cum = Window.partitionBy("grp").orderBy("bin")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("grp"))
+    )
+    probe = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(label).alias("label"), F.lit(float(p)).alias("p"))
+                for label, p in probs.items()
+            ]
+        )
+    ).alias("pr")
+    t = F.col("pr.p") * F.col("n").cast("double")
+    est = F.lit(float(lo)) + F.lit(float(width)) * (
+        F.col("bin").cast("double")
+        + (t - (F.col("cum") - F.col("cnt")).cast("double"))
+        / F.col("cnt").cast("double")
+    )
+    sel = (
+        cum.select("grp", "bin", "cnt", "cum", "n", probe)
+        .filter(((F.col("cum") - F.col("cnt")).cast("double") < t) & (t <= F.col("cum").cast("double")))
+        .select("grp", "n", F.col("pr.label").alias("label"), est.alias("est"))
+    )
+    return sel.groupBy("grp", "n").agg(
+        *[
+            F.max(F.when(F.col("label") == label, F.col("est"))).alias(label)
+            for label in probs
+        ]
+    )

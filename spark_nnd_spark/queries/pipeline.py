@@ -2294,6 +2294,55 @@ def q125_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed-boundary histogram sketch parameters (q126): token counts bin
+# into 64 bins of width 8 (covers 0..512, clamped top bin) — estimate
+# error is bounded by one width (operators/sketches.histogram_quantiles)
+HIST_LO, HIST_WIDTH, HIST_BINS = 0.0, 8.0, 64
+HIST_PROBS = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+
+
+def q126_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-count quantiles read off the mergeable
+    fixed-boundary histogram sketch (operators/sketches.py
+    fixed_histogram / histogram_quantiles), beside the exact
+    percentiles — the q64/q109 calibration convention. This fills the
+    bounded-state-quantiles gap between the exact sort-based
+    percentiles (q38/q117) and the cardinality/frequency sketches
+    (KMV/CMS): per-source length distributions at 100 TB (or in a
+    streaming quality monitor) need O(groups·bins) mergeable state,
+    not a per-group sort. Integer bin counts + double interpolation
+    keep the whole sketch DuckDB-replayable — the same
+    portability-over-approx_percentile argument as KMV-over-HLL —
+    and |estimate − exact| ≤ width by construction (property-tested).
+    The exact columns are the only sort-based tier; the sketch's
+    shuffle is O(partitions·sources·bins), independent of corpus
+    size."""
+    from spark_nnd_spark.operators import sketches as SK
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", TX.token_count_expr("text").cast("double").alias("v"))
+        .localCheckpoint(eager=True)  # feeds the sketch AND calibration
+    )
+    sk = SK.histogram_quantiles(
+        d, "source", F.col("v"), HIST_LO, HIST_WIDTH, HIST_BINS, HIST_PROBS
+    )
+    pct = lambda p: F.expr(f"percentile(v, {p})")  # noqa: E731
+    exact = d.groupBy("source").agg(
+        F.round(pct(0.5), 6).alias("p50_exact"),
+        F.round(pct(0.9), 6).alias("p90_exact"),
+    )
+    return (
+        sk.select(
+            F.col("grp").alias("source"),
+            "n",
+            *[F.round(F.col(lab), 6).alias(lab) for lab in HIST_PROBS],
+        )
+        .join(exact, "source")
+        .orderBy("source")
+    )
+
+
 CMS_TOPK = 10
 
 
@@ -2579,6 +2628,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q123_indexed_mrl": q123_indexed_mrl,
     "q124_partitioned_roundtrip": q124_partitioned_roundtrip,
     "q125_unpivot_measures": q125_unpivot_measures,
+    "q126_hist_quantiles": q126_hist_quantiles,
 }
 
 
@@ -4148,6 +4198,61 @@ def pipeline_oracles() -> dict[str, str]:
         SELECT l_returnflag, measure, COUNT(*)::BIGINT AS c,
                SUM(value::DECIMAL(18,2))::VARCHAR AS total
         FROM long GROUP BY 1, 2 ORDER BY l_returnflag, measure
+    """
+    # q126: replay the histogram sketch cell-for-cell (portable double
+    # binning, operators/sketches.hist_bin_sql) and read the same
+    # interpolated quantiles off it; every numeric literal is CAST to
+    # DOUBLE because DuckDB parses 0.9 as DECIMAL and exact decimal
+    # arithmetic would diverge from Spark's IEEE doubles.
+    from spark_nnd_spark.operators.sketches import hist_bin_sql
+
+    hist_probe_rows = ", ".join(
+        f"('{lab}', {p})" for lab, p in HIST_PROBS.items()
+    )
+    hist_est_cols = ", ".join(
+        f"ROUND(MAX(CASE WHEN label = '{lab}' THEN est END), 6) AS {lab}"
+        for lab in HIST_PROBS
+    )
+    oracles["q126_hist_quantiles"] = f"""
+        WITH vals AS (
+            SELECT source, CAST({TX.token_count_sql()} AS DOUBLE) AS v
+            FROM documents
+        ),
+        hist AS (
+            SELECT source, {hist_bin_sql('v', HIST_LO, HIST_WIDTH, HIST_BINS)} AS bin,
+                   COUNT(*) AS cnt
+            FROM vals GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT source, bin, cnt,
+                   SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum
+            FROM hist
+        ),
+        tot AS (SELECT source, SUM(cnt)::BIGINT AS n FROM hist GROUP BY 1),
+        sel AS (
+            SELECT c.source, pr.label,
+                   CAST({HIST_LO} AS DOUBLE) + CAST({HIST_WIDTH} AS DOUBLE) * (
+                       CAST(c.bin AS DOUBLE)
+                       + (CAST(pr.p AS DOUBLE) * CAST(t.n AS DOUBLE)
+                          - CAST(c.cum - c.cnt AS DOUBLE)) / CAST(c.cnt AS DOUBLE)
+                   ) AS est
+            FROM cum c JOIN tot t USING (source)
+            CROSS JOIN (VALUES {hist_probe_rows}) pr(label, p)
+            WHERE CAST(c.cum - c.cnt AS DOUBLE)
+                      < CAST(pr.p AS DOUBLE) * CAST(t.n AS DOUBLE)
+              AND CAST(pr.p AS DOUBLE) * CAST(t.n AS DOUBLE)
+                      <= CAST(c.cum AS DOUBLE)
+        ),
+        est AS (SELECT source, {hist_est_cols} FROM sel GROUP BY source),
+        ex AS (
+            SELECT source,
+                   ROUND(quantile_cont(v, 0.5), 6) AS p50_exact,
+                   ROUND(quantile_cont(v, 0.9), 6) AS p90_exact
+            FROM vals GROUP BY 1
+        )
+        SELECT e.source, t.n, e.p50, e.p90, e.p99, ex.p50_exact, ex.p90_exact
+        FROM est e JOIN tot t USING (source) JOIN ex USING (source)
+        ORDER BY e.source
     """
     return oracles
 

@@ -413,6 +413,40 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(schema).parquet(stream_dir)
 
 
+def token_histogram_stream(
+    docs: DataFrame,
+    lo: float = 0.0,
+    width: float = 8.0,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Streaming twin of the fixed-boundary histogram quantile sketch
+    (operators/sketches.fixed_histogram, q126): per-(source, bin)
+    token-count cells maintained as a plain streaming aggregate. This
+    is the quality monitor a continuous ingest actually runs — "has
+    src7's length distribution drifted this hour?" — and the reason
+    the sketch exists: state is O(sources·n_bins) integer cells (the
+    bins ARE the groupBy key; no watermark, no custom state store,
+    bounded forever), where a streaming exact percentile would need
+    every value retained. Cells merge across micro-batches by
+    addition — exactly the batch sketch's mergeability — so the
+    drained stream equals the batch histogram cell-for-cell (tested);
+    quantile finishing (histogram_quantiles' interpolation) reads the
+    tiny cell table on the consumer side."""
+    from spark_nnd_spark.functions import text as TX  # noqa: PLC0415
+    from spark_nnd_spark.operators.sketches import hist_bin_expr  # noqa: PLC0415
+
+    return (
+        docs.select(
+            F.col("source"),
+            hist_bin_expr(TX.token_count_expr("text"), lo, width, n_bins).alias(
+                "bin"
+            ),
+        )
+        .groupBy("source", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def quality_filter_stream(docs: DataFrame) -> DataFrame:
     """Streaming twin of the q37 quality gate: per-document keep/drop
     decision at ingest time. Entirely stateless (narrow JVM expressions,

@@ -1685,3 +1685,62 @@ def test_extend_mrl_index_equals_fresh_build(spark, tmp_path):
     pre = spark.read.parquet(f"{grown}/prefix")
     assert pre.filter(F.size("c_pre") != 16).count() == 0
     assert pre.count() == emb.count()
+
+
+def test_histogram_sketch_bound_and_mergeability(spark):
+    """The two properties that make the fixed-boundary histogram a
+    quantile SKETCH: (1) |estimate − exact rank-⌈p·n⌉ statistic| ≤ one
+    bin width, for every group and probability; (2) cell-wise addition
+    of two halves' histograms equals the whole corpus's histogram (the
+    merge is associative — what bounds streaming/distributed state)."""
+    import numpy as np
+
+    from spark_nnd_spark.functions import text as TX
+    from spark_nnd_spark.operators.sketches import (
+        fixed_histogram,
+        histogram_quantiles,
+    )
+    from spark_nnd_spark.sources import load_table
+
+    LO, W, B = 0.0, 8.0, 64
+    probs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    d = load_table(spark, SF_SMOKE, "documents").select(
+        "source", "doc_id", TX.token_count_expr("text").cast("double").alias("v")
+    )
+    est = {
+        r["grp"]: r
+        for r in histogram_quantiles(d, "source", F.col("v"), LO, W, B, probs).collect()
+    }
+    pdf = d.toPandas()
+    assert set(est) == set(pdf.source.unique())
+    for src, grp in pdf.groupby("source"):
+        vs = np.sort(grp.v.values)
+        n = len(vs)
+        assert est[src]["n"] == n
+        for lab, p in probs.items():
+            exact = vs[int(np.ceil(p * n)) - 1]
+            assert abs(est[src][lab] - exact) <= W, (src, lab, est[src][lab], exact)
+
+    # mergeability: hist(half A) + hist(half B) == hist(A ∪ B) cell-wise
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+
+    def cells(df):
+        return {
+            (r["grp"], r["bin"]): r["cnt"]
+            for r in fixed_histogram(df, "source", F.col("v"), LO, W, B).collect()
+        }
+
+    ca, cb, cw = cells(a), cells(b), cells(d)
+    merged: dict = {}
+    for c in (ca, cb):
+        for k, v in c.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == cw
+
+    # clamping: out-of-range values land in the edge bins, never lost
+    edge = spark.createDataFrame(
+        [("s", -5.0), ("s", 1e9)], "source string, v double"
+    )
+    ce = cells(edge)
+    assert ce == {("s", 0): 1, ("s", B - 1): 1}

@@ -632,3 +632,19 @@ def test_unpivot_is_narrow_expand_single_agg_exchange(spark):
     assert "Expand" in plan
     assert "partial_count" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_hist_quantiles_bounded_shuffle_partial_fold(spark):
+    """q126: the histogram cells fold map-side (partial_count below the
+    (grp, bin) exchange — the sketch merge IS the partial aggregate);
+    the cumsum/total windows and the label pivot share ONE grp
+    exchange; the exact-percentile calibration also folds partials
+    map-side and broadcasts into the join. Exactly three hash
+    exchanges, all O(sources·bins)-or-smaller except the calibration's
+    O(values) — the one sort-based tier the sketch exists to replace."""
+    plan = _plan(spark, "q126_hist_quantiles")
+    assert "partial_count" in plan
+    assert "partial_percentile" in plan
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

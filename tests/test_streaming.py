@@ -731,3 +731,30 @@ def test_indexed_dedup_stream_admit_closes_ingest_loop(spark, tmp_path):
         for r in neardup_query_index(spark, idx, b0_df).collect()
     }
     assert polluted == {1001: "exact", 1002: "exact"}
+
+
+def test_token_histogram_stream_matches_batch_cells(spark):
+    """Drained histogram stream == batch fixed_histogram cell-for-cell
+    (cells merge across micro-batches by addition — the sketch's
+    mergeability is what makes the streaming state bounded)."""
+    from spark_nnd_spark.functions import text as TX
+    from spark_nnd_spark.operators.sketches import fixed_histogram
+    from spark_nnd_spark.streaming.streams import (
+        read_documents_stream,
+        token_histogram_stream,
+    )
+
+    stream = token_histogram_stream(read_documents_stream(spark, SF_SMOKE))
+    run_to_memory_sink(stream, "hist_cells", output_mode="complete")
+    got = {
+        (r["source"], r["bin"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM hist_cells").collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents")
+    want = {
+        (r["grp"], r["bin"]): r["cnt"]
+        for r in fixed_histogram(
+            docs, "source", TX.token_count_expr("text"), 0.0, 8.0, 64
+        ).collect()
+    }
+    assert got == want and len(got) > 0
