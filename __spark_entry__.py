@@ -106,7 +106,12 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   q126 per-source token-count quantiles from a mergeable
   fixed-boundary histogram sketch (O(sources·bins) state, |est−exact|
   ≤ bin width, integer cells + double interpolation replayed
-  bit-for-bit in SQL) beside exact-percentile calibration columns
+  bit-for-bit in SQL) beside exact-percentile calibration columns,
+  q127 composed IVF-PQ retrieval from a persisted index (IVFADC +
+  exact rerank: cell-partitioned PQ codes dynamically partition-pruned
+  to the probed cells, 8-int ADC shortlist, bounded exact rerank;
+  fixed centroids + seeded codebooks make the whole cascade
+  hash-checkable against a full SQL replay)
   (queries/pipeline.py + queries/relational.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).

@@ -95,6 +95,7 @@ HEADLINE = [
     "q124_partitioned_roundtrip",
     "q125_unpivot_measures",
     "q126_hist_quantiles",
+    "q127_ivfpq_topk",
 ]
 
 
@@ -152,6 +153,7 @@ def main() -> None:
     # claims). Build cost is the amortized ingest-time cost a pipeline
     # pays once per corpus; the probe rows are what the bench compares.
     builds: dict[str, float] = {}
+    from spark_nnd_spark.queries import knn as _knq
     from spark_nnd_spark.queries import pipeline as _plq
 
     for bname, builder in [
@@ -159,6 +161,7 @@ def main() -> None:
         ("build_neardup_full_index", _plq._neardup_full_index_for),  # noqa: SLF001
         ("build_text_index", _plq._text_index_for),  # noqa: SLF001
         ("build_mrl_index", _plq._mrl_index_for),  # noqa: SLF001
+        ("build_ivfpq_index", _knq._ivfpq_index_for),  # noqa: SLF001
     ]:
         t0 = time.perf_counter()
         try:

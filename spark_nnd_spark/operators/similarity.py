@@ -205,12 +205,15 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """PQ encoding: per subvector, the argmin-L2 code index (ties →
     smaller code, via struct-ordered array_min). Returns (id,
-    codes ARRAY<INT>) — m bytes of index per vector instead of
+    codes ARRAY<INT>, *keep) — m bytes of index per vector instead of
     8·dim bytes of floats, the ~64× memory/wire shrink that lets a
-    billion-vector index live in RAM. Pure JVM expressions."""
+    billion-vector index live in RAM. Pure JVM expressions. ``keep``
+    carries extra columns through (e.g. the IVF cell id, so the
+    composed IVF-PQ build encodes and assigns in ONE narrow pass)."""
     m, n_codes, sub = codebooks.shape
     v = _as_double(vec_col)
     code_cols = []
@@ -220,7 +223,11 @@ def pq_encode(
             dists, lambda d, i: F.struct(d.alias("d"), i.alias("c"))
         )
         code_cols.append(F.array_min(pairs)["c"])
-    return df.select(F.col(id_col).alias("id"), F.array(*code_cols).alias("codes"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array(*code_cols).alias("codes"),
+        *[F.col(c) for c in (keep or [])],
+    )
 
 
 def pq_adc_topk(
@@ -701,6 +708,29 @@ def _ivf_assign(
     )
 
 
+def _probe_cells_expr(n_cents: int, n_probe: int) -> Column:
+    """Top-``n_probe`` cell ids from a ``__d`` centroid-dots column,
+    descending by dot (ties → higher cell id, the reversed ascending
+    (d, i) struct sort — pinned so every consumer and every oracle
+    ranks probe cells identically)."""
+    return F.slice(
+        F.transform(
+            F.reverse(
+                F.array_sort(
+                    F.zip_with(
+                        F.col("__d"),
+                        F.sequence(F.lit(0), F.lit(n_cents - 1)),
+                        lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                    )
+                )
+            ),
+            lambda s: s["i"],
+        ),
+        1,
+        min(n_probe, n_cents),
+    )
+
+
 def _ivf_probe_topk(
     c_assigned: DataFrame,
     queries: DataFrame,
@@ -713,22 +743,7 @@ def _ivf_probe_topk(
     """Probe the n_probe nearest cells per query and exact-re-rank the
     members — the shuffle is sized by cell occupancy, not corpus."""
     dots_udf = _cell_dots_udf(cents)
-    probe_cells = F.slice(
-        F.transform(
-            F.reverse(
-                F.array_sort(
-                    F.zip_with(
-                        F.col("__d"),
-                        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-                        lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-                    )
-                )
-            ),
-            lambda s: s["i"],
-        ),
-        1,
-        min(n_probe, len(cents)),
-    )
+    probe_cells = _probe_cells_expr(len(cents), n_probe)
     q_probed = (
         queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__v"))
         .withColumn("__d", dots_udf("__v"))
@@ -845,6 +860,227 @@ def ann_ivf_query_index(
     cents = np.array([r["centroid"] for r in crows], dtype=np.float64)
     c_assigned = spark.read.parquet(f"{path}/assignments")
     return _ivf_probe_topk(c_assigned, queries, cents, k, n_probe, id_col, vec_col)
+
+
+# ------------------------------------------------- composed IVF-PQ tier
+
+
+def _adc_lut_expr(vec: Column, cb: np.ndarray) -> Column:
+    """Per-query ADC lookup table: m×n_codes exact subvector-to-code
+    squared distances (a few hundred doubles computed once per query,
+    broadcast with it) — the pq_adc_topk table, factored for reuse."""
+    m, n_codes, sub = cb.shape
+    return F.array(
+        *[_pq_dists_expr(vec, j, sub, _pq_space_lit(cb[j])) for j in range(m)]
+    )
+
+
+def _adc_dist_expr(m: int) -> Column:
+    """Sum of m table lookups: ADC distance of a ``codes`` row against
+    a ``lut`` column (element_at is 1-based for the subvector slot,
+    [] is 0-based for the code — matching pq_adc_topk exactly)."""
+    dist = None
+    for j in range(m):
+        term = F.expr(f"element_at(lut, {j + 1})[element_at(codes, {j + 1})]")
+        dist = term if dist is None else dist + term
+    return dist
+
+
+def _ivfpq_probe(
+    enc: DataFrame,
+    queries: DataFrame,
+    cents: np.ndarray,
+    cb: np.ndarray,
+    c_feats: DataFrame,
+    k: int,
+    n_probe: int,
+    shortlist: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str | None,
+) -> DataFrame:
+    """Shared IVF-PQ probe: ADC over the probed cells' code rows →
+    top-``shortlist`` per query → exact cosine rerank to top-``k``.
+    ``enc`` is (nb_id, codes, cell); ``c_feats`` is (nb_id, c_vec),
+    touched only for the bounded shortlist."""
+    query_id_col = query_id_col or id_col
+    m = cb.shape[0]
+    dots_udf = _cell_dots_udf(cents)
+    qd = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("__v")
+    ).withColumn("__d", dots_udf("__v"))
+    q_probed = qd.select(
+        "query_id",
+        F.col("__v").alias("q_vec"),
+        _adc_lut_expr(F.col("__v"), cb).alias("lut"),
+        F.explode(_probe_cells_expr(len(cents), n_probe)).alias("cell"),
+    )
+    cand = (
+        enc.join(F.broadcast(q_probed), "cell")
+        .filter(F.col("query_id") != F.col("nb_id"))
+        .withColumn("pq_dist", _adc_dist_expr(m))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("pq_dist"), F.asc("nb_id"))
+    short = (
+        cand.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= shortlist)
+        .select("query_id", "q_vec", "nb_id")
+    )
+    # shortlist broadcast into the feature scan: O(queries·shortlist)
+    # rows stream past the corpus features, never the reverse
+    rerank = c_feats.join(F.broadcast(short), "nb_id")
+    exact = rerank.withColumn("cosine", cosine_similarity_expr("q_vec", "c_vec"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nb_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nb_id", "rank", "cosine")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist: int = 20,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """Composed IVF-PQ retrieval — the actual billion-vector layout
+    (IVFADC, Jégou et al. 2011): IVF cells bound WHICH vectors each
+    query considers (n_probe/n_centroids of the corpus), PQ codes bound
+    WHAT is read per considered vector (m small ints, not dim doubles),
+    ADC ranks a shortlist, and an exact cosine rerank of only
+    ``shortlist`` rows per query buys the recall back. Both stages are
+    the existing operators composed (ann_ivf_topk's cell machinery +
+    pq_adc_topk's lookup tables); assignment and encoding happen in ONE
+    narrow pass over the corpus scan. Deterministic end-to-end for
+    fixed centroids/codebooks (total tie-breaks), so the cascade is
+    oracle-checkable row-for-row — the q33/q67/q79 convention."""
+    cents = (
+        _normalize_centroids(centroids)
+        if centroids is not None
+        else train_ivf_centroids(
+            corpus, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    )
+    if codebooks is None:
+        dim = len(corpus.select(vec_col).first()[0])
+        codebooks = pq_codebooks(dim, m, n_codes, seed)
+    cb = codebooks
+    assigned = _ivf_assign(corpus, cents, id_col, vec_col)
+    enc = pq_encode(
+        assigned, cb, id_col="nb_id", vec_col="c_vec", keep=["cell"]
+    ).withColumnRenamed("id", "nb_id")
+    c_feats = corpus.select(
+        F.col(id_col).alias("nb_id"), _as_double(vec_col).alias("c_vec")
+    )
+    return _ivfpq_probe(
+        enc, queries, cents, cb, c_feats, k, n_probe, shortlist,
+        id_col, vec_col, query_id_col,
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> None:
+    """Persist the composed IVF-PQ index:
+
+    - ``centroids``  — cell → unit centroid (the IVF coarse tier).
+    - ``codebooks``  — (j, code, center): the PQ codebooks, stored so
+      probes can never encode with different codes than the build.
+    - ``codes``      — (nb_id, codes ARRAY<INT>), hive-partitioned BY
+      CELL: a probe scans n_probe/n_centroids of the corpus (partition
+      pruning) and reads m ints per row instead of dim doubles
+      (column layout) — the two multiplicative I/O cuts composed.
+    - ``full``       — (nb_id, c_vec): the rerank store, touched only
+      for each query's bounded shortlist.
+
+    One training-sample collect + ONE narrow assign+encode pass over
+    the corpus + writes; no shuffle anywhere in the build."""
+    spark = corpus.sparkSession
+    cents = (
+        _normalize_centroids(centroids)
+        if centroids is not None
+        else train_ivf_centroids(
+            corpus, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    )
+    if codebooks is None:
+        dim = len(corpus.select(vec_col).first()[0])
+        codebooks = pq_codebooks(dim, m, n_codes, seed)
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (int(j), int(c), [float(x) for x in codebooks[j, c]])
+            for j in range(codebooks.shape[0])
+            for c in range(codebooks.shape[1])
+        ],
+        "j int, code int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    assigned = _ivf_assign(corpus, cents, id_col, vec_col)
+    pq_encode(
+        assigned, codebooks, id_col="nb_id", vec_col="c_vec", keep=["cell"]
+    ).withColumnRenamed("id", "nb_id").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/codes")
+    corpus.select(
+        F.col(id_col).alias("nb_id"), _as_double(vec_col).alias("c_vec")
+    ).write.mode("overwrite").parquet(f"{path}/full")
+
+
+def ivfpq_query_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Serve IVF-PQ top-k from a persisted index (build_ivfpq_index):
+    centroids and codebooks are tiny driver reads; the code scan is
+    pruned to the probed cells' partitions and reads m ints per
+    member; full vectors are fetched only for the bounded shortlist.
+    Row-identical to the inline ``ivfpq_topk`` over the same
+    centroids/codebooks (asserted in tests)."""
+    crows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cents = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    brows = spark.read.parquet(f"{path}/codebooks").orderBy("j", "code").collect()
+    m = max(r["j"] for r in brows) + 1
+    n_codes = max(r["code"] for r in brows) + 1
+    sub = len(brows[0]["center"])
+    cb = np.zeros((m, n_codes, sub))
+    for r in brows:
+        cb[r["j"], r["code"]] = r["center"]
+    enc = spark.read.parquet(f"{path}/codes")
+    c_feats = spark.read.parquet(f"{path}/full")
+    return _ivfpq_probe(
+        enc, queries, cents, cb, c_feats, k, n_probe, shortlist,
+        id_col, vec_col, query_id_col,
+    )
 
 
 def embedding_neardup(

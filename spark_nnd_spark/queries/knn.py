@@ -466,6 +466,181 @@ def _ivf_cells_oracle() -> str:
     """
 
 
+# Composed IVF-PQ tier (q127): fixed centroids + seeded codebooks make
+# the whole cascade literal-replayable (the q33/q67/q79 convention).
+# shortlist=40 recovers ~96% of the IVF ceiling's recall on this corpus
+# while ADC reads 8 ints/vector instead of 64 doubles.
+IVFPQ_PROBE, IVFPQ_SHORTLIST, IVFPQ_K = 4, 40, 5
+IVFPQ_M, IVFPQ_CODES, IVFPQ_SEED, IVFPQ_DIM, IVFPQ_CELLS = 8, 16, 42, 64, 16
+
+# Session-cached persisted IVF-PQ index (the pipeline _*_index_for
+# convention): q127 measures the PROBE; the build is amortized ingest.
+_IVFPQ_IDX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ivfpq_index_for(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from spark_nnd_spark.operators.similarity import (
+        build_ivfpq_index,
+        pq_codebooks,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVFPQ_IDX_CACHE:
+        path = tempfile.mkdtemp(prefix="ivfpq_idx_")
+        emb = load_table(spark, sf_dir, "embeddings")
+        build_ivfpq_index(
+            emb,
+            path,
+            centroids=fixed_centroids(IVFPQ_DIM, IVFPQ_CELLS, IVFPQ_SEED),
+            codebooks=pq_codebooks(IVFPQ_DIM, IVFPQ_M, IVFPQ_CODES, IVFPQ_SEED),
+        )
+        _IVFPQ_IDX_CACHE[key] = path
+    return _IVFPQ_IDX_CACHE[key]
+
+
+def q127_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ retrieval served from the persisted index
+    (operators/similarity.py build_ivfpq_index / ivfpq_query_index) —
+    the billion-vector layout (IVFADC + exact rerank): the coarse IVF
+    tier prunes the code scan to n_probe/n_centroids of the corpus
+    (hive partition pruning), the PQ tier reads 8 small ints per
+    member instead of 64 doubles, ADC ranks a 40-candidate shortlist,
+    and exact cosine reranks only those rows. Fixed centroids + seeded
+    data-independent codebooks keep the ENTIRE cascade deterministic,
+    so the oracle replays assignment, encoding, probing, ADC and
+    rerank from literals and the result hash-matches row-for-row
+    (index==inline asserted in tests)."""
+    from spark_nnd_spark.operators.similarity import ivfpq_query_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _ivfpq_index_for(spark, sf_dir)
+    out = ivfpq_query_index(
+        spark,
+        idx,
+        emb.filter(F.col("vec_id") < 10),
+        k=IVFPQ_K,
+        n_probe=IVFPQ_PROBE,
+        shortlist=IVFPQ_SHORTLIST,
+    )
+    return out.select(
+        "query_id", "nb_id", "rank", F.round("cosine", 6).alias("cosine")
+    ).orderBy("query_id", "rank")
+
+
+def _ivfpq_oracle() -> str:
+    """DuckDB replay of the full IVF-PQ cascade from literals: cell
+    assignment (q67 machinery), PQ encode + per-query ADC tables (q79
+    machinery), probe-cell ranking (dot DESC, cell DESC — mirroring
+    _probe_cells_expr's reversed (d, i) sort), ADC shortlist (pq_dist
+    ASC, nb_id ASC), exact-cosine rerank (cosine DESC, nb_id ASC)."""
+    from spark_nnd_spark.operators.similarity import pq_codebooks
+
+    cents = fixed_centroids(IVFPQ_DIM, IVFPQ_CELLS, IVFPQ_SEED)
+    cb = pq_codebooks(IVFPQ_DIM, IVFPQ_M, IVFPQ_CODES, IVFPQ_SEED)
+    m, n_codes, sub = cb.shape
+    cb_lit = (
+        "["
+        + ", ".join(
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(float(x)) for x in code) + "]" for code in space
+            )
+            + "]"
+            for space in cb
+        )
+        + "]"
+    )
+
+    def cell_dots(v: str) -> str:
+        norm = f"greatest(sqrt(list_dot_product({v},{v})), 1e-12)"
+        return (
+            "["
+            + ",".join(f"list_dot_product({v}, {_vec_lit(c)}) / {norm}" for c in cents)
+            + "]"
+        )
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"CASE WHEN sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b})) = 0"
+            f" THEN 0.0 ELSE list_dot_product({a},{b})"
+            f" / (sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b}))) END"
+        )
+
+    def sqdist(vec: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {sub + 1}), d -> "
+            f"({vec}[j * {sub} + d] - cb[j + 1][k + 1][d])"
+            f" * ({vec}[j * {sub} + d] - cb[j + 1][k + 1][d])))"
+        )
+
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cbt AS (SELECT {cb_lit} AS cb),
+        cd AS (SELECT vec_id, v, {cell_dots('v')} AS dots FROM e),
+        assigned AS (
+            SELECT vec_id, v, list_position(dots, list_max(dots)) - 1 AS cell
+            FROM cd
+        ),
+        enc AS (
+            SELECT a.vec_id, a.cell,
+                   list_transform(range(0, {m}), j ->
+                       (list_min(list_transform(range(0, {n_codes}), k ->
+                           {{'d': {sqdist('a.v')}, 'c': k}}))).c
+                   ) AS codes
+            FROM assigned a CROSS JOIN cbt
+        ),
+        qp AS (SELECT vec_id AS query_id, v, dots FROM cd WHERE vec_id < 10),
+        qcell_all AS (
+            SELECT query_id, i AS cell, dots[i + 1] AS d,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY dots[i + 1] DESC, i DESC) AS rn
+            FROM qp CROSS JOIN (SELECT unnest(range(0, {IVFPQ_CELLS})) AS i)
+        ),
+        qcell AS (SELECT query_id, cell FROM qcell_all WHERE rn <= {IVFPQ_PROBE}),
+        lut AS (
+            SELECT e.vec_id AS query_id,
+                   list_transform(range(0, {m}), j ->
+                       list_transform(range(0, {n_codes}), k -> {sqdist('e.v')})
+                   ) AS lut
+            FROM e CROSS JOIN cbt WHERE e.vec_id < 10
+        ),
+        cand AS (
+            SELECT q.query_id, en.vec_id AS nb_id,
+                   list_sum(list_transform(range(0, {m}), j ->
+                       l.lut[j + 1][en.codes[j + 1] + 1])) AS pq_dist
+            FROM qcell q
+            JOIN enc en ON en.cell = q.cell
+            JOIN lut l ON l.query_id = q.query_id
+            WHERE q.query_id <> en.vec_id
+        ),
+        ranked_cand AS (
+            SELECT query_id, nb_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY pq_dist ASC, nb_id) AS crank
+            FROM cand
+        ),
+        short AS (
+            SELECT query_id, nb_id FROM ranked_cand WHERE crank <= {IVFPQ_SHORTLIST}
+        ),
+        rer AS (
+            SELECT s.query_id, s.nb_id, {cos('qv.v', 'cv.v')} AS cosine
+            FROM short s
+            JOIN e qv ON qv.vec_id = s.query_id
+            JOIN e cv ON cv.vec_id = s.nb_id
+        ),
+        ranked AS (
+            SELECT query_id, nb_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, nb_id) AS rank
+            FROM rer
+        )
+        SELECT query_id, nb_id, rank, round(cosine, 6) AS cosine
+        FROM ranked WHERE rank <= {IVFPQ_K} ORDER BY query_id, rank
+    """
+
+
 KNN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_knn_exact": q24_knn_exact,
     "q25_nnd_graph": q25_nnd_graph,
@@ -474,6 +649,7 @@ KNN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_ann_recall": q33_ann_recall,
     "q59_kmeans_step": q59_kmeans_step,
     "q67_ivf_cells": q67_ivf_cells,
+    "q127_ivfpq_topk": q127_ivfpq_topk,
 }
 
 KNN_ORACLES: dict[str, str] = {
@@ -498,4 +674,5 @@ KNN_ORACLES: dict[str, str] = {
     "q33_ann_recall": _ann_recall_oracle(),
     "q59_kmeans_step": _kmeans_oracle(),
     "q67_ivf_cells": _ivf_cells_oracle(),
+    "q127_ivfpq_topk": _ivfpq_oracle(),
 }

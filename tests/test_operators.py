@@ -1744,3 +1744,56 @@ def test_histogram_sketch_bound_and_mergeability(spark):
     )
     ce = cells(edge)
     assert ce == {("s", 0): 1, ("s", B - 1): 1}
+
+
+def test_ivfpq_index_roundtrip_equals_inline_and_recall(spark, tmp_path):
+    """Composed IVF-PQ (IVFADC + exact rerank): (1) serving from the
+    persisted index must be row-identical to the inline operator over
+    the same centroids/codebooks; (2) the cascade's recall must stay
+    within 80% of its IVF ceiling (same cells, exact ranking of all
+    probed members) — the bound the 40-row shortlist buys back from
+    the 8-int codes. Deterministic: fixed centroids, seeded codebooks,
+    total tie-breaks."""
+    from spark_nnd_spark.operators.similarity import (
+        ann_brute_topk,
+        ann_ivf_topk,
+        build_ivfpq_index,
+        fixed_centroids,
+        ivfpq_query_index,
+        ivfpq_topk,
+        pq_codebooks,
+    )
+    from spark_nnd_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    cents = fixed_centroids(64, 16, 42)
+    cb = pq_codebooks(64, 8, 16, 42)
+
+    inline = sorted(
+        (r["query_id"], r["rank"], r["nb_id"], round(r["cosine"], 9))
+        for r in ivfpq_topk(
+            emb, q, k=5, n_probe=4, shortlist=40, centroids=cents, codebooks=cb
+        ).collect()
+    )
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, centroids=cents, codebooks=cb)
+    served = sorted(
+        (r["query_id"], r["rank"], r["nb_id"], round(r["cosine"], 9))
+        for r in ivfpq_query_index(
+            spark, path, q, k=5, n_probe=4, shortlist=40
+        ).collect()
+    )
+    assert served == inline and len(served) > 0
+
+    brute = {
+        (r["query_id"], r["nb_id"]) for r in ann_brute_topk(emb, q, k=5).collect()
+    }
+    ceiling = {
+        (r["query_id"], r["nb_id"])
+        for r in ann_ivf_topk(emb, q, k=5, n_probe=4, centroids=cents).collect()
+    }
+    got = {(t[0], t[2]) for t in inline}
+    recall_pq = len(got & brute) / len(brute)
+    recall_ceiling = len(ceiling & brute) / len(brute)
+    assert recall_pq >= 0.8 * recall_ceiling, (recall_pq, recall_ceiling)

@@ -648,3 +648,17 @@ def test_hist_quantiles_bounded_shuffle_partial_fold(spark):
     assert plan.count("Exchange hashpartitioning") == 3
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_prunes_code_partitions_dynamically(spark):
+    """q127: the persisted code scan must be pruned to the probed
+    cells' hive partitions via DYNAMIC partition pruning (the probe
+    set exists only at runtime), both ranking windows must carry the
+    native WindowGroupLimit partial cut, and nothing is cartesian —
+    the two multiplicative I/O cuts (cells × codes-not-vectors) plus
+    bounded shuffles, the composed billion-vector plan."""
+    plan = _plan(spark, "q127_ivfpq_topk")
+    assert "dynamicpruningexpression(cell" in plan
+    assert plan.count("WindowGroupLimit") >= 4  # partial+final, 2 windows
+    assert "CartesianProduct" not in plan
+    assert "/codes" in plan and "/full" in plan
