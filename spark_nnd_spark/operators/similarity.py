@@ -862,6 +862,31 @@ def ann_ivf_query_index(
     return _ivf_probe_topk(c_assigned, queries, cents, k, n_probe, id_col, vec_col)
 
 
+def extend_ivf_index(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Admit new vectors into an existing IVF index: assign them to
+    cells using the STORED centroids (never retrained — an extension
+    assigned against different centroids would corrupt every probe)
+    and append to the cell-partitioned assignments table. The
+    extend_neardup_index twin for the vector side; one narrow pass,
+    plain partitioned parquet appends, no shuffle.
+
+    Centroid drift is the deliberate trade: a growing corpus slowly
+    de-optimizes cell balance, and the remedy is a periodic REBUILD
+    (re-train + reassign), not per-batch retraining — the standard
+    IVF operating practice."""
+    crows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cents = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    _ivf_assign(new_vectors, cents, id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{path}/assignments")
+
+
 # ------------------------------------------------- composed IVF-PQ tier
 
 
@@ -1049,6 +1074,46 @@ def build_ivfpq_index(
     ).write.mode("overwrite").parquet(f"{path}/full")
 
 
+def _read_codebooks(spark: SparkSession, path: str) -> np.ndarray:
+    brows = spark.read.parquet(f"{path}/codebooks").orderBy("j", "code").collect()
+    m = max(r["j"] for r in brows) + 1
+    n_codes = max(r["code"] for r in brows) + 1
+    sub = len(brows[0]["center"])
+    cb = np.zeros((m, n_codes, sub))
+    for r in brows:
+        cb[r["j"], r["code"]] = r["center"]
+    return cb
+
+
+def extend_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Admit new vectors into an existing IVF-PQ index: assign cells
+    with the STORED centroids and encode with the STORED codebooks
+    (both read from the index, never recomputed — the meta-pinning
+    convention; differently-trained parameters would corrupt every
+    probe), then append to the cell-partitioned codes table and the
+    rerank store. One narrow assign+encode pass, plain parquet
+    appends, no shuffle; periodic full rebuilds handle centroid/
+    codebook drift, as with extend_ivf_index."""
+    crows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cents = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    cb = _read_codebooks(spark, path)
+    assigned = _ivf_assign(new_vectors, cents, id_col, vec_col)
+    pq_encode(
+        assigned, cb, id_col="nb_id", vec_col="c_vec", keep=["cell"]
+    ).withColumnRenamed("id", "nb_id").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{path}/codes")
+    new_vectors.select(
+        F.col(id_col).alias("nb_id"), _as_double(vec_col).alias("c_vec")
+    ).write.mode("append").parquet(f"{path}/full")
+
+
 def ivfpq_query_index(
     spark: SparkSession,
     path: str,
@@ -1068,13 +1133,7 @@ def ivfpq_query_index(
     centroids/codebooks (asserted in tests)."""
     crows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     cents = np.array([r["centroid"] for r in crows], dtype=np.float64)
-    brows = spark.read.parquet(f"{path}/codebooks").orderBy("j", "code").collect()
-    m = max(r["j"] for r in brows) + 1
-    n_codes = max(r["code"] for r in brows) + 1
-    sub = len(brows[0]["center"])
-    cb = np.zeros((m, n_codes, sub))
-    for r in brows:
-        cb[r["j"], r["code"]] = r["center"]
+    cb = _read_codebooks(spark, path)
     enc = spark.read.parquet(f"{path}/codes")
     c_feats = spark.read.parquet(f"{path}/full")
     return _ivfpq_probe(

@@ -1797,3 +1797,61 @@ def test_ivfpq_index_roundtrip_equals_inline_and_recall(spark, tmp_path):
     recall_pq = len(got & brute) / len(brute)
     recall_ceiling = len(ceiling & brute) / len(brute)
     assert recall_pq >= 0.8 * recall_ceiling, (recall_pq, recall_ceiling)
+
+
+def test_extend_ivf_and_ivfpq_index_equals_fresh_build(spark, tmp_path):
+    """The continuous-ingest loop for the vector indexes: extending
+    with a second slice must serve the same results as a fresh build
+    over the union — assignment uses the STORED centroids and encoding
+    the STORED codebooks, so extension can never diverge from the base
+    build's parameters."""
+    from spark_nnd_spark.operators.similarity import (
+        ann_ivf_query_index,
+        build_ivf_index,
+        build_ivfpq_index,
+        extend_ivf_index,
+        extend_ivfpq_index,
+        fixed_centroids,
+        ivfpq_query_index,
+        pq_codebooks,
+    )
+    from spark_nnd_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    addition = emb.filter(F.col("vec_id") % 2 == 1)
+    cents = fixed_centroids(64, 16, 42)
+    cb = pq_codebooks(64, 8, 16, 42)
+
+    grown_ivf = str(tmp_path / "grown_ivf")
+    build_ivf_index(base, grown_ivf, centroids=cents)
+    extend_ivf_index(spark, grown_ivf, addition)
+    fresh_ivf = str(tmp_path / "fresh_ivf")
+    build_ivf_index(emb, fresh_ivf, centroids=cents)
+    got = sorted(
+        tuple(r) for r in ann_ivf_query_index(spark, grown_ivf, q, k=5).collect()
+    )
+    want = sorted(
+        tuple(r) for r in ann_ivf_query_index(spark, fresh_ivf, q, k=5).collect()
+    )
+    assert got == want and len(got) > 0
+
+    grown_pq = str(tmp_path / "grown_pq")
+    build_ivfpq_index(base, grown_pq, centroids=cents, codebooks=cb)
+    extend_ivfpq_index(spark, grown_pq, addition)
+    fresh_pq = str(tmp_path / "fresh_pq")
+    build_ivfpq_index(emb, fresh_pq, centroids=cents, codebooks=cb)
+    got = sorted(
+        tuple(r)
+        for r in ivfpq_query_index(
+            spark, grown_pq, q, k=5, n_probe=4, shortlist=40
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ivfpq_query_index(
+            spark, fresh_pq, q, k=5, n_probe=4, shortlist=40
+        ).collect()
+    )
+    assert got == want and len(got) > 0
