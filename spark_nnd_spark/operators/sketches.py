@@ -34,6 +34,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from spark_nnd_spark.functions.text import P
 
@@ -193,12 +194,44 @@ def bloom_might_contain_expr(col: Column | str, words: list[int], m_bits: int) -
     return bit_set(p1) & bit_set(p2)
 
 
+def bloom_might_contain_pandas(spark, col: Column | str, words: list[int], m_bits: int) -> Column:
+    """``might_contain`` probe for LARGE filters: the word array ships
+    once per executor as a real Spark broadcast and the bit test runs
+    as a vectorized Arrow-batched Pandas UDF over numpy — the path the
+    literal-array expression form (bloom_might_contain_expr) cannot
+    take past m_bits ≈ 2^20, where its m/64 literal expression tree
+    becomes impractical to ship per task and compile.
+
+    Bit-identical to the expression form (asserted in tests): the two
+    positions are still computed JVM-side with the SAME salted
+    xxhash64 expressions as ``bloom_build``, so the filters agree
+    bit-for-bit regardless of which probe executes them; only the
+    array indexing crosses into Python, amortized over Arrow batches.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    bc = spark.sparkContext.broadcast(np.array(words, dtype=np.int64))
+
+    @F.pandas_udf(T.BooleanType())
+    def probe(p1: pd.Series, p2: pd.Series) -> pd.Series:
+        w = bc.value
+        a1 = p1.to_numpy(np.int64)
+        a2 = p2.to_numpy(np.int64)
+        hit1 = (w[a1 // 64] >> (a1 % 64)) & 1
+        hit2 = (w[a2 // 64] >> (a2 % 64)) & 1
+        return pd.Series((hit1 & hit2).astype(bool))
+
+    p1 = F.pmod(F.xxhash64(c), F.lit(m_bits))
+    p2 = F.pmod(F.xxhash64(c, F.lit(BLOOM_SEED2)), F.lit(m_bits))
+    return probe(p1, p2)
+
+
 def bloom_semi_join(
     big: DataFrame,
     keys_df: DataFrame,
     big_key: str,
     keys_key: str | None = None,
     m_bits: int = 1 << 14,
+    broadcast_probe: bool = False,
 ) -> DataFrame:
     """Semi-join ``big`` to ``keys_df`` with an explicit Bloom
     pre-filter on the big side: rows failing ``might_contain`` are
@@ -215,19 +248,26 @@ def bloom_semi_join(
     → ~40%; m=128k bits → ~1.5%. Size m to the key cardinality
     (KMV-estimated, kmv_distinct).
 
-    Probe-side representation bound: ``bloom_might_contain_expr``
-    embeds the words as an m_bits/64-element LITERAL array expression,
-    practical up to m on the order of 2^20 bits (~16k literals; 2^18
-    is what the tests exercise). Beyond that — the hundreds-of-
-    millions-of-keys regime — the words belong in a real broadcast
-    variable probed by a vectorized Pandas UDF (np.ndarray bit test),
-    trading codegen for Arrow batches; the build side (bloom_build)
-    already scales, since only O(m_bits/64) word rows ever reach the
-    driver.
+    Probe-side representation: the default ``bloom_might_contain_expr``
+    embeds the words as an m_bits/64-element LITERAL array expression —
+    pure codegen, practical up to m on the order of 2^20 bits (~16k
+    literals). ``broadcast_probe=True`` switches to
+    ``bloom_might_contain_pandas`` — the words ship once per executor
+    as a real Spark broadcast and the bit test runs vectorized over
+    Arrow batches — for the hundreds-of-millions-of-keys regime where
+    the literal tree is impractical. Both probes hash JVM-side with
+    the build's exact salted xxhash64, so they are bit-identical
+    (asserted in tests); the build side already scales, since only
+    O(m_bits/64) word rows ever reach the driver.
     """
     keys_key = keys_key or big_key
     words = bloom_build(keys_df, keys_key, m_bits)
-    pre = big.filter(bloom_might_contain_expr(big_key, words, m_bits))
+    might = (
+        bloom_might_contain_pandas(big.sparkSession, big_key, words, m_bits)
+        if broadcast_probe
+        else bloom_might_contain_expr(big_key, words, m_bits)
+    )
+    pre = big.filter(might)
     return pre.join(
         keys_df.select(F.col(keys_key).alias(big_key)).distinct(),
         big_key,

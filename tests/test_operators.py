@@ -1855,3 +1855,63 @@ def test_extend_ivf_and_ivfpq_index_equals_fresh_build(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_bloom_broadcast_probe_matches_literal_probe(spark):
+    """The large-m Bloom probe (broadcast numpy words + Arrow-batched
+    bit test) must agree bit-for-bit with the literal-expression probe
+    — both hash JVM-side with the build's salted xxhash64 — and the
+    semi join must return identical rows either way, including at an
+    m_bits (2^22) where the literal expression tree is impractical."""
+    from spark_nnd_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain_expr,
+        bloom_might_contain_pandas,
+        bloom_semi_join,
+    )
+
+    big = spark.range(0, 5000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    keys = spark.range(0, 5000, 7).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    m = 1 << 14
+    words = bloom_build(keys, "key", m)
+    lit_hits = {
+        r["key"]
+        for r in big.filter(bloom_might_contain_expr("key", words, m)).collect()
+    }
+    bc_hits = {
+        r["key"]
+        for r in big.filter(
+            bloom_might_contain_pandas(spark, "key", words, m)
+        ).collect()
+    }
+    assert lit_hits == bc_hits and len(lit_hits) > 0
+
+    want = sorted(
+        r["key"] for r in bloom_semi_join(big, keys, "key", m_bits=m).collect()
+    )
+    got = sorted(
+        r["key"]
+        for r in bloom_semi_join(
+            big, keys, "key", m_bits=m, broadcast_probe=True
+        ).collect()
+    )
+    assert got == want
+
+    # the regime the broadcast path exists for: 2^22 bits (65k words —
+    # far past the literal form's practical bound), near-zero FP rate
+    m_large = 1 << 22
+    big_words = bloom_build(keys, "key", m_large)
+    assert len(big_words) == m_large // 64
+    hits = sorted(
+        r["key"]
+        for r in big.filter(
+            bloom_might_contain_pandas(spark, "key", big_words, m_large)
+        ).collect()
+    )
+    exact = sorted(r["key"] for r in keys.collect())
+    assert set(exact) <= set(hits)  # no false negatives, ever
+    assert len(hits) <= len(exact) + 5  # fp ~ (1-e^(-2n/m))^2 ≈ 1e-7
