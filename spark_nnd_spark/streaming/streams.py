@@ -413,6 +413,86 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(schema).parquet(stream_dir)
 
 
+_SAMPLE_OUT_SCHEMA = "grp string, doc_id long, skey string, n_seen long"
+_SAMPLE_STATE_SCHEMA = "ids array<long>, keys array<string>, n_seen long"
+
+
+def _exact_sample_fn(k: int):
+    """Per-group streaming top-k-by-key fold: merge each micro-batch's
+    (doc_id, skey) rows into the carried k-smallest set and emit the
+    group's CURRENT sample. Associative by construction — the top-k of
+    a union is the top-k of merged top-ks — which is exactly the batch
+    operator's window semantics, so the final emission equals the
+    batch sample over everything drained (tested)."""
+
+    def fn(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, keys, n_seen = state.get
+            ids, keys = list(ids), list(keys)
+        else:
+            ids, keys, n_seen = [], [], 0
+        for pdf in batches:
+            n_seen += len(pdf)
+            ids.extend(int(x) for x in pdf["doc_id"])
+            keys.extend(str(x) for x in pdf["skey"])
+        order = sorted(range(len(ids)), key=lambda i: (keys[i], ids[i]))[:k]
+        ids = [ids[i] for i in order]
+        keys = [keys[i] for i in order]
+        state.update((ids, keys, n_seen))
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]] * len(ids),
+                "doc_id": ids,
+                "skey": keys,
+                "n_seen": [n_seen] * len(ids),
+            }
+        )
+
+    return fn
+
+
+def exact_sample_stream(
+    docs: DataFrame,
+    k: int = 5,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of the deterministic exactly-k per-group sample
+    (operators/sampling.per_group_exact_sample, q94): maintain each
+    group's k rows with the smallest md5 draws as explicit
+    applyInPandasWithState state — the balanced-eval-slice maintainer
+    a continuous ingest runs ("exactly k docs per source, always"),
+    with state bounded at O(groups·k) (id, key) pairs FOREVER,
+    independent of stream length. The md5 keys are computed JVM-side
+    before the stateful fold (identical expression to the batch
+    operator), and top-k-by-key is associative, so the final emission
+    per group equals the batch sample over the full drained input —
+    replay == batch by construction, not by luck (tested). Emits the
+    group's current sample each batch with an n_seen cursor (update
+    mode); consumers read the max-n_seen emission per group."""
+    from spark_nnd_spark.operators.sampling import sample_key_expr  # noqa: PLC0415
+
+    return (
+        docs.select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.col(id_col).alias("doc_id"),
+            sample_key_expr(id_col).alias("skey"),
+        )
+        .groupBy("grp")
+        .applyInPandasWithState(
+            _exact_sample_fn(k),
+            outputStructType=_SAMPLE_OUT_SCHEMA,
+            stateStructType=_SAMPLE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def token_histogram_stream(
     docs: DataFrame,
     lo: float = 0.0,

@@ -758,3 +758,57 @@ def test_token_histogram_stream_matches_batch_cells(spark):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_exact_sample_stream_matches_batch_sample(spark):
+    """The final per-group emission of the streaming exact-k sampler
+    must equal the batch per_group_exact_sample over the full drained
+    input — top-k-by-key is associative, so micro-batching cannot
+    change the sample. Exercised across multiple micro-batches."""
+    from spark_nnd_spark.operators.sampling import per_group_exact_sample
+    from spark_nnd_spark.streaming.streams import (
+        exact_sample_stream,
+        read_documents_stream,
+    )
+
+    import os
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    # split into 3 files + maxFilesPerTrigger=1 so the fold genuinely
+    # crosses micro-batch boundaries (the single-file source drains in
+    # one batch, which would not exercise the carried state)
+    import tempfile
+
+    src_dir = tempfile.mkdtemp(prefix="xs_src_")
+    pdf = docs.select("source", "doc_id").toPandas().sort_values("doc_id")
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        f = os.path.join(src_dir, f"chunk{i}.parquet")
+        pdf.iloc[cuts[i] : cuts[i + 1]].to_parquet(f, index=False)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = spark.read.parquet(src_dir).schema
+    stream_src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    stream = exact_sample_stream(stream_src, k=5)
+    run_to_memory_sink(stream, "xs", output_mode="update")
+    got = {
+        (r["grp"], r["doc_id"])
+        for r in spark.sql(
+            """SELECT grp, doc_id FROM xs x
+               WHERE n_seen = (SELECT MAX(n_seen) FROM xs y WHERE y.grp = x.grp)"""
+        ).collect()
+    }
+    want = {
+        (r["source"], r["doc_id"])
+        for r in per_group_exact_sample(docs, "source", k=5).collect()
+    }
+    assert got == want and len(got) > 0
+    # bounded state: every emission is exactly min(k, n_seen) rows
+    per_emit = spark.sql(
+        "SELECT grp, n_seen, COUNT(*) AS c FROM xs GROUP BY grp, n_seen"
+    ).collect()
+    assert all(r["c"] <= 5 for r in per_emit)
