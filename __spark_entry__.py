@@ -111,7 +111,11 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   exact rerank: cell-partitioned PQ codes dynamically partition-pruned
   to the probed cells, 8-int ADC shortlist, bounded exact rerank;
   fixed centroids + seeded codebooks make the whole cascade
-  hash-checkable against a full SQL replay)
+  hash-checkable against a full SQL replay), q128 Gopher-family
+  repetition quality filter (top-bigram / duplicate-trigram occurrence
+  fractions + keep verdict from ONE narrow sorted-run-length fold per
+  n-gram order — zero shuffle, zero UDF; the oracle recounts
+  relationally via unnest→GROUP BY, cross-validating the fold)
   (queries/pipeline.py + queries/relational.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).

@@ -127,6 +127,71 @@ def shingles_sql(text: str = "text", n: int = 3) -> str:
     return f"list_distinct(CASE WHEN len({toks}) < {n} THEN [] ELSE {inner} END)"
 
 
+# ----------------------------------------------------- repetition stats
+
+def ngrams_expr(text: Column | str, n: int = 2) -> Column:
+    """ALL n-token grams in order (space-joined, duplicates kept —
+    unlike shingles_expr, which dedups for set-similarity). Short docs
+    (< n tokens) yield an empty array."""
+    toks = tokens_expr(text)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def ngrams_sql(text: str = "text", n: int = 2) -> str:
+    toks = tokens_sql(text)
+    inner = (
+        f"list_transform(range(1, len({toks}) - {n} + 2), "
+        f"i -> array_to_string(list_transform(range(i, i + {n}), j -> {toks}[j]), ' '))"
+    )
+    return f"CASE WHEN len({toks}) < {n} THEN [] ELSE {inner} END"
+
+
+def repetition_stats_expr(ngrams: Column) -> Column:
+    """struct(best, dup) over an n-gram array, computed NARROW — sort
+    the grams and run-length-scan them in one F.aggregate fold, no
+    explode/groupBy: ``best`` = occurrences of the most frequent gram,
+    ``dup`` = total occurrences of grams appearing >= 2 times (when a
+    run reaches 2 both members count, each further member adds 1).
+    The sentinel prev='' never equals a real gram: for n >= 2 every
+    gram contains the join space. Empty array folds to (0, 0)."""
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+        zero.alias("dup"),
+    )
+
+    def step(acc, x):
+        run = (
+            F.when(x == acc["prev"], acc["run"] + F.lit(1))
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+        dup = (
+            acc["dup"]
+            + F.when(run == 2, F.lit(2)).when(run > 2, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long")
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            dup.alias("dup"),
+        )
+
+    return F.aggregate(
+        F.array_sort(_c(ngrams)),
+        init,
+        step,
+        lambda acc: F.struct(acc["best"].alias("best"), acc["dup"].alias("dup")),
+    )
+
+
 # -------------------------------------------------------------- minhash
 
 def minhash_expr(text: Column | str, num_hashes: int = 16, n: int = 3) -> Column:

@@ -2343,6 +2343,51 @@ def q126_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Repetition-filter thresholds (q128): chosen to split the synthetic
+# corpus meaningfully (sf0.01: top-bigram p90 ≈ 0.071, trigram-dup has
+# a ~5% tail above 0.02) — the Gopher-style "too repetitious to train
+# on" verdict.
+REP_TOP2_MAX, REP_DUP3_MAX = 0.0625, 0.02
+
+
+def q128_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition quality filter (Rae et al. 2021 §A1.1:
+    duplicate-n-gram and top-n-gram fractions): per document, the
+    occurrence share of the most frequent bigram and the share of
+    trigram occurrences belonging to repeated trigrams, plus the
+    keep/drop verdict. Both metrics come from ONE narrow fold per
+    n-gram order (functions/text.repetition_stats_expr: sort the
+    gram array, run-length-scan it in an F.aggregate lambda) — no
+    explode, no groupBy, zero shuffle until the final ORDER BY, so at
+    100 TB this is a pure map stage over the corpus scan, the same
+    plan shape as q72/q111. The DuckDB oracle takes the OPPOSITE
+    strategy (unnest → GROUP BY gram → MAX/SUM-FILTER), so the parity
+    check cross-validates the fold against a relational recount.
+    Ratios are a single integer/integer double division, so both
+    engines produce bit-identical values; short docs (< n tokens)
+    score 0.0 by definition."""
+    d = load_table(spark, sf_dir, "documents")
+    rows = d.select(
+        "doc_id",
+        TX.repetition_stats_expr(TX.ngrams_expr("text", 2)).alias("s2"),
+        TX.repetition_stats_expr(TX.ngrams_expr("text", 3)).alias("s3"),
+        F.size(TX.ngrams_expr("text", 2)).cast("long").alias("n2"),
+        F.size(TX.ngrams_expr("text", 3)).cast("long").alias("n3"),
+    )
+    top2 = F.when(
+        F.col("n2") > 0, F.col("s2.best").cast("double") / F.col("n2").cast("double")
+    ).otherwise(F.lit(0.0))
+    dup3 = F.when(
+        F.col("n3") > 0, F.col("s3.dup").cast("double") / F.col("n3").cast("double")
+    ).otherwise(F.lit(0.0))
+    return rows.select(
+        "doc_id",
+        top2.alias("top_bigram_frac"),
+        dup3.alias("dup_trigram_frac"),
+        ((top2 <= REP_TOP2_MAX) & (dup3 <= REP_DUP3_MAX)).alias("keep"),
+    ).orderBy("doc_id")
+
+
 CMS_TOPK = 10
 
 
@@ -2629,6 +2674,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q124_partitioned_roundtrip": q124_partitioned_roundtrip,
     "q125_unpivot_measures": q125_unpivot_measures,
     "q126_hist_quantiles": q126_hist_quantiles,
+    "q128_repetition_metrics": q128_repetition_metrics,
 }
 
 
@@ -4253,6 +4299,44 @@ def pipeline_oracles() -> dict[str, str]:
         SELECT e.source, t.n, e.p50, e.p90, e.p99, ex.p50_exact, ex.p90_exact
         FROM est e JOIN tot t USING (source) JOIN ex USING (source)
         ORDER BY e.source
+    """
+    # q128: the deliberate cross-check — Spark computes the repetition
+    # stats with a narrow sorted-run-length fold; the oracle recounts
+    # them relationally (unnest → GROUP BY gram → MAX / SUM FILTER).
+    # LEFT JOINs + CASE keep short docs (< n tokens) at 0.0 exactly as
+    # the fold's empty-array path does; each fraction is one INT/INT
+    # double division so both engines emit identical bits.
+    oracles["q128_repetition_metrics"] = f"""
+        WITH b2 AS (
+            SELECT doc_id, unnest({TX.ngrams_sql(n=2)}) AS g FROM documents
+        ),
+        c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM b2 GROUP BY 1, 2),
+        s2 AS (SELECT doc_id, MAX(c) AS best, SUM(c) AS tot FROM c2 GROUP BY 1),
+        b3 AS (
+            SELECT doc_id, unnest({TX.ngrams_sql(n=3)}) AS g FROM documents
+        ),
+        c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM b3 GROUP BY 1, 2),
+        s3 AS (
+            SELECT doc_id,
+                   COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS dup,
+                   SUM(c) AS tot
+            FROM c3 GROUP BY 1
+        ),
+        fr AS (
+            SELECT d.doc_id,
+                   CASE WHEN s2.tot > 0
+                        THEN s2.best::DOUBLE / s2.tot::DOUBLE
+                        ELSE 0.0 END AS top_bigram_frac,
+                   CASE WHEN s3.tot > 0
+                        THEN s3.dup::DOUBLE / s3.tot::DOUBLE
+                        ELSE 0.0 END AS dup_trigram_frac
+            FROM documents d
+            LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+        )
+        SELECT doc_id, top_bigram_frac, dup_trigram_frac,
+               (top_bigram_frac <= CAST({REP_TOP2_MAX} AS DOUBLE)
+                AND dup_trigram_frac <= CAST({REP_DUP3_MAX} AS DOUBLE)) AS keep
+        FROM fr ORDER BY doc_id
     """
     return oracles
 

@@ -662,3 +662,13 @@ def test_ivfpq_prunes_code_partitions_dynamically(spark):
     assert plan.count("WindowGroupLimit") >= 4  # partial+final, 2 windows
     assert "CartesianProduct" not in plan
     assert "/codes" in plan and "/full" in plan
+
+
+def test_repetition_metrics_narrow_no_shuffle_no_udf(spark):
+    """q128: both repetition stats are sorted-run-length folds inside
+    one projection — the q72/q111 plan shape: no hash exchange at all
+    (only the presentation sort's range exchange) and no Python
+    evaluation nodes."""
+    plan = _plan(spark, "q128_repetition_metrics")
+    assert "Exchange hashpartitioning" not in plan
+    assert "EvalPython" not in plan

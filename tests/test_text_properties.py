@@ -193,3 +193,25 @@ def test_winnow_window_guarantee_and_python_parity(spark):
         # window guarantee: every w-window holds a selected hash
         for s in range(0, len(hs) - w + 1):
             assert any(h in sel for h in hs[s : s + w]), f"doc {r['doc_id']} window {s}"
+
+
+def py_repetition_stats(text: str, n: int) -> tuple[int, int]:
+    """Counter-based recount of (best, dup) — a third independent
+    strategy beside the Spark fold and the q128 oracle's GROUP BY."""
+    from collections import Counter
+
+    toks = text.split(" ")
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    counts = Counter(grams)
+    best = max(counts.values(), default=0)
+    dup = sum(c for c in counts.values() if c >= 2)
+    return best, dup
+
+
+@given(st.lists(doc, min_size=1, max_size=8))
+@settings(max_examples=20, deadline=None)
+def test_repetition_stats_match_python(spark, docs):
+    for n in (2, 3):
+        got = _eval(spark, docs, TX.repetition_stats_expr(TX.ngrams_expr("text", n)))
+        want = [py_repetition_stats(d, n) for d in docs]
+        assert [(g["best"], g["dup"]) for g in got] == want
