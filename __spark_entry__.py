@@ -115,7 +115,12 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   repetition quality filter (top-bigram / duplicate-trigram occurrence
   fractions + keep verdict from ONE narrow sorted-run-length fold per
   n-gram order — zero shuffle, zero UDF; the oracle recounts
-  relationally via unnest→GROUP BY, cross-validating the fold)
+  relationally via unnest→GROUP BY, cross-validating the fold), q129
+  binary-quantized retrieval (sign bits packed 32-per-BIGINT,
+  XOR+popcount hamming shortlist at 1/64th the float64 scan, exact
+  cosine rerank over the survivors; integer hamming cut ⇒ the whole
+  cascade hash-checks against a full SQL replay — completing the
+  compression ladder float64→int8→PQ→1-bit)
   (queries/pipeline.py + queries/relational.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).

@@ -154,6 +154,108 @@ def quantized_brute_topk(
     )
 
 
+# ---------------------------------------------- binary (1-bit) tier
+
+BQ_WORD_BITS = 32  # bits packed per BIGINT word — words stay positive,
+# so XOR/popcount arithmetic has no sign-bit edge and replays
+# identically in DuckDB (the same portability discipline as KMV/CMS).
+
+
+def binarize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """1-bit sign quantization: bit j of word w is set iff
+    ``v[w·32+j] > 0``, packed 32 bits per BIGINT word.
+
+    The 100 TB motivation: 1 bit per dimension is a 64× wire/memory
+    cut vs float64 — the shortlist scan touches dim/8 bytes per
+    vector and distance is integer XOR+popcount inside whole-stage
+    codegen (the "binary quantization" retrieval tier of modern
+    vector stores: hamming distance between sign patterns tracks
+    angular distance for zero-centered embeddings). Entirely JVM
+    array expressions; zero shuffle.
+
+    Returns (id, bits ARRAY<BIGINT>), ceil(dim/32) words per row."""
+    v = _as_double(vec_col)
+    n_words = F.floor(
+        (F.size(v) + F.lit(BQ_WORD_BITS - 1)) / F.lit(BQ_WORD_BITS)
+    ).cast("long")
+    words = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_words - 1),
+        lambda w: F.aggregate(
+            F.sequence(F.lit(0), F.lit(BQ_WORD_BITS - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.when(
+                (w * BQ_WORD_BITS + j.cast("long") < F.size(v).cast("long"))
+                & (F.element_at(v, (w * BQ_WORD_BITS + j + 1).cast("int")) > 0),
+                F.call_function("shiftleft", F.lit(1).cast("long"), j),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+    return df.select(F.col(id_col).alias("id"), words.alias("bits"))
+
+
+def binary_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Binary-quantized retrieval with exact rerank — the two-stage
+    cascade every 1-bit vector store runs: (1) hamming shortlist over
+    the packed sign bits (corpus streams at dim/8 bytes per row,
+    query bits broadcast, XOR+popcount in codegen, deterministic
+    (hamming, nb_id) cut), then (2) exact cosine over ONLY the
+    O(queries·shortlist) surviving full vectors (shortlist broadcast
+    back against the corpus, so full vectors never shuffle either).
+    Integer hamming makes the shortlist hash-replayable, unlike a
+    float coarse score — same argument as the int8 tier (q76).
+
+    Returns (query_id, nb_id, rank, hamming, cosine)."""
+    query_id_col = query_id_col or id_col
+    qb = binarize_embeddings(queries, query_id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("bits").alias("q_bits")
+    )
+    cb = binarize_embeddings(corpus, id_col, vec_col).select(
+        F.col("id").alias("nb_id"), F.col("bits").alias("c_bits")
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            "q_bits", "c_bits", lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("nb_id"))
+    short = (
+        cb.crossJoin(F.broadcast(qb))
+        .filter(F.col("query_id") != F.col("nb_id"))
+        .withColumn("hamming", ham)
+        .withColumn("hrank", F.row_number().over(w1))
+        .filter(F.col("hrank") <= shortlist)
+        .select("query_id", "nb_id", "hamming")
+    )
+    cfull = corpus.select(
+        F.col(id_col).alias("nb_id"), _as_double(vec_col).alias("c_vec")
+    )
+    qfull = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("q_vec")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nb_id"))
+    return (
+        cfull.join(F.broadcast(short), "nb_id")
+        .join(F.broadcast(qfull), "query_id")
+        .withColumn("cosine", cosine_similarity_expr("q_vec", "c_vec"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nb_id", "rank", "hamming", "cosine")
+    )
+
+
 def pq_codebooks(
     dim: int, m: int = 8, n_codes: int = 16, seed: int = 42
 ) -> np.ndarray:

@@ -2343,6 +2343,32 @@ def q126_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BQ_SHORTLIST = 20
+
+
+def q129_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized retrieval with exact rerank
+    (operators/similarity.binarize_embeddings / binary_hamming_topk):
+    sign bits packed 32-per-BIGINT word, XOR+popcount hamming
+    shortlist (64× smaller scan than float64), exact cosine over only
+    the 20 survivors per query. Completes the compression ladder —
+    float64 (q18) → int8 (q76) → PQ codes (q79) → 1 bit (here). The
+    integer hamming cut is deterministic ((hamming, nb_id) ties), so
+    unlike the float LSH/IVF tiers the whole cascade hash-checks
+    against a full SQL replay."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SIM.binary_hamming_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, shortlist=BQ_SHORTLIST
+    )
+    return out.select(
+        "query_id",
+        "nb_id",
+        "rank",
+        "hamming",
+        F.round("cosine", 6).alias("cosine"),
+    ).orderBy("query_id", "rank")
+
+
 # Repetition-filter thresholds (q128): chosen to split the synthetic
 # corpus meaningfully (sf0.01: top-bigram p90 ≈ 0.071, trigram-dup has
 # a ~5% tail above 0.02) — the Gopher-style "too repetitious to train
@@ -2675,6 +2701,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q125_unpivot_measures": q125_unpivot_measures,
     "q126_hist_quantiles": q126_hist_quantiles,
     "q128_repetition_metrics": q128_repetition_metrics,
+    "q129_binary_topk": q129_binary_topk,
 }
 
 
@@ -4337,6 +4364,58 @@ def pipeline_oracles() -> dict[str, str]:
                (top_bigram_frac <= CAST({REP_TOP2_MAX} AS DOUBLE)
                 AND dup_trigram_frac <= CAST({REP_DUP3_MAX} AS DOUBLE)) AS keep
         FROM fr ORDER BY doc_id
+    """
+    # q129: replay the full binary cascade — identical bit packing
+    # (32 positive bits per BIGINT word), xor+bit_count hamming,
+    # deterministic (hamming, nb_id) shortlist, then the q18 cosine
+    # arithmetic verbatim on the survivors. Windows split across CTEs
+    # (DuckDB rejects nested window calls).
+    bq_cos = (
+        "list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*cv[i]))"
+        " / (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))"
+        " * sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))))"
+    )
+    oracles["q129_binary_topk"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        bits AS (
+            SELECT vec_id, v,
+                   list_transform(range(0, (len(v) + 31) // 32), w ->
+                       CAST(list_sum(list_transform(range(0, 32), j ->
+                           CASE WHEN w * 32 + j < len(v)
+                                     AND v[w * 32 + j + 1] > 0
+                                THEN (1::BIGINT << j) ELSE 0::BIGINT END))
+                            AS BIGINT)) AS b
+            FROM e
+        ),
+        ham AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS nb_id,
+                   CAST(list_sum(list_transform(range(1, len(q.b) + 1),
+                            i -> bit_count(xor(q.b[i], c.b[i])))) AS BIGINT)
+                       AS hamming
+            FROM bits c CROSS JOIN (SELECT * FROM bits WHERE vec_id < 10) q
+            WHERE q.vec_id <> c.vec_id
+        ),
+        short AS (
+            SELECT query_id, nb_id, hamming,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY hamming, nb_id) AS hrank
+            FROM ham
+        ),
+        rer AS (
+            SELECT s.query_id, s.nb_id, s.hamming, q.v AS qv, c.v AS cv
+            FROM short s
+            JOIN e q ON q.vec_id = s.query_id
+            JOIN e c ON c.vec_id = s.nb_id
+            WHERE s.hrank <= {BQ_SHORTLIST}
+        ),
+        ranked AS (
+            SELECT query_id, nb_id, hamming, {bq_cos} AS cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY {bq_cos} DESC, nb_id) AS rank
+            FROM rer
+        )
+        SELECT query_id, nb_id, rank, hamming, round(cosine, 6) AS cosine
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     """
     return oracles
 

@@ -672,3 +672,19 @@ def test_repetition_metrics_narrow_no_shuffle_no_udf(spark):
     plan = _plan(spark, "q128_repetition_metrics")
     assert "Exchange hashpartitioning" not in plan
     assert "EvalPython" not in plan
+
+
+def test_binary_topk_no_corpus_shuffle(spark):
+    """q129: both cascade stages keep the corpus streaming — the sign
+    bits meet the broadcast query bits, the shortlist broadcasts back
+    against the full vectors, and the only hash exchanges are the two
+    O(queries·shortlist) query_id windows (each carrying the native
+    WindowGroupLimit partial cut). The hamming kernel is integer
+    XOR+popcount inside codegen, no Python nodes."""
+    plan = _plan(spark, "q129_binary_topk")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Exchange hashpartitioning(query_id") == 2
+    assert "bit_count" in plan
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
