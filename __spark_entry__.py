@@ -120,7 +120,11 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   XOR+popcount hamming shortlist at 1/64th the float64 scan, exact
   cosine rerank over the survivors; integer hamming cut ⇒ the whole
   cascade hash-checks against a full SQL replay — completing the
-  compression ladder float64→int8→PQ→1-bit)
+  compression ladder float64→int8→PQ→1-bit), q130 GBDT-style
+  tree-ensemble quality classifier (depth-2 trees as nested CASE WHEN
+  over integer-exact features; fixed-order leaf sum ⇒ bit-identical
+  margin + keep verdict, zero shuffle/UDF — the learned-filter
+  inference shape beside q111's linear model)
   (queries/pipeline.py + queries/relational.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).

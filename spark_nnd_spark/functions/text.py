@@ -435,3 +435,82 @@ def linear_score_sql(text: str = "text") -> str:
         f" - 0.5 * len({toks}))"
     )
     return f"(1.0 / (1.0 + exp(-{z})))"
+
+
+# ------------------------------------------------- tree-ensemble model
+
+# GBDT-style quality classifier (q130): depth-2 trees over
+# INTEGER-exact document features, so every split comparison is exact
+# on any engine and only the final fixed-order sum of leaf values is
+# float (identical literal order both renderings => bit-identical).
+# TREES is the "trained model" — opaque constants, the same stance as
+# the q111 weight table; an XGBoost/LightGBM dump maps 1:1 onto this
+# rendering (one nested CASE WHEN per tree, a pure map stage at any
+# scale). Feature ranges in the synthetic corpus: n_tokens 10..99,
+# n_distinct 6..31, stop_hits ~1..40, max_tok_len 5..8.
+# Tree: (root_feat, root_thr, (lf, lt, v_ll, v_lr), (rf, rt, v_rl, v_rr))
+# semantics: feat[root] <= thr ? (feat[lf] <= lt ? v_ll : v_lr)
+#                              : (feat[rf] <= rt ? v_rl : v_rr)
+TREE_FEATURES = ("n_tokens", "n_distinct", "stop_hits", "max_tok_len")
+TREES: tuple = (
+    ("n_tokens", 30, ("stop_hits", 3, -0.42, 0.11), ("n_distinct", 18, 0.07, 0.23)),
+    ("stop_hits", 8, ("n_tokens", 55, 0.05, -0.13), ("max_tok_len", 6, 0.19, 0.08)),
+    ("n_distinct", 14, ("n_tokens", 22, -0.08, -0.27), ("stop_hits", 15, 0.16, -0.05)),
+    ("max_tok_len", 6, ("n_distinct", 20, 0.04, 0.12), ("n_tokens", 70, 0.02, -0.18)),
+    ("n_tokens", 60, ("n_distinct", 16, -0.11, 0.09), ("stop_hits", 20, 0.13, -0.21)),
+    ("stop_hits", 2, ("max_tok_len", 7, -0.31, -0.12), ("n_distinct", 24, 0.06, 0.17)),
+)
+TREE_BIAS = 0.05
+
+
+def _tree_feature_exprs(text: Column | str) -> dict[str, Column]:
+    toks = tokens_expr(text)
+    return {
+        "n_tokens": F.size(toks).cast("long"),
+        "n_distinct": F.size(F.array_distinct(toks)).cast("long"),
+        "stop_hits": F.size(F.filter(toks, lambda t: t.isin(*EN_STOP))).cast("long"),
+        "max_tok_len": F.array_max(F.transform(toks, F.length)).cast("long"),
+    }
+
+
+def tree_score_expr(text: Column | str) -> Column:
+    """Ensemble margin: TREE_BIAS + Σ leaf values, trees evaluated as
+    nested CASE WHEN over integer features — zero shuffle, zero UDF."""
+    f = _tree_feature_exprs(text)
+    total = F.lit(float(TREE_BIAS))
+    for root_f, root_t, (lf, lt, vll, vlr), (rf, rt, vrl, vrr) in TREES:
+        left = F.when(f[lf] <= lt, F.lit(vll)).otherwise(F.lit(vlr))
+        right = F.when(f[rf] <= rt, F.lit(vrl)).otherwise(F.lit(vrr))
+        total = total + F.when(f[root_f] <= root_t, left).otherwise(right)
+    return total
+
+
+def _tree_feature_sqls(text: str = "text") -> dict[str, str]:
+    toks = tokens_sql(text)
+    stop_lst = ", ".join(f"'{w}'" for w in EN_STOP)
+    return {
+        "n_tokens": f"len({toks})::BIGINT",
+        "n_distinct": f"len(list_distinct({toks}))::BIGINT",
+        "stop_hits": f"len(list_filter({toks}, t -> t IN ({stop_lst})))::BIGINT",
+        "max_tok_len": f"list_max(list_transform({toks}, t -> len(t)))::BIGINT",
+    }
+
+
+def tree_score_sql(text: str = "text") -> str:
+    """DuckDB rendering of tree_score_expr — same literals, same order.
+    Every leaf literal is CAST to DOUBLE: DuckDB parses 0.42 as
+    DECIMAL and exact decimal addition would diverge from Spark's
+    IEEE doubles (the q126 lesson)."""
+    f = _tree_feature_sqls(text)
+
+    def d(x: float) -> str:
+        return f"CAST({float(x)!r} AS DOUBLE)"
+
+    parts = [d(TREE_BIAS)]
+    for root_f, root_t, (lf, lt, vll, vlr), (rf, rt, vrl, vrr) in TREES:
+        left = f"CASE WHEN {f[lf]} <= {lt} THEN {d(vll)} ELSE {d(vlr)} END"
+        right = f"CASE WHEN {f[rf]} <= {rt} THEN {d(vrl)} ELSE {d(vrr)} END"
+        parts.append(
+            f"CASE WHEN {f[root_f]} <= {root_t} THEN ({left}) ELSE ({right}) END"
+        )
+    return "(" + " + ".join(parts) + ")"

@@ -2343,6 +2343,33 @@ def q126_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q130_tree_ensemble_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GBDT-style quality classifier inference (functions/text.py
+    tree_score_expr): six depth-2 trees over INTEGER-exact document
+    features (token/distinct/stopword counts, max token length),
+    evaluated as nested CASE WHEN — the piecewise-constant complement
+    to q111's linear scorer, i.e. the XGBoost/fastText-filter
+    inference shape of modern corpus curation. Integer splits are
+    exact on both engines and the leaf-value sum is a fixed-order sum
+    of literals, so the margin (and the keep verdict at margin > 0,
+    ~79% of the corpus) hash-checks bit-for-bit. Entirely narrow:
+    zero shuffle until the presentation sort, zero UDF — a real
+    trained dump swaps in by replacing the TREES constants; the plan
+    shape is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = TX._tree_feature_exprs("text")
+    score = TX.tree_score_expr("text")
+    return d.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["n_distinct"].alias("n_distinct"),
+        feats["stop_hits"].alias("stop_hits"),
+        feats["max_tok_len"].alias("max_tok_len"),
+        score.alias("margin"),
+        (score > F.lit(0.0)).alias("keep"),
+    ).orderBy("doc_id")
+
+
 BQ_SHORTLIST = 20
 
 
@@ -2702,6 +2729,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q126_hist_quantiles": q126_hist_quantiles,
     "q128_repetition_metrics": q128_repetition_metrics,
     "q129_binary_topk": q129_binary_topk,
+    "q130_tree_ensemble_scores": q130_tree_ensemble_scores,
 }
 
 
@@ -4416,6 +4444,19 @@ def pipeline_oracles() -> dict[str, str]:
         )
         SELECT query_id, nb_id, rank, hamming, round(cosine, 6) AS cosine
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """
+    # q130: same trees, same literal order; integer features make the
+    # splits exact and the fixed-order leaf sum is bit-identical.
+    tf = TX._tree_feature_sqls()
+    oracles["q130_tree_ensemble_scores"] = f"""
+        SELECT doc_id,
+               {tf['n_tokens']} AS n_tokens,
+               {tf['n_distinct']} AS n_distinct,
+               {tf['stop_hits']} AS stop_hits,
+               {tf['max_tok_len']} AS max_tok_len,
+               {TX.tree_score_sql()} AS margin,
+               ({TX.tree_score_sql()} > CAST(0.0 AS DOUBLE)) AS keep
+        FROM documents ORDER BY doc_id
     """
     return oracles
 

@@ -688,3 +688,11 @@ def test_binary_topk_no_corpus_shuffle(spark):
     assert plan.count("WindowGroupLimit") >= 2
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_tree_ensemble_narrow_no_shuffle_no_udf(spark):
+    """q130: the whole ensemble is nested CASE WHEN over integer
+    features in one projection — the q72/q111/q128 plan shape."""
+    plan = _plan(spark, "q130_tree_ensemble_scores")
+    assert "Exchange hashpartitioning" not in plan
+    assert "EvalPython" not in plan
