@@ -124,7 +124,11 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   tree-ensemble quality classifier (depth-2 trees as nested CASE WHEN
   over integer-exact features; fixed-order leaf sum ⇒ bit-identical
   margin + keep verdict, zero shuffle/UDF — the learned-filter
-  inference shape beside q111's linear model)
+  inference shape beside q111's linear model), q131 probe against an
+  index with RETRACTED docs (tombstone log anti-joined at read;
+  oracle recomputes ground truth over corpus-minus-retracted, so the
+  hash match proves tombstoning == physical deletion; compaction
+  folds the log in, compact==fresh-build tested)
   (queries/pipeline.py + queries/relational.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).

@@ -989,11 +989,29 @@ def neardup_query_index(
             "exclude_ids requires max_band_freq=None: the stored "
             "band_stats census cannot subtract excluded members"
         )
-    excl = (
-        F.broadcast(exclude_ids.select(F.col(exclude_ids.columns[0]).alias(id_col)).distinct())
-        if exclude_ids is not None
-        else None
-    )
+    excl_parts = []
+    if exclude_ids is not None:
+        excl_parts.append(
+            exclude_ids.select(F.col(exclude_ids.columns[0]).alias(id_col)).distinct()
+        )
+    # tombstones are persistent exclude_ids (retract_from_neardup_index):
+    # same broadcast anti-join, same census restriction — the capped
+    # path comes back after compact_neardup_index clears them.
+    tomb = _tombstones(spark, path, id_col)
+    if tomb is not None:
+        if max_band_freq is not None:
+            raise ValueError(
+                "index has tombstones: probe requires max_band_freq=None "
+                "(band_stats cannot subtract retracted members); run "
+                "compact_neardup_index to restore the capped path"
+            )
+        excl_parts.append(tomb)
+    excl = None
+    if excl_parts:
+        merged = excl_parts[0]
+        for p in excl_parts[1:]:
+            merged = merged.unionByName(p)
+        excl = F.broadcast(merged.distinct())
 
     def _minus_excluded(index_tbl: DataFrame) -> DataFrame:
         return (
@@ -1165,6 +1183,81 @@ def extend_neardup_index(
     ).write.mode("overwrite").parquet(f"{path}/band_stats")
 
 
+def _tombstones(spark, path: str, id_col: str) -> DataFrame | None:
+    """Retracted doc ids, or None when the index has no tombstones
+    table. Existence is a local-filesystem check (the repo's indexes
+    are local dirs); an HDFS/S3 deployment swaps in FileSystem.exists
+    — the read path is engine-identical either way."""
+    import os
+
+    tdir = f"{path}/tombstones"
+    if not os.path.isdir(tdir):
+        return None
+    return (
+        spark.read.parquet(tdir)
+        .select(F.col("doc_id").alias(id_col))
+        .distinct()
+    )
+
+
+def retract_from_neardup_index(spark, path: str, ids: DataFrame) -> None:
+    """Retract docs from a persisted near-dup index WITHOUT rewriting
+    it: append the ids to a tombstones table that every read path
+    (neardup_query_index, neardup_pairs_index) anti-joins — the
+    right-to-be-forgotten / bad-batch-rollback half of the index
+    lifecycle (build → probe → extend → RETRACT → compact). O(retracted)
+    write, zero index I/O; idempotent under retry because duplicate
+    tombstones are harmless (reads are distinct + anti-join).
+
+    Cost model: tombstones are the delete log; verdicts are correct
+    immediately, and the capped (max_band_freq) probe path is
+    unavailable until ``compact_neardup_index`` folds the log into the
+    physical tables (band_stats cannot subtract retracted members).
+    """
+    ids.select(F.col(ids.columns[0]).alias("doc_id")).distinct().write.mode(
+        "append"
+    ).parquet(f"{path}/tombstones")
+
+
+def compact_neardup_index(spark, path: str) -> None:
+    """Fold the tombstone log into the physical index: rewrite
+    digests/bands/shingles minus retracted ids, rebuild band_stats
+    from the rewritten bands, drop the tombstones table. After
+    compaction the index is byte-equivalent to a fresh build over the
+    surviving corpus (asserted in tests), and the capped probe path is
+    valid again.
+
+    Crash-safe by convergence, not atomicity: each table overwrite is
+    an idempotent anti-join (a retried compaction no-ops on tables
+    already rewritten), verdicts stay correct throughout because the
+    tombstones table is removed only LAST, after every rewrite. The
+    eager localCheckpoint detaches each rewrite from the files it
+    overwrites; a 100 TB deployment would write a new versioned dir
+    and swap, trading the checkpoint for a rename."""
+    import shutil
+
+    tomb = _tombstones(spark, path, "doc_id")
+    if tomb is None:
+        return
+    tomb = tomb.localCheckpoint(eager=True)  # survives its own dir's removal
+    for tbl, part in (("digests", None), ("bands", "band"), ("shingles", None)):
+        cur = spark.read.parquet(f"{path}/{tbl}")
+        tbl_id = [c for c in cur.columns if c not in ("band", "band_sig", "digest", "sh")][0]
+        kept = cur.join(
+            F.broadcast(tomb.select(F.col("doc_id").alias(tbl_id))),
+            tbl_id,
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        writer = kept.write.mode("overwrite")
+        if part is not None:
+            writer = writer.partitionBy(part)
+        writer.parquet(f"{path}/{tbl}")
+    spark.read.parquet(f"{path}/bands").groupBy("band", "band_sig").agg(
+        F.count("*").alias("cnt")
+    ).write.mode("overwrite").parquet(f"{path}/band_stats")
+    shutil.rmtree(f"{path}/tombstones")
+
+
 def neardup_pairs_index(
     spark,
     path: str,
@@ -1188,6 +1281,15 @@ def neardup_pairs_index(
     c_banded = spark.read.parquet(f"{path}/bands")
     id_col = [c for c in c_banded.columns if c not in ("band", "band_sig")][0]
     banded = c_banded.select(F.col(id_col).alias("id"), "band", "band_sig")
+    tomb = _tombstones(spark, path, "id")
+    if tomb is not None:
+        if max_band_freq is not None:
+            raise ValueError(
+                "index has tombstones: pairs require max_band_freq=None "
+                "(band_stats cannot subtract retracted members); run "
+                "compact_neardup_index to restore the capped path"
+            )
+        banded = banded.join(F.broadcast(tomb), "id", "left_anti")
     if max_band_freq is not None:
         hot = (
             spark.read.parquet(f"{path}/band_stats")

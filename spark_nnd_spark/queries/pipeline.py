@@ -2343,6 +2343,56 @@ def q126_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Retraction demo (q131): corpus docs with doc_id % RETRACT_MOD ==
+# RETRACT_REM are tombstoned out of a dedicated session-cached index
+# (never the shared q103 one — retraction mutates).
+RETRACT_MOD, RETRACT_REM = 7, 3
+_RETRACT_IDX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _retracted_index_for(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _RETRACT_IDX_CACHE:
+        path = tempfile.mkdtemp(prefix="neardup_retract_idx_")
+        d = load_table(spark, sf_dir, "documents")
+        corpus = d.filter(F.col("source") != "src0")
+        DD.build_neardup_index(corpus, path, num_hashes=16, bands=4, n=3)
+        DD.retract_from_neardup_index(
+            spark,
+            path,
+            corpus.filter(F.col("doc_id") % RETRACT_MOD == RETRACT_REM).select(
+                "doc_id"
+            ),
+        )
+        _RETRACT_IDX_CACHE[key] = path
+    return _RETRACT_IDX_CACHE[key]
+
+
+def q131_retracted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup verdicts against an index with RETRACTED documents
+    (operators/dedup.retract_from_neardup_index): the corpus index is
+    built, then every corpus doc with doc_id ≡ 3 (mod 7) is
+    tombstoned — the right-to-be-forgotten / bad-batch-rollback half
+    of the index lifecycle. The probe anti-joins the O(retracted)
+    tombstone log (broadcast), so verdicts are correct IMMEDIATELY
+    after an O(retracted) append, no index rewrite; the oracle builds
+    the ground truth the hard way (full incremental-dedup SQL over
+    the corpus minus the retracted set), so the hash match proves
+    tombstoning == physical deletion. compact_neardup_index folds the
+    log in later (compact == fresh-build asserted in tests)."""
+    d = load_table(spark, sf_dir, "documents")
+    idx = _retracted_index_for(spark, sf_dir)
+    return DD.neardup_query_index(
+        spark,
+        idx,
+        d.filter(F.col("source") == "src0"),
+        threshold=0.2,
+        max_band_freq=None,
+    ).orderBy("doc_id")
+
+
 def q130_tree_ensemble_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GBDT-style quality classifier inference (functions/text.py
     tree_score_expr): six depth-2 trees over INTEGER-exact document
@@ -2730,6 +2780,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q128_repetition_metrics": q128_repetition_metrics,
     "q129_binary_topk": q129_binary_topk,
     "q130_tree_ensemble_scores": q130_tree_ensemble_scores,
+    "q131_retracted_probe": q131_retracted_probe,
 }
 
 
@@ -4457,6 +4508,61 @@ def pipeline_oracles() -> dict[str, str]:
                {TX.tree_score_sql()} AS margin,
                ({TX.tree_score_sql()} > CAST(0.0 AS DOUBLE)) AS keep
         FROM documents ORDER BY doc_id
+    """
+    # q131: ground truth the hard way — the full incremental-dedup SQL
+    # over (batch ∪ corpus-minus-retracted), UNCAPPED (tombstoned
+    # probes run max_band_freq=None). A hash match proves the
+    # tombstone anti-join equals physical deletion.
+    sh131, mh131 = TX.shingles_sql(), TX.minhash_sql()
+    oracles["q131_retracted_probe"] = f"""
+        WITH docs AS (
+            SELECT * FROM documents
+            WHERE source = 'src0'
+               OR NOT (doc_id % {RETRACT_MOD} = {RETRACT_REM})
+        ),
+        sigs AS (SELECT doc_id, {mh131} AS mh, {sh131} AS s FROM docs),
+        banded AS (
+            SELECT doc_id, b.range AS band,
+                   mh[b.range * 4 + 1 : b.range * 4 + 4] AS bsig, s
+            FROM sigs, range(0, 4) b
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM banded x JOIN banded y
+              ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM cand
+            JOIN sigs a ON id_a = a.doc_id JOIN sigs b ON id_b = b.doc_id
+            WHERE len(list_intersect(a.s, b.s)) * 1.0
+                      / len(list_distinct(a.s || b.s)) >= 0.2
+        ),
+        flags AS (SELECT doc_id, source = 'src0' AS is_batch FROM docs),
+        corp_dig AS (SELECT DISTINCT md5(text) AS digest FROM docs
+                     WHERE source <> 'src0'),
+        ex AS (
+            SELECT DISTINCT d.doc_id FROM docs d
+            JOIN corp_dig c ON md5(d.text) = c.digest
+            WHERE d.source = 'src0'
+        ),
+        near AS (
+            SELECT p.id_a AS doc_id FROM pairs p
+            JOIN flags a ON p.id_a = a.doc_id JOIN flags b ON p.id_b = b.doc_id
+            WHERE a.is_batch AND NOT b.is_batch
+            UNION
+            SELECT p.id_b FROM pairs p
+            JOIN flags a ON p.id_a = a.doc_id JOIN flags b ON p.id_b = b.doc_id
+            WHERE b.is_batch AND NOT a.is_batch
+        )
+        SELECT d.doc_id,
+               CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                    WHEN n.doc_id IS NOT NULL THEN 'near'
+                    ELSE 'novel' END AS verdict
+        FROM docs d
+        LEFT JOIN ex e ON d.doc_id = e.doc_id
+        LEFT JOIN near n ON d.doc_id = n.doc_id
+        WHERE d.source = 'src0'
+        ORDER BY d.doc_id
     """
     return oracles
 

@@ -1162,6 +1162,71 @@ def test_extend_neardup_index_equals_fresh_build(spark, tmp_path):
     assert got_pairs == want_pairs
 
 
+def test_retract_and_compact_neardup_index(spark, tmp_path):
+    """The delete half of the lifecycle: retract → probe/pairs equal a
+    fresh index built WITHOUT the retracted docs (tombstone anti-join);
+    the capped path refuses until compaction; compact → physical
+    tables match the fresh build, tombstones gone, capped path back,
+    and a second compact is a no-op."""
+    import os
+
+    from spark_nnd_spark.operators.dedup import (
+        build_neardup_index,
+        compact_neardup_index,
+        neardup_pairs_index,
+        neardup_query_index,
+        retract_from_neardup_index,
+    )
+    from spark_nnd_spark.sources import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    corpus = d.filter(F.col("doc_id") % 3 != 2)
+    probe = d.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text")
+    gone = corpus.filter(F.col("doc_id") % 5 == 0)
+
+    idx = str(tmp_path / "idx")
+    build_neardup_index(corpus, idx)
+    retract_from_neardup_index(spark, idx, gone.select("doc_id"))
+    fresh = str(tmp_path / "fresh")
+    build_neardup_index(corpus.filter(F.col("doc_id") % 5 != 0), fresh)
+
+    def verdicts(path, cap=None):
+        return sorted(
+            tuple(r)
+            for r in neardup_query_index(
+                spark, path, probe, max_band_freq=cap
+            ).collect()
+        )
+
+    def pairs(path, cap=None):
+        return sorted(
+            (r["id_a"], r["id_b"])
+            for r in neardup_pairs_index(spark, path, max_band_freq=cap).collect()
+        )
+
+    assert verdicts(idx) == verdicts(fresh) and len(verdicts(idx)) > 0
+    assert pairs(idx) == pairs(fresh)
+    with pytest.raises(ValueError, match="tombstones"):
+        neardup_query_index(spark, idx, probe, max_band_freq=2)
+    with pytest.raises(ValueError, match="tombstones"):
+        neardup_pairs_index(spark, idx, max_band_freq=2)
+
+    # retract is idempotent under retry (duplicate tombstones harmless)
+    retract_from_neardup_index(spark, idx, gone.select("doc_id"))
+    assert verdicts(idx) == verdicts(fresh)
+
+    compact_neardup_index(spark, idx)
+    assert not os.path.isdir(f"{idx}/tombstones")
+    for tbl in ("digests", "bands", "shingles", "band_stats"):
+        got = sorted(map(tuple, spark.read.parquet(f"{idx}/{tbl}").collect()))
+        want = sorted(map(tuple, spark.read.parquet(f"{fresh}/{tbl}").collect()))
+        assert got == want, f"{tbl} differs after compact"
+    for cap in (None, 2):
+        assert verdicts(idx, cap) == verdicts(fresh, cap)
+    compact_neardup_index(spark, idx)  # no-op on a clean index
+    assert verdicts(idx) == verdicts(fresh)
+
+
 def test_jaccard_pairs_index_equals_inline(spark, tmp_path):
     """Jaccard pairs from the stored shingle sidecar must equal the
     tokenize-inline path (the sidecar stores exactly shingles_expr's
