@@ -96,6 +96,10 @@ HEADLINE = [
     "q125_unpivot_measures",
     "q126_hist_quantiles",
     "q127_ivfpq_topk",
+    "q128_repetition_metrics",
+    "q129_binary_topk",
+    "q130_tree_ensemble_scores",
+    "q131_retracted_probe",
 ]
 
 
@@ -162,6 +166,7 @@ def main() -> None:
         ("build_text_index", _plq._text_index_for),  # noqa: SLF001
         ("build_mrl_index", _plq._mrl_index_for),  # noqa: SLF001
         ("build_ivfpq_index", _knq._ivfpq_index_for),  # noqa: SLF001
+        ("build_retracted_index", _plq._retracted_index_for),  # noqa: SLF001
     ]:
         t0 = time.perf_counter()
         try:

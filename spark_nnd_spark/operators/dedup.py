@@ -1165,6 +1165,29 @@ def extend_neardup_index(
     meta = spark.read.parquet(f"{path}/meta").first()
     num_hashes, bands, n = meta["num_hashes"], meta["bands"], meta["n"]
     rows_per_band = num_hashes // bands
+    # Re-admission is an UPSERT: a doc retracted earlier and now
+    # extended back in (possibly with new content) must become visible
+    # with ONLY the new rows — its old physical rows are purged first
+    # (the compact rewrite, targeted at just the overlapping ids) and
+    # its tombstones dropped. Rare path: it triggers only when the
+    # batch intersects the tombstone log; plain extensions stay pure
+    # appends. Idempotent under retry: the purge anti-join no-ops on
+    # ids already gone, the appends are the same batch.
+    tomb = _tombstones(spark, path, "doc_id")
+    if tomb is not None:
+        import shutil
+
+        new_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
+        readmitted = tomb.join(F.broadcast(new_ids), "doc_id", "left_semi")
+        if not readmitted.isEmpty():
+            _rewrite_minus(spark, path, readmitted)
+            remaining = tomb.join(
+                F.broadcast(new_ids), "doc_id", "left_anti"
+            ).localCheckpoint(eager=True)
+            if remaining.isEmpty():
+                shutil.rmtree(f"{path}/tombstones")
+            else:
+                remaining.write.mode("overwrite").parquet(f"{path}/tombstones")
     new_docs.select(
         F.col(id_col), F.md5(text_col).alias("digest")
     ).write.mode("append").parquet(f"{path}/digests")
@@ -1239,12 +1262,26 @@ def compact_neardup_index(spark, path: str) -> None:
     tomb = _tombstones(spark, path, "doc_id")
     if tomb is None:
         return
-    tomb = tomb.localCheckpoint(eager=True)  # survives its own dir's removal
+    _rewrite_minus(spark, path, tomb)
+    spark.read.parquet(f"{path}/bands").groupBy("band", "band_sig").agg(
+        F.count("*").alias("cnt")
+    ).write.mode("overwrite").parquet(f"{path}/band_stats")
+    shutil.rmtree(f"{path}/tombstones")
+
+
+def _rewrite_minus(spark, path: str, ids: DataFrame) -> None:
+    """Rewrite digests/bands/shingles without the given doc ids (an
+    ``ids`` DataFrame with a ``doc_id`` column) — the physical-delete
+    kernel shared by compact_neardup_index (all tombstones) and the
+    re-admission upsert in extend_neardup_index (just the overlap).
+    Each rewrite is an idempotent anti-join; the eager localCheckpoints
+    detach the ids and each table from the files being overwritten."""
+    ids = ids.localCheckpoint(eager=True)  # survives any dir's rewrite
     for tbl, part in (("digests", None), ("bands", "band"), ("shingles", None)):
         cur = spark.read.parquet(f"{path}/{tbl}")
         tbl_id = [c for c in cur.columns if c not in ("band", "band_sig", "digest", "sh")][0]
         kept = cur.join(
-            F.broadcast(tomb.select(F.col("doc_id").alias(tbl_id))),
+            F.broadcast(ids.select(F.col("doc_id").alias(tbl_id))),
             tbl_id,
             "left_anti",
         ).localCheckpoint(eager=True)
@@ -1252,10 +1289,6 @@ def compact_neardup_index(spark, path: str) -> None:
         if part is not None:
             writer = writer.partitionBy(part)
         writer.parquet(f"{path}/{tbl}")
-    spark.read.parquet(f"{path}/bands").groupBy("band", "band_sig").agg(
-        F.count("*").alias("cnt")
-    ).write.mode("overwrite").parquet(f"{path}/band_stats")
-    shutil.rmtree(f"{path}/tombstones")
 
 
 def neardup_pairs_index(

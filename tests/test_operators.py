@@ -1227,6 +1227,85 @@ def test_retract_and_compact_neardup_index(spark, tmp_path):
     assert verdicts(idx) == verdicts(fresh)
 
 
+def test_readmission_after_retract_is_upsert(spark, tmp_path):
+    """Extending an index with ids that are tombstoned must UPSERT:
+    old physical rows purged, tombstones cleared, only the new content
+    visible — equal to a fresh build over the final corpus state, even
+    when the re-admitted text CHANGED (the stale-shingle hazard)."""
+    import os
+
+    from spark_nnd_spark.operators.dedup import (
+        build_neardup_index,
+        extend_neardup_index,
+        neardup_pairs_index,
+        neardup_query_index,
+        retract_from_neardup_index,
+    )
+    from spark_nnd_spark.sources import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    corpus = d.filter(F.col("doc_id") % 3 != 2).select("doc_id", "text")
+    probe = d.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text")
+    victim_ids = corpus.filter(F.col("doc_id") % 5 == 0)
+
+    idx = str(tmp_path / "idx")
+    build_neardup_index(corpus, idx)
+    retract_from_neardup_index(spark, idx, victim_ids.select("doc_id"))
+    # re-admit the same ids with CHANGED content (text reversed at the
+    # token level — same tokens, different order => different shingles)
+    changed = victim_ids.select(
+        "doc_id",
+        F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"),
+    )
+    extend_neardup_index(spark, idx, changed)
+    assert not os.path.isdir(f"{idx}/tombstones")  # all cleared
+
+    final_corpus = corpus.filter(F.col("doc_id") % 5 != 0).unionByName(changed)
+    fresh = str(tmp_path / "fresh")
+    build_neardup_index(final_corpus, fresh)
+
+    for cap in (None, 2):  # tombstones gone => capped path valid again
+        got = sorted(
+            tuple(r)
+            for r in neardup_query_index(
+                spark, idx, probe, max_band_freq=cap
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in neardup_query_index(
+                spark, fresh, probe, max_band_freq=cap
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+    got_pairs = sorted(
+        (r["id_a"], r["id_b"]) for r in neardup_pairs_index(spark, idx).collect()
+    )
+    want_pairs = sorted(
+        (r["id_a"], r["id_b"]) for r in neardup_pairs_index(spark, fresh).collect()
+    )
+    assert got_pairs == want_pairs
+
+    # partial overlap: retract two sets, re-admit only one — the other
+    # stays tombstoned (log rewritten, not dropped)
+    retract_from_neardup_index(
+        spark, idx, final_corpus.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    )
+    retract_from_neardup_index(
+        spark, idx, final_corpus.filter(F.col("doc_id") % 5 == 1).select("doc_id")
+    )
+    extend_neardup_index(
+        spark, idx, final_corpus.filter(F.col("doc_id") % 5 == 0)
+    )
+    assert os.path.isdir(f"{idx}/tombstones")
+    left = {r["doc_id"] for r in spark.read.parquet(f"{idx}/tombstones").collect()}
+    want_left = {
+        r["doc_id"]
+        for r in final_corpus.filter(F.col("doc_id") % 5 == 1).collect()
+    }
+    assert left == want_left
+
+
 def test_jaccard_pairs_index_equals_inline(spark, tmp_path):
     """Jaccard pairs from the stored shingle sidecar must equal the
     tokenize-inline path (the sidecar stores exactly shingles_expr's
