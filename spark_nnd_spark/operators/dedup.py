@@ -1173,21 +1173,11 @@ def extend_neardup_index(
     # batch intersects the tombstone log; plain extensions stay pure
     # appends. Idempotent under retry: the purge anti-join no-ops on
     # ids already gone, the appends are the same batch.
-    tomb = _tombstones(spark, path, "doc_id")
-    if tomb is not None:
-        import shutil
+    from spark_nnd_spark.operators import index_lifecycle as IL
 
-        new_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
-        readmitted = tomb.join(F.broadcast(new_ids), "doc_id", "left_semi")
-        if not readmitted.isEmpty():
-            _rewrite_minus(spark, path, readmitted)
-            remaining = tomb.join(
-                F.broadcast(new_ids), "doc_id", "left_anti"
-            ).localCheckpoint(eager=True)
-            if remaining.isEmpty():
-                shutil.rmtree(f"{path}/tombstones")
-            else:
-                remaining.write.mode("overwrite").parquet(f"{path}/tombstones")
+    IL.settle_readmission(
+        spark, path, new_docs.select(id_col), _neardup_tables(spark, path)
+    )
     new_docs.select(
         F.col(id_col), F.md5(text_col).alias("digest")
     ).write.mode("append").parquet(f"{path}/digests")
@@ -1207,20 +1197,15 @@ def extend_neardup_index(
 
 
 def _tombstones(spark, path: str, id_col: str) -> DataFrame | None:
-    """Retracted doc ids, or None when the index has no tombstones
-    table. Existence is a local-filesystem check (the repo's indexes
-    are local dirs); an HDFS/S3 deployment swaps in FileSystem.exists
-    — the read path is engine-identical either way."""
-    import os
+    """Retracted doc ids as (id_col), or None when the index has no
+    tombstone log (operators/index_lifecycle.py — the kernel shared
+    by every persisted index family)."""
+    from spark_nnd_spark.operators import index_lifecycle as IL
 
-    tdir = f"{path}/tombstones"
-    if not os.path.isdir(tdir):
+    tomb = IL.read_tombstones(spark, path)
+    if tomb is None:
         return None
-    return (
-        spark.read.parquet(tdir)
-        .select(F.col("doc_id").alias(id_col))
-        .distinct()
-    )
+    return tomb.select(F.col("id").alias(id_col))
 
 
 def retract_from_neardup_index(spark, path: str, ids: DataFrame) -> None:
@@ -1237,9 +1222,9 @@ def retract_from_neardup_index(spark, path: str, ids: DataFrame) -> None:
     unavailable until ``compact_neardup_index`` folds the log into the
     physical tables (band_stats cannot subtract retracted members).
     """
-    ids.select(F.col(ids.columns[0]).alias("doc_id")).distinct().write.mode(
-        "append"
-    ).parquet(f"{path}/tombstones")
+    from spark_nnd_spark.operators import index_lifecycle as IL
+
+    IL.append_tombstones(spark, path, ids)
 
 
 def compact_neardup_index(spark, path: str) -> None:
@@ -1257,38 +1242,25 @@ def compact_neardup_index(spark, path: str) -> None:
     eager localCheckpoint detaches each rewrite from the files it
     overwrites; a 100 TB deployment would write a new versioned dir
     and swap, trading the checkpoint for a rename."""
-    import shutil
+    from spark_nnd_spark.operators import index_lifecycle as IL
 
-    tomb = _tombstones(spark, path, "doc_id")
-    if tomb is None:
+    if not IL.compact(spark, path, _neardup_tables(spark, path)):
         return
-    _rewrite_minus(spark, path, tomb)
     spark.read.parquet(f"{path}/bands").groupBy("band", "band_sig").agg(
         F.count("*").alias("cnt")
     ).write.mode("overwrite").parquet(f"{path}/band_stats")
-    shutil.rmtree(f"{path}/tombstones")
 
 
-def _rewrite_minus(spark, path: str, ids: DataFrame) -> None:
-    """Rewrite digests/bands/shingles without the given doc ids (an
-    ``ids`` DataFrame with a ``doc_id`` column) — the physical-delete
-    kernel shared by compact_neardup_index (all tombstones) and the
-    re-admission upsert in extend_neardup_index (just the overlap).
-    Each rewrite is an idempotent anti-join; the eager localCheckpoints
-    detach the ids and each table from the files being overwritten."""
-    ids = ids.localCheckpoint(eager=True)  # survives any dir's rewrite
+def _neardup_tables(spark, path: str):
+    """The family's physical tables for the shared lifecycle kernel —
+    id column detected from each table (the build stamps the caller's
+    id_col into the data)."""
+    specs = []
     for tbl, part in (("digests", None), ("bands", "band"), ("shingles", None)):
-        cur = spark.read.parquet(f"{path}/{tbl}")
-        tbl_id = [c for c in cur.columns if c not in ("band", "band_sig", "digest", "sh")][0]
-        kept = cur.join(
-            F.broadcast(ids.select(F.col("doc_id").alias(tbl_id))),
-            tbl_id,
-            "left_anti",
-        ).localCheckpoint(eager=True)
-        writer = kept.write.mode("overwrite")
-        if part is not None:
-            writer = writer.partitionBy(part)
-        writer.parquet(f"{path}/{tbl}")
+        cols = spark.read.parquet(f"{path}/{tbl}").columns
+        tbl_id = [c for c in cols if c not in ("band", "band_sig", "digest", "sh")][0]
+        specs.append((tbl, tbl_id, part))
+    return specs
 
 
 def neardup_pairs_index(

@@ -102,8 +102,46 @@ def extend_text_index(
     meta to pin — probe and build use the same TX expressions by
     construction.
     """
+    from spark_nnd_spark.operators import index_lifecycle as IL
+
+    IL.settle_readmission(
+        spark, path, new_docs.select(id_col), _text_tables(spark, path)
+    )
     _write_postings(new_docs, path, text_col, id_col, mode="append")
     _rebuild_stats(spark, path)
+
+
+def _text_tables(spark: SparkSession, path: str):
+    """Physical tables for the shared lifecycle kernel — the id column
+    is whatever the build stamped into doclens; postings rewrites pin
+    the token-sorted layout reads depend on for row-group pruning."""
+    id_col = [c for c in spark.read.parquet(f"{path}/doclens").columns if c != "dl"][0]
+    return [
+        ("postings", id_col, None, ("token", ["token"])),
+        ("doclens", id_col, None),
+    ]
+
+
+def retract_from_text_index(spark: SparkSession, path: str, ids: DataFrame) -> None:
+    """Tombstone-retract docs from the BM25 index — the delete half of
+    the lifecycle (operators/index_lifecycle.py): O(retracted) append,
+    probes anti-join the log AND recompute n_docs/avgdl live from the
+    surviving doclens (BM25's idf/length normalization are corpus-level,
+    so retraction must reach them too — the tombstone tax is one
+    O(docs) two-column scan per probe until compaction)."""
+    from spark_nnd_spark.operators import index_lifecycle as IL
+
+    IL.append_tombstones(spark, path, ids)
+
+
+def compact_text_index(spark: SparkSession, path: str) -> None:
+    """Fold the tombstone log into postings/doclens (the postings
+    rewrite preserves token-sorting) and rebuild the stored stats;
+    probes then return to the stored-stats fast path."""
+    from spark_nnd_spark.operators import index_lifecycle as IL
+
+    if IL.compact(spark, path, _text_tables(spark, path)):
+        _rebuild_stats(spark, path)
 
 
 def bm25_query_index(
@@ -122,13 +160,35 @@ def bm25_query_index(
     O(postings of the query terms), never the corpus. df and the
     scoring re-aggregate both read one materialized cut of those
     postings (the q68 checkpoint convention)."""
-    posts = spark.read.parquet(f"{path}/postings").filter(
-        F.col("token").isin(list(terms))
+    from spark_nnd_spark.operators import index_lifecycle as IL
+
+    tomb = IL.read_tombstones(spark, path)
+    posts = IL.anti_tombstones(
+        spark.read.parquet(f"{path}/postings").filter(
+            F.col("token").isin(list(terms))
+        ),
+        tomb,
+        id_col,
     )
     # materialized once: feeds the df aggregate AND the scoring reagg
     tf = posts.localCheckpoint(eager=True)
     df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
-    stats = spark.read.parquet(f"{path}/stats")
+    if tomb is None:
+        stats = spark.read.parquet(f"{path}/stats")
+    else:
+        # BM25's idf and length normalization depend on corpus-level
+        # n_docs/avgdl, so retraction must adjust them too: compute
+        # LIVE from the anti-joined doclens (an O(docs) two-column
+        # scan — the tombstone tax until compact folds the log in).
+        # Doc lengths are integer-valued doubles, so the sum is exact
+        # in float64 and the average is deterministic — the stored
+        # and live stats agree bit-for-bit for the same doc set.
+        stats = IL.anti_tombstones(
+            spark.read.parquet(f"{path}/doclens"), tomb, id_col
+        ).agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )

@@ -958,10 +958,35 @@ def ann_ivf_query_index(
     centroids are a tiny driver read; the assignment scan is pruned to
     the probed cells' partitions. Same result as the inline ann_ivf_topk
     over the same centroids (asserted in tests)."""
+    from spark_nnd_spark.operators import index_lifecycle as IL
+
     crows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     cents = np.array([r["centroid"] for r in crows], dtype=np.float64)
-    c_assigned = spark.read.parquet(f"{path}/assignments")
+    c_assigned = IL.anti_tombstones(
+        spark.read.parquet(f"{path}/assignments"),
+        IL.read_tombstones(spark, path),
+        "nb_id",
+    )
     return _ivf_probe_topk(c_assigned, queries, cents, k, n_probe, id_col, vec_col)
+
+
+IVF_TABLES = [("assignments", "nb_id", "cell")]
+
+
+def retract_from_ivf_index(spark: SparkSession, path: str, ids: DataFrame) -> None:
+    """Tombstone-retract vectors from the IVF index (shared lifecycle
+    kernel, operators/index_lifecycle.py). Centroids are untouched —
+    they are the quantizer, not membership; retraction only removes
+    rows from the probed cells."""
+    from spark_nnd_spark.operators import index_lifecycle as IL
+
+    IL.append_tombstones(spark, path, ids)
+
+
+def compact_ivf_index(spark: SparkSession, path: str) -> None:
+    from spark_nnd_spark.operators import index_lifecycle as IL
+
+    IL.compact(spark, path, IVF_TABLES)
 
 
 def extend_ivf_index(
@@ -982,8 +1007,11 @@ def extend_ivf_index(
     de-optimizes cell balance, and the remedy is a periodic REBUILD
     (re-train + reassign), not per-batch retraining — the standard
     IVF operating practice."""
+    from spark_nnd_spark.operators import index_lifecycle as IL
+
     crows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     cents = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    IL.settle_readmission(spark, path, new_vectors.select(id_col), IVF_TABLES)
     _ivf_assign(new_vectors, cents, id_col, vec_col).write.mode(
         "append"
     ).partitionBy("cell").parquet(f"{path}/assignments")
@@ -1187,6 +1215,24 @@ def _read_codebooks(spark: SparkSession, path: str) -> np.ndarray:
     return cb
 
 
+IVFPQ_TABLES = [("codes", "nb_id", "cell"), ("full", "nb_id", None)]
+
+
+def retract_from_ivfpq_index(spark: SparkSession, path: str, ids: DataFrame) -> None:
+    """Tombstone-retract vectors from the IVF-PQ index (shared
+    lifecycle kernel). Centroids/codebooks are the quantizer, not
+    membership — untouched."""
+    from spark_nnd_spark.operators import index_lifecycle as IL
+
+    IL.append_tombstones(spark, path, ids)
+
+
+def compact_ivfpq_index(spark: SparkSession, path: str) -> None:
+    from spark_nnd_spark.operators import index_lifecycle as IL
+
+    IL.compact(spark, path, IVFPQ_TABLES)
+
+
 def extend_ivfpq_index(
     spark: SparkSession,
     path: str,
@@ -1202,9 +1248,12 @@ def extend_ivfpq_index(
     rerank store. One narrow assign+encode pass, plain parquet
     appends, no shuffle; periodic full rebuilds handle centroid/
     codebook drift, as with extend_ivf_index."""
+    from spark_nnd_spark.operators import index_lifecycle as IL
+
     crows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     cents = np.array([r["centroid"] for r in crows], dtype=np.float64)
     cb = _read_codebooks(spark, path)
+    IL.settle_readmission(spark, path, new_vectors.select(id_col), IVFPQ_TABLES)
     assigned = _ivf_assign(new_vectors, cents, id_col, vec_col)
     pq_encode(
         assigned, cb, id_col="nb_id", vec_col="c_vec", keep=["cell"]
@@ -1235,8 +1284,14 @@ def ivfpq_query_index(
     centroids/codebooks (asserted in tests)."""
     crows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     cents = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    from spark_nnd_spark.operators import index_lifecycle as IL
+
     cb = _read_codebooks(spark, path)
-    enc = spark.read.parquet(f"{path}/codes")
+    # tombstones are filtered at the CODE scan; the full-vector rerank
+    # store is shortlist-gated, so a retracted id can never reach it
+    enc = IL.anti_tombstones(
+        spark.read.parquet(f"{path}/codes"), IL.read_tombstones(spark, path), "nb_id"
+    )
     c_feats = spark.read.parquet(f"{path}/full")
     return _ivfpq_probe(
         enc, queries, cents, cb, c_feats, k, n_probe, shortlist,
@@ -1438,9 +1493,12 @@ def extend_mrl_index(
     the base build (the meta-pinning convention; here the data IS the
     meta). Appends are plain parquet appends — new files only, one
     narrow pass, no shuffle."""
+    from spark_nnd_spark.operators import index_lifecycle as IL
+
     prefix_dims = len(
         spark.read.parquet(f"{path}/prefix").select("c_pre").first()["c_pre"]
     )
+    IL.settle_readmission(spark, path, new_vectors.select(id_col), MRL_TABLES)
     c = new_vectors.select(
         F.col(id_col).alias("nb_id"), _as_double(vec_col).alias("c_vec")
     )
@@ -1448,6 +1506,27 @@ def extend_mrl_index(
         "nb_id", F.slice("c_vec", 1, prefix_dims).alias("c_pre")
     ).write.mode("append").parquet(f"{path}/prefix")
     c.write.mode("append").parquet(f"{path}/full")
+
+
+MRL_TABLES = [("prefix", "nb_id", None), ("full", "nb_id", None)]
+
+
+def retract_from_mrl_index(spark: SparkSession, path: str, ids: DataFrame) -> None:
+    """Tombstone-retract vectors from the MRL index — the delete half
+    of the lifecycle (operators/index_lifecycle.py): O(retracted)
+    append, the coarse scan anti-joins the log, re-admission via
+    extend_mrl_index is an upsert, compact folds the log in."""
+    from spark_nnd_spark.operators import index_lifecycle as IL
+
+    IL.append_tombstones(spark, path, ids)
+
+
+def compact_mrl_index(spark: SparkSession, path: str) -> None:
+    """Fold the tombstone log into prefix/full (idempotent anti-join
+    rewrites; no derived stats in this family)."""
+    from spark_nnd_spark.operators import index_lifecycle as IL
+
+    IL.compact(spark, path, MRL_TABLES)
 
 
 def mrl_query_index(
@@ -1466,8 +1545,12 @@ def mrl_query_index(
     full vectors for the bounded candidate set via a broadcast probe.
     Row-identical to the inline ``mrl_two_stage_topk`` over the same
     corpus when the sidecar's prefix_dims match (asserted in tests)."""
+    from spark_nnd_spark.operators import index_lifecycle as IL
+
     query_id_col = query_id_col or id_col
-    pre = spark.read.parquet(f"{path}/prefix")
+    pre = IL.anti_tombstones(
+        spark.read.parquet(f"{path}/prefix"), IL.read_tombstones(spark, path), "nb_id"
+    )
     prefix_dims = len(pre.select("c_pre").first()["c_pre"])
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("q_vec")

@@ -1298,7 +1298,7 @@ def test_readmission_after_retract_is_upsert(spark, tmp_path):
         spark, idx, final_corpus.filter(F.col("doc_id") % 5 == 0)
     )
     assert os.path.isdir(f"{idx}/tombstones")
-    left = {r["doc_id"] for r in spark.read.parquet(f"{idx}/tombstones").collect()}
+    left = {r["id"] for r in spark.read.parquet(f"{idx}/tombstones").collect()}
     want_left = {
         r["doc_id"]
         for r in final_corpus.filter(F.col("doc_id") % 5 == 1).collect()
@@ -1823,6 +1823,198 @@ def test_extend_text_index_equals_fresh_build(spark, tmp_path):
     f_ = spark.read.parquet(f"{fresh}/stats").first()
     assert g["n_docs"] == f_["n_docs"]
     assert abs(g["avgdl"] - f_["avgdl"]) < 1e-12
+
+
+def test_retract_compact_text_index(spark, tmp_path):
+    """BM25 retraction must reach the corpus stats, not just the
+    postings: tombstoned probes recompute n_docs/avgdl live and score
+    exactly like a fresh build without the docs; compaction restores
+    the stored-stats path; re-admission with CHANGED text is an
+    upsert (old postings purged)."""
+    import os
+
+    from spark_nnd_spark.operators.retrieval import (
+        bm25_query_index,
+        build_text_index,
+        compact_text_index,
+        extend_text_index,
+        retract_from_text_index,
+    )
+    from spark_nnd_spark.sources import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    victims = d.filter(F.col("doc_id") % 5 == 0)
+
+    idx = str(tmp_path / "idx")
+    build_text_index(d, idx)
+    retract_from_text_index(spark, idx, victims.select("doc_id"))
+    fresh = str(tmp_path / "fresh")
+    build_text_index(d.filter(F.col("doc_id") % 5 != 0), fresh)
+
+    def scores(path, terms):
+        return sorted(
+            (r["doc_id"], r["n_terms"], round(r["score"], 9))
+            for r in bm25_query_index(spark, path, terms).collect()
+        )
+
+    for terms in (["the", "data"], ["spark", "table", "value"]):
+        assert scores(idx, terms) == scores(fresh, terms)
+        assert len(scores(idx, terms)) > 0
+
+    compact_text_index(spark, idx)
+    assert not os.path.isdir(f"{idx}/tombstones")
+    for terms in (["the", "data"],):
+        assert scores(idx, terms) == scores(fresh, terms)
+    g = spark.read.parquet(f"{idx}/stats").first()
+    f_ = spark.read.parquet(f"{fresh}/stats").first()
+    assert g["n_docs"] == f_["n_docs"] and abs(g["avgdl"] - f_["avgdl"]) < 1e-12
+
+    # re-admission upsert with changed text
+    retract_from_text_index(spark, idx, victims.select("doc_id"))
+    changed = victims.select(
+        "doc_id", F.array_join(F.reverse(F.split("text", " ")), " ").alias("text")
+    )
+    extend_text_index(spark, idx, changed)
+    assert not os.path.isdir(f"{idx}/tombstones")
+    final = d.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text").unionByName(
+        changed
+    )
+    fresh2 = str(tmp_path / "fresh2")
+    build_text_index(final, fresh2)
+    for terms in (["the", "data"], ["spark", "table", "value"]):
+        assert scores(idx, terms) == scores(fresh2, terms)
+
+
+def test_retract_compact_mrl_index(spark, tmp_path):
+    """MRL retraction: tombstoned coarse scan == fresh build without
+    the vectors; compact folds the log; re-admission with CHANGED
+    vectors is an upsert."""
+    import os
+
+    from spark_nnd_spark.operators.similarity import (
+        build_mrl_index,
+        compact_mrl_index,
+        extend_mrl_index,
+        mrl_query_index,
+        retract_from_mrl_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    victims = emb.filter(F.col("vec_id") % 5 == 2)
+
+    idx = str(tmp_path / "idx")
+    build_mrl_index(emb, idx)
+    retract_from_mrl_index(spark, idx, victims.select("vec_id"))
+    fresh = str(tmp_path / "fresh")
+    build_mrl_index(emb.filter(F.col("vec_id") % 5 != 2), fresh)
+
+    def res(path):
+        return sorted(
+            (r["query_id"], r["nb_id"], r["rank"], round(r["cosine"], 9))
+            for r in mrl_query_index(spark, path, q).collect()
+        )
+
+    assert res(idx) == res(fresh) and len(res(idx)) > 0
+    compact_mrl_index(spark, idx)
+    assert not os.path.isdir(f"{idx}/tombstones")
+    assert res(idx) == res(fresh)
+
+    retract_from_mrl_index(spark, idx, victims.select("vec_id"))
+    changed = victims.select("vec_id", F.reverse("embedding").alias("embedding"))
+    extend_mrl_index(spark, idx, changed)
+    assert not os.path.isdir(f"{idx}/tombstones")
+    fresh2 = str(tmp_path / "fresh2")
+    build_mrl_index(
+        emb.filter(F.col("vec_id") % 5 != 2)
+        .select("vec_id", "embedding")
+        .unionByName(changed),
+        fresh2,
+    )
+    assert res(idx) == res(fresh2)
+
+
+def test_retract_compact_ivf_and_ivfpq_index(spark, tmp_path):
+    """IVF / IVF-PQ retraction: tombstoned cell scans == fresh builds
+    without the vectors (same FIXED centroids/codebooks both sides —
+    the quantizer is not membership); compact folds the log;
+    re-admission with CHANGED vectors is an upsert."""
+    import os
+
+    from spark_nnd_spark.operators.similarity import (
+        ann_ivf_query_index,
+        build_ivf_index,
+        build_ivfpq_index,
+        compact_ivf_index,
+        compact_ivfpq_index,
+        extend_ivf_index,
+        extend_ivfpq_index,
+        fixed_centroids,
+        ivfpq_query_index,
+        pq_codebooks,
+        retract_from_ivf_index,
+        retract_from_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    victims = emb.filter(F.col("vec_id") % 5 == 2)
+    remain = emb.filter(F.col("vec_id") % 5 != 2)
+    cents = fixed_centroids(64, 16, 42)
+    cb = pq_codebooks(64, 8, 16, 42)
+
+    ivf, ivf_fresh = str(tmp_path / "ivf"), str(tmp_path / "ivf_fresh")
+    build_ivf_index(emb, ivf, centroids=cents)
+    retract_from_ivf_index(spark, ivf, victims.select("vec_id"))
+    build_ivf_index(remain, ivf_fresh, centroids=cents)
+
+    def ivf_res(path):
+        return sorted(
+            (r["query_id"], r["nb_id"], r["rank"])
+            for r in ann_ivf_query_index(spark, path, q).collect()
+        )
+
+    assert ivf_res(ivf) == ivf_res(ivf_fresh) and len(ivf_res(ivf)) > 0
+    compact_ivf_index(spark, ivf)
+    assert not os.path.isdir(f"{ivf}/tombstones")
+    assert ivf_res(ivf) == ivf_res(ivf_fresh)
+    # upsert with changed vectors
+    retract_from_ivf_index(spark, ivf, victims.select("vec_id"))
+    changed = victims.select("vec_id", F.reverse("embedding").alias("embedding"))
+    extend_ivf_index(spark, ivf, changed)
+    assert not os.path.isdir(f"{ivf}/tombstones")
+    ivf_fresh2 = str(tmp_path / "ivf_fresh2")
+    build_ivf_index(
+        remain.select("vec_id", "embedding").unionByName(changed),
+        ivf_fresh2,
+        centroids=cents,
+    )
+    assert ivf_res(ivf) == ivf_res(ivf_fresh2)
+
+    pq, pq_fresh = str(tmp_path / "pq"), str(tmp_path / "pq_fresh")
+    build_ivfpq_index(emb, pq, centroids=cents, codebooks=cb)
+    retract_from_ivfpq_index(spark, pq, victims.select("vec_id"))
+    build_ivfpq_index(remain, pq_fresh, centroids=cents, codebooks=cb)
+
+    def pq_res(path):
+        return sorted(
+            (r["query_id"], r["nb_id"], r["rank"])
+            for r in ivfpq_query_index(spark, path, q).collect()
+        )
+
+    assert pq_res(pq) == pq_res(pq_fresh) and len(pq_res(pq)) > 0
+    compact_ivfpq_index(spark, pq)
+    assert not os.path.isdir(f"{pq}/tombstones")
+    assert pq_res(pq) == pq_res(pq_fresh)
+    extend_ivfpq_index(spark, pq, changed)  # plain extension (no tombstones)
+    pq_fresh2 = str(tmp_path / "pq_fresh2")
+    build_ivfpq_index(
+        remain.select("vec_id", "embedding").unionByName(changed),
+        pq_fresh2,
+        centroids=cents,
+        codebooks=cb,
+    )
+    assert pq_res(pq) == pq_res(pq_fresh2)
 
 
 def test_extend_mrl_index_equals_fresh_build(spark, tmp_path):
