@@ -733,6 +733,97 @@ def test_indexed_dedup_stream_admit_closes_ingest_loop(spark, tmp_path):
     assert polluted == {1001: "exact", 1002: "exact"}
 
 
+def test_indexed_dedup_stream_with_midstream_retraction(spark, tmp_path):
+    """Retraction composes with the streaming ingest loop: a doc
+    admitted by batch 0 and then RETRACTED must stop producing 'near'
+    verdicts (the tombstone anti-join reaches the streaming probe),
+    and a later batch re-ingesting the same doc_id with new content
+    upserts it — tombstone cleared, old rows purged, the new content
+    matchable again."""
+    import os
+
+    import pandas as pd
+
+    from spark_nnd_spark.operators.dedup import (
+        build_neardup_index,
+        neardup_query_index,
+        retract_from_neardup_index,
+    )
+    from spark_nnd_spark.streaming.streams import indexed_dedup_stream
+
+    base_words = [f"w{i:03d}" for i in range(40)]
+
+    def text(seed: int, edits: int = 0) -> str:
+        toks = [f"t{seed}_{w}" for w in base_words]
+        for e in range(edits):
+            toks[5 + 7 * e] = f"edit{seed}_{e}"
+        return " ".join(toks)
+
+    base = spark.createDataFrame(
+        [(i, text(i)) for i in range(10)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "ndidx")
+    build_neardup_index(base, idx)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out = str(tmp_path / "verdicts")
+    schema = "doc_id long, text string"
+
+    def push(i: int, rows) -> None:
+        p = src / f"chunk{i}.parquet"
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def run() -> dict[int, str]:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        indexed_dedup_stream(
+            stream, idx, out, checkpoint=str(tmp_path / "ckpt"), admit_novel=True
+        )
+        return {
+            r["doc_id"]: r["verdict"] for r in spark.read.parquet(out).collect()
+        }
+
+    push(0, [(1001, text(101))])
+    got = run()
+    assert got[1001] == "novel"  # admitted
+
+    retract_from_neardup_index(spark, idx, base.sparkSession.createDataFrame(
+        [(1001,)], "doc_id long"
+    ))
+
+    # near-dup of the retracted doc: 'near' without retraction, must
+    # now read 'novel'; an exact copy of an UNRETRACTED base doc still
+    # reads 'exact'
+    push(1, [(2001, text(101, edits=1)), (2002, text(3))])
+    got = run()
+    assert got[2001] == "novel" and got[2002] == "exact"
+
+    # re-ingest the retracted id with NEW content: novel -> admitted ->
+    # upsert (tombstone cleared, old rows purged)
+    push(2, [(1001, text(201))])
+    got = run()
+    assert got[1001] == "novel"
+    assert not os.path.isdir(f"{idx}/tombstones")
+    dig = spark.read.parquet(f"{idx}/digests")
+    rows_1001 = dig.filter(F.col("doc_id") == 1001).collect()
+    assert len(rows_1001) == 1  # old content purged, new appended once
+    # the re-admitted content is matchable again (exact copy — digest
+    # matching is banding-independent; a 1-edit near-dup of this
+    # particular text happens to miss all 4 LSH bands, the known
+    # per-fixture banding lottery)
+    probe = spark.createDataFrame([(3001, text(201))], schema)
+    final = {
+        r["doc_id"]: r["verdict"]
+        for r in neardup_query_index(spark, idx, probe).collect()
+    }
+    assert final == {3001: "exact"}
+
+
 def test_token_histogram_stream_matches_batch_cells(spark):
     """Drained histogram stream == batch fixed_histogram cell-for-cell
     (cells merge across micro-batches by addition — the sketch's
