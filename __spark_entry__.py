@@ -128,7 +128,10 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   index with RETRACTED docs (tombstone log anti-joined at read;
   oracle recomputes ground truth over corpus-minus-retracted, so the
   hash match proves tombstoning == physical deletion; compaction
-  folds the log in, compact==fresh-build tested)
+  folds the log in, compact==fresh-build tested), q132 embedding-space
+  label audit (cosine to own-label centroid z-scored within label —
+  the mislabel/noise curation signal; one materialized pass, O(labels)
+  stats broadcast back, |z|>2 flags ~5%)
   (queries/pipeline.py + queries/relational.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).

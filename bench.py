@@ -100,6 +100,7 @@ HEADLINE = [
     "q129_binary_topk",
     "q130_tree_ensemble_scores",
     "q131_retracted_probe",
+    "q132_embedding_outliers",
 ]
 
 

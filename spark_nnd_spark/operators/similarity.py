@@ -1385,6 +1385,62 @@ def label_centroids(
     )
 
 
+def embedding_outliers(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Mislabel/noise detection: each vector's cosine to its OWN
+    label's centroid, z-scored within the label — vectors far from
+    their prototype are the curation candidates (wrong label, junk
+    embedding, outlier content). The SemDeDup-adjacent audit every
+    labeled embedding store runs.
+
+    Plan shape: centroids come from the posexplode partial aggregate
+    (O(labels·dim) result, broadcast back); the per-vector cosine is
+    the same posexplode stream joined to that broadcast and collapsed
+    map-side to (id, 3 sums) — ONE exchange carrying three doubles
+    per vector; the per-label mean/std table is O(labels) and
+    broadcasts back. The corpus text/vectors are never wide-shuffled.
+    A label whose cosines are all identical (sigma 0) z-scores 0 by
+    definition. Returns (id, label, cosine, z, outlier)."""
+    cents = label_centroids(df, label_col, vec_col)
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double(vec_col)).alias("i", "x"),
+    )
+    per = (
+        ex.join(F.broadcast(cents.select("label", "i", "centroid")), ["label", "i"])
+        .groupBy("id", "label")
+        .agg(
+            F.sum(F.col("x") * F.col("centroid")).alias("dot"),
+            F.sum(F.col("x") * F.col("x")).alias("xx"),
+            F.sum(F.col("centroid") * F.col("centroid")).alias("cc"),
+        )
+    )
+    # materialized once: the per-label stats AND the final z join both
+    # read the scored stream (without the barrier the whole
+    # posexplode→join→agg pipeline executes twice — two corpus passes)
+    scored = per.select(
+        "id", "label", (F.col("dot") / F.sqrt(F.col("xx") * F.col("cc"))).alias("cosine")
+    ).localCheckpoint(eager=True)
+    stats = scored.groupBy("label").agg(
+        F.avg("cosine").alias("mu"), F.stddev_samp("cosine").alias("sigma")
+    )
+    z = F.when(
+        F.col("sigma") > 0, (F.col("cosine") - F.col("mu")) / F.col("sigma")
+    ).otherwise(F.lit(0.0))
+    return (
+        scored.join(F.broadcast(stats), "label")
+        .withColumn("z", z)
+        .withColumn("outlier", F.abs(F.col("z")) > F.lit(float(z_threshold)))
+        .select("id", "label", "cosine", "z", "outlier")
+    )
+
+
 def mrl_two_stage_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2343,6 +2343,32 @@ def q126_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OUTLIER_Z = 2.0
+
+
+def q132_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label audit (operators/similarity
+    .embedding_outliers): cosine of each vector to its OWN label
+    centroid, z-scored within the label — the mislabel/noise curation
+    signal for a labeled embedding store. Composes q44's centroid
+    aggregate: the posexplode stream feeds the O(labels·dim) centroid
+    broadcast AND collapses map-side to one (id, 3 sums) exchange;
+    stats are O(labels), broadcast back; nothing wide ever moves. A
+    zero-variance label z-scores 0 by definition (guarded on both
+    engines)."""
+    from spark_nnd_spark.functions.numeric import round_half_up_expr
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = SIM.embedding_outliers(e, z_threshold=OUTLIER_Z)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "label",
+        F.round("cosine", 6).alias("cosine"),
+        round_half_up_expr(F.col("z")).alias("z"),
+        "outlier",
+    ).orderBy("vec_id")
+
+
 # Retraction demo (q131): corpus docs with doc_id % RETRACT_MOD ==
 # RETRACT_REM are tombstoned out of a dedicated session-cached index
 # (never the shared q103 one — retraction mutates).
@@ -2781,6 +2807,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q129_binary_topk": q129_binary_topk,
     "q130_tree_ensemble_scores": q130_tree_ensemble_scores,
     "q131_retracted_probe": q131_retracted_probe,
+    "q132_embedding_outliers": q132_embedding_outliers,
 }
 
 
@@ -4563,6 +4590,47 @@ def pipeline_oracles() -> dict[str, str]:
         LEFT JOIN near n ON d.doc_id = n.doc_id
         WHERE d.source = 'src0'
         ORDER BY d.doc_id
+    """
+    # q132: replay centroid -> per-vector cosine -> per-label z. The
+    # 64-term sums land in different orders on the two engines (hash
+    # agg vs scan order) but round(6) absorbs the last-ulp noise — the
+    # q44/q84 precedent. sigma-0 labels z-score 0 on both sides.
+    oracles["q132_embedding_outliers"] = f"""
+        WITH dims AS (
+            SELECT unnest(range(0,
+                (SELECT len(embedding) FROM embeddings LIMIT 1))) AS i
+        ),
+        c AS (
+            SELECT label, i, avg(CAST(embedding[i + 1] AS DOUBLE)) AS centroid
+            FROM embeddings, dims GROUP BY label, i
+        ),
+        per AS (
+            SELECT e.vec_id, e.label,
+                   SUM(CAST(e.embedding[c.i + 1] AS DOUBLE) * c.centroid) AS dot,
+                   SUM(CAST(e.embedding[c.i + 1] AS DOUBLE)
+                       * CAST(e.embedding[c.i + 1] AS DOUBLE)) AS xx,
+                   SUM(c.centroid * c.centroid) AS cc
+            FROM embeddings e JOIN c ON e.label = c.label
+            GROUP BY e.vec_id, e.label
+        ),
+        scored AS (
+            SELECT vec_id, label, dot / sqrt(xx * cc) AS cosine FROM per
+        ),
+        stats AS (
+            SELECT label, AVG(cosine) AS mu, STDDEV_SAMP(cosine) AS sigma
+            FROM scored GROUP BY label
+        ),
+        final AS (
+            SELECT s.vec_id, s.label, s.cosine,
+                   CASE WHEN t.sigma > 0
+                        THEN (s.cosine - t.mu) / t.sigma
+                        ELSE 0.0 END AS zraw
+            FROM scored s JOIN stats t USING (label)
+        )
+        SELECT vec_id, label, round(cosine, 6) AS cosine,
+               {round_half_up_sql('zraw')} AS z,
+               (abs(zraw) > CAST({OUTLIER_Z} AS DOUBLE)) AS outlier
+        FROM final ORDER BY vec_id
     """
     return oracles
 

@@ -696,3 +696,15 @@ def test_tree_ensemble_narrow_no_shuffle_no_udf(spark):
     plan = _plan(spark, "q130_tree_ensemble_scores")
     assert "Exchange hashpartitioning" not in plan
     assert "EvalPython" not in plan
+
+
+def test_embedding_outliers_single_pass(spark):
+    """q132: the scored stream is materialized once (the q126
+    multi-consumer barrier) — downstream only the O(labels) stats
+    exchange and its broadcast back remain; without the barrier the
+    posexplode→join→agg pipeline executed twice (5 exchanges)."""
+    plan = _plan(spark, "q132_embedding_outliers")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
