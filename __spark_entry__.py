@@ -131,7 +131,11 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   folds the log in, compact==fresh-build tested), q132 embedding-space
   label audit (cosine to own-label centroid z-scored within label —
   the mislabel/noise curation signal; one materialized pass, O(labels)
-  stats broadcast back, |z|>2 flags ~5%)
+  stats broadcast back, |z|>2 flags ~5%), q133 per-source attrition
+  funnel through the FULL gate stack (min-tokens → stopword → lang →
+  q128 repetition keep → q130 GBDT margin; one narrow scan, one
+  map-side-combined source exchange, integer counts hash exactly —
+  the FineWeb-style ablation table)
   (queries/pipeline.py + queries/relational.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).

@@ -101,6 +101,7 @@ HEADLINE = [
     "q130_tree_ensemble_scores",
     "q131_retracted_probe",
     "q132_embedding_outliers",
+    "q133_source_filter_funnel",
 ]
 
 

@@ -2343,6 +2343,48 @@ def q126_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q133_source_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source attrition through the FULL quality-gate stack —
+    q75's cascade audit at source granularity with the r7 gates
+    stacked on: min-tokens → stopword ratio → language → repetition
+    (q128's Gopher keep) → learned tree-ensemble margin (q130). The
+    FineWeb-style ablation table a corpus build publishes per source.
+    All five cumulative gate booleans are computed in ONE narrow scan
+    (every gate is a pure expression — even the GBDT margin) and
+    collapsed by ONE map-side-combined groupBy(source) into
+    O(sources) counter rows; integer counts hash exactly. The oracle
+    recounts the repetition gate relationally (the q128 cross-check)
+    while Spark folds it — strategies stay deliberately different."""
+    d = load_table(spark, sf_dir, "documents")
+    g1 = TX.token_count_expr("text") >= CASCADE_MIN_TOKENS
+    g2 = g1 & (TX.stopword_ratio_expr("text") <= 0.6)
+    g3 = g2 & (TX.predicted_lang_expr("text") == "en")
+    s2 = TX.repetition_stats_expr(TX.ngrams_expr("text", 2))
+    s3 = TX.repetition_stats_expr(TX.ngrams_expr("text", 3))
+    n2 = F.size(TX.ngrams_expr("text", 2))
+    n3 = F.size(TX.ngrams_expr("text", 3))
+    top2 = F.when(n2 > 0, s2["best"].cast("double") / n2.cast("double")).otherwise(0.0)
+    dup3 = F.when(n3 > 0, s3["dup"].cast("double") / n3.cast("double")).otherwise(0.0)
+    g4 = g3 & (top2 <= REP_TOP2_MAX) & (dup3 <= REP_DUP3_MAX)
+    g5 = g4 & (TX.tree_score_expr("text") > 0.0)
+
+    def cnt(b, name):
+        return F.sum(b.cast("long")).alias(name)
+
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n0"),
+            cnt(g1, "p_min_tokens"),
+            cnt(g2, "p_stopword"),
+            cnt(g3, "p_lang"),
+            cnt(g4, "p_repetition"),
+            cnt(g5, "p_model"),
+        )
+        .orderBy("source")
+    )
+
+
 OUTLIER_Z = 2.0
 
 
@@ -2808,6 +2850,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q130_tree_ensemble_scores": q130_tree_ensemble_scores,
     "q131_retracted_probe": q131_retracted_probe,
     "q132_embedding_outliers": q132_embedding_outliers,
+    "q133_source_filter_funnel": q133_source_filter_funnel,
 }
 
 
@@ -4631,6 +4674,55 @@ def pipeline_oracles() -> dict[str, str]:
                {round_half_up_sql('zraw')} AS z,
                (abs(zraw) > CAST({OUTLIER_Z} AS DOUBLE)) AS outlier
         FROM final ORDER BY vec_id
+    """
+    # q133: the repetition gate is recounted relationally (the q128
+    # strategy cross-check); every other gate reuses its SQL twin.
+    oracles["q133_source_filter_funnel"] = f"""
+        WITH b2 AS (
+            SELECT doc_id, unnest({TX.ngrams_sql(n=2)}) AS g FROM documents
+        ),
+        c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM b2 GROUP BY 1, 2),
+        s2 AS (SELECT doc_id, MAX(c) AS best, SUM(c) AS tot FROM c2 GROUP BY 1),
+        b3 AS (
+            SELECT doc_id, unnest({TX.ngrams_sql(n=3)}) AS g FROM documents
+        ),
+        c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM b3 GROUP BY 1, 2),
+        s3 AS (
+            SELECT doc_id,
+                   COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS dup,
+                   SUM(c) AS tot
+            FROM c3 GROUP BY 1
+        ),
+        rep AS (
+            SELECT d.doc_id,
+                   (CASE WHEN s2.tot > 0
+                         THEN s2.best::DOUBLE / s2.tot::DOUBLE ELSE 0.0 END
+                        <= CAST({REP_TOP2_MAX} AS DOUBLE)
+                    AND CASE WHEN s3.tot > 0
+                         THEN s3.dup::DOUBLE / s3.tot::DOUBLE ELSE 0.0 END
+                        <= CAST({REP_DUP3_MAX} AS DOUBLE)) AS rep_keep
+            FROM documents d
+            LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+        ),
+        gates AS (
+            SELECT d.source,
+                   ({TX.token_count_sql()} >= {CASCADE_MIN_TOKENS}) AS g1,
+                   ({TX.stopword_ratio_sql()} <= 0.6) AS sw,
+                   ({TX.predicted_lang_sql()} = 'en') AS lang,
+                   r.rep_keep,
+                   ({TX.tree_score_sql()} > CAST(0.0 AS DOUBLE)) AS model
+            FROM documents d JOIN rep r USING (doc_id)
+        )
+        SELECT source, COUNT(*)::BIGINT AS n0,
+               SUM(CASE WHEN g1 THEN 1 ELSE 0 END)::BIGINT AS p_min_tokens,
+               SUM(CASE WHEN g1 AND sw THEN 1 ELSE 0 END)::BIGINT AS p_stopword,
+               SUM(CASE WHEN g1 AND sw AND lang THEN 1 ELSE 0 END)::BIGINT
+                   AS p_lang,
+               SUM(CASE WHEN g1 AND sw AND lang AND rep_keep THEN 1 ELSE 0 END)::BIGINT
+                   AS p_repetition,
+               SUM(CASE WHEN g1 AND sw AND lang AND rep_keep AND model
+                        THEN 1 ELSE 0 END)::BIGINT AS p_model
+        FROM gates GROUP BY source ORDER BY source
     """
     return oracles
 

@@ -708,3 +708,13 @@ def test_embedding_outliers_single_pass(spark):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_source_filter_funnel_one_exchange(spark):
+    """q133: five cumulative gates (incl. the repetition folds and the
+    GBDT margin) are pure expressions in one scan; the only exchange
+    is the map-side-combined groupBy(source)."""
+    plan = _plan(spark, "q133_source_filter_funnel")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange hashpartitioning(source" in plan
+    assert "EvalPython" not in plan
