@@ -135,7 +135,10 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   funnel through the FULL gate stack (min-tokens → stopword → lang →
   q128 repetition keep → q130 GBDT margin; one narrow scan, one
   map-side-combined source exchange, integer counts hash exactly —
-  the FineWeb-style ablation table)
+  the FineWeb-style ablation table), q134 q129's binary cascade from
+  a PERSISTED bits sidecar (coarse scan reads dim/8 bytes per vector
+  of stored sign words, never the embedding column — plan-asserted;
+  index==inline tested; full build/extend/retract/compact lifecycle)
   (queries/pipeline.py + queries/relational.py); q59 deterministic
   k-means step, q67 IVF cell introspection (queries/knn.py +
   operators/clustering.py, operators/similarity.py).

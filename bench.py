@@ -102,6 +102,7 @@ HEADLINE = [
     "q131_retracted_probe",
     "q132_embedding_outliers",
     "q133_source_filter_funnel",
+    "q134_indexed_binary",
 ]
 
 
@@ -169,6 +170,7 @@ def main() -> None:
         ("build_mrl_index", _plq._mrl_index_for),  # noqa: SLF001
         ("build_ivfpq_index", _knq._ivfpq_index_for),  # noqa: SLF001
         ("build_retracted_index", _plq._retracted_index_for),  # noqa: SLF001
+        ("build_binary_index", _plq._binary_index_for),  # noqa: SLF001
     ]:
         t0 = time.perf_counter()
         try:

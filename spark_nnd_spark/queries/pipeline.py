@@ -2461,6 +2461,49 @@ def q131_retracted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Persisted binary-bits index (q134) — session-cached like the other
+# index families; the build is the amortized ingest-time cost.
+_BINARY_IDX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _binary_index_for(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BINARY_IDX_CACHE:
+        path = tempfile.mkdtemp(prefix="binary_idx_")
+        SIM.build_binary_index(load_table(spark, sf_dir, "embeddings"), path)
+        _BINARY_IDX_CACHE[key] = path
+    return _BINARY_IDX_CACHE[key]
+
+
+def q134_indexed_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q129's binary cascade served from the PERSISTED bits sidecar
+    (operators/similarity.build_binary_index / binary_query_index):
+    the coarse scan reads dim/8 bytes per vector from the stored sign
+    words instead of packing a full float64 scan per query — the MRL
+    argument applied to the 1-bit tier, and the point where the 64×
+    cut becomes real scan I/O. Same rows as q129 (index==inline
+    asserted in tests), same oracle SQL — execution strategy, not a
+    semantic change (the q103/q123 convention)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _binary_index_for(spark, sf_dir)
+    out = SIM.binary_query_index(
+        spark,
+        idx,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        shortlist=BQ_SHORTLIST,
+    )
+    return out.select(
+        "query_id",
+        "nb_id",
+        "rank",
+        "hamming",
+        F.round("cosine", 6).alias("cosine"),
+    ).orderBy("query_id", "rank")
+
+
 def q130_tree_ensemble_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GBDT-style quality classifier inference (functions/text.py
     tree_score_expr): six depth-2 trees over INTEGER-exact document
@@ -2851,6 +2894,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q131_retracted_probe": q131_retracted_probe,
     "q132_embedding_outliers": q132_embedding_outliers,
     "q133_source_filter_funnel": q133_source_filter_funnel,
+    "q134_indexed_binary": q134_indexed_binary,
 }
 
 
@@ -4724,6 +4768,10 @@ def pipeline_oracles() -> dict[str, str]:
                         THEN 1 ELSE 0 END)::BIGINT AS p_model
         FROM gates GROUP BY source ORDER BY source
     """
+    # q134 serves EXACTLY q129's rows from the persisted bits sidecar
+    # (index==inline asserted in tests) — execution strategy, not a
+    # semantic change, so it shares the oracle (the q103 convention).
+    oracles["q134_indexed_binary"] = oracles["q129_binary_topk"]
     return oracles
 
 

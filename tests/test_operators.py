@@ -1885,6 +1885,73 @@ def test_retract_compact_text_index(spark, tmp_path):
         assert scores(idx, terms) == scores(fresh2, terms)
 
 
+def test_binary_index_equals_inline_and_lifecycle(spark, tmp_path):
+    """The persisted bits sidecar must serve exactly the inline
+    cascade's rows; extend==fresh-build; retraction/compaction and
+    changed-content re-admission behave like every other family."""
+    import os
+
+    from spark_nnd_spark.operators.similarity import (
+        binary_hamming_topk,
+        build_binary_index,
+        compact_binary_index,
+        binary_query_index,
+        extend_binary_index,
+        retract_from_binary_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["nb_id"], r["rank"], r["hamming"], round(r["cosine"], 9))
+            for r in df.collect()
+        )
+
+    idx = str(tmp_path / "idx")
+    build_binary_index(emb, idx)
+    assert rows(binary_query_index(spark, idx, q)) == rows(
+        binary_hamming_topk(emb, q)
+    )
+
+    # extend == fresh build
+    grown = str(tmp_path / "grown")
+    build_binary_index(emb.filter(F.col("vec_id") % 2 == 0), grown)
+    extend_binary_index(spark, grown, emb.filter(F.col("vec_id") % 2 == 1))
+    assert rows(binary_query_index(spark, grown, q)) == rows(
+        binary_query_index(spark, idx, q)
+    )
+
+    # retract == fresh build without; compact; changed-vector re-admit
+    victims = emb.filter(F.col("vec_id") % 5 == 2)
+    retract_from_binary_index(spark, idx, victims.select("vec_id"))
+    fresh = str(tmp_path / "fresh")
+    build_binary_index(emb.filter(F.col("vec_id") % 5 != 2), fresh)
+    assert rows(binary_query_index(spark, idx, q)) == rows(
+        binary_query_index(spark, fresh, q)
+    )
+    compact_binary_index(spark, idx)
+    assert not os.path.isdir(f"{idx}/tombstones")
+    assert rows(binary_query_index(spark, idx, q)) == rows(
+        binary_query_index(spark, fresh, q)
+    )
+    retract_from_binary_index(spark, idx, victims.select("vec_id"))
+    changed = victims.select("vec_id", F.reverse("embedding").alias("embedding"))
+    extend_binary_index(spark, idx, changed)
+    assert not os.path.isdir(f"{idx}/tombstones")
+    fresh2 = str(tmp_path / "fresh2")
+    build_binary_index(
+        emb.filter(F.col("vec_id") % 5 != 2)
+        .select("vec_id", "embedding")
+        .unionByName(changed),
+        fresh2,
+    )
+    assert rows(binary_query_index(spark, idx, q)) == rows(
+        binary_query_index(spark, fresh2, q)
+    )
+
+
 def test_retract_compact_mrl_index(spark, tmp_path):
     """MRL retraction: tombstoned coarse scan == fresh build without
     the vectors; compact folds the log; re-admission with CHANGED

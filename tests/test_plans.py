@@ -718,3 +718,16 @@ def test_source_filter_funnel_one_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange hashpartitioning(source" in plan
     assert "EvalPython" not in plan
+
+
+def test_indexed_binary_reads_bits_not_vectors(spark):
+    """q134: the coarse scan must read the stored sign words, never an
+    embedding column — the materialized-narrow-representation claim
+    (the q123 MRL convention)."""
+    plan = _plan(spark, "q134_indexed_binary")
+    assert "/bits" in plan and "/full" in plan
+    bits_scan = [
+        ln for ln in plan.splitlines() if "parquet" in ln and "/bits" in ln
+    ]
+    assert bits_scan and all("embedding" not in ln for ln in bits_scan)
+    assert "CartesianProduct" not in plan
