@@ -1414,3 +1414,128 @@ def hash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ------------------------------------------------------- span scrub
+
+def word_spans_expr(text_col: Column | str, span_words: int) -> Column:
+    """Non-overlapping ``span_words``-token spans of a document as an
+    array<string> (trailing partial span dropped) — the deterministic
+    segmentation behind corpus-level span scrubbing (C4's "repeated
+    three-sentence" rule re-expressed for unpunctuated token streams;
+    Raffel et al. 2020 §2.2). Pure array lambdas: zero shuffle, and
+    replayable in DuckDB via string_split + integer-division grouping.
+    """
+    toks = F.split(F.col(text_col) if isinstance(text_col, str) else text_col, " ")
+    n_spans = F.floor(F.size(toks) / span_words).cast("int")
+    return F.when(
+        n_spans > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - F.lit(1)),
+            lambda i: F.array_join(
+                F.slice(toks, i * span_words + 1, span_words), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def span_scrub(
+    df: DataFrame,
+    span_words: int = 5,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level span scrub verdicts: one row per (doc, span
+    occurrence) with the span's corpus document-frequency and whether
+    the C4-style rule removes it (appears in >= ``min_df`` distinct
+    docs). Extension operator (no reference analog — the reference's
+    NND.scala has no text layer).
+
+    Scale (100 TB): segmentation is a narrow map; the only wide ops are
+    a groupBy on the span string (partial-agg combines identical spans
+    map-side) and the df join back on the SAME key, which AQE can plan
+    as one co-partitioned exchange. Shuffle carries spans once —
+    O(corpus tokens), the floor for any corpus-frequency rule. The
+    scrub set itself (df >= min_df) is the duplicated tail only, so a
+    broadcast-join variant is available when the duplicate rate is low;
+    the same-key join is the rate-independent default.
+    """
+    spans = df.select(
+        F.col(id_col),
+        F.posexplode(word_spans_expr(text_col, span_words)).alias(
+            "span_idx", "span"
+        ),
+    )
+    span_df = spans.groupBy("span").agg(
+        F.countDistinct(id_col).alias("span_docfreq")
+    )
+    return spans.join(span_df, "span").select(
+        F.col(id_col),
+        "span_idx",
+        "span",
+        "span_docfreq",
+        (F.col("span_docfreq") >= min_df).alias("scrubbed"),
+    )
+
+
+# --------------------------------------------- blocked fuzzy matching
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 3,
+    max_token_freq: int = 1000,
+) -> DataFrame:
+    """Entity-resolution fuzzy self-match: distinct-value pairs whose
+    Levenshtein distance is in [1, ``max_dist``], candidate-blocked on
+    a shared whitespace token. Returns (name_a, name_b, dist, n_a,
+    n_b) where n_* are the row counts behind each distinct name.
+    Extension operator (no reference analog).
+
+    The blocking contract is part of the semantics (the LSH-banding
+    convention): a pair is reported only if the two names share at
+    least one token whose distinct-name frequency is <= 
+    ``max_token_freq`` — the df-cut that bounds block fan-out exactly
+    like ``max_shingle_freq`` does for the Jaccard join.
+
+    Scale (100 TB): names are canonicalized FIRST (groupBy name → row
+    counts), so the quadratic stage runs over distinct values, not
+    rows — the dedupe-before-join move that makes ER tractable when a
+    hot name covers millions of rows. The verify predicate
+    (levenshtein) is a JVM built-in inside codegen, and the final
+    row-count attach is a join against the small distinct-name table.
+    """
+    names = df.groupBy(F.col(name_col).alias("name")).agg(
+        F.count("*").alias("n_rows")
+    )
+    # both the self-join sides and the count-attach read it
+    names = names.localCheckpoint(eager=True)
+    toks = names.select(
+        "name", F.explode(F.array_distinct(F.split("name", " "))).alias("token")
+    )
+    tok_df = toks.groupBy("token").agg(F.countDistinct("name").alias("tf"))
+    toks = (
+        toks.join(tok_df, "token")
+        .filter(F.col("tf") <= max_token_freq)
+        .select("token", "name")
+    )
+    cand = (
+        toks.alias("x")
+        .join(toks.alias("y"), "token")
+        .filter(F.col("x.name") < F.col("y.name"))
+        .select(
+            F.col("x.name").alias("name_a"), F.col("y.name").alias("name_b")
+        )
+        .distinct()
+    )
+    verified = cand.withColumn(
+        "dist", F.levenshtein("name_a", "name_b")
+    ).filter(F.col("dist") <= max_dist)
+    na = names.select(F.col("name").alias("name_a"), F.col("n_rows").alias("n_a"))
+    nb = names.select(F.col("name").alias("name_b"), F.col("n_rows").alias("n_b"))
+    return (
+        verified.join(F.broadcast(na), "name_a")
+        .join(F.broadcast(nb), "name_b")
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    )

@@ -1757,3 +1757,60 @@ def mrl_query_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "nb_id", "rank", "cosine")
     )
+
+
+# ---------------------------------------------------- semantic dedup
+
+def semantic_dedup(
+    corpus: DataFrame,
+    cents: np.ndarray,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style embedding-space deduplication (Abbas et al.
+    2023): assign every vector to its nearest-centroid cell, compare
+    pairs WITHIN a cell only, and drop a vector when some same-cell
+    neighbor with a smaller id has cosine >= ``tau``. Returns
+    (id, cell, keep) for every corpus vector. Extension operator (no
+    reference analog — the reference builds a kNN graph, NND.scala:66,
+    but has no dedup verdict layer).
+
+    The keep rule is the greedy-by-id preference (q10/q61's
+    dedup-with-preference convention), deliberately NOT transitive
+    closure: it is SQL-replayable as a NOT EXISTS and, unlike CC, its
+    verdicts are stable under cell-local retries.
+
+    Scale (100 TB): the cell assignment is a narrow map (Arrow-batched
+    dots against literal centroids — no shuffle); the quadratic stage
+    is blocked per cell, the same fan-out bound the IVF index already
+    enforces for search, and skewed (hot) cells are exactly the AQE
+    skew-join case. The drop set is typically a small fraction of the
+    corpus, so the verdict attach is a small-table join back.
+    """
+    assigned = _ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+    # both self-join sides read the assignment; don't run the UDF twice
+    assigned = assigned.localCheckpoint(eager=True)
+    a = assigned.select(
+        F.col("cell"), F.col("nb_id").alias("id_a"), F.col("c_vec").alias("v_a")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col("nb_id").alias("id_b"), F.col("c_vec").alias("v_b")
+    )
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .withColumn("cosine", cosine_similarity_expr("v_a", "v_b"))
+        .filter(F.col("cosine") >= tau)
+        .select(F.col("id_a").alias("nb_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        assigned.join(drops, "nb_id", "left")
+        .select(
+            F.col("nb_id").alias(id_col),
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -2790,6 +2790,99 @@ def q114_mrl_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+SPAN_WORDS = 5
+SPAN_MIN_DF = 2
+# fuzzy-match knobs: parts share a small adjective/noun vocabulary, so
+# distance <= 3 pairs exist at every SF; the token df-cut mirrors
+# MAX_SHINGLE_FREQ's role (no-op at small SF, fan-out bound at scale)
+FUZZY_MAX_DIST = 3
+FUZZY_MAX_TOKEN_FREQ = 1000
+
+
+def q135_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level span scrub (operators/dedup.span_scrub,
+    Raffel et al. 2020 §2.2 re-expressed for unpunctuated token
+    streams): 5-token spans occurring in >= 2 distinct docs are
+    scrubbed corpus-wide; reported per source as a retention summary.
+    Two wide ops total — a groupBy on the span string and the
+    doc-frequency join back on the SAME key — then an O(sources)
+    aggregate; the corpus text itself shuffles once as spans, the
+    floor for any corpus-frequency rule."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        DD.span_scrub(d, span_words=SPAN_WORDS, min_df=SPAN_MIN_DF)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("doc_spans"),
+            F.count_if(F.col("scrubbed")).alias("doc_scrubbed"),
+        )
+    )
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_spans").alias("total_spans"),
+            F.sum("doc_scrubbed").alias("scrubbed_spans"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_spans",
+            "scrubbed_spans",
+            F.round(
+                F.lit(1.0)
+                - F.col("scrubbed_spans").cast("double")
+                / F.col("total_spans").cast("double"),
+                6,
+            ).alias("kept_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+def q136_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy self-match over part names
+    (operators/dedup.fuzzy_name_pairs): distinct names canonicalized
+    first, token-blocked candidates (df-cut bounded), Levenshtein <= 3
+    verify in codegen, row counts attached by broadcast join. The
+    dedupe-before-join shape that keeps ER sub-quadratic in rows."""
+    p = load_table(spark, sf_dir, "part")
+    return DD.fuzzy_name_pairs(
+        p,
+        "p_name",
+        max_dist=FUZZY_MAX_DIST,
+        max_token_freq=FUZZY_MAX_TOKEN_FREQ,
+    ).orderBy("name_a", "name_b")
+
+
+def q137_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ROC-AUC of the hashed linear quality scorer (q111)
+    against the rule-based quality gate (q37) as label
+    (operators/evaluation.grouped_auc): does the learned filter rank
+    rule-passing docs above rule-failing ones, source by source? The
+    rank-sum identity makes each group one window pass — a single
+    source exchange, three integers of state per group — instead of
+    the quadratic positive×negative join."""
+    from spark_nnd_spark.operators.evaluation import grouped_auc  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = TX.token_count_expr("text")
+    stop = TX.stopword_ratio_expr("text")
+    ttr = TX.type_token_ratio_expr("text")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.round(TX.linear_score_expr("text"), 6).alias("score"),
+        ((n_tok >= 5) & (stop <= 0.6) & (ttr >= 0.3)).alias("label"),
+    )
+    return (
+        grouped_auc(scored, "source", "score", "label", "doc_id")
+        .select("source", "n_pos", "n_neg", F.round("auc", 6).alias("auc"))
+        .orderBy("source")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -2895,6 +2988,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q132_embedding_outliers": q132_embedding_outliers,
     "q133_source_filter_funnel": q133_source_filter_funnel,
     "q134_indexed_binary": q134_indexed_binary,
+    "q135_span_scrub": q135_span_scrub,
+    "q136_fuzzy_match": q136_fuzzy_match,
+    "q137_model_auc": q137_model_auc,
 }
 
 
