@@ -641,6 +641,71 @@ def _ivfpq_oracle() -> str:
     """
 
 
+# SemDeDup tau for THIS corpus: the synthetic embeddings are
+# near-isotropic (max pairwise cosine ~0.51), so a production-style
+# 0.9+ threshold drops nothing at any SF; 0.40 sits in the upper tail
+# (12/18/160 drops at sf0.001/0.01/0.1) and exercises the full
+# assign → block → pair → keep-rule cascade non-trivially.
+SEMDEDUP_TAU = 0.40
+
+
+def q138_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup verdicts (operators/
+    similarity.semantic_dedup, Abbas et al. 2023): nearest-centroid
+    cell blocking (fixed centroids — the q33/q67 literal-replay
+    convention), same-cell pair scan, drop when a smaller-id neighbor
+    has cosine >= tau. The greedy-by-id keep rule is a NOT EXISTS in
+    the oracle; pairs never cross cells (asserted in test_plans)."""
+    from spark_nnd_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = fixed_centroids(64, 16, 42)
+    return semantic_dedup(
+        emb, cents, tau=SEMDEDUP_TAU, id_col="vec_id", vec_col="embedding"
+    ).orderBy("vec_id")
+
+
+def _semantic_dedup_oracle() -> str:
+    """q138 replay: q67's literal centroid assignment (same
+    list_position argmax tiebreak), then keep = NOT EXISTS a same-cell
+    smaller-id neighbor with cosine >= tau — the greedy-by-id rule
+    verbatim."""
+    cents = fixed_centroids(64, 16, 42)
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"CASE WHEN sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b})) = 0"
+            f" THEN 0.0 ELSE list_dot_product({a},{b})"
+            f" / (sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b}))) END"
+        )
+
+    def cell_dots(v: str) -> str:
+        norm = f"greatest(sqrt(list_dot_product({v},{v})), 1e-12)"
+        return (
+            "["
+            + ",".join(f"list_dot_product({v}, {_vec_lit(c)}) / {norm}" for c in cents)
+            + "]"
+        )
+
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        cd AS (SELECT vec_id, cv, {cell_dots('cv')} AS dots FROM c),
+        assigned AS (
+            SELECT vec_id, cv,
+                   list_position(dots, list_max(dots)) - 1 AS cell
+            FROM cd
+        )
+        SELECT a.vec_id, a.cell::BIGINT AS cell,
+               NOT EXISTS (
+                   SELECT 1 FROM assigned b
+                   WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+                     AND {cos('a.cv', 'b.cv')}
+                         >= CAST({SEMDEDUP_TAU} AS DOUBLE)
+               ) AS keep
+        FROM assigned a ORDER BY a.vec_id
+    """
+
+
 KNN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_knn_exact": q24_knn_exact,
     "q25_nnd_graph": q25_nnd_graph,
@@ -650,6 +715,7 @@ KNN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_kmeans_step": q59_kmeans_step,
     "q67_ivf_cells": q67_ivf_cells,
     "q127_ivfpq_topk": q127_ivfpq_topk,
+    "q138_semantic_dedup": q138_semantic_dedup,
 }
 
 KNN_ORACLES: dict[str, str] = {
@@ -675,4 +741,5 @@ KNN_ORACLES: dict[str, str] = {
     "q59_kmeans_step": _kmeans_oracle(),
     "q67_ivf_cells": _ivf_cells_oracle(),
     "q127_ivfpq_topk": _ivfpq_oracle(),
+    "q138_semantic_dedup": _semantic_dedup_oracle(),
 }

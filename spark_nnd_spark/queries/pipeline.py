@@ -2878,9 +2878,43 @@ def q137_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         grouped_auc(scored, "source", "score", "label", "doc_id")
-        .select("source", "n_pos", "n_neg", F.round("auc", 6).alias("auc"))
+        .select(
+            "source",
+            "n_pos",
+            "n_neg",
+            # single-class groups have no defined AUC; -1.0 is the
+            # out-of-range sentinel (AUC lives in [0, 1]) that keeps
+            # the output column non-null for the hash compare
+            F.coalesce(F.round("auc", 6), F.lit(-1.0)).alias("auc"),
+        )
         .orderBy("source")
     )
+
+
+CALIB_BINS = 10
+
+
+def q139_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins of the hashed linear quality scorer
+    (q111) against the rule-based gate (q37) as label
+    (operators/evaluation.calibration_bins) — the calibration audit
+    beside q137's discrimination audit. One narrow scan + an
+    O(n_bins)-group aggregate; bin ids are floor(score*n) integer
+    arithmetic on the 6-decimal-rounded score, so cells replay
+    exactly."""
+    from spark_nnd_spark.operators.evaluation import calibration_bins  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = TX.token_count_expr("text")
+    stop = TX.stopword_ratio_expr("text")
+    ttr = TX.type_token_ratio_expr("text")
+    scored = d.select(
+        F.round(TX.linear_score_expr("text"), 6).alias("score"),
+        ((n_tok >= 5) & (stop <= 0.6) & (ttr >= 0.3)).alias("label"),
+    )
+    return calibration_bins(
+        scored, "score", "label", n_bins=CALIB_BINS
+    ).orderBy("bin")
 
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2991,6 +3025,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q135_span_scrub": q135_span_scrub,
     "q136_fuzzy_match": q136_fuzzy_match,
     "q137_model_auc": q137_model_auc,
+    "q139_calibration_bins": q139_calibration_bins,
 }
 
 
@@ -4868,6 +4903,141 @@ def pipeline_oracles() -> dict[str, str]:
     # (index==inline asserted in tests) — execution strategy, not a
     # semantic change, so it shares the oracle (the q103 convention).
     oracles["q134_indexed_binary"] = oracles["q129_binary_topk"]
+    # q135: replay the span segmentation with string_split +
+    # integer-division grouping (list_slice is 1-based inclusive like
+    # F.slice(start, length) re-expressed), recount doc-frequency, and
+    # re-aggregate the per-source retention summary. Docs with < 5
+    # tokens produce zero spans and drop out of the inner join on both
+    # sides (posexplode of an empty array emits no row).
+    sw = SPAN_WORDS
+    oracles["q135_span_scrub"] = f"""
+        WITH spans AS (
+            SELECT doc_id, unnest(list_transform(
+                range(0, len(string_split(text, ' ')) // {sw}),
+                i -> array_to_string(list_slice(
+                    string_split(text, ' '),
+                    i * {sw} + 1, i * {sw} + {sw}), ' ')
+            )) AS span
+            FROM documents
+        ),
+        dfreq AS (
+            SELECT span, COUNT(DISTINCT doc_id) AS span_docfreq
+            FROM spans GROUP BY span
+        ),
+        per_doc AS (
+            SELECT s.doc_id, COUNT(*)::BIGINT AS doc_spans,
+                   SUM(CASE WHEN f.span_docfreq >= {SPAN_MIN_DF}
+                            THEN 1 ELSE 0 END)::BIGINT AS doc_scrubbed
+            FROM spans s JOIN dfreq f USING (span) GROUP BY s.doc_id
+        )
+        SELECT d.source, COUNT(*)::BIGINT AS n_docs,
+               SUM(p.doc_spans)::BIGINT AS total_spans,
+               SUM(p.doc_scrubbed)::BIGINT AS scrubbed_spans,
+               round(CAST(1.0 AS DOUBLE)
+                     - SUM(p.doc_scrubbed)::DOUBLE / SUM(p.doc_spans)::DOUBLE,
+                     6) AS kept_ratio
+        FROM per_doc p JOIN documents d USING (doc_id)
+        GROUP BY d.source ORDER BY d.source
+    """
+    # q136: replay the token-block contract (distinct tokens per
+    # distinct name, df-cut, shared-token candidates) and verify with
+    # DuckDB's built-in levenshtein — same edit-distance definition as
+    # Spark's. dist cast to INT to match F.levenshtein's IntegerType.
+    oracles["q136_fuzzy_match"] = f"""
+        WITH names AS (
+            SELECT p_name AS name, COUNT(*)::BIGINT AS n_rows
+            FROM part GROUP BY p_name
+        ),
+        toks AS (
+            SELECT name, unnest(list_distinct(string_split(name, ' ')))
+                AS token
+            FROM names
+        ),
+        tokdf AS (
+            SELECT token, COUNT(DISTINCT name) AS tf FROM toks GROUP BY token
+        ),
+        kept AS (
+            SELECT t.token, t.name FROM toks t JOIN tokdf USING (token)
+            WHERE tokdf.tf <= {FUZZY_MAX_TOKEN_FREQ}
+        ),
+        cand AS (
+            SELECT DISTINCT x.name AS name_a, y.name AS name_b
+            FROM kept x JOIN kept y USING (token) WHERE x.name < y.name
+        ),
+        ver AS (
+            SELECT name_a, name_b,
+                   CAST(levenshtein(name_a, name_b) AS INT) AS dist
+            FROM cand
+        )
+        SELECT v.name_a, v.name_b, v.dist, a.n_rows AS n_a, b.n_rows AS n_b
+        FROM ver v
+        JOIN names a ON v.name_a = a.name
+        JOIN names b ON v.name_b = b.name
+        WHERE v.dist <= {FUZZY_MAX_DIST}
+        ORDER BY v.name_a, v.name_b
+    """
+    # q137: replay the rank-sum AUC with the SAME deterministic
+    # tiebreak — row_number over (rounded score, doc_id), NOT midranks
+    # — so everything before the final division is integer-exact.
+    # NULLS FIRST pins DuckDB's window ordering to Spark's
+    # nulls-first-ASC default.
+    oracles["q137_model_auc"] = f"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   round({TX.linear_score_sql("text")}, 6) AS score,
+                   ({TX.token_count_sql()} >= 5
+                    AND {TX.stopword_ratio_sql()} <= 0.6
+                    AND {TX.type_token_ratio_sql()} >= 0.3) AS label
+            FROM documents
+        ),
+        ranked AS (
+            SELECT source, label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY score NULLS FIRST, doc_id) AS rn
+            FROM scored
+        ),
+        agg AS (
+            SELECT source,
+                   SUM(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+                   SUM(CASE WHEN NOT label THEN 1 ELSE 0 END)::BIGINT
+                       AS n_neg,
+                   SUM(CASE WHEN label THEN rn ELSE 0 END)::BIGINT
+                       AS pos_rank_sum
+            FROM ranked GROUP BY source
+        )
+        SELECT source, n_pos, n_neg,
+               COALESCE(round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                   (CAST(pos_rank_sum AS DOUBLE)
+                    - CAST(n_pos AS DOUBLE)
+                      * (CAST(n_pos AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                      / CAST(2.0 AS DOUBLE))
+                   / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+               END, 6), CAST(-1.0 AS DOUBLE)) AS auc
+        FROM agg ORDER BY source
+    """
+    # q139: replay the reliability bins — floor(score*10) on the SAME
+    # 6-decimal-rounded score double, so the bin id is deterministic
+    # cross-engine; count/mean cells are integer-or-round(6) exact.
+    oracles["q139_calibration_bins"] = f"""
+        WITH scored AS (
+            SELECT round({TX.linear_score_sql("text")}, 6) AS s,
+                   ({TX.token_count_sql()} >= 5
+                    AND {TX.stopword_ratio_sql()} <= 0.6
+                    AND {TX.type_token_ratio_sql()} >= 0.3) AS label
+            FROM documents
+        ),
+        binned AS (
+            SELECT least(CAST(floor(s * {CALIB_BINS}) AS INT),
+                         {CALIB_BINS - 1}) AS bin,
+                   s, CASE WHEN label THEN 1 ELSE 0 END AS y
+            FROM scored
+        )
+        SELECT bin, COUNT(*)::BIGINT AS n,
+               round(AVG(s), 6) AS mean_score,
+               round(AVG(CAST(y AS DOUBLE)), 6) AS pos_rate
+        FROM binned GROUP BY bin ORDER BY bin
+    """
     return oracles
 
 

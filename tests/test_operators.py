@@ -2349,3 +2349,138 @@ def test_bloom_broadcast_probe_matches_literal_probe(spark):
     exact = sorted(r["key"] for r in keys.collect())
     assert set(exact) <= set(hits)  # no false negatives, ever
     assert len(hits) <= len(exact) + 5  # fp ~ (1-e^(-2n/m))^2 ≈ 1e-7
+
+
+# ------------------------------------------- span scrub (q135 family)
+
+def test_span_scrub_coverage_and_corpus_rule(spark):
+    """Segmentation: floor(n/5) non-overlapping spans, trailing
+    partial dropped, <5-token docs emit nothing. Rule: scrubbed iff
+    the span occurs in >= min_df DISTINCT docs — in-doc repeats alone
+    never scrub (corpus-frequency rule, not in-doc repetition)."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k"),          # 2 spans + trailing k
+            (2, "a b c d e x y z w v"),            # shares span 1 with doc 1
+            (3, "too short"),                      # 0 spans
+            (4, "p q r s t p q r s t"),            # same span twice, one doc
+        ],
+        "doc_id long, text string",
+    )
+    out = DD.span_scrub(df, span_words=5, min_df=2).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2, 4}  # doc 3 has no spans
+    d1 = {r["span_idx"]: r for r in by_doc[1]}
+    assert len(d1) == 2  # trailing "k" dropped
+    assert d1[0]["span"] == "a b c d e" and d1[0]["scrubbed"]
+    assert d1[0]["span_docfreq"] == 2
+    assert d1[1]["span"] == "f g h i j" and not d1[1]["scrubbed"]
+    d2 = {r["span_idx"]: r for r in by_doc[2]}
+    assert d2[0]["scrubbed"] and not d2[1]["scrubbed"]
+    # doc 4: two occurrences of one span, docfreq still 1 -> kept
+    assert len(by_doc[4]) == 2
+    assert all(r["span_docfreq"] == 1 and not r["scrubbed"] for r in by_doc[4])
+
+
+# --------------------------------- blocked fuzzy matching (q136 family)
+
+def test_fuzzy_name_pairs_block_contract_and_counts(spark):
+    """Pairs require BOTH an edit distance in [1, max_dist] AND a
+    shared token under the df-cut — near pairs with disjoint tokens
+    are not reported (the blocking contract is part of the
+    semantics), and raising the df-cut past a token's frequency
+    removes its block."""
+    rows = [
+        ("red widget",), ("red widget",), ("rad widget",),   # dist 1, share "widget"
+        ("blue gadget",), ("blue gidget",),                  # dist 1, share "blue"
+        ("aaa bbb",), ("aab bbc",),                          # dist 2, NO shared token
+    ]
+    df = spark.createDataFrame(rows, "p_name string")
+    out = DD.fuzzy_name_pairs(df, "p_name", max_dist=3, max_token_freq=1000)
+    got = {(r["name_a"], r["name_b"]): r for r in out.collect()}
+    assert set(got) == {
+        ("rad widget", "red widget"),
+        ("blue gadget", "blue gidget"),
+    }
+    r = got[("rad widget", "red widget")]
+    assert r["dist"] == 1 and r["n_a"] == 1 and r["n_b"] == 2  # row counts
+    # df-cut: with max_token_freq=1 every shared token is too hot,
+    # so all blocks (and therefore all pairs) disappear
+    assert DD.fuzzy_name_pairs(df, "p_name", max_dist=3, max_token_freq=1).count() == 0
+
+
+# ------------------------------------- evaluation (q137/q139 family)
+
+def test_grouped_auc_hand_computed_groups(spark):
+    """AUC against hand-computed rank sums: perfect ranking -> 1.0,
+    inverted -> 0.0, one discordant pair of two -> 0.5, equal scores
+    broken by id, single-class -> NULL."""
+    from spark_nnd_spark.operators.evaluation import grouped_auc
+
+    rows = [
+        # g1: pos {0.8, 0.6} all above neg {0.4, 0.2} -> AUC 1
+        ("g1", 1, 0.8, True), ("g1", 2, 0.6, True),
+        ("g1", 3, 0.4, False), ("g1", 4, 0.2, False),
+        # g2: the one positive ranks below the one negative -> AUC 0
+        ("g2", 1, 0.4, True), ("g2", 2, 0.6, False),
+        # g3: pos {0.9, 0.5}, neg {0.7} -> rank sum 4 -> (4-3)/2 = 0.5
+        ("g3", 1, 0.9, True), ("g3", 2, 0.5, True), ("g3", 3, 0.7, False),
+        # g4: all-equal scores, tie broken by id: pos id1 rank1,
+        # neg id2 rank2 -> AUC (1-1)/1 = 0
+        ("g4", 1, 0.5, True), ("g4", 2, 0.5, False),
+        # g5: single class -> undefined
+        ("g5", 1, 0.3, True), ("g5", 2, 0.9, True),
+    ]
+    df = spark.createDataFrame(rows, "src string, id long, score double, label boolean")
+    out = {r["src"]: r for r in grouped_auc(df, "src", "score", "label", "id").collect()}
+    assert out["g1"]["auc"] == 1.0
+    assert out["g2"]["auc"] == 0.0
+    assert out["g3"]["auc"] == 0.5
+    assert out["g4"]["auc"] == 0.0
+    assert out["g5"]["auc"] is None
+    assert (out["g1"]["n_pos"], out["g1"]["n_neg"]) == (2, 2)
+
+
+def test_calibration_bins_exact_cells(spark):
+    """Bin ids are floor(score*n) clamped to the top bin; cells carry
+    exact counts / means / positive rates."""
+    from spark_nnd_spark.operators.evaluation import calibration_bins
+
+    rows = [
+        (0.05, True), (0.05, False),   # bin 0, pos rate 0.5
+        (0.15, False),                 # bin 1
+        (0.999, True), (1.0, True),    # both clamp/floor into bin 9
+    ]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    out = {r["bin"]: r for r in calibration_bins(df, "score", "label", n_bins=10).collect()}
+    assert set(out) == {0, 1, 9}
+    assert out[0]["n"] == 2 and out[0]["pos_rate"] == 0.5
+    assert out[0]["mean_score"] == 0.05
+    assert out[1]["n"] == 1 and out[1]["pos_rate"] == 0.0
+    assert out[9]["n"] == 2 and out[9]["pos_rate"] == 1.0  # 1.0 clamped to bin 9
+
+
+# ----------------------------------------- semantic dedup (q138)
+
+def test_semantic_dedup_keep_rule_and_cell_blocking(spark):
+    """Greedy-by-id keep rule within a cell; near-identical vectors in
+    DIFFERENT cells are never compared (cell blocking is part of the
+    semantics, the IVF convention)."""
+    cents = np.array([[10.0, 0.0], [0.0, 10.0]])
+    rows = [
+        (1, [5.0, 0.1]),    # cell 0, kept (smallest id in its dup set)
+        (2, [5.0, 0.11]),   # cell 0, cos vs id1 ~1 -> dropped
+        (3, [0.1, 5.0]),    # cell 1, direction ~ id1 is IRRELEVANT (other cell)
+        (4, [5.0, 0.1]),    # cell 0, exact dup of id1 -> dropped
+        (5, [3.0, 2.9]),    # cell 0 (dot ties broken toward cell 0), unique -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in SIM.semantic_dedup(df, cents, tau=0.99).collect()}
+    assert len(out) == 5
+    assert out[1]["keep"] and out[1]["cell"] == 0
+    assert not out[2]["keep"]
+    assert out[3]["keep"] and out[3]["cell"] == 1  # same direction as 1 but other cell
+    assert not out[4]["keep"]
+    assert out[5]["keep"]

@@ -731,3 +731,64 @@ def test_indexed_binary_reads_bits_not_vectors(spark):
     ]
     assert bits_scan and all("embedding" not in ln for ln in bits_scan)
     assert "CartesianProduct" not in plan
+
+
+def test_span_scrub_shuffles_spans_once_per_stage(spark):
+    """q135: the only wide ops are the span-key groupBy/join (the
+    corpus-frequency floor), the per-doc fold, and the O(sources)
+    summary — no cartesian stage, no Python nodes; the doc->source
+    attach broadcasts."""
+    plan = _plan(spark, "q135_span_scrub")
+    assert "Exchange hashpartitioning(span" in plan
+    assert "Exchange hashpartitioning(source" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_fuzzy_match_blocks_on_token_verifies_in_codegen(spark):
+    """q136: candidates come from a token equi-join (the block), never
+    a cross join; the Levenshtein verify is the JVM built-in inside
+    codegen, and the row-count attach broadcasts the distinct-name
+    table."""
+    plan = _plan(spark, "q136_fuzzy_match")
+    assert "Exchange hashpartitioning(token" in plan
+    assert "levenshtein" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_model_auc_one_window_pass_per_group(spark):
+    """q137: the rank-sum identity keeps AUC at two source-key hash
+    exchanges total (window rank + final fold) — never a
+    positive x negative pair join."""
+    plan = _plan(spark, "q137_model_auc")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange hashpartitioning(source" in plan
+    assert "Join" not in plan  # no pairwise AUC join of any kind
+    assert "EvalPython" not in plan
+
+
+def test_semantic_dedup_pairs_never_cross_cells(spark):
+    """q138: the quadratic stage is an equi-join on the cell id (the
+    IVF blocking bound) — cross-cell pairs are structurally impossible
+    and nothing in the plan is cartesian; the verdict attach is the
+    nb_id join back."""
+    plan = _plan(spark, "q138_semantic_dedup")
+    assert ("BroadcastHashJoin [cell" in plan) or ("SortMergeJoin [cell" in plan) or (
+        "ShuffledHashJoin [cell" in plan
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_calibration_bins_single_tiny_exchange(spark):
+    """q139: one narrow scan, one O(n_bins)-group exchange with
+    map-side partials — the whole audit is one aggregation."""
+    plan = _plan(spark, "q139_calibration_bins")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange hashpartitioning(bin" in plan
+    assert "partial_count" in plan or "partial_avg" in plan
+    assert "EvalPython" not in plan
