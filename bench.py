@@ -103,7 +103,33 @@ HEADLINE = [
     "q132_embedding_outliers",
     "q133_source_filter_funnel",
     "q134_indexed_binary",
+    "q135_span_scrub",
+    "q136_fuzzy_match",
+    "q137_model_auc",
+    "q138_semantic_dedup",
+    "q139_calibration_bins",
 ]
+
+
+def _stage_writes(port: int = 4040) -> dict[int, int]:
+    """stageId -> shuffleWriteBytes for every stage the UI still
+    retains (the scale scripts' REST pattern). Empty dict if the UI is
+    unreachable — shuffle tracking is best-effort and must never fail
+    the bench."""
+    import urllib.request
+
+    try:
+        apps = json.load(
+            urllib.request.urlopen(f"http://localhost:{port}/api/v1/applications")
+        )
+        stages = json.load(
+            urllib.request.urlopen(
+                f"http://localhost:{port}/api/v1/applications/{apps[0]['id']}/stages"
+            )
+        )
+        return {s["stageId"]: s.get("shuffleWriteBytes", 0) for s in stages}
+    except Exception:  # noqa: BLE001 - best-effort
+        return {}
 
 
 def _canary_run(spark) -> float:
@@ -133,9 +159,16 @@ def main() -> None:
     # Console progress bars emit \r-heavy spam that inflated the
     # driver's output capture until the result JSON line was truncated
     # (BENCH_r06.json parsed: null) — off for bench sessions.
+    # UI on for the REST shuffle-byte probe (tests run UI-off; the
+    # bench is the one consumer). retainedStages sized so an ~85-query
+    # run can't evict a query's stages between its two snapshots.
     spark = get_spark(
         app_name="spark_nnd_bench",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "20000",
+        },
     )
     all_queries = {**RELATIONAL_QUERIES, **PIPELINE_QUERIES, **KNN_QUERIES}
 
@@ -188,9 +221,10 @@ def main() -> None:
     times: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    shuffle_mb: dict[str, float] = {}
     import gc
 
-    def _timed(name: str) -> float | None:
+    def _timed(name: str, track_shuffle: bool = False) -> float | None:
         # Reclaim the previous query's localCheckpoint RDDs before
         # timing the next one: the Python wrappers must be collected
         # first (their py4j refs pin the JVM RDDs), then a JVM GC lets
@@ -200,6 +234,7 @@ def main() -> None:
         # slower late in a run than standalone).
         gc.collect()
         spark._jvm.System.gc()  # noqa: SLF001
+        before = _stage_writes() if track_shuffle else {}
         t0 = time.perf_counter()
         try:
             n = all_queries[name](spark, sf_dir).count()
@@ -208,11 +243,17 @@ def main() -> None:
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             return None
         dt = round(time.perf_counter() - t0, 3)
+        if track_shuffle:
+            after = _stage_writes()
+            # per-stage delta: stages evicted from the UI between the
+            # two snapshots simply drop out, never go negative
+            delta = sum(b - before.get(sid, 0) for sid, b in after.items())
+            shuffle_mb[name] = round(delta / 1e6, 2)
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
         return dt
 
     for name in HEADLINE:
-        dt = _timed(name)
+        dt = _timed(name, track_shuffle=True)
         if dt is not None:
             times[name] = dt
             runs[name] = [dt]
@@ -260,12 +301,35 @@ def main() -> None:
     # v1 canary used through r6 was too short to normalize with; r5/r6
     # normalized totals are not comparable to v2 rounds.)
     REF_CANARY_SEC = 1.67
+    # Round-over-round shuffle guard: bytes are plan-determined (no
+    # host-weather noise, unlike wall time), so a >25% per-query delta
+    # vs the committed baseline is a plan regression, not jitter.
+    # NOTE: queries are materialized via count(), so these are the
+    # bytes of the count()-pruned plan — comparable round-over-round,
+    # NOT the full-result bytes.
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SHUFFLE_BASELINE.json"
+    )
+    shuffle_regressions: dict[str, list[float]] = {}
+    if os.path.exists(base_path) and shuffle_mb:
+        with open(base_path) as f:
+            baseline = json.load(f)
+        for name, mb in shuffle_mb.items():
+            ref = baseline.get(name)
+            if ref is not None and mb > max(ref * 1.25, ref + 1.0):
+                shuffle_regressions[name] = [ref, mb]
+                print(
+                    f"# SHUFFLE REGRESSION {name}: {ref} -> {mb} MB",
+                    file=sys.stderr,
+                )
     out: dict = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": times,
         "runs": {n: r for n, r in runs.items() if len(r) > 1},
+        "shuffle_mb": shuffle_mb,
+        "shuffle_regressions": shuffle_regressions,
         "index_builds": builds,
         "host_canary_sec": canary,
         "canary_workload": "v2_median3_2s",
@@ -294,6 +358,25 @@ def main() -> None:
     ) as f:
         f.write(line + "\n")
     print(line)
+    # The driver keeps only the last ~2000 chars of stdout; the full
+    # line above is ~4 KB, so its head (metric/value) can never survive
+    # that capture (BENCH_r06 AND r07 recorded parsed: null). This
+    # compact LAST line (<500 chars) always fits the tail whole; the
+    # per-query detail lives in the full line / BENCH_RESULT.json.
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "normalized_total": out["normalized_total"],
+        "host_canary_sec": canary,
+        "ref_canary_sec": REF_CANARY_SEC,
+        "n_queries": len(times),
+        "n_failed": len(errors),
+        "n_shuffle_regressions": len(shuffle_regressions),
+        "sf": float(sf),
+        "detail": "BENCH_RESULT.json",
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
