@@ -138,10 +138,26 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   the FineWeb-style ablation table), q134 q129's binary cascade from
   a PERSISTED bits sidecar (coarse scan reads dim/8 bytes per vector
   of stored sign words, never the embedding column — plan-asserted;
-  index==inline tested; full build/extend/retract/compact lifecycle)
+  index==inline tested; full build/extend/retract/compact lifecycle),
+  q135 C4-style corpus-level span scrub (5-token spans appearing in
+  ≥2 distinct docs scrubbed corpus-wide; span groupBy + same-key join
+  back, per-source retention summary; oracle replays the segmentation
+  via string_split + integer-division grouping), q136 blocked fuzzy
+  entity matching (distinct-name canonicalization BEFORE the
+  quadratic stage, token blocks under a df-cut, codegen Levenshtein
+  verify; oracle uses DuckDB's levenshtein under the same block
+  contract), q137 per-source ROC-AUC of the learned quality scorer
+  vs the rule gate (rank-sum identity — one window pass per group,
+  integer-exact before the final division; deterministic id tiebreak
+  replayed in SQL; single-class groups report the -1.0 sentinel),
+  q139 reliability-diagram calibration bins beside q137's
+  discrimination audit (floor(score·10) integer bin ids, O(bins)
+  aggregate, cells replay exactly)
   (queries/pipeline.py + queries/relational.py); q59 deterministic
-  k-means step, q67 IVF cell introspection (queries/knn.py +
-  operators/clustering.py, operators/similarity.py).
+  k-means step, q67 IVF cell introspection, q138 SemDeDup-style
+  semantic dedup (nearest-centroid cell blocking, same-cell pair
+  scan, greedy-by-id keep rule replayed as NOT EXISTS in the oracle)
+  (queries/knn.py + operators/clustering.py, operators/similarity.py).
 """
 
 from __future__ import annotations
@@ -172,8 +188,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # that — so the order is a priority schedule. It is GENERATED from the recorded
 # CORRECTNESS_r*.json history, not hand-maintained: queries that have
 # never received a driver row come first, then stalest-last-check first,
-# then fewest-total-checks first. By construction every query re-enters
-# the ~50-slot window at least every other round; a newly declared query
+# then fewest-total-checks first. At ~140 queries and ~50 slots a query
+# re-enters the window roughly every 3 rounds; a newly declared query
 # always lands at the very front on its first round.
 def _priority_order(names: list[str]) -> list[str]:
     import glob
