@@ -393,7 +393,30 @@ def fixed_histogram(
     partials independent of row count, and two histograms merge by
     cell-wise addition — the same mergeability story as KMV and CMS.
     Compare the exact percentile, which must SORT each group (q38):
-    that is the calibration tier, this is the scale tier."""
+    that is the calibration tier, this is the scale tier.
+
+    Why fixed boundaries and not a rank-based sketch (KLL, t-digest)?
+    A rank sketch's selling point is prior-free operation on UNKNOWN,
+    unbounded, or heavy-tailed domains — it pays for that with
+    probabilistic rank error (ε·n w.h.p., not a hard bound), state
+    whose merge is custom code (a UDAF or approx_percentile, which
+    Spark exposes only as an opaque aggregate), and — decisively for
+    this repo — no cross-engine replay: KLL's compactions are
+    randomized and t-digest's centroid placement is
+    implementation-defined, so no DuckDB oracle can hash-check them
+    (the KMV-over-HLL argument, module header). The distributions
+    this engine sketches (token counts, doc lengths, scores in
+    [0, 1], event values with schema-known caps) have KNOWN bounded
+    domains, so the lo/width prior is free — and when it isn't, one
+    narrow min/max pre-pass (no shuffle, no sort) buys it, which is
+    cheaper than carrying a rank sketch through every merge. In
+    exchange, fixed bins give a DETERMINISTIC |est − exact| ≤ width
+    bound (asserted by test_histogram_sketch_bound_and_mergeability
+    and the q126 property tests), bin-width as the single accuracy
+    knob, trivially exact cell-wise merges, and a sketch the DuckDB
+    oracle replays bit-for-bit. Measured: state stays flat (0.66 MB
+    shuffled) while the exact tier grows 20→325 MB over 1M→16M
+    values (BENCH_SKETCH_SCALE.json)."""
     return (
         df.select(
             F.col(group_col).cast("string").alias("grp"),

@@ -354,6 +354,62 @@ def indexed_dedup_stream(
     return q
 
 
+def retraction_stream(
+    id_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    timeout_sec: int = 180,
+    retract_fn: Any = None,
+) -> Any:
+    """Streaming retraction against a persisted index: each micro-batch
+    of ids (right-to-be-forgotten requests, bad-batch rollbacks) is
+    appended to the index's tombstone log inside ``foreachBatch`` — the
+    retract half of the steady-state ingest loop beside
+    ``indexed_dedup_stream(admit_novel=True)``. A doc admitted by the
+    ingest stream in batch N and retracted here in batch N+1 stops
+    matching from batch N+2 on (the tombstone anti-join reaches every
+    read path, including the streaming probe).
+
+    Replay idempotence needs NO batchId marker here, unlike admission:
+    the tombstone log is a set under distinct + anti-join semantics
+    (operators/index_lifecycle.read_tombstones distincts, every
+    consumer anti-joins), so a replayed batch appends duplicate ids
+    that are semantic no-ops — append-only + idempotent-by-
+    construction is strictly more crash-safe than a marker, which
+    would reintroduce a crash window between effect and marker.
+    ``compact_*`` folds the log (duplicates and all) into the physical
+    tables whenever the operator chooses.
+
+    Scale (100 TB): each micro-batch writes O(batch) tombstone rows —
+    no index I/O at all; the deferred cost lives in compaction, which
+    the batch layer schedules off the ingest path. ``retract_fn``
+    selects the index family (defaults to the near-dup index; any of
+    the five ``retract_from_*_index`` functions fits the contract).
+    """
+    if retract_fn is None:
+        from spark_nnd_spark.operators.dedup import (  # noqa: PLC0415
+            retract_from_neardup_index,
+        )
+
+        retract_fn = retract_from_neardup_index
+
+    def _retract(batch_df: DataFrame, batch_id: int) -> None:  # noqa: ARG001
+        ids = batch_df.select(id_col).distinct()
+        if ids.isEmpty():
+            return
+        retract_fn(batch_df.sparkSession, index_path, ids)
+
+    q = (
+        id_stream.writeStream.foreachBatch(_retract)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q
+
+
 def read_events_kafka(
     spark: SparkSession,
     bootstrap_servers: str,

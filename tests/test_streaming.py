@@ -903,3 +903,104 @@ def test_exact_sample_stream_matches_batch_sample(spark):
         "SELECT grp, n_seen, COUNT(*) AS c FROM xs GROUP BY grp, n_seen"
     ).collect()
     assert all(r["c"] <= 5 for r in per_emit)
+
+
+def test_retraction_stream_composes_with_ingest_loop(spark, tmp_path):
+    """The retract STREAM beside the admit stream: a doc admitted by
+    ingest batch 0 and retracted by the retraction stream must stop
+    matching in the next ingest batch (near-dup reads 'novel'), and
+    replaying the retraction stream from a fresh checkpoint only
+    appends duplicate tombstones — semantic no-ops, verdicts and
+    probe results unchanged."""
+    import os
+
+    import pandas as pd
+
+    from spark_nnd_spark.operators.dedup import (
+        build_neardup_index,
+        neardup_query_index,
+    )
+    from spark_nnd_spark.streaming.streams import (
+        indexed_dedup_stream,
+        retraction_stream,
+    )
+
+    base_words = [f"w{i:03d}" for i in range(40)]
+
+    def text(seed: int, edits: int = 0) -> str:
+        toks = [f"t{seed}_{w}" for w in base_words]
+        for e in range(edits):
+            toks[5 + 7 * e] = f"edit{seed}_{e}"
+        return " ".join(toks)
+
+    base = spark.createDataFrame(
+        [(i, text(i)) for i in range(10)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "ndidx")
+    build_neardup_index(base, idx)
+
+    doc_src = tmp_path / "incoming"
+    doc_src.mkdir()
+    rtr_src = tmp_path / "retractions"
+    rtr_src.mkdir()
+    out = str(tmp_path / "verdicts")
+
+    def push(d, i: int, rows, cols) -> None:
+        p = d / f"chunk{i}.parquet"
+        pd.DataFrame(rows, columns=cols).to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def run_ingest() -> dict[int, str]:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(doc_src))
+        )
+        indexed_dedup_stream(
+            stream, idx, out, checkpoint=str(tmp_path / "ckpt"), admit_novel=True
+        )
+        return {
+            r["doc_id"]: r["verdict"] for r in spark.read.parquet(out).collect()
+        }
+
+    def run_retract(ckpt: str) -> None:
+        stream = spark.readStream.schema("doc_id long").parquet(str(rtr_src))
+        retraction_stream(stream, idx, checkpoint=str(tmp_path / ckpt))
+
+    # batch 0: doc 1001 is novel and gets admitted
+    push(doc_src, 0, [(1001, text(101))], ["doc_id", "text"])
+    assert run_ingest()[1001] == "novel"
+    near = spark.createDataFrame(
+        [(3001, text(101, edits=1))], "doc_id long, text string"
+    )
+    assert (
+        neardup_query_index(spark, idx, near, max_band_freq=None)
+        .collect()[0]["verdict"]
+        == "near"  # admitted and matchable pre-retraction
+    )
+
+    # retraction batch: forget doc 1001
+    push(rtr_src, 0, [(1001,)], ["doc_id"])
+    run_retract("rckpt1")
+
+    # replay the retraction stream from a fresh checkpoint BEFORE the
+    # next ingest batch: duplicate tombstones are appended but are
+    # semantic no-ops — the tombstone SET is unchanged and the log is
+    # append-only (no marker needed, unlike admission)
+    tomb_before = spark.read.parquet(f"{idx}/tombstones")
+    n_rows_before = tomb_before.count()
+    ids_before = {r["id"] for r in tomb_before.distinct().collect()}
+    assert ids_before == {1001}
+    run_retract("rckpt2")
+    tomb_after = spark.read.parquet(f"{idx}/tombstones")
+    assert {r["id"] for r in tomb_after.distinct().collect()} == ids_before
+    assert tomb_after.count() >= n_rows_before  # append-only log
+
+    # next ingest batch (after retraction + its replay): the near-dup
+    # of the retracted doc must now read 'novel' (and get admitted
+    # itself); an exact copy of an UNRETRACTED base doc still reads
+    # 'exact'
+    push(doc_src, 1, [(3001, text(101, edits=1)), (3002, text(5))], ["doc_id", "text"])
+    got = run_ingest()
+    assert got[3001] == "novel"
+    assert got[3002] == "exact"
