@@ -328,3 +328,118 @@ def assign_shards_sql(
             FROM keyed
         )
     """
+
+
+# ------------------------------- DSIR-style importance reweighting
+
+def dsir_log_weights(
+    df: DataFrame,
+    tokens_col: Column,
+    target_col: str,
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023),
+    hashed-unigram variant: per-document log importance weight
+
+        log w(x) = sum_tokens [ log p_target(tok) - log p_raw(tok) ]
+
+    where p_target is the add-``alpha``-smoothed unigram distribution
+    of the rows flagged by boolean ``target_col`` (the small
+    high-quality slice the mixture should look like) and p_raw is the
+    whole corpus's. Documents whose token mix resembles the target get
+    positive weights; selection is top-k by weight downstream. Returns
+    (id, n_tokens, log_weight) with log_weight rounded to 6dp (the
+    q60 float discipline — per-doc sum order differs across engines).
+    Extension operator (no reference analog — NND.scala:66 has no text
+    surface).
+
+    Scale (100 TB): both distributions are ONE groupBy over the same
+    exploded token stream (count + count_if — the target tally rides
+    the same shuffle for free), materialized once at O(vocab); the
+    scoring join is token-keyed (AQE/size-threshold decides broadcast
+    vs shuffle, q60's rationale: web-scale vocabs don't force-
+    broadcast), and the only other wide op is the per-doc fold. The
+    smoothing totals travel as a broadcast 1-row cross join.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.col(target_col).cast("boolean").alias("__is_tgt"),
+        F.explode(tokens_col).alias("token"),
+    ).filter(F.col("token") != "")
+    vocab = (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("raw_cnt"),
+            F.count_if(F.col("__is_tgt")).alias("tgt_cnt"),
+        )
+        .localCheckpoint(eager=True)  # feeds totals AND the scoring join
+    )
+    totals = vocab.agg(
+        F.sum("raw_cnt").alias("raw_total"),
+        F.sum("tgt_cnt").alias("tgt_total"),
+        F.count("*").alias("v_size"),
+    )
+    a = F.lit(float(alpha))
+    tok_logw = F.log(
+        (F.col("tgt_cnt") + a) / (F.col("tgt_total") + a * F.col("v_size"))
+    ) - F.log(
+        (F.col("raw_cnt") + a) / (F.col("raw_total") + a * F.col("v_size"))
+    )
+    return (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum(tok_logw), 6).alias("log_weight"),
+        )
+    )
+
+
+# ------------------------------------ leakage-safe train/val/test split
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    seed: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicates cannot straddle:
+    the split bucket is hashed from the doc's near-dup COMPONENT label
+    (connected components over ``pairs``; docs in no pair are their own
+    singleton component), so every member of a duplicate cluster lands
+    in the same split — the eval-contamination guard a naive per-doc
+    hash split lacks. Returns (id, component, bucket, split) with
+    bucket = md5(seed:component) mod 100 and split carved at
+    ``train_pct`` / ``train_pct + val_pct``. Extension operator (no
+    reference analog).
+
+    Scale (100 TB): components come from the already-blocked LSH pair
+    stream (never all-pairs); the label propagation is the q31
+    pointer-jumping kernel; the final assignment is one narrow
+    expression over (id, component) plus a left join of docs to the
+    O(paired-docs) component table — singleton docs never shuffle.
+    """
+    from spark_nnd_spark.operators.graph import connected_components  # noqa: PLC0415
+
+    cc = connected_components(pairs).select(
+        F.col("id").alias(id_col), "component"
+    )
+    d = docs.select(id_col).join(cc, id_col, "left")
+    comp = F.coalesce(F.col("component"), F.col(id_col)).alias("component")
+    salted = F.concat_ws(":", F.lit(seed), comp.cast("string"))
+    bucket = F.pmod(
+        F.conv(sample_key_expr(salted), 16, 10).cast("long"), F.lit(100)
+    ).cast("int")
+    return d.select(
+        F.col(id_col),
+        comp,
+        bucket.alias("bucket"),
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -2917,6 +2917,61 @@ def q139_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin")
 
 
+# DSIR knobs: src0 is the "target" slice (5% of the corpus) the
+# mixture should resemble; top-100 is the selected subset.
+DSIR_TARGET_SOURCE = "src0"
+DSIR_TOP_K = 100
+
+
+def q140_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (operators/sampling.dsir_log_weights,
+    Xie et al. 2023): per-doc log importance weight under
+    target-vs-raw smoothed unigram distributions (target = the src0
+    slice), then the top-k selection the resampling step consumes —
+    ranked by the 6dp-rounded weight with a doc_id tiebreak so the
+    cut is deterministic cross-engine. One token-stream groupBy builds
+    BOTH distributions (count + count_if on the same shuffle), one
+    token-keyed scoring join, one per-doc fold. The global cut is
+    orderBy().limit() — Catalyst's TakeOrderedAndProject
+    (per-partition top-k, merge of k·partitions rows), NOT a global
+    rank window, which would sort the whole corpus in one partition;
+    rank is then assigned over the k survivors only."""
+    from spark_nnd_spark.operators.sampling import dsir_log_weights  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "is_target", F.col("source") == DSIR_TARGET_SOURCE
+    )
+    w = dsir_log_weights(
+        d, TX.tokens_expr("text"), "is_target", id_col="doc_id"
+    )
+    top = w.orderBy(F.desc("log_weight"), F.asc("doc_id")).limit(DSIR_TOP_K)
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("log_weight"), F.asc("doc_id"))
+    )
+    return (
+        top.withColumn("rank", rank)  # window over k rows, not the corpus
+        .select("doc_id", "n_tokens", "log_weight", "rank")
+        .orderBy("rank")
+    )
+
+
+def q141_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (operators/sampling.
+    leakage_safe_split): the split bucket hashes the near-dup
+    COMPONENT label, never the doc id, so duplicate clusters cannot
+    straddle train and test — the eval-contamination guard. Components
+    come from the persisted-index LSH pair stream (q31's kernel);
+    singleton docs are their own component and never enter the
+    propagation shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _indexed_lsh_pairs(spark, sf_dir)
+    from spark_nnd_spark.operators.sampling import leakage_safe_split  # noqa: PLC0415
+
+    return leakage_safe_split(d, pairs, id_col="doc_id").orderBy("doc_id")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -3026,6 +3081,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q136_fuzzy_match": q136_fuzzy_match,
     "q137_model_auc": q137_model_auc,
     "q139_calibration_bins": q139_calibration_bins,
+    "q140_dsir_weights": q140_dsir_weights,
+    "q141_leakage_safe_split": q141_leakage_safe_split,
 }
 
 
@@ -5037,6 +5094,72 @@ def pipeline_oracles() -> dict[str, str]:
                round(AVG(s), 6) AS mean_score,
                round(AVG(CAST(y AS DOUBLE)), 6) AS pos_rate
         FROM binned GROUP BY bin ORDER BY bin
+    """
+    # q140: replay the DSIR weights — both smoothed unigram
+    # distributions from one token tally, ln-ratio sum per doc,
+    # round(6) absorbs the per-doc sum-order ulp noise (q60's
+    # discipline); the top-k cut ranks by the ROUNDED weight with the
+    # doc_id tiebreak, so the selection replays exactly.
+    oracles["q140_dsir_weights"] = f"""
+        WITH toks AS (
+            SELECT doc_id, (source = '{DSIR_TARGET_SOURCE}') AS is_tgt,
+                   unnest({TX.tokens_sql()}) AS token
+            FROM documents
+        ),
+        tok2 AS (SELECT * FROM toks WHERE token != ''),
+        vocab AS (
+            SELECT token, COUNT(*)::BIGINT AS raw_cnt,
+                   SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END)::BIGINT AS tgt_cnt
+            FROM tok2 GROUP BY token
+        ),
+        totals AS (
+            SELECT SUM(raw_cnt)::BIGINT AS raw_total,
+                   SUM(tgt_cnt)::BIGINT AS tgt_total,
+                   COUNT(*)::BIGINT AS v_size
+            FROM vocab
+        ),
+        scored AS (
+            SELECT t.doc_id, COUNT(*)::BIGINT AS n_tokens,
+                   round(SUM(
+                       ln((v.tgt_cnt + CAST(1.0 AS DOUBLE))
+                          / (s.tgt_total + CAST(1.0 AS DOUBLE) * s.v_size))
+                       - ln((v.raw_cnt + CAST(1.0 AS DOUBLE))
+                            / (s.raw_total + CAST(1.0 AS DOUBLE) * s.v_size))
+                   ), 6) AS log_weight
+            FROM tok2 t JOIN vocab v USING (token) CROSS JOIN totals s
+            GROUP BY t.doc_id
+        ),
+        ranked AS (
+            SELECT doc_id, n_tokens, log_weight,
+                   ROW_NUMBER() OVER (ORDER BY log_weight DESC, doc_id)
+                       AS rank
+            FROM scored
+        )
+        SELECT doc_id, n_tokens, log_weight, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {DSIR_TOP_K} ORDER BY rank
+    """
+    # q141: q31's transitive-closure kernel gives the component; the
+    # bucket replays the md5(seed:component) mod-100 arithmetic (the
+    # assign_shards '0x'||hex::UBIGINT convention).
+    csql = "COALESCE(c.component, d.doc_id)"
+    bsql = (
+        f"(('0x' || substr(md5(concat('split', ':', "
+        f"CAST({csql} AS VARCHAR))), 1, 8))::UBIGINT % 100)::INT"
+    )
+    oracles["q141_leakage_safe_split"] = _cc_ctes(sh, mh) + f""",
+        comp AS (
+            SELECT s AS doc_id, least(s, min(d)) AS component
+            FROM reach GROUP BY s
+        ),
+        assigned AS (
+            SELECT d.doc_id, {csql} AS component, {bsql} AS bucket
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        )
+        SELECT doc_id, component, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM assigned ORDER BY doc_id
     """
     return oracles
 

@@ -2484,3 +2484,59 @@ def test_semantic_dedup_keep_rule_and_cell_blocking(spark):
     assert out[3]["keep"] and out[3]["cell"] == 1  # same direction as 1 but other cell
     assert not out[4]["keep"]
     assert out[5]["keep"]
+
+
+# -------------------------------- DSIR importance weights (q140)
+
+def test_dsir_log_weights_hand_computed(spark):
+    """Hand-computed add-one-smoothed target/raw log ratios on a
+    3-doc corpus: raw = {a:3, b:1, c:3} (total 7, V=3), target (d1)
+    = {a:2, b:1} (total 3); the target-like doc scores positive,
+    the off-target doc negative."""
+    import math
+
+    from spark_nnd_spark.operators.sampling import dsir_log_weights
+
+    df = spark.createDataFrame(
+        [(1, "a a b", True), (2, "a c", False), (3, "c c", False)],
+        "doc_id long, text string, is_tgt boolean",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_log_weights(
+            df, F.split("text", " "), "is_tgt"
+        ).collect()
+    }
+
+    def lw(tgt, raw):
+        return math.log((tgt + 1) / (3 + 3)) - math.log((raw + 1) / (7 + 3))
+
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["log_weight"] == pytest.approx(2 * lw(2, 3) + lw(1, 1), abs=1e-6)
+    assert out[2]["log_weight"] == pytest.approx(lw(2, 3) + lw(0, 3), abs=1e-6)
+    assert out[3]["log_weight"] == pytest.approx(2 * lw(0, 3), abs=1e-6)
+    assert out[1]["log_weight"] > 0 > out[3]["log_weight"]
+
+
+# ------------------------------------ leakage-safe split (q141)
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """Every member of a near-dup component gets the identical
+    (bucket, split); singletons hash their own id; buckets live in
+    [0, 100) and splits in {train, val, test}."""
+    from spark_nnd_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r for r in leakage_safe_split(docs, pairs).collect()}
+    assert len(out) == 6
+    assert out[1]["component"] == out[2]["component"] == out[3]["component"] == 1
+    assert out[5]["component"] == out[6]["component"] == 5
+    assert out[4]["component"] == 4  # singleton: its own label
+    for grp in ([1, 2, 3], [5, 6]):
+        assert len({(out[i]["bucket"], out[i]["split"]) for i in grp}) == 1
+    for r in out.values():
+        assert 0 <= r["bucket"] < 100
+        assert r["split"] in {"train", "val", "test"}

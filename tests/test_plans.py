@@ -792,3 +792,27 @@ def test_calibration_bins_single_tiny_exchange(spark):
     assert "Exchange hashpartitioning(bin" in plan
     assert "partial_count" in plan or "partial_avg" in plan
     assert "EvalPython" not in plan
+
+
+def test_dsir_weights_distributed_topk_cut(spark):
+    """q140: the global selection is TakeOrderedAndProject
+    (per-partition top-k + k·partitions merge), never a global rank
+    window that would sort the corpus in one partition; the rank
+    window runs over the k survivors only. (The dual-distribution
+    tally sits behind the vocab checkpoint — its count+count_if
+    single-shuffle shape is asserted by the operator unit test.)"""
+    plan = _plan(spark, "q140_dsir_weights")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_leakage_safe_split_no_wide_ops_past_components(spark):
+    """q141: past the (checkpointed) component table, the assignment
+    is one narrow md5 expression plus a doc_id-key join — no
+    cartesian stage, no Python nodes."""
+    plan = _plan(spark, "q141_leakage_safe_split")
+    assert "md5" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
