@@ -410,6 +410,67 @@ def retraction_stream(
     return q
 
 
+def indexed_ann_stream(
+    query_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    timeout_sec: int = 180,
+) -> Any:
+    """Streaming vector search: each micro-batch of query embeddings is
+    probed against a PERSISTED IVF index (operators/similarity.
+    build_ivf_index) inside ``foreachBatch`` and its per-query top-k
+    rows land in a batchId-keyed parquet directory — the steady-state
+    "embed → retrieve" ingest shape (RAG indexing-time joins, online
+    near-neighbor audits) beside ``indexed_dedup_stream``'s text path.
+
+    ``foreachBatch`` for the same reason as the dedup stream: the probe
+    is a multi-join DAG (centroid pruning, cell-partitioned scan,
+    rerank windows) the incremental planner cannot host, and a
+    micro-batch IS the incremental batch the index API serves.
+    Idempotence: outputs are written ``overwrite`` into a directory
+    keyed by batchId, so a replayed batch rewrites its own directory.
+    The probe never mutates the index, so verdicts are a pure function
+    of (query, index) and the union of per-batch results equals one
+    batch probe of the whole stream — asserted replay==batch in tests.
+
+    Scale (100 TB corpus, unbounded query stream): per batch the probe
+    reads O(probed cells) index partitions (dynamic pruning) and
+    shuffles O(queries·k) rows; index growth happens on the admit
+    path, not here.
+    """
+    from spark_nnd_spark.operators.similarity import (  # noqa: PLC0415
+        ann_ivf_query_index,
+    )
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        ann_ivf_query_index(
+            spark,
+            index_path,
+            batch_df,
+            k=k,
+            n_probe=n_probe,
+            id_col=id_col,
+            vec_col=vec_col,
+        ).write.mode("overwrite").parquet(f"{out_path}/ann_batch={batch_id}")
+
+    q = (
+        query_stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q
+
+
 def read_events_kafka(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -1004,3 +1004,74 @@ def test_retraction_stream_composes_with_ingest_loop(spark, tmp_path):
     got = run_ingest()
     assert got[3001] == "novel"
     assert got[3002] == "exact"
+
+
+def test_indexed_ann_stream_replay_equals_batch(spark, tmp_path):
+    """Streaming vector search against the persisted IVF index: the
+    union of per-micro-batch top-k results must equal one batch probe
+    of all queries (the probe is a pure function of (query, index)),
+    and a full reprocess from a fresh checkpoint rewrites identical
+    rows into the same batchId-keyed directories."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from spark_nnd_spark.operators.similarity import (
+        ann_ivf_query_index,
+        build_ivf_index,
+        fixed_centroids,
+    )
+    from spark_nnd_spark.streaming.streams import indexed_ann_stream
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "ivfidx")
+    build_ivf_index(
+        corpus, idx, n_centroids=8, centroids=fixed_centroids(dim, 8, 7)
+    )
+
+    qvecs = [
+        (1000 + i, [float(x) for x in rng.normal(size=dim)]) for i in range(6)
+    ]
+    src = tmp_path / "queries"
+    src.mkdir()
+    for b in range(2):  # two micro-batches of three queries
+        p = src / f"chunk{b}.parquet"
+        pd.DataFrame(qvecs[3 * b : 3 * b + 3], columns=["vec_id", "embedding"]).to_parquet(
+            p, index=False
+        )
+        os.utime(p, (1_700_000_000 + b, 1_700_000_000 + b))
+    out = str(tmp_path / "annout")
+
+    def run(ckpt: str):
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        indexed_ann_stream(stream, idx, out, checkpoint=str(tmp_path / ckpt))
+        return sorted(
+            (r["query_id"], r["rank"], r["nb_id"], round(r["cosine"], 9))
+            for r in spark.read.parquet(out).collect()
+        )
+
+    streamed = run("ck1")
+    assert sorted(
+        p for p in os.listdir(out) if p.startswith("ann_batch=")
+    ) == ["ann_batch=0", "ann_batch=1"]
+
+    all_q = spark.createDataFrame(qvecs, "vec_id long, embedding array<double>")
+    batch = sorted(
+        (r["query_id"], r["rank"], r["nb_id"], round(r["cosine"], 9))
+        for r in ann_ivf_query_index(spark, idx, all_q).collect()
+    )
+    assert streamed == batch
+    assert len(streamed) == 6 * 5  # k=5 per query
+
+    # full reprocess, fresh checkpoint: same directories, same rows
+    assert run("ck2") == batch
