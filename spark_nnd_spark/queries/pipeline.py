@@ -2972,6 +2972,37 @@ def q141_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(d, pairs, id_col="doc_id").orderBy("doc_id")
 
 
+CURR_SHARDS = 8
+
+
+def q142_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase annealed curriculum manifest — the (epoch, shard, pos,
+    doc_id) data-order file a training loader consumes: epoch 1 is the
+    whole corpus under one seeded-hash shuffle, epoch 2 (the
+    "annealing" phase of Llama-3/MiniCPM-style schedules) re-shuffles
+    only the docs passing the GBDT quality gate (q130's scorer) under
+    a fresh seed. Fully deterministic: re-running the job, or
+    re-materializing one lost (epoch, shard), reproduces byte-equal
+    order. Two narrow scans + one shard exchange per epoch (the q113
+    kernel, never a global sort); the gate is a codegen expression in
+    the scan."""
+    from spark_nnd_spark.operators import sampling as SA  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    ep1 = (
+        SA.assign_shards(
+            d.select("doc_id"), n_shards=CURR_SHARDS, seed="ep1"
+        )
+        .select(F.lit(1).alias("epoch"), "doc_id", "shard", "pos")
+    )
+    kept = d.filter(TX.tree_score_expr("text") > 0.0).select("doc_id")
+    ep2 = (
+        SA.assign_shards(kept, n_shards=CURR_SHARDS, seed="ep2")
+        .select(F.lit(2).alias("epoch"), "doc_id", "shard", "pos")
+    )
+    return ep1.unionByName(ep2).orderBy("epoch", "shard", "pos")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -3083,6 +3114,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q139_calibration_bins": q139_calibration_bins,
     "q140_dsir_weights": q140_dsir_weights,
     "q141_leakage_safe_split": q141_leakage_safe_split,
+    "q142_curriculum_order": q142_curriculum_order,
 }
 
 
@@ -5160,6 +5192,32 @@ def pipeline_oracles() -> dict[str, str]:
                     WHEN bucket < 90 THEN 'val'
                     ELSE 'test' END AS split
         FROM assigned ORDER BY doc_id
+    """
+    # q142: two assign_shards replays (fresh seed per epoch) + the
+    # GBDT gate; epoch literals pin the union branches.
+    ep1 = SA.assign_shards_sql(
+        "(SELECT doc_id FROM documents)", CURR_SHARDS, "doc_id", "ep1"
+    )
+    ep2 = SA.assign_shards_sql(
+        f"(SELECT doc_id FROM documents WHERE {TX.tree_score_sql()} "
+        f"> CAST(0.0 AS DOUBLE))",
+        CURR_SHARDS,
+        "doc_id",
+        "ep2",
+    )
+    oracles["q142_curriculum_order"] = f"""
+        WITH e1 AS (
+            WITH {ep1}
+            SELECT 1 AS epoch, doc_id, shard, pos FROM sharded
+        ),
+        e2 AS (
+            WITH {ep2}
+            SELECT 2 AS epoch, doc_id, shard, pos FROM sharded
+        )
+        SELECT epoch, doc_id, shard, pos FROM e1
+        UNION ALL
+        SELECT epoch, doc_id, shard, pos FROM e2
+        ORDER BY epoch, shard, pos
     """
     return oracles
 

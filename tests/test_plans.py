@@ -816,3 +816,14 @@ def test_leakage_safe_split_no_wide_ops_past_components(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_curriculum_order_one_shard_exchange_per_epoch(spark):
+    """q142: each epoch costs exactly one shard-key exchange (the q113
+    kernel — seeded hash, never a global data sort; the trailing sort
+    is the presentation ORDER BY); the quality gate is a codegen
+    expression, not a Python node."""
+    plan = _plan(spark, "q142_curriculum_order")
+    assert plan.count("Exchange hashpartitioning(shard") == 2
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
