@@ -706,6 +706,138 @@ def _semantic_dedup_oracle() -> str:
     """
 
 
+HARDNEG_K = 5
+
+
+def q143_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for
+    each query vector, the top-k most-similar corpus vectors with a
+    DIFFERENT label — the negatives that sit closest to the decision
+    boundary, which is what makes a triplet/InfoNCE batch hard. Same
+    plan shape as q18's exact tier (corpus streams, the small query
+    side broadcasts, the per-query cut is the native WindowGroupLimit
+    rank window); the label-mismatch predicate rides the broadcast
+    join in codegen. At scale the brute pass swaps for the IVF/binary
+    shortlist exactly as retrieval does (same blocked layouts)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nb_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").cast("array<double>").alias("c_vec"),
+    )
+    from spark_nnd_spark.functions.vector import cosine_similarity_expr  # noqa: PLC0415
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_label") != F.col("q_label"))
+        .withColumn("cosine", cosine_similarity_expr("q_vec", "c_vec"))
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nb_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARDNEG_K)
+        .select(
+            "query_id", "nb_id", "rank", F.round("cosine", 6).alias("cosine")
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hard_negatives_oracle() -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            f"CASE WHEN sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b})) = 0"
+            f" THEN 0.0 ELSE list_dot_product({a},{b})"
+            f" / (sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b}))) END"
+        )
+
+    return f"""
+        WITH t AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS nb_id,
+                   {cos('q.v', 'c.v')} AS cosine
+            FROM t q JOIN t c ON q.label <> c.label
+            WHERE q.vec_id < 10
+        ),
+        ranked AS (
+            SELECT query_id, nb_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, nb_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, nb_id, CAST(rank AS INT) AS rank,
+               round(cosine, 6) AS cosine
+        FROM ranked WHERE rank <= {HARDNEG_K} ORDER BY query_id, rank
+    """
+
+
+BALANCED_CELL_K = 20
+
+
+def q144_balanced_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced subsampling: exactly-k vectors per IVF cell
+    (fixed centroids — the q67 assignment) via the md5-ranked
+    exactly-k sampler — the DataComp-style rebalancing that stops one
+    dense region of embedding space from dominating a training batch.
+    Assignment is a narrow Arrow map; the only wide op is the per-cell
+    top-k window (one cell-key exchange), and the sample is nested in
+    k and engine-replayable."""
+    from spark_nnd_spark.operators.sampling import per_group_exact_sample  # noqa: PLC0415
+    from spark_nnd_spark.operators.similarity import _ivf_assign  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = _ivf_assign(
+        emb, fixed_centroids(64, 16, 42), id_col="vec_id", vec_col="embedding"
+    ).select(F.col("cell").cast("long").alias("cell"), F.col("nb_id").alias("vec_id"))
+    return (
+        per_group_exact_sample(assigned, "cell", BALANCED_CELL_K, id_col="vec_id")
+        .select("cell", "sample_rank", "vec_id")
+        .orderBy("cell", "sample_rank")
+    )
+
+
+def _balanced_cells_oracle() -> str:
+    cents = fixed_centroids(64, 16, 42)
+
+    def cell_dots(v: str) -> str:
+        norm = f"greatest(sqrt(list_dot_product({v},{v})), 1e-12)"
+        return (
+            "["
+            + ",".join(f"list_dot_product({v}, {_vec_lit(c)}) / {norm}" for c in cents)
+            + "]"
+        )
+
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        cd AS (SELECT vec_id, {cell_dots('cv')} AS dots FROM c),
+        assigned AS (
+            SELECT vec_id,
+                   (list_position(dots, list_max(dots)) - 1)::BIGINT AS cell
+            FROM cd
+        ),
+        ranked AS (
+            SELECT cell, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cell
+                       ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8),
+                                vec_id
+                   ) AS sample_rank
+            FROM assigned
+        )
+        SELECT cell, sample_rank, vec_id FROM ranked
+        WHERE sample_rank <= {BALANCED_CELL_K}
+        ORDER BY cell, sample_rank
+    """
+
+
 KNN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_knn_exact": q24_knn_exact,
     "q25_nnd_graph": q25_nnd_graph,
@@ -716,6 +848,8 @@ KNN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_ivf_cells": q67_ivf_cells,
     "q127_ivfpq_topk": q127_ivfpq_topk,
     "q138_semantic_dedup": q138_semantic_dedup,
+    "q143_hard_negatives": q143_hard_negatives,
+    "q144_balanced_cells": q144_balanced_cells,
 }
 
 KNN_ORACLES: dict[str, str] = {
@@ -742,4 +876,6 @@ KNN_ORACLES: dict[str, str] = {
     "q67_ivf_cells": _ivf_cells_oracle(),
     "q127_ivfpq_topk": _ivfpq_oracle(),
     "q138_semantic_dedup": _semantic_dedup_oracle(),
+    "q143_hard_negatives": _hard_negatives_oracle(),
+    "q144_balanced_cells": _balanced_cells_oracle(),
 }

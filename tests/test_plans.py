@@ -827,3 +827,25 @@ def test_curriculum_order_one_shard_exchange_per_epoch(spark):
     assert plan.count("Exchange hashpartitioning(shard") == 2
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_hard_negatives_corpus_streams_query_broadcasts(spark):
+    """q143: the corpus must stream through a broadcast of the small
+    query side (the q18 exact-tier shape) with the label-mismatch
+    predicate in the join, and the per-query cut must carry the native
+    WindowGroupLimit partial."""
+    plan = _plan(spark, "q143_hard_negatives")
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
+    assert "WindowGroupLimit" in plan
+    assert "Exchange hashpartitioning(query_id" in plan
+    assert "EvalPython" not in plan
+
+
+def test_balanced_cells_one_cell_exchange(spark):
+    """q144: past the (narrow, Arrow-batched) cell assignment the only
+    wide op is the per-cell exactly-k window — one cell-key exchange
+    with the native WindowGroupLimit partial cut."""
+    plan = _plan(spark, "q144_balanced_cells")
+    assert "Exchange hashpartitioning(cell" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
