@@ -89,6 +89,79 @@ def _kmv_partials_kernel(k: int):
     return run
 
 
+def kmv_group_minhashes(
+    df: DataFrame,
+    group_col: str,
+    hash_expr: Column,
+    k: int = 64,
+) -> DataFrame:
+    """(grp, h, rn): the merged k-minimum-value set per group — the
+    reusable KMV sketch STATE. ``kmv_distinct`` reads its cardinality
+    aggregate off it; the set-algebra estimators (``kmv_pair_jaccard``)
+    consume it directly. Per-partition partials are O(groups·k), the
+    merge is the k smallest distinct across partials (the global k-min
+    set is inside the union of partial k-min sets)."""
+    hashed = df.select(
+        F.col(group_col).cast("string").alias("grp"), hash_expr.alias("h")
+    )
+    partials = hashed.mapInPandas(_kmv_partials_kernel(k), _PARTIAL_SCHEMA)
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        partials.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def kmv_pair_jaccard(mins: DataFrame, k: int = 64) -> DataFrame:
+    """KMV set algebra: for every pair of groups in a ``(grp, h)``
+    k-min sketch table (``kmv_group_minhashes``), the Jaccard estimate
+
+        J_est = |{h in U_k : h in S_a AND h in S_b}| / |U_k|
+
+    where U_k is the k smallest hashes of S_a ∪ S_b — the standard
+    KMV resemblance estimator (Beyer et al. 2007). Returns
+    (grp_a, grp_b, n_union_kept, n_both, jaccard_est).
+
+    Scale (100 TB): this is the profile-store pattern — the corpus is
+    reduced ONCE to O(groups·k) sketch rows; every pairwise question
+    after that is algebra over sketches, never a second corpus scan.
+    The group cross join is O(groups²) over a table of distinct group
+    ids (broadcast side), and the union-rank window shuffles
+    O(groups²·k) rows total.
+    """
+    g = mins.select("grp").distinct()
+    pr = (
+        g.select(F.col("grp").alias("grp_a"))
+        .crossJoin(F.broadcast(g.select(F.col("grp").alias("grp_b"))))
+        .filter(F.col("grp_a") < F.col("grp_b"))
+    )
+    sa = mins.select(F.col("grp").alias("grp_a"), "h")
+    sb = mins.select(F.col("grp").alias("grp_b"), "h")
+    ua = pr.join(sa, "grp_a").select(
+        "grp_a", "grp_b", "h", F.lit(True).alias("a"), F.lit(False).alias("b")
+    )
+    ub = pr.join(sb, "grp_b").select(
+        "grp_a", "grp_b", "h", F.lit(False).alias("a"), F.lit(True).alias("b")
+    )
+    u = (
+        ua.unionByName(ub)
+        .groupBy("grp_a", "grp_b", "h")
+        .agg(F.max("a").alias("in_a"), F.max("b").alias("in_b"))
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy("h")
+    kept = u.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return kept.groupBy("grp_a", "grp_b").agg(
+        F.count("*").alias("n_union_kept"),
+        F.count_if(F.col("in_a") & F.col("in_b")).alias("n_both"),
+        F.round(
+            F.count_if(F.col("in_a") & F.col("in_b")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("jaccard_est"),
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     group_col: str,
@@ -103,18 +176,7 @@ def kmv_distinct(
     exact count; kth_hash is null in that case. Deterministic — the
     same rows replay in any engine that computes the same hashes.
     """
-    hashed = df.select(
-        F.col(group_col).cast("string").alias("grp"), hash_expr.alias("h")
-    )
-    partials = hashed.mapInPandas(_kmv_partials_kernel(k), _PARTIAL_SCHEMA)
-    # merge: k smallest distinct across partition partials (the global
-    # k-min set is inside the union of partial k-min sets)
-    w = Window.partitionBy("grp").orderBy("h")
-    merged = (
-        partials.distinct()
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-    )
+    merged = kmv_group_minhashes(df, group_col, hash_expr, k)
     agg = merged.groupBy("grp").agg(
         F.count("*").alias("n_kept"),
         F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth_hash"),

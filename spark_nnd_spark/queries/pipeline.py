@@ -2973,6 +2973,72 @@ def q141_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CURR_SHARDS = 8
+# pair-sketch k: large enough that 190 source pairs get a usable
+# resemblance estimate, small enough that the estimator branch (not
+# the exact-set fallback) is what the oracle certifies
+KMV_PAIR_K = 32
+
+
+def q145_kmv_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source vocabulary resemblance from KMV sketch ALGEBRA
+    (operators/sketches.kmv_group_minhashes + kmv_pair_jaccard, Beyer
+    et al. 2007): the corpus reduces once to O(sources·k) k-min rows,
+    then every one of the O(sources²) pairwise Jaccard questions is
+    answered from sketches — never a second corpus scan, unlike q71's
+    exact overlap matrix which pays a posting self-join. The exact
+    distinct-set Jaccard rides along as the calibration column (the
+    q109/q33 convention)."""
+    from spark_nnd_spark.operators import sketches as SK  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("source", F.explode(TX.tokens_expr("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .select(
+            "source",
+            SK.kmv_mix_expr(TX.token_hash_lambda(F.col("token"))).alias("h"),
+        )
+        .localCheckpoint(eager=True)  # feeds the sketch AND the exact side
+    )
+    mins = SK.kmv_group_minhashes(toks, "source", F.col("h"), k=KMV_PAIR_K)
+    est = SK.kmv_pair_jaccard(mins, k=KMV_PAIR_K)
+    dt = toks.distinct().localCheckpoint(eager=True)
+    xa = dt.select(F.col("source").alias("grp_a"), "h")
+    xb = dt.select(F.col("source").alias("grp_b"), "h")
+    inter = (
+        xa.join(xb, "h")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = dt.groupBy("source").agg(F.count("*").alias("n"))
+    exact = (
+        inter.join(sizes.select(F.col("source").alias("grp_a"), F.col("n").alias("n_a")), "grp_a")
+        .join(sizes.select(F.col("source").alias("grp_b"), F.col("n").alias("n_b")), "grp_b")
+        .select(
+            "grp_a",
+            "grp_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard_exact"),
+        )
+    )
+    return (
+        est.join(exact, ["grp_a", "grp_b"], "left")  # zero-overlap pairs
+        .select(
+            F.col("grp_a").alias("source_a"),
+            F.col("grp_b").alias("source_b"),
+            "n_union_kept",
+            "n_both",
+            "jaccard_est",
+            F.coalesce(F.col("jaccard_exact"), F.lit(0.0)).alias(
+                "jaccard_exact"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
 
 
 def q142_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3115,6 +3181,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q140_dsir_weights": q140_dsir_weights,
     "q141_leakage_safe_split": q141_leakage_safe_split,
     "q142_curriculum_order": q142_curriculum_order,
+    "q145_kmv_source_jaccard": q145_kmv_source_jaccard,
 }
 
 
@@ -5218,6 +5285,77 @@ def pipeline_oracles() -> dict[str, str]:
         UNION ALL
         SELECT epoch, doc_id, shard, pos FROM e2
         ORDER BY epoch, shard, pos
+    """
+    # q145: replay the k-min sets per source, the pairwise union-rank
+    # estimator, and the exact distinct-set Jaccard calibration.
+    oracles["q145_kmv_source_jaccard"] = f"""
+        WITH toks AS (
+            SELECT source, {SKM.kmv_mix_sql(TX.token_hash_sql('t'))} AS h
+            FROM (SELECT source, unnest({TX.tokens_sql()}) AS t FROM documents)
+            WHERE t <> ''
+        ),
+        dt AS (SELECT DISTINCT source, h FROM toks),
+        mins AS (
+            SELECT source, h FROM (
+                SELECT source, h,
+                       ROW_NUMBER() OVER (PARTITION BY source ORDER BY h)
+                           AS rn
+                FROM dt
+            ) WHERE rn <= {KMV_PAIR_K}
+        ),
+        pairs AS (
+            SELECT a.source AS grp_a, b.source AS grp_b
+            FROM (SELECT DISTINCT source FROM mins) a
+            JOIN (SELECT DISTINCT source FROM mins) b ON a.source < b.source
+        ),
+        u AS (
+            SELECT grp_a, grp_b, h,
+                   MAX(a_flag) AS in_a, MAX(b_flag) AS in_b
+            FROM (
+                SELECT p.grp_a, p.grp_b, m.h, TRUE AS a_flag, FALSE AS b_flag
+                FROM pairs p JOIN mins m ON m.source = p.grp_a
+                UNION ALL
+                SELECT p.grp_a, p.grp_b, m.h, FALSE, TRUE
+                FROM pairs p JOIN mins m ON m.source = p.grp_b
+            ) GROUP BY grp_a, grp_b, h
+        ),
+        kept AS (
+            SELECT * FROM (
+                SELECT grp_a, grp_b, h, in_a, in_b,
+                       ROW_NUMBER() OVER (PARTITION BY grp_a, grp_b
+                                          ORDER BY h) AS rn
+                FROM u
+            ) WHERE rn <= {KMV_PAIR_K}
+        ),
+        est AS (
+            SELECT grp_a, grp_b, COUNT(*)::BIGINT AS n_union_kept,
+                   SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)::BIGINT
+                       AS n_both,
+                   round(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+                         ::DOUBLE / COUNT(*)::DOUBLE, 6) AS jaccard_est
+            FROM kept GROUP BY grp_a, grp_b
+        ),
+        sizes AS (SELECT source, COUNT(*) AS n FROM dt GROUP BY source),
+        inter AS (
+            SELECT a.source AS grp_a, b.source AS grp_b,
+                   COUNT(*) AS n_inter
+            FROM dt a JOIN dt b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2
+        ),
+        exact AS (
+            SELECT p.grp_a, p.grp_b,
+                   round(COALESCE(i.n_inter, 0)::DOUBLE
+                         / (sa.n + sb.n - COALESCE(i.n_inter, 0))::DOUBLE,
+                         6) AS jaccard_exact
+            FROM pairs p
+            JOIN sizes sa ON sa.source = p.grp_a
+            JOIN sizes sb ON sb.source = p.grp_b
+            LEFT JOIN inter i ON i.grp_a = p.grp_a AND i.grp_b = p.grp_b
+        )
+        SELECT e.grp_a AS source_a, e.grp_b AS source_b,
+               e.n_union_kept, e.n_both, e.jaccard_est, x.jaccard_exact
+        FROM est e JOIN exact x ON e.grp_a = x.grp_a AND e.grp_b = x.grp_b
+        ORDER BY source_a, source_b
     """
     return oracles
 

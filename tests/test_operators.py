@@ -2540,3 +2540,43 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
     for r in out.values():
         assert 0 <= r["bucket"] < 100
         assert r["split"] in {"train", "val", "test"}
+
+
+# ------------------------------ KMV set algebra (q145 family)
+
+def test_kmv_pair_jaccard_exact_when_k_covers_union(spark):
+    """With k >= |union| the KMV resemblance estimator IS the exact
+    Jaccard (U_k = the whole union); disjoint pairs read 0. Also
+    checks the k-truncated branch against the estimator's definition
+    (the k smallest union hashes, counted for joint membership)."""
+    from spark_nnd_spark.operators.sketches import (
+        kmv_group_minhashes,
+        kmv_pair_jaccard,
+    )
+
+    rows = (
+        [("a", h) for h in range(1, 41)]
+        + [("b", h) for h in range(21, 61)]
+        + [("c", h) for h in range(100, 111)]
+    )
+    df = spark.createDataFrame(rows, "src string, h long")
+    mins = kmv_group_minhashes(df, "src", F.col("h"), k=64)
+    out = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in kmv_pair_jaccard(mins, k=64).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert ab["n_union_kept"] == 60 and ab["n_both"] == 20
+    assert ab["jaccard_est"] == pytest.approx(20 / 60, abs=1e-6)
+    assert out[("a", "c")]["n_both"] == 0
+    assert out[("a", "c")]["jaccard_est"] == 0.0
+
+    # k-truncated branch: U_16 of (a, b) is hashes 1..16 — all a-only
+    mins16 = kmv_group_minhashes(df, "src", F.col("h"), k=16)
+    trunc = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in kmv_pair_jaccard(mins16, k=16).collect()
+    }
+    assert trunc[("a", "b")]["n_union_kept"] == 16
+    assert trunc[("a", "b")]["n_both"] == 0

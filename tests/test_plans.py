@@ -849,3 +849,14 @@ def test_balanced_cells_one_cell_exchange(spark):
     assert "Exchange hashpartitioning(cell" in plan
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmv_source_jaccard_algebra_over_sketches(spark):
+    """q145: the pairwise stage must run over O(sources·k) sketch rows
+    with the group list as the broadcast cross side — no
+    CartesianProduct, no row-wise Python (the sketch kernel is the
+    Arrow-batched MapInPandas, which is allowed)."""
+    plan = _plan(spark, "q145_kmv_source_jaccard")
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
