@@ -3041,6 +3041,113 @@ def q145_kmv_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Late-interaction knobs: 3 literal topic queries over corpus-vocab
+# words; 16-bit sign vectors from the portable token hash make every
+# token-pair cosine integer-exact ((16 - 2·hamming)/16).
+LI_QUERIES = [(0, "spark table scan"), (1, "fast value sort"), (2, "window group agg")]
+LI_MASK = (1 << 16) - 1
+LI_DIM = 16
+LI_SHORTLIST = 20
+LI_K = 5
+
+
+def q146_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage modern retrieval: a BM25 shortlist (q68's kernel,
+    generalized to multiple queries) reranked by ColBERT-style late
+    interaction (Khattab & Zaharia 2020) — score(q, d) = mean over
+    q's tokens of the max cosine against d's tokens, with token
+    embeddings as 16-bit SIGN vectors of the portable polynomial hash,
+    so every token-pair cosine is (16 − 2·hamming)/16: integer-exact,
+    hash-checkable, the q129 discipline applied to multi-vector
+    scoring.
+
+    Scale (100 TB): the corpus is touched only by the posting-filtered
+    BM25 stage (the exchange carries docs containing a query term);
+    the quadratic token×token interaction runs ONLY over the
+    O(queries·shortlist) reranked docs — the cost cap that makes late
+    interaction deployable, exactly how ColBERT serves. A learned
+    embedding table would swap in for the hash projection behind the
+    same (token → vector) join; the plumbing is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, text in LI_QUERIES for t in text.split(" ")],
+        "query_id int, token string",
+    )
+    all_terms = sorted({t for _, text in LI_QUERIES for t in text.split(" ")})
+    toks = d.select(
+        "doc_id",
+        TX.token_count_expr("text").cast("double").alias("dl"),
+        F.explode(TX.tokens_expr("text")).alias("token"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(all_terms))
+        .groupBy("doc_id", "token", "dl")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)  # feeds df counts AND scoring
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    stats = d.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(TX.token_count_expr("text")).alias("avgdl"),
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = idf * (
+        F.col("tf") * (BM25_K1 + 1)
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    bm25 = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(term_score).alias("bm25"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    short = (
+        bm25.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= LI_SHORTLIST)
+        .select("query_id", "doc_id")
+        .localCheckpoint(eager=True)  # tiny; the rerank joins it twice
+    )
+    h16 = lambda c: TX.token_hash_lambda(c).bitwiseAND(F.lit(LI_MASK))  # noqa: E731
+    qt = qterms.select("query_id", h16(F.col("token")).alias("qh")).distinct()
+    dt = (
+        short.join(
+            d.select("doc_id", F.explode(TX.tokens_expr("text")).alias("token"))
+            .filter(F.col("token") != "")
+            .distinct(),
+            "doc_id",
+        )
+        .select("query_id", "doc_id", h16(F.col("token")).alias("dh"))
+        .distinct()
+    )
+    cos = (
+        F.lit(LI_DIM)
+        - 2 * F.bit_count(F.col("qh").bitwiseXOR(F.col("dh")))
+    ) / F.lit(float(LI_DIM))
+    maxsim = (
+        dt.join(F.broadcast(qt), "query_id")
+        .groupBy("query_id", "doc_id", "qh")
+        .agg(F.max(cos).alias("mx"))
+    )
+    li = maxsim.groupBy("query_id", "doc_id").agg(
+        F.round(F.avg("mx"), 6).alias("li_score")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("li_score"), F.asc("doc_id")
+    )
+    return (
+        li.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= LI_K)
+        .select("query_id", "doc_id", "rank", "li_score")
+        .orderBy("query_id", "rank")
+    )
+
+
 def q142_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase annealed curriculum manifest — the (epoch, shard, pos,
     doc_id) data-order file a training loader consumes: epoch 1 is the
@@ -3182,6 +3289,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q141_leakage_safe_split": q141_leakage_safe_split,
     "q142_curriculum_order": q142_curriculum_order,
     "q145_kmv_source_jaccard": q145_kmv_source_jaccard,
+    "q146_late_interaction": q146_late_interaction,
 }
 
 
@@ -5356,6 +5464,88 @@ def pipeline_oracles() -> dict[str, str]:
                e.n_union_kept, e.n_both, e.jaccard_est, x.jaccard_exact
         FROM est e JOIN exact x ON e.grp_a = x.grp_a AND e.grp_b = x.grp_b
         ORDER BY source_a, source_b
+    """
+    # q146: q68's BM25 arithmetic verbatim (per query), then the
+    # late-interaction replay — 16-bit sign-vector cosine is
+    # (16 - 2*bit_count(xor)) / 16, integer-exact (the q129 xor/
+    # bit_count convention); distinct hash sets mirror the Spark
+    # distinct-on-hash dedup.
+    li_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, text in LI_QUERIES for t in text.split(" ")
+    )
+    li_terms = ", ".join(
+        f"'{t}'" for t in sorted({t for _, x in LI_QUERIES for t in x.split(" ")})
+    )
+    k1, b = BM25_K1, BM25_B
+    oracles["q146_late_interaction"] = f"""
+        WITH qterms(query_id, token) AS (VALUES {li_vals}),
+        toks AS (
+            SELECT doc_id, len({TX.tokens_sql()})::DOUBLE AS dl,
+                   unnest({TX.tokens_sql()}) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, dl, COUNT(*) AS tf
+            FROM toks WHERE token IN ({li_terms})
+            GROUP BY doc_id, token, dl
+        ),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        stats AS (SELECT COUNT(*)::DOUBLE AS n_docs,
+                         AVG(len({TX.tokens_sql()})) AS avgdl
+                  FROM documents),
+        bm AS (
+            SELECT q.query_id, t.doc_id,
+                   SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * (t.tf * ({k1} + 1)
+                          / (t.tf + {k1} * (1 - {b} + {b} * t.dl / avgdl))))
+                       AS bm25
+            FROM tf t JOIN qterms q USING (token)
+            JOIN dfreq USING (token) CROSS JOIN stats
+            GROUP BY 1, 2
+        ),
+        short AS (
+            SELECT query_id, doc_id FROM (
+                SELECT query_id, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY bm25 DESC, doc_id) AS rn
+                FROM bm
+            ) WHERE rn <= {LI_SHORTLIST}
+        ),
+        qt AS (
+            SELECT DISTINCT query_id,
+                   ({TX.token_hash_sql('token')} & {LI_MASK}) AS qh
+            FROM qterms
+        ),
+        dtok AS (
+            SELECT DISTINCT doc_id, t
+            FROM (SELECT doc_id, unnest({TX.tokens_sql()}) AS t
+                  FROM documents)
+            WHERE t <> ''
+        ),
+        dt AS (
+            SELECT DISTINCT s.query_id, s.doc_id,
+                   ({TX.token_hash_sql('t')} & {LI_MASK}) AS dh
+            FROM short s JOIN dtok USING (doc_id)
+        ),
+        ms AS (
+            SELECT d.query_id, d.doc_id, q.qh,
+                   MAX(({LI_DIM} - 2 * bit_count(xor(q.qh, d.dh)))
+                       / CAST({LI_DIM} AS DOUBLE)) AS mx
+            FROM dt d JOIN qt q USING (query_id)
+            GROUP BY 1, 2, 3
+        ),
+        li AS (
+            SELECT query_id, doc_id, round(AVG(mx), 6) AS li_score
+            FROM ms GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT query_id, doc_id, li_score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY li_score DESC, doc_id) AS rank
+            FROM li
+        )
+        SELECT query_id, doc_id, CAST(rank AS INT) AS rank, li_score
+        FROM r WHERE rank <= {LI_K} ORDER BY query_id, rank
     """
     return oracles
 

@@ -860,3 +860,17 @@ def test_kmv_source_jaccard_algebra_over_sketches(spark):
     assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_late_interaction_quadratic_stage_bounded_by_shortlist(spark):
+    """q146: the corpus-wide stage is the posting-filtered BM25 tally;
+    both ranking cuts carry the native WindowGroupLimit partial, the
+    token×token interaction happens only behind the (checkpointed)
+    O(queries·shortlist) cut with the query side broadcast, and
+    nothing is cartesian or row-wise Python."""
+    plan = _plan(spark, "q146_late_interaction")
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "bit_count" in plan  # the integer sign-vector cosine
