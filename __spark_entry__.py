@@ -153,10 +153,27 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   q139 reliability-diagram calibration bins beside q137's
   discrimination audit (floor(score·10) integer bin ids, O(bins)
   aggregate, cells replay exactly)
+  q140 DSIR-style importance reweighting (target-vs-raw smoothed
+  unigram log-ratio weights, both distributions from ONE token tally;
+  top-k selection via TakeOrderedAndProject, never a global rank
+  window), q141 leakage-safe train/val/test split (bucket hashed from
+  the near-dup COMPONENT label — duplicate clusters cannot straddle
+  splits), q142 two-phase annealed curriculum manifest (epoch 1 whole
+  corpus, epoch 2 GBDT-gated re-shuffle under a fresh seed; one shard
+  exchange per epoch), q145 KMV set algebra (pairwise source
+  vocabulary Jaccard from O(sources·k) sketch rows — the profile-
+  store pattern; exact Jaccard as calibration), q146 two-stage
+  retrieval (multi-query BM25 shortlist + ColBERT-style
+  late-interaction rerank over 16-bit sign-vector token embeddings —
+  every token-pair cosine integer-exact), q147 per-source dataset
+  card (volume, dup rate, gate pass rate, dominant language)
   (queries/pipeline.py + queries/relational.py); q59 deterministic
   k-means step, q67 IVF cell introspection, q138 SemDeDup-style
   semantic dedup (nearest-centroid cell blocking, same-cell pair
-  scan, greedy-by-id keep rule replayed as NOT EXISTS in the oracle)
+  scan, greedy-by-id keep rule replayed as NOT EXISTS in the oracle),
+  q143 hard-negative mining (top-k nearest with a DIFFERENT label —
+  contrastive-training negatives), q144 cell-balanced subsampling
+  (exactly-k per IVF cell via the md5 sampler — topic rebalancing)
   (queries/knn.py + operators/clustering.py, operators/similarity.py).
 """
 

@@ -108,6 +108,14 @@ HEADLINE = [
     "q137_model_auc",
     "q138_semantic_dedup",
     "q139_calibration_bins",
+    "q140_dsir_weights",
+    "q141_leakage_safe_split",
+    "q142_curriculum_order",
+    "q143_hard_negatives",
+    "q144_balanced_cells",
+    "q145_kmv_source_jaccard",
+    "q146_late_interaction",
+    "q147_data_card",
 ]
 
 

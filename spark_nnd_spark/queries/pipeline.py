@@ -3148,6 +3148,66 @@ def q146_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q147_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the datasheet table a corpus release
+    publishes: volume (docs, tokens, mean length), exact-duplicate
+    rate, rule-gate pass rate, and the dominant predicted language
+    with its share. One corpus scan feeds a source aggregate and a
+    (source, lang) mode aggregate (deterministic count-then-lang
+    tiebreak); every cell is exact-count arithmetic or a round(6)
+    ratio, so the card replays bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = TX.token_count_expr("text")
+    stop = TX.stopword_ratio_expr("text")
+    ttr = TX.type_token_ratio_expr("text")
+    base = d.select(
+        "source",
+        n_tok.alias("nt"),
+        F.md5("text").alias("digest"),
+        ((n_tok >= 5) & (stop <= 0.6) & (ttr >= 0.3))
+        .cast("int")
+        .alias("gate"),
+        TX.predicted_lang_expr("text").alias("lang"),
+    ).localCheckpoint(eager=True)  # feeds both aggregates
+    agg = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+        F.round(F.avg(F.col("nt").cast("double")), 6).alias("mean_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct("digest").cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("dup_ratio"),
+        F.round(F.avg(F.col("gate").cast("double")), 6).alias("quality_pass_rate"),
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    lc = base.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    wl = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    top = (
+        lc.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), F.col("n").alias("tn"))
+    )
+    return (
+        agg.join(top, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "mean_tokens",
+            "dup_ratio",
+            "quality_pass_rate",
+            "top_lang",
+            F.round(
+                F.col("tn").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("top_lang_share"),
+        )
+        .orderBy("source")
+    )
+
+
 def q142_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase annealed curriculum manifest — the (epoch, shard, pos,
     doc_id) data-order file a training loader consumes: epoch 1 is the
@@ -3290,6 +3350,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q142_curriculum_order": q142_curriculum_order,
     "q145_kmv_source_jaccard": q145_kmv_source_jaccard,
     "q146_late_interaction": q146_late_interaction,
+    "q147_data_card": q147_data_card,
 }
 
 
@@ -5546,6 +5607,45 @@ def pipeline_oracles() -> dict[str, str]:
         )
         SELECT query_id, doc_id, CAST(rank AS INT) AS rank, li_score
         FROM r WHERE rank <= {LI_K} ORDER BY query_id, rank
+    """
+    # q147: every cell recounted relationally; the language mode uses
+    # the same (count desc, lang asc) tiebreak.
+    oracles["q147_data_card"] = f"""
+        WITH base AS (
+            SELECT source, {TX.token_count_sql()} AS nt, md5(text) AS digest,
+                   CASE WHEN {TX.token_count_sql()} >= 5
+                         AND {TX.stopword_ratio_sql()} <= 0.6
+                         AND {TX.type_token_ratio_sql()} >= 0.3
+                        THEN 1 ELSE 0 END AS gate,
+                   {TX.predicted_lang_sql()} AS lang
+            FROM documents
+        ),
+        agg AS (
+            SELECT source, COUNT(*)::BIGINT AS n_docs,
+                   SUM(nt)::BIGINT AS n_tokens,
+                   round(AVG(nt::DOUBLE), 6) AS mean_tokens,
+                   round(CAST(1.0 AS DOUBLE)
+                         - COUNT(DISTINCT digest)::DOUBLE
+                           / COUNT(*)::DOUBLE, 6) AS dup_ratio,
+                   round(AVG(gate::DOUBLE), 6) AS quality_pass_rate
+            FROM base GROUP BY source
+        ),
+        lc AS (
+            SELECT source, lang, COUNT(*) AS n FROM base GROUP BY 1, 2
+        ),
+        top AS (
+            SELECT source, lang AS top_lang, n FROM (
+                SELECT source, lang, n,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY n DESC, lang) AS rn
+                FROM lc
+            ) WHERE rn = 1
+        )
+        SELECT a.source, a.n_docs, a.n_tokens, a.mean_tokens, a.dup_ratio,
+               a.quality_pass_rate, t.top_lang,
+               round(t.n::DOUBLE / a.n_docs::DOUBLE, 6) AS top_lang_share
+        FROM agg a JOIN top t USING (source)
+        ORDER BY a.source
     """
     return oracles
 

@@ -874,3 +874,14 @@ def test_late_interaction_quadratic_stage_bounded_by_shortlist(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "bit_count" in plan  # the integer sign-vector cosine
+
+
+def test_data_card_single_scan_source_aggregates(spark):
+    """q147: both aggregates read the one materialized base pass (no
+    second corpus scan); all wide ops are source-keyed; nothing is
+    cartesian or Python."""
+    plan = _plan(spark, "q147_data_card")
+    assert "Scan parquet" not in plan  # reads the checkpointed base
+    assert "Exchange hashpartitioning(source" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
