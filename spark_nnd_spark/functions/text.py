@@ -514,3 +514,68 @@ def tree_score_sql(text: str = "text") -> str:
             f"CASE WHEN {f[root_f]} <= {root_t} THEN ({left}) ELSE ({right}) END"
         )
     return "(" + " + ".join(parts) + ")"
+
+
+# ------------------------------------------------- PII detect / redact
+
+# Deliberately lookaround-free patterns: the intersection of Java
+# regex (Spark) and RE2 (DuckDB) — char classes, bounded repetition
+# and \b word boundaries only. Leftmost-non-overlapping match
+# semantics agree between the engines for this class of pattern, so
+# counts and replacements replay exactly.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # kind -> (pattern, replacement tag); redaction applies in this
+    # dict order (email first: its domain would otherwise be clipped
+    # by the ip rule on numeric hosts).
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+}
+
+
+def pii_count_expr(text: Column | str, kind: str) -> Column:
+    """Occurrences of one PII kind — a codegen regexp_count, no UDF."""
+    return F.regexp_count(_c(text), F.lit(PII_PATTERNS[kind][0]))
+
+
+def pii_count_sql(kind: str, text: str = "text") -> str:
+    """DuckDB rendering: RE2 extract-all, counted."""
+    pat = PII_PATTERNS[kind][0].replace("'", "''")
+    return f"len(regexp_extract_all({text}, '{pat}'))"
+
+
+def pii_redact_expr(text: Column | str) -> Column:
+    """All PII kinds replaced by their typed tags, applied in the
+    declared order — one chained regexp_replace, still a single
+    projection (no shuffle, no UDF)."""
+    out = _c(text)
+    for pat, tag in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_redact_sql(text: str = "text") -> str:
+    """DuckDB rendering — NOTE the explicit 'g' flag: DuckDB's
+    regexp_replace substitutes only the first match by default,
+    where Spark's always substitutes all."""
+    out = text
+    for pat, tag in PII_PATTERNS.values():
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{tag}', 'g')"
+    return out
+
+
+def char_pairs_expr(word: Column | str) -> Column:
+    """Adjacent character pairs of a word — the BPE merge-candidate
+    enumeration (substring(w, i, 2) for i in 1..len-1). Callers must
+    filter length >= 2 first: Spark's sequence(1, 0) would count DOWN."""
+    w = _c(word)
+    return F.transform(
+        F.sequence(F.lit(1), F.length(w) - 1),
+        lambda i: F.substring(w, i, 2),
+    )
+
+
+def char_pairs_sql(word: str) -> str:
+    """DuckDB rendering (range(1, n) already excludes n)."""
+    return f"list_transform(range(1, length({word})), i -> {word}[i : i + 1])"

@@ -443,3 +443,79 @@ def leakage_safe_split(
         .otherwise("test")
         .alias("split"),
     )
+
+
+# --------------------------- CCNet-style reference-LM quality buckets
+
+def ref_lm_buckets(
+    df: DataFrame,
+    tokens_col: Column,
+    ref_col: str,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document by its mean token log-probability under a unigram
+    LM trained ONLY on the rows flagged by boolean ``ref_col`` (the
+    trusted reference slice — CCNet uses Wikipedia), then split each
+    language into ``n_buckets`` equal tiles by that score. Tile 1
+    ("head") is the most reference-like / lowest-perplexity third —
+    the slice CCNet keeps outright; "tail" is what it drops or
+    quarantines. Differs from :func:`dsir_log_weights` in both the
+    model (reference-only numerator, no raw-distribution denominator)
+    and the decision (per-language tiles, not a global top-k).
+
+    Smoothing: add-one over the FULL corpus vocabulary ``V`` (not just
+    the reference vocab), so out-of-reference tokens get the floor
+    probability ``1 / (ref_total + V)`` instead of blowing up the
+    score — the standard back-off for scoring text the LM never saw.
+    Returns (id, lang, n_tokens, logprob, bucket) with logprob rounded
+    to 6dp BEFORE the tile order (rounded-value + id tiebreak ⇒ the
+    tile boundary is deterministic cross-engine — the q140 ordering
+    discipline).
+
+    Scale (100 TB): one groupBy over the exploded token stream builds
+    reference counts AND the vocab size (count_if rides the corpus
+    tally's shuffle), materialized once at O(vocab); the scoring join
+    is token-keyed (AQE decides broadcast, q60's web-scale-vocab
+    rationale); the per-doc fold is the only other wide op. The ntile
+    costs one exchange + sort per language partition; at true 100 TB
+    the same tiles come from broadcasting two cutoff scores per
+    language off a quantile sketch (q126's histogram) instead of
+    ranking every row — that swap changes the boundary rows only.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    toks = df.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col(ref_col).cast("boolean").alias("__is_ref"),
+        F.explode(tokens_col).alias("token"),
+    ).filter(F.col("token") != "")
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count_if(F.col("__is_ref")).alias("ref_cnt"))
+        .localCheckpoint(eager=True)  # feeds totals AND the scoring join
+    )
+    totals = vocab.agg(
+        F.sum("ref_cnt").alias("ref_total"),
+        F.count("*").alias("v_size"),
+    )
+    tok_logp = F.log(
+        (F.col("ref_cnt") + F.lit(1.0))
+        / (F.col("ref_total") + F.lit(1.0) * F.col("v_size"))
+    )
+    scored = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col, lang_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum(tok_logp) / F.count("*"), 6).alias("logprob"),
+        )
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.desc("logprob"), F.asc(id_col)
+    )
+    return scored.withColumn("bucket", F.ntile(n_buckets).over(w))
