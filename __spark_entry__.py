@@ -204,17 +204,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # this dict (insertion order), and the repo declares more queries than
 # that — so the order is a priority schedule. It is GENERATED from the recorded
 # CORRECTNESS_r*.json history, not hand-maintained: queries that have
-# never received a driver row come first, then stalest-last-check first,
-# then fewest-total-checks first. At ~140 queries and ~50 slots a query
-# re-enters the window roughly every 3 rounds; a newly declared query
-# always lands at the very front on its first round.
-def _priority_order(names: list[str]) -> list[str]:
+# never received a driver row come first — together with queries that
+# HAVE an oracle now but have never received a value-level (hash) check
+# (their oracle landed after their last driver row, so the recorded rows
+# are all `no_oracle`/error rows; rows-only-by-design queries are NOT
+# promoted because they declare no oracle) — then stalest-last-check
+# first, then fewest-total-checks first. At ~140 queries and ~50 slots a
+# query re-enters the window roughly every 3 rounds; a newly declared
+# query always lands at the very front on its first round.
+def _priority_order(names: list[str], oracled: set[str] = frozenset()) -> list[str]:
     import glob
     import json
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     history: dict[str, list[int]] = {}
+    hashed: set[str] = set()  # queries with ≥1 value-level driver check
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)\.json$", path)
         if not m:
@@ -227,8 +232,10 @@ def _priority_order(names: list[str]) -> list[str]:
             continue
         if not isinstance(rows, dict):
             continue
-        for q in rows:
+        for q, row in rows.items():
             history.setdefault(q, []).append(rnd)
+            if isinstance(row, dict) and row.get("hash_match") is not None:
+                hashed.add(q)
 
     decl = {name: i for i, name in enumerate(names)}
 
@@ -236,6 +243,10 @@ def _priority_order(names: list[str]) -> list[str]:
         rounds = history.get(name)
         if not rounds:
             return (0, 0, 0, decl[name])  # never driver-checked: front
+        if name in oracled and name not in hashed:
+            # Has an oracle but every recorded driver row predates it
+            # (no_oracle / error rows only): treat as never checked.
+            return (0, 0, 0, decl[name])
         return (1, max(rounds), len(rounds), decl[name])
 
     return sorted(names, key=key)
@@ -247,7 +258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from spark_nnd_spark.queries.relational import RELATIONAL_QUERIES
 
     merged = {**RELATIONAL_QUERIES, **PIPELINE_QUERIES, **KNN_QUERIES}
-    return {name: merged[name] for name in _priority_order(list(merged))}
+    order = _priority_order(list(merged), oracled=set(oracle_sql()))
+    return {name: merged[name] for name in order}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -119,21 +119,26 @@ HEADLINE = [
 ]
 
 
-def _stage_writes(port: int = 4040) -> dict[int, int]:
+def _stage_writes(spark) -> dict[int, int]:
     """stageId -> shuffleWriteBytes for every stage the UI still
     retains (the scale scripts' REST pattern). Empty dict if the UI is
     unreachable — shuffle tracking is best-effort and must never fail
-    the bench."""
+    the bench.
+
+    The REST base is derived from THIS session's uiWebUrl and the app
+    is selected by THIS session's applicationId — a fixed
+    localhost:4040 probe silently reads whichever other Spark UI owns
+    that port (or nothing when this UI bound 4041+), which would seed
+    the shuffle baseline with zeros and flag spurious regressions."""
     import urllib.request
 
     try:
-        apps = json.load(
-            urllib.request.urlopen(f"http://localhost:{port}/api/v1/applications")
-        )
+        base = spark.sparkContext.uiWebUrl  # e.g. http://host:4040
+        app_id = spark.sparkContext.applicationId
+        if not base:
+            return {}
         stages = json.load(
-            urllib.request.urlopen(
-                f"http://localhost:{port}/api/v1/applications/{apps[0]['id']}/stages"
-            )
+            urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/stages")
         )
         return {s["stageId"]: s.get("shuffleWriteBytes", 0) for s in stages}
     except Exception:  # noqa: BLE001 - best-effort
@@ -242,7 +247,7 @@ def main() -> None:
         # slower late in a run than standalone).
         gc.collect()
         spark._jvm.System.gc()  # noqa: SLF001
-        before = _stage_writes() if track_shuffle else {}
+        before = _stage_writes(spark) if track_shuffle else {}
         t0 = time.perf_counter()
         try:
             n = all_queries[name](spark, sf_dir).count()
@@ -251,8 +256,8 @@ def main() -> None:
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             return None
         dt = round(time.perf_counter() - t0, 3)
-        if track_shuffle:
-            after = _stage_writes()
+        if track_shuffle and before:
+            after = _stage_writes(spark)
             # per-stage delta: stages evicted from the UI between the
             # two snapshots simply drop out, never go negative
             delta = sum(b - before.get(sid, 0) for sid, b in after.items())
@@ -330,6 +335,48 @@ def main() -> None:
                     f"# SHUFFLE REGRESSION {name}: {ref} -> {mb} MB",
                     file=sys.stderr,
                 )
+        # Newly-added headline queries have no committed reference yet —
+        # the guard would silently skip exactly the newest queries. Seed
+        # them into the baseline (never overwrite existing entries, and
+        # only from a run where the UI probe actually returned stages)
+        # and say so, so the gap is visible and self-healing.
+        unseeded = sorted(set(shuffle_mb) - set(baseline))
+        if unseeded:
+            print(
+                f"# shuffle baseline missing {len(unseeded)} headline "
+                f"queries (seeding): {unseeded}",
+                file=sys.stderr,
+            )
+            baseline.update({n: shuffle_mb[n] for n in unseeded})
+            with open(base_path, "w") as f:
+                json.dump(dict(sorted(baseline.items())), f, indent=1)
+                f.write("\n")
+    # Round-over-round comparability, first-class: the canary-normalized
+    # ratio of this run's total to the PREVIOUS recorded run over the
+    # common query subset. The headline set grows every round, so raw
+    # totals are never comparable (r8's 153 s vs r7's 110 s read as a
+    # regression but was 90 queries vs 82 on a slower-weather host);
+    # this one number answers "faster or slower than last round?"
+    # without archaeology.
+    result_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULT.json"
+    )
+    vs_prev = None
+    vs_prev_n = 0
+    try:
+        with open(result_path) as f:
+            prev = json.load(f)
+        common = [n for n in times if n in prev.get("queries", {})]
+        prev_canary = prev.get("host_canary_sec") or REF_CANARY_SEC
+        now_norm = sum(times[n] for n in common) * (REF_CANARY_SEC / canary)
+        prev_norm = sum(prev["queries"][n] for n in common) * (
+            REF_CANARY_SEC / prev_canary
+        )
+        if prev_norm > 0 and common:
+            vs_prev = round(now_norm / prev_norm, 3)
+            vs_prev_n = len(common)
+    except Exception:  # noqa: BLE001 - first run / unparsable: no ratio
+        pass
     out: dict = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -345,6 +392,8 @@ def main() -> None:
         "normalized_total": (
             round(total * (REF_CANARY_SEC / canary), 3) if canary > 0 else total
         ),
+        "vs_prev": vs_prev,
+        "vs_prev_common_queries": vs_prev_n,
         "sf": float(sf),
     }
     if errors:
@@ -359,11 +408,10 @@ def main() -> None:
     line = json.dumps(out)
     # stdout for the driver's capture, AND a file fallback: r6's
     # capture truncated the stdout line (progress spam inflated the
-    # output); the file copy survives any capture behavior.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULT.json"),
-        "w",
-    ) as f:
+    # output); the file copy survives any capture behavior. This write
+    # happens AFTER the vs_prev read above — the file holds the
+    # previous run until this run's record replaces it.
+    with open(result_path, "w") as f:
         f.write(line + "\n")
     print(line)
     # The driver keeps only the last ~2000 chars of stdout; the full
@@ -376,6 +424,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "normalized_total": out["normalized_total"],
+        "vs_prev": vs_prev,
+        "vs_prev_common_queries": vs_prev_n,
         "host_canary_sec": canary,
         "ref_canary_sec": REF_CANARY_SEC,
         "n_queries": len(times),

@@ -3104,7 +3104,11 @@ def q146_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(df_), "token")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
-        .agg(F.sum(term_score).alias("bm25"))
+        # round(6) BEFORE the shortlist cut: the raw double sum is
+        # summation-order-sensitive, and an ulp difference vs the
+        # oracle at the rank-20 boundary would flip shortlist
+        # membership (the same discipline as li_score/q68).
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
     short = (
@@ -5556,9 +5560,9 @@ def pipeline_oracles() -> dict[str, str]:
                   FROM documents),
         bm AS (
             SELECT q.query_id, t.doc_id,
-                   SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   round(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
                        * (t.tf * ({k1} + 1)
-                          / (t.tf + {k1} * (1 - {b} + {b} * t.dl / avgdl))))
+                          / (t.tf + {k1} * (1 - {b} + {b} * t.dl / avgdl)))), 6)
                        AS bm25
             FROM tf t JOIN qterms q USING (token)
             JOIN dfreq USING (token) CROSS JOIN stats
