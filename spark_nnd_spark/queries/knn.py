@@ -38,6 +38,14 @@ K = 10
 # ≥ 0.9). The floor is a regression tripwire, not a quality claim.
 LSH_FLOOR = 0.30
 IVF_FLOOR = 0.35
+# Binary 1-bit and IVF-PQ tiers (added so EVERY approximate tier has a
+# driver-checkable recall row, not just test coverage): observed
+# recall@5 across sf0.001/0.01/0.1 is 0.30-0.50 (binary, shortlist 20)
+# and 0.32-0.48 (ivfpq, probe 4 + shortlist 40) — floors sit ≥0.10
+# under the observed minimum.
+BIN_FLOOR = 0.20
+IVFPQ_FLOOR = 0.20
+BIN_SHORTLIST = 20  # mirrors q129's BQ_SHORTLIST configuration
 NND_SMALL_N = 1000  # corpus size at/below which the strong floor applies
 NND_FLOOR_SMALL = 0.80
 NND_FLOOR_LARGE = 0.50
@@ -137,13 +145,16 @@ def q30_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q33_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-checkable recall of every approximate tier — LSH (the q26
-    configuration), fixed-centroid IVF, and the flagship NN-Descent
-    graph — one (method, hits, total, recall, floor, floor_ok) row each.
+    """Driver-checkable recall of every approximate tier — binary 1-bit
+    hamming (the q129 configuration), LSH (the q26 configuration),
+    fixed-centroid IVF, composed IVF-PQ (the q127 configuration), and
+    the flagship NN-Descent graph — one (method, hits, total, recall,
+    floor, floor_ok) row each.
 
     Two verification conventions share the schema:
-    - lsh/ivf: every input is re-derivable from (dim, seed) alone
-      (seeded hyperplanes, seeded unit centroids), so the DuckDB oracle
+    - binary/lsh/ivf/ivfpq: every input is re-derivable from
+      (dim, seed) alone (sign-bit packing, seeded hyperplanes, seeded
+      unit centroids, seeded PQ codebooks), so the DuckDB oracle
       replays the whole pipeline from literals and hits/total/recall
       hash-match exactly. floor_ok is computed identically on both
       sides.
@@ -175,9 +186,32 @@ def q33_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ann_ivf_topk(
         emb, q, k=5, n_probe=4, seed=42, centroids=fixed_centroids(64, 16, 42)
     ).select("query_id", "nb_id")
+    from spark_nnd_spark.operators.similarity import (  # noqa: PLC0415
+        binary_hamming_topk,
+        ivfpq_topk,
+        pq_codebooks,
+    )
+
+    binary = binary_hamming_topk(emb, q, k=5, shortlist=BIN_SHORTLIST).select(
+        "query_id", "nb_id"
+    )
+    ivfpq = ivfpq_topk(
+        emb,
+        q,
+        k=5,
+        n_probe=IVFPQ_PROBE,
+        shortlist=IVFPQ_SHORTLIST,
+        centroids=fixed_centroids(IVFPQ_DIM, IVFPQ_CELLS, IVFPQ_SEED),
+        codebooks=pq_codebooks(IVFPQ_DIM, IVFPQ_M, IVFPQ_CODES, IVFPQ_SEED),
+    ).select("query_id", "nb_id")
     total = brute.agg(F.count("*").alias("total"))
     rows = []
-    for name, df, floor in [("ivf", ivf, IVF_FLOOR), ("lsh", lsh, LSH_FLOOR)]:
+    for name, df, floor in [
+        ("binary", binary, BIN_FLOOR),
+        ("ivf", ivf, IVF_FLOOR),
+        ("ivfpq", ivfpq, IVFPQ_FLOOR),
+        ("lsh", lsh, LSH_FLOOR),
+    ]:
         hits = df.join(brute, ["query_id", "nb_id"]).agg(F.count("*").alias("hits"))
         recall = F.round(F.col("hits") / F.col("total"), 4)
         rows.append(
@@ -229,11 +263,38 @@ def _vec_lit(v) -> str:
 
 
 def _ann_recall_oracle() -> str:
-    """DuckDB replay of q33: hyperplanes and centroids inlined as
-    literals (same seeded numpy draws as the Spark side)."""
+    """DuckDB replay of q33: hyperplanes, centroids and PQ codebooks
+    inlined as literals (same seeded numpy draws as the Spark side).
+    The binary tier replays q129's bit packing + hamming shortlist;
+    the ivfpq tier replays q127's assign/encode/probe/ADC cascade —
+    both reuse this oracle's shared cell CTEs (identical fixed
+    centroids)."""
+    from spark_nnd_spark.operators.similarity import pq_codebooks
+
     n_planes, n_tables, seed, dim, k, n_probe = 8, 6, 42, 64, 5, 4
     planes = [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     cents = fixed_centroids(dim, 16, seed)
+    cb = pq_codebooks(IVFPQ_DIM, IVFPQ_M, IVFPQ_CODES, IVFPQ_SEED)
+    m, n_codes, sub = cb.shape
+    cb_lit = (
+        "["
+        + ", ".join(
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(float(x)) for x in code) + "]" for code in space
+            )
+            + "]"
+            for space in cb
+        )
+        + "]"
+    )
+
+    def sqdist(vec: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {sub + 1}), d -> "
+            f"({vec}[j * {sub} + d] - cb[j + 1][k2 + 1][d])"
+            f" * ({vec}[j * {sub} + d] - cb[j + 1][k2 + 1][d])))"
+        )
 
     def cos(a: str, b: str) -> str:
         return (
@@ -313,11 +374,102 @@ def _ann_recall_oracle() -> str:
                 WHERE qc.query_id <> cc.nb_id
             ) WHERE rn <= {k}
         ),
+        -- binary tier: q129's packing (32 sign bits per BIGINT word),
+        -- xor+bit_count hamming shortlist, exact-cosine rerank.
+        bbits AS (
+            SELECT nb_id AS vid, cv,
+                   list_transform(range(0, (len(cv) + 31) // 32), w ->
+                       CAST(list_sum(list_transform(range(0, 32), j ->
+                           CASE WHEN w * 32 + j < len(cv)
+                                     AND cv[w * 32 + j + 1] > 0
+                                THEN (1::BIGINT << j) ELSE 0::BIGINT END))
+                            AS BIGINT)) AS b
+            FROM c
+        ),
+        bham AS (
+            SELECT qb.vid AS query_id, cb2.vid AS nb_id,
+                   CAST(list_sum(list_transform(range(1, len(qb.b) + 1),
+                            i -> bit_count(xor(qb.b[i], cb2.b[i])))) AS BIGINT)
+                       AS hamming
+            FROM bbits cb2 CROSS JOIN (SELECT * FROM bbits WHERE vid < 10) qb
+            WHERE qb.vid <> cb2.vid
+        ),
+        bshort AS (
+            SELECT query_id, nb_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY hamming, nb_id) AS hrank
+            FROM bham
+        ),
+        brer AS (
+            SELECT s.query_id, s.nb_id, {cos('qv', 'cv')} AS cosine
+            FROM bshort s JOIN q USING (query_id) JOIN c USING (nb_id)
+            WHERE s.hrank <= {BIN_SHORTLIST}
+        ),
+        btop AS (
+            SELECT query_id, nb_id FROM (
+                SELECT query_id, nb_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, nb_id) AS rn
+                FROM brer
+            ) WHERE rn <= {k}
+        ),
+        -- ivfpq tier: q127's cascade over the SAME fixed centroids as
+        -- the ivf tier (ccell/qcell reused), PQ encode + per-query ADC
+        -- tables, shortlist, exact-cosine rerank.
+        cbt AS (SELECT {cb_lit} AS cb),
+        penc AS (
+            SELECT cc.nb_id, cc.cell,
+                   list_transform(range(0, {m}), j ->
+                       (list_min(list_transform(range(0, {n_codes}), k2 ->
+                           {{'d': {sqdist('cv.cv')}, 'c': k2}}))).c
+                   ) AS codes
+            FROM ccell cc JOIN c cv USING (nb_id) CROSS JOIN cbt
+        ),
+        plut AS (
+            SELECT query_id,
+                   list_transform(range(0, {m}), j ->
+                       list_transform(range(0, {n_codes}), k2 -> {sqdist('qv')})
+                   ) AS lut
+            FROM q CROSS JOIN cbt
+        ),
+        pcand AS (
+            SELECT qc.query_id, en.nb_id,
+                   list_sum(list_transform(range(0, {m}), j ->
+                       l.lut[j + 1][en.codes[j + 1] + 1])) AS pq_dist
+            FROM qcell qc
+            JOIN penc en ON en.cell = qc.cell
+            JOIN plut l ON l.query_id = qc.query_id
+            WHERE qc.query_id <> en.nb_id
+        ),
+        pshort AS (
+            SELECT query_id, nb_id FROM (
+                SELECT query_id, nb_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY pq_dist ASC, nb_id) AS crank
+                FROM pcand
+            ) WHERE crank <= {IVFPQ_SHORTLIST}
+        ),
+        prer AS (
+            SELECT s.query_id, s.nb_id, {cos('qv', 'cv')} AS cosine
+            FROM pshort s JOIN q USING (query_id) JOIN c USING (nb_id)
+        ),
+        ptop AS (
+            SELECT query_id, nb_id FROM (
+                SELECT query_id, nb_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, nb_id) AS rn
+                FROM prer
+            ) WHERE rn <= {k}
+        ),
         tot AS (SELECT COUNT(*) AS total FROM brute),
         lsh_hits AS (SELECT COUNT(*) AS hits FROM
             (SELECT * FROM lshtop INTERSECT SELECT * FROM brute)),
         ivf_hits AS (SELECT COUNT(*) AS hits FROM
             (SELECT * FROM ivftop INTERSECT SELECT * FROM brute)),
+        bin_hits AS (SELECT COUNT(*) AS hits FROM
+            (SELECT * FROM btop INTERSECT SELECT * FROM brute)),
+        pq_hits AS (SELECT COUNT(*) AS hits FROM
+            (SELECT * FROM ptop INTERSECT SELECT * FROM brute)),
         -- nnd row: total re-derived from the oracle's own exact K-NN
         -- graph (the q24 semantics: 1/(1+L2), row_number top-K); hits/
         -- recall are NULL (an iterative seeded build is not replayable
@@ -335,10 +487,20 @@ def _ann_recall_oracle() -> str:
                 FROM allv a JOIN allv b ON a.id <> b.id
             ) WHERE rn <= {K}
         )
+        SELECT 'binary' AS method, hits, total, round(hits * 1.0 / total, 4) AS recall,
+               {BIN_FLOOR}::DOUBLE AS floor,
+               round(hits * 1.0 / total, 4) >= {BIN_FLOOR} AS floor_ok
+        FROM bin_hits, tot
+        UNION ALL
         SELECT 'ivf' AS method, hits, total, round(hits * 1.0 / total, 4) AS recall,
                {IVF_FLOOR}::DOUBLE AS floor,
                round(hits * 1.0 / total, 4) >= {IVF_FLOOR} AS floor_ok
         FROM ivf_hits, tot
+        UNION ALL
+        SELECT 'ivfpq' AS method, hits, total, round(hits * 1.0 / total, 4) AS recall,
+               {IVFPQ_FLOOR}::DOUBLE AS floor,
+               round(hits * 1.0 / total, 4) >= {IVFPQ_FLOOR} AS floor_ok
+        FROM pq_hits, tot
         UNION ALL
         SELECT 'lsh' AS method, hits, total, round(hits * 1.0 / total, 4) AS recall,
                {LSH_FLOOR}::DOUBLE AS floor,
