@@ -116,6 +116,7 @@ HEADLINE = [
     "q145_kmv_source_jaccard",
     "q146_late_interaction",
     "q147_data_card",
+    "q148_embedding_decontam",
 ]
 
 

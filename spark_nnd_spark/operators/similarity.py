@@ -1814,3 +1814,59 @@ def semantic_dedup(
             F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def cross_decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    cents: np.ndarray,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str | None = None,
+) -> DataFrame:
+    """Embedding-space decontamination across TWO tables — the
+    paraphrase-leakage guard shingle-overlap decontamination cannot
+    provide: a train vector is contaminated when some EVAL vector in
+    the same nearest-centroid cell has cosine >= ``tau``. The
+    semantic_dedup kernel (Abbas et al. 2023) composed eval × train
+    instead of corpus × corpus. Returns, for every train vector,
+    (id, cell, n_eval_hits, first_eval_id, contaminated) — first_eval_id
+    is the smallest matching eval id, -1 when clean (sentinel, not
+    NULL: deterministic and sort-safe).
+
+    Scale (100 TB): the train corpus is touched by ONE narrow
+    assign pass (Arrow-batched dots against literal centroids, no
+    shuffle) plus one broadcast-hash join — the eval side is
+    O(benchmark suites) rows, always broadcastable, so no pair ever
+    crosses a cell and the corpus never shuffles. Cell blocking bounds
+    the comparisons exactly as IVF bounds probe cost.
+    """
+    t = _ivf_assign(train, cents, id_col=id_col, vec_col=vec_col)
+    e = _ivf_assign(eval_set, cents, id_col=eval_id_col or id_col, vec_col=vec_col)
+    hits = (
+        t.join(
+            F.broadcast(
+                e.select(
+                    F.col("cell"),
+                    F.col("nb_id").alias("eval_id"),
+                    F.col("c_vec").alias("e_vec"),
+                )
+            ),
+            "cell",
+        )
+        .withColumn("cosine", cosine_similarity_expr("c_vec", "e_vec"))
+        .filter(F.col("cosine") >= tau)
+        .groupBy("nb_id")
+        .agg(
+            F.count("*").alias("n_eval_hits"),
+            F.min("eval_id").alias("first_eval_id"),
+        )
+    )
+    return t.join(hits, "nb_id", "left").select(
+        F.col("nb_id").alias(id_col),
+        F.col("cell").cast("long").alias("cell"),
+        F.coalesce("n_eval_hits", F.lit(0)).cast("long").alias("n_eval_hits"),
+        F.coalesce("first_eval_id", F.lit(-1)).cast("long").alias("first_eval_id"),
+        F.col("n_eval_hits").isNotNull().alias("contaminated"),
+    )

@@ -868,6 +868,87 @@ def _semantic_dedup_oracle() -> str:
     """
 
 
+# q148 eval slice: a deterministic 1/16 of the embeddings stands in for
+# the held-out benchmark suite; the rest is the train corpus. tau reuses
+# q138's corpus-calibrated threshold (this synthetic corpus is
+# near-isotropic; 0.9+ would drop nothing at any SF).
+DECON_MOD, DECON_REM = 16, 7
+
+
+def q148_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (operators/similarity.
+    cross_decontaminate): the q138 SemDeDup kernel composed across TWO
+    tables — eval embeddings × train embeddings, cell-blocked on the
+    q67 fixed literal centroids, cosine >= tau ⇒ contaminated. This is
+    the paraphrase-leakage guard the shingle-overlap decontamination
+    queries (q51/q78) cannot provide: a reworded eval item keeps its
+    embedding neighborhood while sharing no 3-shingle.
+
+    Scale (100 TB): one narrow assign pass over the train corpus + a
+    broadcast-hash join against the O(benchmarks) eval side — the
+    corpus never shuffles and no pair crosses a cell (plan-asserted in
+    test_plans)."""
+    from spark_nnd_spark.operators.similarity import cross_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_eval = F.col("vec_id") % DECON_MOD == DECON_REM
+    return cross_decontaminate(
+        emb.filter(~is_eval),
+        emb.filter(is_eval),
+        fixed_centroids(64, 16, 42),
+        tau=SEMDEDUP_TAU,
+    ).orderBy("vec_id")
+
+
+def _embedding_decontam_oracle() -> str:
+    """q148 replay: q138's literal centroid assignment split into
+    train/eval slices, contamination = a same-cell eval neighbor with
+    cosine >= tau; -1/0 sentinels for clean rows (never NULL — the
+    driver compare sorts rows as tuples)."""
+    cents = fixed_centroids(64, 16, 42)
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"CASE WHEN sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b})) = 0"
+            f" THEN 0.0 ELSE list_dot_product({a},{b})"
+            f" / (sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b}))) END"
+        )
+
+    def cell_dots(v: str) -> str:
+        norm = f"greatest(sqrt(list_dot_product({v},{v})), 1e-12)"
+        return (
+            "["
+            + ",".join(f"list_dot_product({v}, {_vec_lit(c)}) / {norm}" for c in cents)
+            + "]"
+        )
+
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        cd AS (SELECT vec_id, cv, {cell_dots('cv')} AS dots FROM c),
+        assigned AS (
+            SELECT vec_id, cv,
+                   list_position(dots, list_max(dots)) - 1 AS cell
+            FROM cd
+        ),
+        t AS (SELECT * FROM assigned
+              WHERE vec_id % {DECON_MOD} <> {DECON_REM}),
+        e AS (SELECT * FROM assigned
+              WHERE vec_id % {DECON_MOD} = {DECON_REM}),
+        h AS (
+            SELECT t.vec_id, COUNT(*) AS n_eval_hits,
+                   MIN(e.vec_id) AS first_eval_id
+            FROM t JOIN e ON t.cell = e.cell
+            WHERE {cos('t.cv', 'e.cv')} >= CAST({SEMDEDUP_TAU} AS DOUBLE)
+            GROUP BY t.vec_id
+        )
+        SELECT t.vec_id, t.cell::BIGINT AS cell,
+               COALESCE(h.n_eval_hits, 0)::BIGINT AS n_eval_hits,
+               COALESCE(h.first_eval_id, -1)::BIGINT AS first_eval_id,
+               h.n_eval_hits IS NOT NULL AS contaminated
+        FROM t LEFT JOIN h USING (vec_id) ORDER BY t.vec_id
+    """
+
+
 HARDNEG_K = 5
 
 
@@ -1010,6 +1091,7 @@ KNN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_ivf_cells": q67_ivf_cells,
     "q127_ivfpq_topk": q127_ivfpq_topk,
     "q138_semantic_dedup": q138_semantic_dedup,
+    "q148_embedding_decontam": q148_embedding_decontam,
     "q143_hard_negatives": q143_hard_negatives,
     "q144_balanced_cells": q144_balanced_cells,
 }
@@ -1038,6 +1120,7 @@ KNN_ORACLES: dict[str, str] = {
     "q67_ivf_cells": _ivf_cells_oracle(),
     "q127_ivfpq_topk": _ivfpq_oracle(),
     "q138_semantic_dedup": _semantic_dedup_oracle(),
+    "q148_embedding_decontam": _embedding_decontam_oracle(),
     "q143_hard_negatives": _hard_negatives_oracle(),
     "q144_balanced_cells": _balanced_cells_oracle(),
 }

@@ -2486,6 +2486,50 @@ def test_semantic_dedup_keep_rule_and_cell_blocking(spark):
     assert out[5]["keep"]
 
 
+def test_cross_decontaminate_planted_paraphrase(spark):
+    """q148 kernel: a train vector that is a near-copy (paraphrase) of
+    an eval vector is flagged; an unrelated same-cell vector is clean;
+    a near-copy that lands in a DIFFERENT cell is not compared (cell
+    blocking is part of the semantics, as in q138)."""
+    cents = np.array([[10.0, 0.0], [0.0, 10.0]])
+    eval_rows = [(100, [5.0, 0.1]), (101, [0.1, 5.0])]
+    train_rows = [
+        (1, [5.0, 0.11]),   # cell 0, cos vs eval 100 ~1 -> contaminated
+        (2, [3.0, 2.9]),    # cell 0 (tie toward 0), cos vs 100 ~0.73 < tau
+        (3, [0.11, 5.0]),   # cell 1, paraphrase of eval 101 -> contaminated
+        (4, [5.0, 0.1]),    # cell 0, EXACT copy of eval 100 -> contaminated
+    ]
+    ev = spark.createDataFrame(eval_rows, "vec_id long, embedding array<double>")
+    tr = spark.createDataFrame(train_rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in SIM.cross_decontaminate(tr, ev, cents, tau=0.99).collect()
+    }
+    assert len(out) == 4
+    assert out[1]["contaminated"] and out[1]["first_eval_id"] == 100
+    assert not out[2]["contaminated"]
+    assert out[2]["n_eval_hits"] == 0 and out[2]["first_eval_id"] == -1
+    assert out[3]["contaminated"] and out[3]["first_eval_id"] == 101
+    assert out[4]["contaminated"] and out[4]["n_eval_hits"] == 1
+
+
+def test_cross_decontaminate_cell_blocking_misses_cross_cell_copy(spark):
+    """The documented trade: a paraphrase assigned to a different cell
+    than its eval twin is NOT flagged — the same bounded-comparison
+    contract the IVF index makes for search."""
+    cents = np.array([[10.0, 0.0], [0.0, 10.0]])
+    # eval in cell 0; train copy nudged across the decision boundary
+    ev = spark.createDataFrame(
+        [(100, [5.0, 4.9])], "vec_id long, embedding array<double>"
+    )
+    tr = spark.createDataFrame(
+        [(1, [4.9, 5.0])], "vec_id long, embedding array<double>"
+    )
+    out = SIM.cross_decontaminate(tr, ev, cents, tau=0.9).collect()
+    assert len(out) == 1
+    assert not out[0]["contaminated"]  # cos ~0.9998 but cells differ
+
+
 # -------------------------------- DSIR importance weights (q140)
 
 def test_dsir_log_weights_hand_computed(spark):

@@ -784,6 +784,20 @@ def test_semantic_dedup_pairs_never_cross_cells(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_decontam_eval_broadcast_cell_join(spark):
+    """q148: the eval side broadcasts (O(benchmarks) rows) and the
+    comparison is an equi-join on the cell id — the train corpus never
+    shuffles and cross-cell pairs are structurally impossible."""
+    plan = _plan(spark, "q148_embedding_decontam")
+    assert "BroadcastHashJoin [cell" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # no hash exchange of the corpus for the comparison itself: the
+    # only hashpartitioning exchanges are the per-train-id aggregate
+    # and the verdict join back, both keyed on the id
+    assert "Exchange hashpartitioning(cell" not in plan
+
+
 def test_calibration_bins_single_tiny_exchange(spark):
     """q139: one narrow scan, one O(n_bins)-group exchange with
     map-side partials — the whole audit is one aggregation."""
