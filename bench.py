@@ -117,6 +117,7 @@ HEADLINE = [
     "q146_late_interaction",
     "q147_data_card",
     "q148_embedding_decontam",
+    "q149_budget_mixture",
 ]
 
 

@@ -519,3 +519,115 @@ def ref_lm_buckets(
         F.desc("logprob"), F.asc(id_col)
     )
     return scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+
+
+# --------------------------- token-budget-constrained mixture solve
+
+def budget_waterfill(
+    per_source: DataFrame,
+    budget_frac: tuple[int, int] = (9, 10),
+    cap_frac: tuple[int, int] = (6, 100),
+    source_col: str = "source",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Solve per-source token allocations under a total budget and a
+    per-source cap — the curation step that turns "we want B training
+    tokens" into sampling rates (q112's temperature mix assumes rates;
+    this SOLVES for them). Classic waterfilling: effective availability
+    = min(tokens, cap); sort sources by availability ascending; small
+    sources are taken whole (saturated), the rest share the remaining
+    budget at a common fill level, and the sub-level remainder goes one
+    token each to the first sources in sort order. Entirely integer
+    arithmetic (floor division), so the solve replays bit-for-bit in
+    any engine.
+
+    budget = floor(total_tokens * budget_frac), cap = floor(budget *
+    cap_frac) — fractions of the observed corpus so the same query is
+    meaningful at every SF.
+
+    Returns per source: (source, tokens, avail_tokens, capped,
+    saturated, alloc_tokens, rate). sum(alloc_tokens) == min(budget,
+    sum(avail_tokens)) by construction.
+
+    Scale (100 TB): the only corpus-sized work is upstream (the
+    per-source token aggregate, map-side combined); this solve runs
+    windows over O(sources) rows — hundreds, not billions — so the
+    single-partition ordering is a constant-cost driver-adjacent step,
+    the same class as a centroid collect.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    bn, bd = budget_frac
+    cn, cd = cap_frac
+    w_all = Window.partitionBy()
+    w_ord = Window.orderBy(F.asc("avail_tokens"), F.asc(source_col))
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+
+    base = per_source.select(
+        F.col(source_col).alias("source"),
+        F.col(tokens_col).cast("long").alias("tokens"),
+    )
+    staged = base.select(
+        "source",
+        "tokens",
+        F.expr(f"(sum(tokens) over () * {bn}) div {bd}").alias("budget"),
+    ).select(
+        "source",
+        "tokens",
+        "budget",
+        F.expr(f"(budget * {cn}) div {cd}").alias("cap"),
+    ).select(
+        "source",
+        "tokens",
+        "budget",
+        (F.col("tokens") > F.col("cap")).alias("capped"),
+        F.least("tokens", "cap").alias("avail_tokens"),
+    )
+    ranked = staged.select(
+        "*",
+        F.row_number().over(w_ord).alias("__rk"),
+        F.count("*").over(w_all).alias("__n"),
+        F.coalesce(F.sum("avail_tokens").over(w_cum), F.lit(0)).alias("__cum"),
+    ).withColumn(
+        "saturated",
+        F.col("avail_tokens") * (F.col("__n") - F.col("__rk") + 1) + F.col("__cum")
+        <= F.col("budget"),
+    )
+    solved = ranked.select(
+        "*",
+        F.sum(F.when(F.col("saturated"), F.col("avail_tokens")).otherwise(0))
+        .over(w_all)
+        .alias("__sat_sum"),
+        F.sum(F.when(F.col("saturated"), 1).otherwise(0)).over(w_all).alias("__n_sat"),
+    ).withColumn("__n_u", F.col("__n") - F.col("__n_sat"))
+    alloc = (
+        solved.withColumn(
+            "__level",
+            F.when(
+                F.col("__n_u") > 0,
+                F.expr("(budget - __sat_sum) div __n_u"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__rem",
+            F.col("budget") - F.col("__sat_sum") - F.col("__level") * F.col("__n_u"),
+        )
+        .withColumn(
+            "alloc_tokens",
+            F.when(F.col("saturated"), F.col("avail_tokens")).otherwise(
+                F.col("__level")
+                + F.when(
+                    F.col("__rk") - F.col("__n_sat") <= F.col("__rem"), 1
+                ).otherwise(0)
+            ),
+        )
+    )
+    return alloc.select(
+        "source",
+        "tokens",
+        "avail_tokens",
+        "capped",
+        "saturated",
+        "alloc_tokens",
+        F.round(F.col("alloc_tokens") / F.col("tokens"), 6).alias("rate"),
+    )

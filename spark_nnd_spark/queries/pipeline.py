@@ -3240,6 +3240,39 @@ def q142_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ep1.unionByName(ep2).orderBy("epoch", "shard", "pos")
 
 
+# q149 mixture-solve fractions: budget = 90% of corpus tokens, per-source
+# cap = 6% of the budget — on THIS corpus (20 near-equal sources ≈5% of
+# tokens each) that exercises all three branches: small sources saturate
+# (taken whole), the largest hit the cap, the rest share the fill level.
+MIX_BUDGET = (9, 10)
+MIX_CAP = (6, 100)
+
+
+def q149_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained mixture solve (operators/sampling.
+    budget_waterfill): q112 mixes by a fixed temperature rule; this
+    SOLVES for per-source sampling rates given a total token budget and
+    a per-source cap — waterfilling (sort by effective availability,
+    take small sources whole, share the rest at a common integer fill
+    level, remainder one token each in sort order). Deterministic
+    integer arithmetic end-to-end, so the solve replays bit-for-bit.
+
+    Scale (100 TB): the corpus is touched by ONE map-side-combined
+    (source) aggregate (q69's kernel); the solve itself windows over
+    O(sources) rows — a constant-cost step regardless of corpus size."""
+    from spark_nnd_spark.operators import sampling as SA  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(
+            F.size(F.filter(TX.tokens_expr("text"), lambda t: t != F.lit("")))
+        ).alias("tokens")
+    )
+    return SA.budget_waterfill(
+        per, budget_frac=MIX_BUDGET, cap_frac=MIX_CAP
+    ).orderBy("source")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -3355,6 +3388,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q145_kmv_source_jaccard": q145_kmv_source_jaccard,
     "q146_late_interaction": q146_late_interaction,
     "q147_data_card": q147_data_card,
+    "q149_budget_mixture": q149_budget_mixture,
 }
 
 
@@ -5650,6 +5684,77 @@ def pipeline_oracles() -> dict[str, str]:
                round(t.n::DOUBLE / a.n_docs::DOUBLE, 6) AS top_lang_share
         FROM agg a JOIN top t USING (source)
         ORDER BY a.source
+    """
+    # q149: the waterfill solve replayed with identical integer
+    # arithmetic — floor division (//), the same (avail asc, source asc)
+    # sort, the same prefix-saturation test, fill level and one-token
+    # remainder distribution. All BIGINT until the final rate.
+    bn149, bd149 = MIX_BUDGET
+    cn149, cd149 = MIX_CAP
+    oracles["q149_budget_mixture"] = f"""
+        WITH per AS (
+            SELECT source,
+                   CAST(SUM(len(list_filter({TX.tokens_sql()}, t -> t <> '')))
+                        AS BIGINT) AS tokens
+            FROM documents GROUP BY source
+        ),
+        staged AS (
+            SELECT source, tokens,
+                   CAST((SUM(tokens) OVER () * {bn149}) // {bd149} AS BIGINT)
+                       AS budget
+            FROM per
+        ),
+        avail AS (
+            SELECT source, tokens, budget,
+                   tokens > (budget * {cn149}) // {cd149} AS capped,
+                   least(tokens,
+                         CAST((budget * {cn149}) // {cd149} AS BIGINT))
+                       AS avail_tokens
+            FROM staged
+        ),
+        ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (ORDER BY avail_tokens, source) AS rk,
+                   COUNT(*) OVER () AS n,
+                   COALESCE(CAST(SUM(avail_tokens) OVER (
+                       ORDER BY avail_tokens, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS BIGINT), 0) AS cum
+            FROM avail
+        ),
+        sat AS (
+            SELECT *,
+                   avail_tokens * (n - rk + 1) + cum <= budget AS saturated
+            FROM ranked
+        ),
+        solved AS (
+            SELECT *,
+                   CAST(SUM(CASE WHEN saturated THEN avail_tokens ELSE 0 END)
+                        OVER () AS BIGINT) AS sat_sum,
+                   CAST(SUM(CASE WHEN saturated THEN 1 ELSE 0 END) OVER ()
+                        AS BIGINT) AS n_sat
+            FROM sat
+        ),
+        alloc AS (
+            SELECT *,
+                   CASE WHEN n - n_sat > 0
+                        THEN (budget - sat_sum) // (n - n_sat)
+                        ELSE 0 END AS lvl,
+                   CASE WHEN n - n_sat > 0
+                        THEN (budget - sat_sum)
+                             - ((budget - sat_sum) // (n - n_sat)) * (n - n_sat)
+                        ELSE 0 END AS rem
+            FROM solved
+        )
+        SELECT source, tokens, avail_tokens, capped, saturated,
+               CAST(CASE WHEN saturated THEN avail_tokens
+                    ELSE lvl + (CASE WHEN rk - n_sat <= rem THEN 1 ELSE 0 END)
+               END AS BIGINT) AS alloc_tokens,
+               round(CAST(CASE WHEN saturated THEN avail_tokens
+                          ELSE lvl + (CASE WHEN rk - n_sat <= rem
+                                      THEN 1 ELSE 0 END)
+                     END AS DOUBLE) / tokens::DOUBLE, 6) AS rate
+        FROM alloc ORDER BY source
     """
     return oracles
 

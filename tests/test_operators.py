@@ -2532,6 +2532,62 @@ def test_cross_decontaminate_cell_blocking_misses_cross_cell_copy(spark):
 
 # -------------------------------- DSIR importance weights (q140)
 
+def test_budget_waterfill_hand_solved(spark):
+    """q149 kernel vs a hand-solved 4-source example: total=1350,
+    budget=675 (1/2), cap=337 (1/2 of budget). Sorted by availability:
+    C(50), A(100), B(200) saturate (50*4=200, 100*3+50=350,
+    200*2+150=550, all <= 675); D is capped 1000->337 and gets the
+    leftover level (675-350)//1 = 325, remainder 0."""
+    from spark_nnd_spark.operators.sampling import budget_waterfill
+
+    df = spark.createDataFrame(
+        [("A", 100), ("B", 200), ("C", 50), ("D", 1000)],
+        "source string, tokens long",
+    )
+    out = {
+        r["source"]: r
+        for r in budget_waterfill(df, budget_frac=(1, 2), cap_frac=(1, 2)).collect()
+    }
+    assert out["C"]["saturated"] and out["C"]["alloc_tokens"] == 50
+    assert out["A"]["saturated"] and out["A"]["alloc_tokens"] == 100
+    assert out["B"]["saturated"] and out["B"]["alloc_tokens"] == 200
+    d = out["D"]
+    assert d["capped"] and not d["saturated"]
+    assert d["avail_tokens"] == 337 and d["alloc_tokens"] == 325
+    assert d["rate"] == 0.325
+    assert sum(r["alloc_tokens"] for r in out.values()) == 675
+
+
+def test_budget_waterfill_underfilled_and_remainder(spark):
+    """Budget above total availability -> every source saturated, taken
+    whole, budget underfilled. And a remainder case: budget=100 over
+    3 uncapped equal sources -> level 33, first source in (avail,
+    source) order gets the +1."""
+    from spark_nnd_spark.operators.sampling import budget_waterfill
+
+    df = spark.createDataFrame(
+        [("A", 10), ("B", 20)], "source string, tokens long"
+    )
+    out = {
+        r["source"]: r
+        for r in budget_waterfill(df, budget_frac=(2, 1), cap_frac=(1, 1)).collect()
+    }
+    assert all(r["saturated"] for r in out.values())
+    assert out["A"]["alloc_tokens"] == 10 and out["B"]["alloc_tokens"] == 20
+
+    df2 = spark.createDataFrame(
+        [("x", 500), ("y", 500), ("z", 500)], "source string, tokens long"
+    )
+    # budget = 1500 * 1 // 15 = 100; nobody saturated (500*3 > 100)
+    out2 = {
+        r["source"]: r
+        for r in budget_waterfill(df2, budget_frac=(1, 15), cap_frac=(1, 1)).collect()
+    }
+    allocs = [out2[s]["alloc_tokens"] for s in ("x", "y", "z")]
+    assert allocs == [34, 33, 33]  # level 33, remainder 1 -> first in order
+    assert sum(allocs) == 100
+
+
 def test_dsir_log_weights_hand_computed(spark):
     """Hand-computed add-one-smoothed target/raw log ratios on a
     3-doc corpus: raw = {a:3, b:1, c:3} (total 7, V=3), target (d1)
