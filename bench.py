@@ -118,6 +118,7 @@ HEADLINE = [
     "q147_data_card",
     "q148_embedding_decontam",
     "q149_budget_mixture",
+    "q150_card_drift",
 ]
 
 

@@ -3160,7 +3160,12 @@ def q147_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, lang) mode aggregate (deterministic count-then-lang
     tiebreak); every cell is exact-count arithmetic or a round(6)
     ratio, so the card replays bit-for-bit."""
-    d = load_table(spark, sf_dir, "documents")
+    return _source_card(load_table(spark, sf_dir, "documents"))
+
+
+def _source_card(d: DataFrame) -> DataFrame:
+    """The q147 card over an arbitrary documents slice — shared with
+    q150's drift diff, which builds two snapshots of it."""
     n_tok = TX.token_count_expr("text")
     stop = TX.stopword_ratio_expr("text")
     ttr = TX.type_token_ratio_expr("text")
@@ -3271,6 +3276,79 @@ def q149_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.budget_waterfill(
         per, budget_frac=MIX_BUDGET, cap_frac=MIX_CAP
     ).orderBy("source")
+
+
+# q150: the "previous snapshot" is the corpus minus each source's
+# newest ingest batch — testdata deals doc_ids round-robin by source
+# (doc_id % n_sources = source index), so the per-source SEQUENCE
+# number is doc_id div DRIFT_DIV, and dropping its last decile removes
+# ~10% of every source's docs (a plain doc_id % 10 cut would delete two
+# whole sources instead). Drift above 2% relative change is flagged.
+# The six card metrics, unpivoted.
+DRIFT_DIV, DRIFT_MOD, DRIFT_REM = 20, 10, 9
+DRIFT_EPS = 0.02
+CARD_METRICS = [
+    "n_docs",
+    "n_tokens",
+    "mean_tokens",
+    "dup_ratio",
+    "quality_pass_rate",
+    "top_lang_share",
+]
+
+
+def q150_card_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card drift alerting — the monitoring loop a continuously-
+    ingested corpus runs daily: q147's per-source card computed over
+    two snapshots (previous = corpus minus the newest decile, current =
+    full corpus), unpivoted to (source, metric) rows, with the relative
+    delta and a >2% drift flag. Rounded-to-6dp deltas on both sides
+    make the flag boundary engine-exact (the q68 discipline).
+
+    Scale (100 TB): two card passes (each one map-side-combined corpus
+    aggregate, O(sources) output) + an O(sources·metrics) join — the
+    diff itself never touches the corpus. In production the previous
+    card would be READ from the last snapshot (the q110 SCD2
+    convention), making this one scan; computing both here keeps the
+    query self-contained and replayable."""
+    d = load_table(spark, sf_dir, "documents")
+    prev = _source_card(
+        d.filter(
+            F.expr(f"pmod(doc_id div {DRIFT_DIV}, {DRIFT_MOD})") != DRIFT_REM
+        )
+    )
+    curr = _source_card(d)
+    stack = F.expr(
+        "stack("
+        + str(len(CARD_METRICS))
+        + ", "
+        + ", ".join(f"'{m}', cast({m} as double)" for m in CARD_METRICS)
+        + ") as (metric, value)"
+    )
+
+    def unpivot(card: DataFrame, val: str) -> DataFrame:
+        return card.select("source", stack).select(
+            "source", "metric", F.col("value").alias(val)
+        )
+
+    rel = F.round(
+        (F.col("new_value") - F.col("old_value"))
+        / F.greatest(F.abs("old_value"), F.lit(1e-12)),
+        6,
+    )
+    return (
+        unpivot(prev, "old_value")
+        .join(unpivot(curr, "new_value"), ["source", "metric"])
+        .select(
+            "source",
+            "metric",
+            "old_value",
+            "new_value",
+            rel.alias("rel_delta"),
+            (F.abs(rel) >= F.lit(DRIFT_EPS)).alias("flagged"),
+        )
+        .orderBy("source", "metric")
+    )
 
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3389,6 +3467,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q146_late_interaction": q146_late_interaction,
     "q147_data_card": q147_data_card,
     "q149_budget_mixture": q149_budget_mixture,
+    "q150_card_drift": q150_card_drift,
 }
 
 
@@ -5755,6 +5834,71 @@ def pipeline_oracles() -> dict[str, str]:
                                       THEN 1 ELSE 0 END)
                      END AS DOUBLE) / tokens::DOUBLE, 6) AS rate
         FROM alloc ORDER BY source
+    """
+
+    # q150: the q147 card CTE chain rendered twice (previous = corpus
+    # minus the drift decile, current = full), unpivoted via UNION ALL,
+    # joined per (source, metric); the 6dp-rounded relative delta makes
+    # the 2% flag boundary engine-exact.
+    def _card_ctes(sfx: str, where: str) -> str:
+        return f"""
+        base{sfx} AS (
+            SELECT source, {TX.token_count_sql()} AS nt, md5(text) AS digest,
+                   CASE WHEN {TX.token_count_sql()} >= 5
+                         AND {TX.stopword_ratio_sql()} <= 0.6
+                         AND {TX.type_token_ratio_sql()} >= 0.3
+                        THEN 1 ELSE 0 END AS gate,
+                   {TX.predicted_lang_sql()} AS lang
+            FROM documents {where}
+        ),
+        agg{sfx} AS (
+            SELECT source, COUNT(*)::BIGINT AS n_docs,
+                   SUM(nt)::BIGINT AS n_tokens,
+                   round(AVG(nt::DOUBLE), 6) AS mean_tokens,
+                   round(CAST(1.0 AS DOUBLE)
+                         - COUNT(DISTINCT digest)::DOUBLE
+                           / COUNT(*)::DOUBLE, 6) AS dup_ratio,
+                   round(AVG(gate::DOUBLE), 6) AS quality_pass_rate
+            FROM base{sfx} GROUP BY source
+        ),
+        lc{sfx} AS (
+            SELECT source, lang, COUNT(*) AS n FROM base{sfx} GROUP BY 1, 2
+        ),
+        top{sfx} AS (
+            SELECT source, n FROM (
+                SELECT source, n,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY n DESC, lang) AS rn
+                FROM lc{sfx}
+            ) WHERE rn = 1
+        ),
+        card{sfx} AS (
+            SELECT a.source, a.n_docs, a.n_tokens, a.mean_tokens,
+                   a.dup_ratio, a.quality_pass_rate,
+                   round(t.n::DOUBLE / a.n_docs::DOUBLE, 6) AS top_lang_share
+            FROM agg{sfx} a JOIN top{sfx} t USING (source)
+        )"""
+
+    def _unpivot(sfx: str, val: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT source, '{m}' AS metric, {m}::DOUBLE AS {val} FROM card{sfx}"
+            for m in CARD_METRICS
+        )
+
+    oracles["q150_card_drift"] = f"""
+        WITH {_card_ctes('_p', f'WHERE (doc_id // {DRIFT_DIV}) % {DRIFT_MOD} <> {DRIFT_REM}')},
+        {_card_ctes('_c', '')},
+        up AS ({_unpivot('_p', 'old_value')}),
+        uc AS ({_unpivot('_c', 'new_value')}),
+        j AS (
+            SELECT source, metric, old_value, new_value,
+                   round((new_value - old_value)
+                         / greatest(abs(old_value), 1e-12), 6) AS rel_delta
+            FROM up JOIN uc USING (source, metric)
+        )
+        SELECT source, metric, old_value, new_value, rel_delta,
+               abs(rel_delta) >= CAST({DRIFT_EPS} AS DOUBLE) AS flagged
+        FROM j ORDER BY source, metric
     """
     return oracles
 
