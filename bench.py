@@ -119,6 +119,8 @@ HEADLINE = [
     "q148_embedding_decontam",
     "q149_budget_mixture",
     "q150_card_drift",
+    "q151_pii_audit",
+    "q152_bpe_pairs",
 ]
 
 

@@ -3351,6 +3351,85 @@ def q150_card_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q151 PII planting moduli: the synthetic corpus contains no PII-shaped
+# strings (verified: zero regex hits at every SF), so the query PLANTS
+# deterministic PII derived from doc_id — the injection is part of the
+# replayable query text, like every other planted fixture — and then
+# detects/redacts it with the production helpers.
+PII_EMAIL_MOD, PII_IP_MOD, PII_PHONE_MOD = 7, 11, 13
+
+
+def q151_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact audit (functions/text.pii_count_expr /
+    pii_redact_expr): per-doc counts of each PII kind and the md5 of
+    the redacted text. Patterns are deliberately lookaround-free (the
+    Java-regex ∩ RE2 class), so counts AND replacements replay exactly
+    in DuckDB — this query is the cross-engine proof of that claim.
+
+    Scale (100 TB): pure codegen regexp projections in the scan (no
+    UDF, no shuffle until the final ORDER BY) — the shape of every
+    production PII scrub pass."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % PII_EMAIL_MOD == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % PII_IP_MOD == 0,
+            F.concat(F.lit(" host 10.0."), (did % 256).cast("string"), F.lit(".1")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % PII_PHONE_MOD == 0,
+            F.concat(
+                F.lit(" call 415-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return (
+        d.select("doc_id", aug.alias("aug"))
+        .select(
+            "doc_id",
+            TX.pii_count_expr("aug", "email").alias("n_email"),
+            TX.pii_count_expr("aug", "ip").alias("n_ip"),
+            TX.pii_count_expr("aug", "phone").alias("n_phone"),
+            F.md5(TX.pii_redact_expr("aug")).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BPE_TOPK = 30
+
+
+def q152_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration: the corpus-wide census of adjacent
+    character pairs inside tokens (functions/text.char_pairs_expr —
+    the merge-candidate enumeration), cut to the top-k most frequent.
+    The pair census is ONE map-side-combined aggregate over the token
+    stream; the global cut is orderBy().limit() =
+    TakeOrderedAndProject (per-partition top-k + k·partitions merge,
+    the q140 discipline — never a global rank window), and only the k
+    survivors are ranked."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.select(F.explode(TX.tokens_expr("text")).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .select(F.explode(TX.char_pairs_expr("tok")).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_TOPK)
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return pairs.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -3468,6 +3547,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q147_data_card": q147_data_card,
     "q149_budget_mixture": q149_budget_mixture,
     "q150_card_drift": q150_card_drift,
+    "q151_pii_audit": q151_pii_audit,
+    "q152_bpe_pairs": q152_bpe_pairs,
 }
 
 
@@ -5899,6 +5980,51 @@ def pipeline_oracles() -> dict[str, str]:
         SELECT source, metric, old_value, new_value, rel_delta,
                abs(rel_delta) >= CAST({DRIFT_EPS} AS DOUBLE) AS flagged
         FROM j ORDER BY source, metric
+    """
+    # q151: identical planting arithmetic, then RE2 replays of the
+    # Java-regex counts and the ordered redaction chain (explicit 'g'
+    # flag — DuckDB replaces only the first match by default).
+    oracles["q151_pii_audit"] = f"""
+        WITH a AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % {PII_EMAIL_MOD} = 0
+                           THEN ' contact user' || doc_id::VARCHAR
+                                || '@example.com' ELSE '' END
+                   || CASE WHEN doc_id % {PII_IP_MOD} = 0
+                           THEN ' host 10.0.' || (doc_id % 256)::VARCHAR
+                                || '.1' ELSE '' END
+                   || CASE WHEN doc_id % {PII_PHONE_MOD} = 0
+                           THEN ' call 415-555-'
+                                || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                           ELSE '' END
+                   AS aug
+            FROM documents
+        )
+        SELECT doc_id,
+               {TX.pii_count_sql('email', 'aug')} AS n_email,
+               {TX.pii_count_sql('ip', 'aug')} AS n_ip,
+               {TX.pii_count_sql('phone', 'aug')} AS n_phone,
+               md5({TX.pii_redact_sql('aug')}) AS redacted_md5
+        FROM a ORDER BY doc_id
+    """
+    # q152: the double unnest replay of the pair census; DuckDB's
+    # 1-based inclusive slice w[i:i+1] is Spark's substring(w, i, 2).
+    oracles["q152_bpe_pairs"] = f"""
+        WITH toks AS (
+            SELECT unnest({TX.tokens_sql()}) AS tok FROM documents
+        ),
+        p AS (
+            SELECT unnest({TX.char_pairs_sql('tok')}) AS pair
+            FROM toks WHERE length(tok) >= 2
+        ),
+        cnt AS (SELECT pair, COUNT(*) AS n FROM p GROUP BY pair),
+        r AS (
+            SELECT pair, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank
+            FROM cnt
+        )
+        SELECT pair, n, rank FROM r WHERE rank <= {BPE_TOPK} ORDER BY rank
     """
     return oracles
 

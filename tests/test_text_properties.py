@@ -215,3 +215,67 @@ def test_repetition_stats_match_python(spark, docs):
         got = _eval(spark, docs, TX.repetition_stats_expr(TX.ngrams_expr("text", n)))
         want = [py_repetition_stats(d, n) for d in docs]
         assert [(g["best"], g["dup"]) for g in got] == want
+
+
+def test_pii_detect_redact_cross_engine(spark):
+    """q151 helpers on adversarial fixtures: counts and the ORDERED
+    redaction chain (email first — its numeric-host domain would
+    otherwise be clipped by the ip rule) agree between Spark's Java
+    regex and DuckDB's RE2 character-for-character."""
+    import duckdb
+
+    docs = [
+        "mail bob@example.com from 10.0.0.1 call 415-555-1234",
+        "two mails a@b.co c.d-e@f.org and 255.255.255.255",
+        "no pii here just words",
+        "edge 999-999-9999 and 1.2.3.4.5 trailing",  # 5 octets: ip hits first 4
+        "bob@sub.domain.co.uk then 0.0.0.0",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "i long, t string")
+    got = (
+        df.select(
+            "i",
+            TX.pii_count_expr("t", "email").alias("e"),
+            TX.pii_count_expr("t", "ip").alias("p"),
+            TX.pii_count_expr("t", "phone").alias("f"),
+            TX.pii_redact_expr("t").alias("red"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    assert [r["e"] for r in got] == [1, 2, 0, 0, 1]
+    assert [r["p"] for r in got] == [1, 1, 0, 1, 1]
+    assert [r["f"] for r in got] == [1, 0, 0, 1, 0]
+    assert got[0]["red"] == "mail <EMAIL> from <IP> call <PHONE>"
+    for i, t in enumerate(docs):
+        (de, dp, df_, dred) = duckdb.sql(
+            f"SELECT {TX.pii_count_sql('email', 't')},"
+            f" {TX.pii_count_sql('ip', 't')},"
+            f" {TX.pii_count_sql('phone', 't')},"
+            f" {TX.pii_redact_sql('t')}"
+            f" FROM (SELECT ?::VARCHAR AS t)",
+            params=[t],
+        ).fetchone()
+        assert (de, dp, df_) == (got[i]["e"], got[i]["p"], got[i]["f"]), t
+        assert dred == got[i]["red"], t
+
+
+def test_char_pairs_cross_engine(spark):
+    """q152 helper: adjacent 2-char windows agree with Python and the
+    DuckDB slice rendering (callers filter len >= 2 first)."""
+    import duckdb
+
+    words = ["spark", "ab", "xyz", "qq"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: list(r["p"])
+        for r in df.select("w", TX.char_pairs_expr("w").alias("p")).collect()
+    }
+    for w in words:
+        want = [w[i : i + 2] for i in range(len(w) - 1)]
+        assert got[w] == want, w
+        (dp,) = duckdb.sql(
+            f"SELECT {TX.char_pairs_sql('w')} FROM (SELECT ?::VARCHAR AS w)",
+            params=[w],
+        ).fetchone()
+        assert list(dp) == want, w
