@@ -1870,3 +1870,58 @@ def cross_decontaminate(
         F.coalesce("first_eval_id", F.lit(-1)).cast("long").alias("first_eval_id"),
         F.col("n_eval_hits").isNotNull().alias("contaminated"),
     )
+
+
+def decontaminate_query_index(
+    spark: SparkSession,
+    path: str,
+    candidates: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``cross_decontaminate`` served from a PERSISTED IVF index of the
+    EVAL set (build_ivf_index over the eval embeddings): candidate
+    vectors are assigned to cells against the stored centroids, then
+    compared only against same-cell eval assignments. Row-identical to
+    the inline operator over the same eval corpus and centroids
+    (asserted in tests) — the ingest-time twin of q148.
+
+    Scale: the candidate batch broadcasts; the eval ``assignments``
+    scan is hive-partitioned by cell, so a batch touching p cells reads
+    p/n_centroids of the index (dynamic partition pruning). The probe
+    never mutates the index — verdicts are a pure function of
+    (candidates, index), which is what makes the streaming gate
+    replay-safe."""
+    import numpy as np  # noqa: PLC0415
+
+    crows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cents = np.array([r["centroid"] for r in crows])
+    t = _ivf_assign(candidates, cents, id_col=id_col, vec_col=vec_col)
+    ev = spark.read.parquet(f"{path}/assignments").select(
+        F.col("cell"),
+        F.col("nb_id").alias("eval_id"),
+        F.col("c_vec").alias("e_vec"),
+    )
+    hits = (
+        ev.join(
+            F.broadcast(
+                t.select("cell", F.col("nb_id"), F.col("c_vec"))
+            ),
+            "cell",
+        )
+        .withColumn("cosine", cosine_similarity_expr("c_vec", "e_vec"))
+        .filter(F.col("cosine") >= tau)
+        .groupBy("nb_id")
+        .agg(
+            F.count("*").alias("n_eval_hits"),
+            F.min("eval_id").alias("first_eval_id"),
+        )
+    )
+    return t.join(hits, "nb_id", "left").select(
+        F.col("nb_id").alias(id_col),
+        F.col("cell").cast("long").alias("cell"),
+        F.coalesce("n_eval_hits", F.lit(0)).cast("long").alias("n_eval_hits"),
+        F.coalesce("first_eval_id", F.lit(-1)).cast("long").alias("first_eval_id"),
+        F.col("n_eval_hits").isNotNull().alias("contaminated"),
+    )

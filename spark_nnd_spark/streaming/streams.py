@@ -471,6 +471,64 @@ def indexed_ann_stream(
     return q
 
 
+def decontam_gate_stream(
+    candidate_stream: DataFrame,
+    eval_index_path: str,
+    out_path: str,
+    checkpoint: str,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    timeout_sec: int = 180,
+) -> Any:
+    """Streaming ingest-time leakage guard — the ingest twin of q148's
+    batch decontamination: each micro-batch of candidate training
+    embeddings is probed against a PERSISTED IVF index of the EVAL set
+    (operators/similarity.decontaminate_query_index) and every
+    candidate gets an admit/reject verdict (contaminated = a same-cell
+    eval neighbor at cosine >= tau). Verdicts land in a batchId-keyed
+    parquet directory.
+
+    ``foreachBatch`` for the same reason as the ANN stream: the probe
+    is a multi-join DAG (centroid assignment, cell-pruned index scan,
+    per-candidate aggregate) the incremental planner cannot host.
+    Idempotence: the probe never mutates the index, so verdicts are a
+    pure function of (batch, index); outputs overwrite their own
+    batchId directory, so a replayed batch rewrites identical rows —
+    a planted near-dup of an eval doc is rejected in EVERY replay
+    (asserted in tests).
+
+    Scale (100 TB candidate stream): per batch the candidate set
+    broadcasts and the eval ``assignments`` scan reads only the
+    batch's cells (partition pruning); nothing corpus-sized ever
+    shuffles on the gate path."""
+    from spark_nnd_spark.operators.similarity import (  # noqa: PLC0415
+        decontaminate_query_index,
+    )
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        decontaminate_query_index(
+            spark,
+            eval_index_path,
+            batch_df,
+            tau=tau,
+            id_col=id_col,
+            vec_col=vec_col,
+        ).write.mode("overwrite").parquet(f"{out_path}/gate_batch={batch_id}")
+
+    q = (
+        candidate_stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q
+
+
 def read_events_kafka(
     spark: SparkSession,
     bootstrap_servers: str,

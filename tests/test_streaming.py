@@ -1075,3 +1075,90 @@ def test_indexed_ann_stream_replay_equals_batch(spark, tmp_path):
 
     # full reprocess, fresh checkpoint: same directories, same rows
     assert run("ck2") == batch
+
+
+def test_decontam_gate_stream_rejects_planted_neardup_every_replay(spark, tmp_path):
+    """Streaming leakage guard (the ingest twin of q148): a planted
+    near-dup of an eval vector is rejected in every micro-batch run AND
+    in a full reprocess from a fresh checkpoint; clean candidates are
+    admitted; per-batch verdicts equal both the index-served batch
+    probe and the inline cross_decontaminate over the same eval set."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from spark_nnd_spark.operators.similarity import (
+        build_ivf_index,
+        cross_decontaminate,
+        decontaminate_query_index,
+        fixed_centroids,
+    )
+    from spark_nnd_spark.streaming.streams import decontam_gate_stream
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    cents = fixed_centroids(dim, 8, 11)
+    eval_rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(40)]
+    eval_df = spark.createDataFrame(eval_rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "evalidx")
+    build_ivf_index(eval_df, idx, n_centroids=8, centroids=cents)
+
+    # candidates: 5 random (clean w.h.p. at tau=0.95) + one planted
+    # paraphrase of eval vec 3 (tiny perturbation, cosine ~0.9999)
+    plant = [x + 1e-3 for x in eval_rows[3][1]]
+    cands = [
+        (2000 + i, [float(x) for x in rng.normal(size=dim)]) for i in range(5)
+    ] + [(2999, plant)]
+    src = tmp_path / "cands"
+    src.mkdir()
+    for b in range(2):  # two micro-batches of three candidates
+        p = src / f"chunk{b}.parquet"
+        pd.DataFrame(
+            cands[3 * b : 3 * b + 3], columns=["vec_id", "embedding"]
+        ).to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + b, 1_700_000_000 + b))
+    out = str(tmp_path / "gateout")
+    TAU = 0.95
+
+    def run(ckpt: str):
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        decontam_gate_stream(
+            stream, idx, out, checkpoint=str(tmp_path / ckpt), tau=TAU
+        )
+        return sorted(
+            (r["vec_id"], r["cell"], r["n_eval_hits"], r["first_eval_id"],
+             r["contaminated"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    streamed = run("ck1")
+    assert sorted(
+        p for p in os.listdir(out) if p.startswith("gate_batch=")
+    ) == ["gate_batch=0", "gate_batch=1"]
+    verdicts = {v[0]: v[4] for v in streamed}
+    assert verdicts[2999], "planted near-dup must be rejected"
+    assert sum(verdicts.values()) == 1, "only the plant is contaminated"
+    first_eval = {v[0]: v[3] for v in streamed}
+    assert first_eval[2999] == 3 and first_eval[2000] == -1
+
+    # replay from a fresh checkpoint: identical rows, plant still rejected
+    assert run("ck2") == streamed
+
+    # index-served == one-shot batch probe == inline operator
+    all_c = spark.createDataFrame(cands, "vec_id long, embedding array<double>")
+    batch = sorted(
+        (r["vec_id"], r["cell"], r["n_eval_hits"], r["first_eval_id"],
+         r["contaminated"])
+        for r in decontaminate_query_index(spark, idx, all_c, tau=TAU).collect()
+    )
+    inline = sorted(
+        (r["vec_id"], r["cell"], r["n_eval_hits"], r["first_eval_id"],
+         r["contaminated"])
+        for r in cross_decontaminate(all_c, eval_df, cents, tau=TAU).collect()
+    )
+    assert streamed == batch == inline
