@@ -166,11 +166,25 @@ Query inventory (operator → SURVEY.md §2 mapping lives in each module):
   retrieval (multi-query BM25 shortlist + ColBERT-style
   late-interaction rerank over 16-bit sign-vector token embeddings —
   every token-pair cosine integer-exact), q147 per-source dataset
-  card (volume, dup rate, gate pass rate, dominant language)
+  card (volume, dup rate, gate pass rate, dominant language),
+  q149 token-budget-constrained mixture solve (integer waterfilling:
+  saturate small sources, common fill level, deterministic remainder
+  — solves the rates q112 assumes), q150 data-card drift alerting
+  (q147's card over two snapshots, unpivoted per (source, metric),
+  6dp-rounded relative delta with a 2% flag), q151 PII detect/redact
+  audit (deterministic doc_id-derived planting + the lookaround-free
+  Java∩RE2 pattern class — counts AND the ordered redaction chain
+  replay exactly), q152 first-BPE-merge pair census (adjacent
+  char-pair counts inside tokens, one map-side-combined aggregate,
+  TakeOrderedAndProject cut)
   (queries/pipeline.py + queries/relational.py); q59 deterministic
   k-means step, q67 IVF cell introspection, q138 SemDeDup-style
   semantic dedup (nearest-centroid cell blocking, same-cell pair
   scan, greedy-by-id keep rule replayed as NOT EXISTS in the oracle),
+  q148 embedding-space decontamination (the q138 kernel composed
+  eval × train: cell-blocked cosine ≥ τ ⇒ contaminated — the
+  paraphrase-leakage guard shingle decontamination cannot provide;
+  eval side broadcasts, corpus never shuffles),
   q143 hard-negative mining (top-k nearest with a DIFFERENT label —
   contrastive-training negatives), q144 cell-balanced subsampling
   (exactly-k per IVF cell via the md5 sampler — topic rebalancing)

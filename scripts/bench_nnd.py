@@ -63,17 +63,15 @@ def emnist_like(spark, n: int):
     )
 
 
-def stage_writes(port: int = 4040) -> dict[int, int]:
-    """stageId -> shuffleWriteBytes for every completed stage so far."""
+def stage_writes(spark) -> dict[int, int]:
+    """stageId -> shuffleWriteBytes for every completed stage so far
+    (REST base derived from THIS session's UI, never a fixed port —
+    another app owning :4040 would silently be read instead)."""
     try:
-        apps = json.load(
-            urllib.request.urlopen(f"http://localhost:{port}/api/v1/applications")
-        )
-        app_id = apps[0]["id"]
+        base = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
         stages = json.load(
-            urllib.request.urlopen(
-                f"http://localhost:{port}/api/v1/applications/{app_id}/stages"
-            )
+            urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/stages")
         )
         return {s["stageId"]: s.get("shuffleWriteBytes", 0) for s in stages}
     except Exception:
@@ -115,24 +113,30 @@ def main() -> None:
     if os.environ.get("SPARK_ZSTD_LEVEL"):
         extra["spark.io.compression.zstd.level"] = os.environ["SPARK_ZSTD_LEVEL"]
     spark = get_spark(app_name="nnd_scale_bench", extra_conf=extra)
+    # ρ (reverse-edge sample rate, NND.scala:146-152): <1.0 cuts the
+    # reverse-edge share of every iteration's candidate shuffle roughly
+    # proportionally — the knob that buys back disk/network at scale
+    # for a measured recall cost (recorded by scripts/bench_nnd_rho.py).
+    rho = float(os.environ.get("SPARK_NND_RHO", "1.0"))
     results = []
     for n in sizes:
         pts = emnist_like(spark, n).persist()
         pts.count()  # materialize input outside the timed window
-        before = stage_writes()
+        before = stage_writes(spark)
         t0 = time.perf_counter()
         g = build_graph(
             pts, k=10, max_iterations=5, early_termination=0.01,
-            sample_rate=1.0, buckets_per_instance=4, seed=SEED,
+            sample_rate=rho, buckets_per_instance=4, seed=SEED,
         )
         n_out = g.count()
         n_edges = g.agg(F.sum(F.size("neighbors"))).first()[0]
         dt = time.perf_counter() - t0
-        after = stage_writes()
+        after = stage_writes(spark)
         # only stages submitted by THIS build (earlier sizes share the app)
         writes = [w for sid, w in after.items() if sid not in before]
         rec = {
             "n": n,
+            "rho": rho,
             "sec": round(dt, 2),
             "rows": n_out,
             "edges": int(n_edges),
