@@ -1784,9 +1784,19 @@ def semantic_dedup(
     Scale (100 TB): the cell assignment is a narrow map (Arrow-batched
     dots against literal centroids — no shuffle); the quadratic stage
     is blocked per cell, the same fan-out bound the IVF index already
-    enforces for search, and skewed (hot) cells are exactly the AQE
-    skew-join case. The drop set is typically a small fraction of the
-    corpus, so the verdict attach is a small-table join back.
+    enforces for search. Hot (skewed) cells are the AQE skew-join case
+    — WITH A MEASURED CAVEAT (BENCH_SEMDEDUP_SKEW.json, 90% of 20k
+    vectors in one cell): AQE detects skew by map-output PARTITION
+    bytes, and a hot cell's input is tiny even when its pair OUTPUT
+    explodes, so at DEFAULT thresholds the sort-merge plan ran the hot
+    cell in one 730 s task; with the thresholds sized to input bytes
+    (skewedPartitionThresholdInBytes/advisoryPartitionSizeInBytes ≈
+    64k at this scale, factor 2) AQE split it into ~1000 tasks and the
+    stage ran 23× faster (31 s, max/median 1.6). While one side still
+    fits the broadcast threshold, Spark's broadcast plan parallelizes
+    the explosion for free (32 even tasks, spread 1.1). The drop set
+    is typically a small fraction of the corpus, so the verdict attach
+    is a small-table join back.
     """
     assigned = _ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
     # both self-join sides read the assignment; don't run the UDF twice
