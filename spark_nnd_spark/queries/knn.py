@@ -46,6 +46,12 @@ IVF_FLOOR = 0.35
 BIN_FLOOR = 0.20
 IVFPQ_FLOOR = 0.20
 BIN_SHORTLIST = 20  # mirrors q129's BQ_SHORTLIST configuration
+# Matryoshka tier (the q114 configuration: coarse top-20 on the first
+# 16 dims, exact rerank): observed recall@5 is 0.38/0.38/0.16 at
+# sf0.001/0.01/0.1 — the prefix is informative but unlearned (raw
+# synthetic dims, not MRL-trained), so the floor is a loose tripwire.
+MRL_FLOOR = 0.10
+MRL_PRE, MRL_CK = 16, 20  # mirrors q114's MRL_PREFIX_DIMS/MRL_COARSE_K
 NND_SMALL_N = 1000  # corpus size at/below which the strong floor applies
 NND_FLOOR_SMALL = 0.80
 NND_FLOOR_LARGE = 0.50
@@ -189,12 +195,16 @@ def q33_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_nnd_spark.operators.similarity import (  # noqa: PLC0415
         binary_hamming_topk,
         ivfpq_topk,
+        mrl_two_stage_topk,
         pq_codebooks,
     )
 
     binary = binary_hamming_topk(emb, q, k=5, shortlist=BIN_SHORTLIST).select(
         "query_id", "nb_id"
     )
+    mrl = mrl_two_stage_topk(
+        emb, q, prefix_dims=MRL_PRE, coarse_k=MRL_CK, k=5
+    ).select("query_id", "nb_id")
     ivfpq = ivfpq_topk(
         emb,
         q,
@@ -211,6 +221,7 @@ def q33_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf", ivf, IVF_FLOOR),
         ("ivfpq", ivfpq, IVFPQ_FLOOR),
         ("lsh", lsh, LSH_FLOOR),
+        ("mrl", mrl, MRL_FLOOR),
     ]:
         hits = df.join(brute, ["query_id", "nb_id"]).agg(F.count("*").alias("hits"))
         recall = F.round(F.col("hits") / F.col("total"), 4)
@@ -461,6 +472,36 @@ def _ann_recall_oracle() -> str:
                 FROM prer
             ) WHERE rn <= {k}
         ),
+        -- mrl tier: q114's two-stage cascade (coarse top-{MRL_CK} on
+        -- the first {MRL_PRE} dims, exact full-dim rerank) verbatim.
+        mcoarse AS (
+            SELECT query_id, nb_id,
+                   list_sum(list_transform(range(1, {MRL_PRE + 1}), i -> qv[i]*cv[i]))
+                   / (sqrt(list_sum(list_transform(range(1, {MRL_PRE + 1}), i -> qv[i]*qv[i])))
+                      * sqrt(list_sum(list_transform(range(1, {MRL_PRE + 1}), i -> cv[i]*cv[i]))))
+                       AS pre_cosine
+            FROM c CROSS JOIN q WHERE query_id <> nb_id
+        ),
+        mcand AS (
+            SELECT query_id, nb_id FROM (
+                SELECT query_id, nb_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY pre_cosine DESC, nb_id) AS crank
+                FROM mcoarse
+            ) WHERE crank <= {MRL_CK}
+        ),
+        mrer AS (
+            SELECT s.query_id, s.nb_id, {cos('qv', 'cv')} AS cosine
+            FROM mcand s JOIN q USING (query_id) JOIN c USING (nb_id)
+        ),
+        mtop AS (
+            SELECT query_id, nb_id FROM (
+                SELECT query_id, nb_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, nb_id) AS rn
+                FROM mrer
+            ) WHERE rn <= {k}
+        ),
         tot AS (SELECT COUNT(*) AS total FROM brute),
         lsh_hits AS (SELECT COUNT(*) AS hits FROM
             (SELECT * FROM lshtop INTERSECT SELECT * FROM brute)),
@@ -470,6 +511,8 @@ def _ann_recall_oracle() -> str:
             (SELECT * FROM btop INTERSECT SELECT * FROM brute)),
         pq_hits AS (SELECT COUNT(*) AS hits FROM
             (SELECT * FROM ptop INTERSECT SELECT * FROM brute)),
+        mrl_hits AS (SELECT COUNT(*) AS hits FROM
+            (SELECT * FROM mtop INTERSECT SELECT * FROM brute)),
         -- nnd row: total re-derived from the oracle's own exact K-NN
         -- graph (the q24 semantics: 1/(1+L2), row_number top-K); hits/
         -- recall are NULL (an iterative seeded build is not replayable
@@ -501,6 +544,11 @@ def _ann_recall_oracle() -> str:
                {IVFPQ_FLOOR}::DOUBLE AS floor,
                round(hits * 1.0 / total, 4) >= {IVFPQ_FLOOR} AS floor_ok
         FROM pq_hits, tot
+        UNION ALL
+        SELECT 'mrl' AS method, hits, total, round(hits * 1.0 / total, 4) AS recall,
+               {MRL_FLOOR}::DOUBLE AS floor,
+               round(hits * 1.0 / total, 4) >= {MRL_FLOOR} AS floor_ok
+        FROM mrl_hits, tot
         UNION ALL
         SELECT 'lsh' AS method, hits, total, round(hits * 1.0 / total, 4) AS recall,
                {LSH_FLOOR}::DOUBLE AS floor,
