@@ -121,6 +121,7 @@ HEADLINE = [
     "q150_card_drift",
     "q151_pii_audit",
     "q152_bpe_pairs",
+    "q153_dedup_sweep",
 ]
 
 

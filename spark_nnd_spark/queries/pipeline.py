@@ -3351,6 +3351,66 @@ def q150_card_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q153 threshold grid: the q16 pipeline verifies pairs down to J=0.2,
+# so the sweep starts there, and the upper taus sit INSIDE the corpus's
+# observed pair band (J = 0.90-0.99 on this synthetic near-dup fixture)
+# so the curve actually bends; 6dp-rounded jaccard on both sides makes
+# every >= tau boundary engine-exact.
+DEDUP_SWEEP_TAUS = [0.2, 0.5, 0.9, 0.95, 0.97, 0.98, 0.99]
+
+
+def q153_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold calibration curve — the table an operator
+    consults BEFORE picking tau: for each candidate threshold, how many
+    verified near-dup pairs qualify and how many docs the greedy-by-id
+    keep rule (the q138/q61 convention: drop any doc with a smaller-id
+    neighbor at J >= tau) would remove, as a corpus fraction. ONE pairs
+    materialization (the q16 MinHash-LSH pipeline) serves every
+    threshold: each pair explodes over the qualifying taus (a narrow
+    map, no join), one O(taus) aggregate, and a broadcast fill-in so
+    zero-pair thresholds still emit their row.
+
+    Scale (100 TB): the expensive thing — banded LSH + verification —
+    runs ONCE; the sweep itself is O(pairs · taus) narrow work. This is
+    why calibration sweeps should never re-run the pair pipeline per
+    threshold."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        d, num_hashes=16, bands=4, n=3, threshold=0.2, max_band_freq=MAX_BAND_FREQ
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("j"))
+    taus = spark.createDataFrame(
+        [(t,) for t in DEDUP_SWEEP_TAUS], "tau double"
+    )
+    qual = pairs.select(
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(t) for t in DEDUP_SWEEP_TAUS]),
+                lambda t: F.col("j") >= t,
+            )
+        ).alias("tau"),
+        "id_a",
+        "id_b",
+    )
+    stats = qual.groupBy("tau").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("id_b").alias("n_dropped"),
+    )
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    return (
+        taus.join(F.broadcast(stats), "tau", "left")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tau",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            F.round(
+                F.coalesce("n_dropped", F.lit(0)) / F.col("n_docs"), 6
+            ).alias("drop_rate"),
+        )
+        .orderBy("tau")
+    )
+
+
 # q151 PII planting moduli: the synthetic corpus contains no PII-shaped
 # strings (verified: zero regex hits at every SF), so the query PLANTS
 # deterministic PII derived from doc_id — the injection is part of the
@@ -3549,6 +3609,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q150_card_drift": q150_card_drift,
     "q151_pii_audit": q151_pii_audit,
     "q152_bpe_pairs": q152_bpe_pairs,
+    "q153_dedup_sweep": q153_dedup_sweep,
 }
 
 
@@ -5980,6 +6041,30 @@ def pipeline_oracles() -> dict[str, str]:
         SELECT source, metric, old_value, new_value, rel_delta,
                abs(rel_delta) >= CAST({DRIFT_EPS} AS DOUBLE) AS flagged
         FROM j ORDER BY source, metric
+    """
+    # q153: the q16 pairs pipeline ONCE as a CTE (the q71 wrapping
+    # convention), exploded over the qualifying taus, left-joined back
+    # to the full grid so empty thresholds still emit a zero row.
+    tau_list = ", ".join(f"CAST({t} AS DOUBLE)" for t in DEDUP_SWEEP_TAUS)
+    oracles["q153_dedup_sweep"] = f"""
+        WITH pairs AS ({_lsh_pairs_core_sql(sh, mh)}),
+        t AS (SELECT unnest([{tau_list}]) AS tau),
+        qual AS (
+            SELECT t.tau, p.id_a, p.id_b
+            FROM pairs p CROSS JOIN t WHERE p.jaccard >= t.tau
+        ),
+        stats AS (
+            SELECT tau, COUNT(*) AS n_pairs,
+                   COUNT(DISTINCT id_b) AS n_dropped
+            FROM qual GROUP BY tau
+        ),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT t.tau,
+               COALESCE(s.n_pairs, 0)::BIGINT AS n_pairs,
+               COALESCE(s.n_dropped, 0)::BIGINT AS n_dropped,
+               round(COALESCE(s.n_dropped, 0) * 1.0 / n_docs, 6) AS drop_rate
+        FROM t LEFT JOIN stats s USING (tau) CROSS JOIN nd
+        ORDER BY t.tau
     """
     # q151: identical planting arithmetic, then RE2 replays of the
     # Java-regex counts and the ordered redaction chain (explicit 'g'
