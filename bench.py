@@ -122,6 +122,7 @@ HEADLINE = [
     "q151_pii_audit",
     "q152_bpe_pairs",
     "q153_dedup_sweep",
+    "q154_packing_curve",
 ]
 
 

@@ -3411,6 +3411,87 @@ def q153_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q154 candidate context lengths: spans the corpus's per-source token
+# totals (~1.4k at sf0.01) so every tradeoff direction is visible.
+PACK_LENS = [128, 256, 512, 1024]
+
+
+def q154_packing_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length decision curve for sequence packing — for each
+    candidate window length, what the q66 packing convention costs:
+    how many docs straddle a pack boundary (attention-mask complexity /
+    coherence loss), how many packs the corpus needs, and the padding
+    the final partial pack per source would pay. Larger windows cut
+    packs and relative tail waste but straddle more docs — this table
+    is how an operator picks max_len before exporting.
+
+    One per-source ordered cumsum pass (q66's window) serves every
+    length: each doc explodes over the candidate lengths (narrow map),
+    per-source totals feed the pack/padding arithmetic, all integer
+    floor-division — bit-exact in any engine.
+
+    Scale (100 TB): the corpus pays one source-partitioned window (the
+    q66 exchange); the curve itself is O(docs · lengths) narrow work +
+    O(sources · lengths) aggregates. Like q153: never re-run the
+    expensive pass per grid point."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n = TX.token_count_expr("text")
+    per = d.select(
+        "source",
+        n.cast("long").alias("n"),
+        F.sum(n).over(w).cast("long").alias("cum"),
+    ).localCheckpoint(eager=True)  # feeds the doc grid AND source totals
+    lens = F.explode(F.array(*[F.lit(x) for x in PACK_LENS])).alias("context_len")
+    doc_grid = per.select(lens, "n", "cum").withColumn(
+        "straddled",
+        (F.col("n") > 0)
+        & (
+            F.expr("(cum - n) div context_len") != F.expr("(cum - 1) div context_len")
+        ),
+    )
+    doc_stats = doc_grid.groupBy("context_len").agg(
+        F.sum(F.col("straddled").cast("long")).alias("n_straddled"),
+        F.count("*").alias("n_docs"),
+    )
+    src = per.groupBy("source").agg(F.sum("n").alias("total"))
+    src_stats = (
+        src.select(lens, "total")
+        .withColumn("packs", F.expr("(total - 1) div context_len") + 1)
+        .groupBy("context_len")
+        .agg(
+            F.sum("packs").alias("n_packs"),
+            F.sum(F.col("packs") * F.col("context_len") - F.col("total")).alias(
+                "padded_tokens"
+            ),
+        )
+    )
+    return (
+        doc_stats.join(src_stats, "context_len")
+        .select(
+            "context_len",
+            "n_packs",
+            "n_straddled",
+            "padded_tokens",
+            F.round(F.col("n_straddled") / F.col("n_docs"), 6).alias(
+                "straddle_rate"
+            ),
+            F.round(
+                F.col("padded_tokens")
+                / (F.col("n_packs") * F.col("context_len")),
+                6,
+            ).alias("waste_rate"),
+        )
+        .orderBy("context_len")
+    )
+
+
 # q151 PII planting moduli: the synthetic corpus contains no PII-shaped
 # strings (verified: zero regex hits at every SF), so the query PLANTS
 # deterministic PII derived from doc_id — the injection is part of the
@@ -3610,6 +3691,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q151_pii_audit": q151_pii_audit,
     "q152_bpe_pairs": q152_bpe_pairs,
     "q153_dedup_sweep": q153_dedup_sweep,
+    "q154_packing_curve": q154_packing_curve,
 }
 
 
@@ -6065,6 +6147,53 @@ def pipeline_oracles() -> dict[str, str]:
                round(COALESCE(s.n_dropped, 0) * 1.0 / n_docs, 6) AS drop_rate
         FROM t LEFT JOIN stats s USING (tau) CROSS JOIN nd
         ORDER BY t.tau
+    """
+    # q154: the q66 per-source cumsum replayed, doc grid × lengths via
+    # CROSS JOIN unnest, integer floor division throughout.
+    len_list = ", ".join(str(x) for x in PACK_LENS)
+    oracles["q154_packing_curve"] = f"""
+        WITH per AS (
+            SELECT source, {TX.token_count_sql()}::BIGINT AS n,
+                   CAST(SUM({TX.token_count_sql()}) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum
+            FROM documents
+        ),
+        lens AS (SELECT unnest([{len_list}])::BIGINT AS context_len),
+        dg AS (
+            SELECT l.context_len,
+                   (p.n > 0 AND (p.cum - p.n) // l.context_len
+                             <> (p.cum - 1) // l.context_len) AS straddled
+            FROM per p CROSS JOIN lens l
+        ),
+        ds AS (
+            SELECT context_len,
+                   CAST(SUM(CASE WHEN straddled THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_straddled,
+                   COUNT(*) AS n_docs
+            FROM dg GROUP BY context_len
+        ),
+        src AS (SELECT source, CAST(SUM(n) AS BIGINT) AS total
+                FROM per GROUP BY source),
+        sg AS (
+            SELECT l.context_len, (s.total - 1) // l.context_len + 1 AS packs,
+                   s.total
+            FROM src s CROSS JOIN lens l
+        ),
+        ss AS (
+            SELECT context_len,
+                   CAST(SUM(packs) AS BIGINT) AS n_packs,
+                   CAST(SUM(packs * context_len - total) AS BIGINT)
+                       AS padded_tokens
+            FROM sg GROUP BY context_len
+        )
+        SELECT d.context_len, s.n_packs, d.n_straddled, s.padded_tokens,
+               round(d.n_straddled * 1.0 / d.n_docs, 6) AS straddle_rate,
+               round(s.padded_tokens * 1.0 / (s.n_packs * d.context_len), 6)
+                   AS waste_rate
+        FROM ds d JOIN ss s USING (context_len)
+        ORDER BY d.context_len
     """
     # q151: identical planting arithmetic, then RE2 replays of the
     # Java-regex counts and the ordered redaction chain (explicit 'g'
