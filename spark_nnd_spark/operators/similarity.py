@@ -1905,10 +1905,19 @@ def decontaminate_query_index(
     replay-safe."""
     import numpy as np  # noqa: PLC0415
 
+    from spark_nnd_spark.operators import index_lifecycle as IL  # noqa: PLC0415
+
     crows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     cents = np.array([r["centroid"] for r in crows])
     t = _ivf_assign(candidates, cents, id_col=id_col, vec_col=vec_col)
-    ev = spark.read.parquet(f"{path}/assignments").select(
+    # tombstone-aware like every other index read path: a RETRACTED
+    # eval item (a benchmark dropped from the suite) must stop causing
+    # rejections immediately, before any compaction
+    ev = IL.anti_tombstones(
+        spark.read.parquet(f"{path}/assignments"),
+        IL.read_tombstones(spark, path),
+        "nb_id",
+    ).select(
         F.col("cell"),
         F.col("nb_id").alias("eval_id"),
         F.col("c_vec").alias("e_vec"),

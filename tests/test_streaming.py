@@ -1162,3 +1162,62 @@ def test_decontam_gate_stream_rejects_planted_neardup_every_replay(spark, tmp_pa
         for r in cross_decontaminate(all_c, eval_df, cents, tau=TAU).collect()
     )
     assert streamed == batch == inline
+
+
+def test_decontam_gate_follows_eval_index_lifecycle(spark, tmp_path):
+    """The gate tracks the eval suite's lifecycle: retracting the eval
+    item a candidate near-dups flips the verdict to admit (tombstones
+    reach the probe before any compaction); extending the index with a
+    new eval item flips a matching candidate to reject."""
+    import numpy as np
+
+    from spark_nnd_spark.operators.similarity import (
+        build_ivf_index,
+        decontaminate_query_index,
+        extend_ivf_index,
+        fixed_centroids,
+        retract_from_ivf_index,
+    )
+
+    rng = np.random.default_rng(23)
+    dim = 16
+    cents = fixed_centroids(dim, 8, 23)
+    eval_rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(20)]
+    eval_df = spark.createDataFrame(eval_rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "evalidx")
+    build_ivf_index(eval_df, idx, n_centroids=8, centroids=cents)
+
+    plant = [x + 1e-3 for x in eval_rows[5][1]]
+    newcomer = [float(x) for x in rng.normal(size=dim)]
+    cands = spark.createDataFrame(
+        [(3001, plant), (3002, [x + 1e-3 for x in newcomer])],
+        "vec_id long, embedding array<double>",
+    )
+    TAU = 0.95
+
+    def verdicts():
+        return {
+            r["vec_id"]: r["contaminated"]
+            for r in decontaminate_query_index(spark, idx, cands, tau=TAU).collect()
+        }
+
+    v = verdicts()
+    assert v[3001] and not v[3002]
+
+    # benchmark item 5 dropped from the suite -> its near-dup admits
+    retract_from_ivf_index(
+        spark, idx, spark.createDataFrame([(5,)], "nb_id long")
+    )
+    v = verdicts()
+    assert not v[3001] and not v[3002]
+
+    # a new benchmark lands -> its near-dup rejects
+    extend_ivf_index(
+        spark,
+        idx,
+        spark.createDataFrame(
+            [(100, newcomer)], "vec_id long, embedding array<double>"
+        ),
+    )
+    v = verdicts()
+    assert not v[3001] and v[3002]
