@@ -899,3 +899,65 @@ def test_data_card_single_scan_source_aggregates(spark):
     assert "Exchange hashpartitioning(source" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_budget_mixture_one_corpus_exchange(spark):
+    """q149: the corpus pays ONE map-side-combined source aggregate;
+    the waterfill solve windows over O(sources) rows with no further
+    corpus-sized work."""
+    plan = _plan(spark, "q149_budget_mixture")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange hashpartitioning(source" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_pii_audit_zero_shuffle(spark):
+    """q151: detect + redact are codegen regexp projections in the
+    scan — no exchange of any kind before the final ORDER BY."""
+    plan = _plan(spark, "q151_pii_audit")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_bpe_pairs_one_agg_and_takeordered(spark):
+    """q152: one map-side-combined pair census, global cut via
+    TakeOrderedAndProject (the q140 discipline — never a global rank
+    window over the full census)."""
+    plan = _plan(spark, "q152_bpe_pairs")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange hashpartitioning(pair" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan
+
+
+def test_dedup_sweep_reuses_one_pairs_pass(spark):
+    """q153: the sweep explodes each verified pair over its qualifying
+    taus — the only post-pairs exchanges are keyed on tau (O(taus)
+    groups), and the grid fill-in joins broadcast; the LSH pipeline is
+    never re-run per threshold."""
+    plan = _plan(spark, "q153_dedup_sweep")
+    keys = {
+        m.split("(")[1]
+        for m in __import__("re").findall(
+            r"Exchange hashpartitioning\(\w+", plan
+        )
+    }
+    assert keys == {"tau"}, keys
+    assert "CartesianProduct" not in plan
+
+
+def test_packing_curve_one_source_window(spark):
+    """q154: the corpus pays one source-partitioned window exchange
+    (the q66 shape); everything downstream aggregates on the O(lengths)
+    grid key and the final join is a broadcast of O(lengths) rows."""
+    plan = _plan(spark, "q154_packing_curve")
+    import re
+
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"source", "context_len"}, keys
+    assert "BroadcastHashJoin [context_len" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
