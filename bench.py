@@ -123,6 +123,7 @@ HEADLINE = [
     "q152_bpe_pairs",
     "q153_dedup_sweep",
     "q154_packing_curve",
+    "q155_curation_board",
 ]
 
 

@@ -3492,6 +3492,109 @@ def q154_packing_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q155 gate thresholds: entropy floor sits at the corpus p10 (~2.774 at
+# sf0.01) so the gate is non-trivial; the near-dup cut reuses the
+# corpus's observed pair band (q153).
+ENTROPY_MIN = 2.78
+BOARD_NEARDUP_TAU = 0.9
+
+
+def q155_curation_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation scoreboard — every per-doc quality signal the
+    engine computes, composed into one keep/drop table with per-gate
+    verdicts and a failure-reason string: GBDT margin (q130), Gopher
+    repetition stats (q128), char entropy (q72), and the greedy-by-id
+    near-dup verdict (q16 pairs at J >= 0.9). This is the final table
+    a training-data build materializes before writing shards — and the
+    provenance record auditors read ("why was doc X dropped?").
+
+    Scale (100 TB): every text signal is a codegen expression in ONE
+    corpus scan (no signal pays its own pass); the only join is the
+    broadcast near-dup drop set (O(dup docs)); one presentation sort.
+    Reasons are a fixed-order filtered array join — deterministic, no
+    NULLs."""
+    d = load_table(spark, sf_dir, "documents")
+    s2 = TX.repetition_stats_expr(TX.ngrams_expr("text", 2))
+    s3 = TX.repetition_stats_expr(TX.ngrams_expr("text", 3))
+    n2 = F.size(TX.ngrams_expr("text", 2)).cast("long")
+    n3 = F.size(TX.ngrams_expr("text", 3)).cast("long")
+    top2 = F.when(F.col("n2") > 0, F.col("s2.best").cast("double") / F.col("n2")).otherwise(F.lit(0.0))
+    dup3 = F.when(F.col("n3") > 0, F.col("s3.dup").cast("double") / F.col("n3")).otherwise(F.lit(0.0))
+    chars = F.split(F.col("text"), "")
+    alphabet = F.array_sort(F.array_distinct(chars))
+    total = F.size(chars).cast("double")
+
+    def _p(c):
+        return F.size(F.filter(chars, lambda x: x == c)) / total
+
+    ent = -F.aggregate(
+        F.transform(alphabet, lambda c: _p(c) * F.log(_p(c))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from spark_nnd_spark.functions.numeric import round_half_up_expr  # noqa: PLC0415
+
+    scored = d.select(
+        "doc_id",
+        TX.tree_score_expr("text").alias("margin_raw"),
+        s2.alias("s2"),
+        s3.alias("s3"),
+        n2.alias("n2"),
+        n3.alias("n3"),
+        round_half_up_expr(ent).alias("entropy"),
+    ).select(
+        "doc_id",
+        "entropy",
+        F.round("margin_raw", 6).alias("margin"),
+        (F.col("margin_raw") > 0.0).alias("quality_keep"),
+        (
+            (top2 <= F.lit(REP_TOP2_MAX)) & (dup3 <= F.lit(REP_DUP3_MAX))
+        ).alias("rep_keep"),
+        (F.col("entropy") >= F.lit(ENTROPY_MIN)).alias("entropy_keep"),
+    )
+    drops = (
+        DD.minhash_lsh_pairs(
+            d, num_hashes=16, bands=4, n=3, threshold=0.2,
+            max_band_freq=MAX_BAND_FREQ,
+        )
+        .filter(F.round("jaccard", 6) >= BOARD_NEARDUP_TAU)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    gates = scored.join(F.broadcast(drops), "doc_id", "left").withColumn(
+        "dedup_keep", F.col("dropped").isNull()
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.filter(
+            F.array(
+                F.when(~F.col("dedup_keep"), F.lit("neardup")),
+                F.when(~F.col("entropy_keep"), F.lit("entropy")),
+                F.when(~F.col("quality_keep"), F.lit("quality")),
+                F.when(~F.col("rep_keep"), F.lit("repetition")),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    return gates.select(
+        "doc_id",
+        "margin",
+        "entropy",
+        "quality_keep",
+        "rep_keep",
+        "entropy_keep",
+        "dedup_keep",
+        (
+            F.col("quality_keep")
+            & F.col("rep_keep")
+            & F.col("entropy_keep")
+            & F.col("dedup_keep")
+        ).alias("keep"),
+        reasons.alias("reasons"),
+    ).orderBy("doc_id")
+
+
 # q151 PII planting moduli: the synthetic corpus contains no PII-shaped
 # strings (verified: zero regex hits at every SF), so the query PLANTS
 # deterministic PII derived from doc_id — the injection is part of the
@@ -3692,6 +3795,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q152_bpe_pairs": q152_bpe_pairs,
     "q153_dedup_sweep": q153_dedup_sweep,
     "q154_packing_curve": q154_packing_curve,
+    "q155_curation_board": q155_curation_board,
 }
 
 
@@ -6194,6 +6298,64 @@ def pipeline_oracles() -> dict[str, str]:
                    AS waste_rate
         FROM ds d JOIN ss s USING (context_len)
         ORDER BY d.context_len
+    """
+    # q155: every gate replayed from its own query's oracle arithmetic
+    # (q130 tree sum, q128 relational recount, q72 entropy fold, q16
+    # pairs), composed per doc; reasons use the same fixed order.
+    oracles["q155_curation_board"] = f"""
+        WITH b2 AS (SELECT doc_id, unnest({TX.ngrams_sql(n=2)}) AS g FROM documents),
+        c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM b2 GROUP BY 1, 2),
+        s2 AS (SELECT doc_id, MAX(c) AS best, SUM(c) AS tot FROM c2 GROUP BY 1),
+        b3 AS (SELECT doc_id, unnest({TX.ngrams_sql(n=3)}) AS g FROM documents),
+        c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM b3 GROUP BY 1, 2),
+        s3 AS (SELECT doc_id,
+                      COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS dup,
+                      SUM(c) AS tot
+               FROM c3 GROUP BY 1),
+        ech AS (SELECT doc_id, string_split(text, '') AS chars FROM documents),
+        ed AS (SELECT doc_id, chars,
+                      list_sort(list_distinct(chars)) AS alphabet,
+                      len(chars)::DOUBLE AS total
+               FROM ech),
+        ent AS (SELECT doc_id,
+                       {round_half_up_sql(
+                           "-list_sum(list_transform(alphabet, ch ->"
+                           " (len(list_filter(chars, x -> x = ch)) / total)"
+                           " * ln(len(list_filter(chars, x -> x = ch)) / total)))"
+                       )} AS entropy
+                FROM ed),
+        pairs AS ({_lsh_pairs_core_sql(sh, mh)}),
+        drops AS (SELECT DISTINCT id_b AS doc_id FROM pairs
+                  WHERE jaccard >= CAST({BOARD_NEARDUP_TAU} AS DOUBLE)),
+        g AS (
+            SELECT d.doc_id,
+                   round({TX.tree_score_sql()}, 6) AS margin,
+                   {TX.tree_score_sql()} > CAST(0.0 AS DOUBLE) AS quality_keep,
+                   (CASE WHEN s2.tot > 0
+                         THEN s2.best::DOUBLE / s2.tot::DOUBLE ELSE 0.0 END
+                       <= CAST({REP_TOP2_MAX} AS DOUBLE)
+                    AND CASE WHEN s3.tot > 0
+                             THEN s3.dup::DOUBLE / s3.tot::DOUBLE ELSE 0.0 END
+                       <= CAST({REP_DUP3_MAX} AS DOUBLE)) AS rep_keep,
+                   e.entropy,
+                   e.entropy >= CAST({ENTROPY_MIN} AS DOUBLE) AS entropy_keep,
+                   dr.doc_id IS NULL AS dedup_keep
+            FROM documents d
+            LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+            JOIN ent e USING (doc_id)
+            LEFT JOIN drops dr USING (doc_id)
+        )
+        SELECT doc_id, margin, entropy, quality_keep, rep_keep,
+               entropy_keep, dedup_keep,
+               (quality_keep AND rep_keep AND entropy_keep AND dedup_keep)
+                   AS keep,
+               COALESCE(array_to_string(list_filter([
+                   CASE WHEN NOT dedup_keep THEN 'neardup' ELSE NULL END,
+                   CASE WHEN NOT entropy_keep THEN 'entropy' ELSE NULL END,
+                   CASE WHEN NOT quality_keep THEN 'quality' ELSE NULL END,
+                   CASE WHEN NOT rep_keep THEN 'repetition' ELSE NULL END
+               ], x -> x IS NOT NULL), ','), '') AS reasons
+        FROM g ORDER BY doc_id
     """
     # q151: identical planting arithmetic, then RE2 replays of the
     # Java-regex counts and the ordered redaction chain (explicit 'g'

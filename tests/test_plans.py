@@ -961,3 +961,14 @@ def test_packing_curve_one_source_window(spark):
     assert "BroadcastHashJoin [context_len" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_curation_board_single_corpus_scan(spark):
+    """q155: every text gate is a codegen expression in ONE corpus scan
+    (no signal pays its own pass — the pairs pipeline is a checkpointed
+    side input); the drop set joins broadcast; no cartesian."""
+    plan = _plan(spark, "q155_curation_board")
+    assert plan.count("Scan parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
