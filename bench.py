@@ -127,11 +127,14 @@ HEADLINE = [
 ]
 
 
-def _stage_writes(spark) -> dict[int, int]:
+def _stage_writes(spark) -> dict[int, int] | None:
     """stageId -> shuffleWriteBytes for every stage the UI still
-    retains (the scale scripts' REST pattern). Empty dict if the UI is
-    unreachable — shuffle tracking is best-effort and must never fail
-    the bench.
+    retains (the scale scripts' REST pattern). Returns None if the UI
+    is unreachable (probe FAILED) vs {} when the probe succeeded but
+    the UI retains zero stages — callers must distinguish the two: an
+    empty-but-successful snapshot still yields a valid delta, a failed
+    probe yields no delta at all (ADVICE r9). Shuffle tracking is
+    best-effort and must never fail the bench.
 
     The REST base is derived from THIS session's uiWebUrl and the app
     is selected by THIS session's applicationId — a fixed
@@ -144,13 +147,13 @@ def _stage_writes(spark) -> dict[int, int]:
         base = spark.sparkContext.uiWebUrl  # e.g. http://host:4040
         app_id = spark.sparkContext.applicationId
         if not base:
-            return {}
+            return None
         stages = json.load(
             urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/stages")
         )
         return {s["stageId"]: s.get("shuffleWriteBytes", 0) for s in stages}
     except Exception:  # noqa: BLE001 - best-effort
-        return {}
+        return None
 
 
 def _canary_run(spark) -> float:
@@ -255,7 +258,7 @@ def main() -> None:
         # slower late in a run than standalone).
         gc.collect()
         spark._jvm.System.gc()  # noqa: SLF001
-        before = _stage_writes(spark) if track_shuffle else {}
+        before = _stage_writes(spark) if track_shuffle else None
         t0 = time.perf_counter()
         try:
             n = all_queries[name](spark, sf_dir).count()
@@ -264,12 +267,15 @@ def main() -> None:
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             return None
         dt = round(time.perf_counter() - t0, 3)
-        if track_shuffle and before:
+        if track_shuffle and before is not None:
             after = _stage_writes(spark)
             # per-stage delta: stages evicted from the UI between the
-            # two snapshots simply drop out, never go negative
-            delta = sum(b - before.get(sid, 0) for sid, b in after.items())
-            shuffle_mb[name] = round(delta / 1e6, 2)
+            # two snapshots simply drop out, never go negative. An
+            # empty `before` ({} = probe ok, zero stages retained)
+            # still produces a delta; only a failed probe (None) skips.
+            if after is not None:
+                delta = sum(b - before.get(sid, 0) for sid, b in after.items())
+                shuffle_mb[name] = round(delta / 1e6, 2)
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
         return dt
 
@@ -366,14 +372,10 @@ def main() -> None:
     # regression but was 90 queries vs 82 on a slower-weather host);
     # this one number answers "faster or slower than last round?"
     # without archaeology.
-    result_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULT.json"
-    )
-    vs_prev = None
-    vs_prev_n = 0
-    try:
-        with open(result_path) as f:
-            prev = json.load(f)
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    result_path = os.path.join(repo_dir, "BENCH_RESULT.json")
+
+    def _ratio_vs(prev: dict) -> tuple[float | None, int]:
         common = [n for n in times if n in prev.get("queries", {})]
         prev_canary = prev.get("host_canary_sec") or REF_CANARY_SEC
         now_norm = sum(times[n] for n in common) * (REF_CANARY_SEC / canary)
@@ -381,8 +383,43 @@ def main() -> None:
             REF_CANARY_SEC / prev_canary
         )
         if prev_norm > 0 and common:
-            vs_prev = round(now_norm / prev_norm, 3)
-            vs_prev_n = len(common)
+            return round(now_norm / prev_norm, 3), len(common)
+        return None, 0
+
+    # vs_prev_round (VERDICT r9): compare against the previous ROUND's
+    # final state, not the file this run is about to overwrite (which a
+    # same-round rerun would have replaced hours earlier). The driver
+    # commits BENCH_RESULT.json at round start and writes BENCH_r{N}.json
+    # per round; the FIRST bench invocation of round N+1 therefore
+    # snapshots the committed BENCH_RESULT.json to
+    # BENCH_RESULT_r{N}.json (existence-gated — later same-round reruns
+    # keep the snapshot, so vs_prev_round stays anchored to round N).
+    vs_prev_round = None
+    vs_prev_round_n = 0
+    try:
+        import re as _re
+
+        rounds = [
+            int(m.group(1))
+            for fn in os.listdir(repo_dir)
+            if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", fn))
+        ]
+        if rounds:
+            snap_path = os.path.join(
+                repo_dir, f"BENCH_RESULT_r{max(rounds):02d}.json"
+            )
+            if not os.path.exists(snap_path) and os.path.exists(result_path):
+                with open(result_path) as f, open(snap_path, "w") as g:
+                    g.write(f.read())
+            with open(snap_path) as f:
+                vs_prev_round, vs_prev_round_n = _ratio_vs(json.load(f))
+    except Exception:  # noqa: BLE001 - no snapshot: no round ratio
+        pass
+    vs_prev = None
+    vs_prev_n = 0
+    try:
+        with open(result_path) as f:
+            vs_prev, vs_prev_n = _ratio_vs(json.load(f))
     except Exception:  # noqa: BLE001 - first run / unparsable: no ratio
         pass
     out: dict = {
@@ -402,6 +439,8 @@ def main() -> None:
         ),
         "vs_prev": vs_prev,
         "vs_prev_common_queries": vs_prev_n,
+        "vs_prev_round": vs_prev_round,
+        "vs_prev_round_common_queries": vs_prev_round_n,
         "sf": float(sf),
     }
     if errors:
@@ -434,6 +473,8 @@ def main() -> None:
         "normalized_total": out["normalized_total"],
         "vs_prev": vs_prev,
         "vs_prev_common_queries": vs_prev_n,
+        "vs_prev_round": vs_prev_round,
+        "vs_prev_round_common_queries": vs_prev_round_n,
         "host_canary_sec": canary,
         "ref_canary_sec": REF_CANARY_SEC,
         "n_queries": len(times),

@@ -629,5 +629,13 @@ def budget_waterfill(
         "capped",
         "saturated",
         "alloc_tokens",
-        F.round(F.col("alloc_tokens") / F.col("tokens"), 6).alias("rate"),
+        # zero-token source guard: x/0 is NULL in Spark but NaN/Inf in a
+        # double-division oracle — pin the degenerate case to 0.0 on both
+        # sides so the replay stays bit-exact (ADVICE r9)
+        F.when(
+            F.col("tokens") > 0,
+            F.round(F.col("alloc_tokens") / F.col("tokens"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rate"),
     )

@@ -3336,9 +3336,21 @@ def q150_card_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.greatest(F.abs("old_value"), F.lit(1e-12)),
         6,
     )
+    # FULL outer join (ADVICE r9): a source absent from the previous
+    # snapshot (brand-new ingest) — or absent from the current one
+    # (disappeared) — must still alert. Coalescing the missing side to
+    # 0.0 routes both cases through the 1e-12-guarded relative delta,
+    # which maps them to maximal drift (flagged) with a NULL-free
+    # schema (driver-compare sorts crash on NULLs).
     return (
         unpivot(prev, "old_value")
-        .join(unpivot(curr, "new_value"), ["source", "metric"])
+        .join(unpivot(curr, "new_value"), ["source", "metric"], "full_outer")
+        .select(
+            "source",
+            "metric",
+            F.coalesce("old_value", F.lit(0.0)).alias("old_value"),
+            F.coalesce("new_value", F.lit(0.0)).alias("new_value"),
+        )
         .select(
             "source",
             "metric",
@@ -6157,10 +6169,12 @@ def pipeline_oracles() -> dict[str, str]:
                CAST(CASE WHEN saturated THEN avail_tokens
                     ELSE lvl + (CASE WHEN rk - n_sat <= rem THEN 1 ELSE 0 END)
                END AS BIGINT) AS alloc_tokens,
-               round(CAST(CASE WHEN saturated THEN avail_tokens
-                          ELSE lvl + (CASE WHEN rk - n_sat <= rem
-                                      THEN 1 ELSE 0 END)
-                     END AS DOUBLE) / tokens::DOUBLE, 6) AS rate
+               CASE WHEN tokens > 0 THEN
+                    round(CAST(CASE WHEN saturated THEN avail_tokens
+                               ELSE lvl + (CASE WHEN rk - n_sat <= rem
+                                           THEN 1 ELSE 0 END)
+                          END AS DOUBLE) / tokens::DOUBLE, 6)
+                    ELSE 0.0 END AS rate
         FROM alloc ORDER BY source
     """
 
@@ -6218,11 +6232,19 @@ def pipeline_oracles() -> dict[str, str]:
         {_card_ctes('_c', '')},
         up AS ({_unpivot('_p', 'old_value')}),
         uc AS ({_unpivot('_c', 'new_value')}),
+        jc AS (
+            -- FULL outer (ADVICE r9): brand-new / disappeared sources
+            -- coalesce the missing side to 0.0 => maximal drift
+            SELECT source, metric,
+                   COALESCE(old_value, 0.0) AS old_value,
+                   COALESCE(new_value, 0.0) AS new_value
+            FROM up FULL OUTER JOIN uc USING (source, metric)
+        ),
         j AS (
             SELECT source, metric, old_value, new_value,
                    round((new_value - old_value)
                          / greatest(abs(old_value), 1e-12), 6) AS rel_delta
-            FROM up JOIN uc USING (source, metric)
+            FROM jc
         )
         SELECT source, metric, old_value, new_value, rel_delta,
                abs(rel_delta) >= CAST({DRIFT_EPS} AS DOUBLE) AS flagged

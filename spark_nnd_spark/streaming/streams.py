@@ -37,6 +37,21 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def _await_or_raise(q: Any, timeout_sec: int) -> Any:
+    """Await a streaming query's availableNow drain; on timeout STOP the
+    query and raise instead of returning a handle whose output directory
+    is only partially written (a silent-partial leakage-gate verdict is
+    worse than a loud failure). ``awaitTermination(timeout)`` returns
+    False on timeout — every drain helper in this module must check it."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not drain within "
+            f"{timeout_sec}s; stopped — output directory is incomplete"
+        )
+    return q
+
+
 def _stream_dir(sf_dir: str, table: str = "events") -> str:
     """Directory holding a symlink to the table's parquet (file streams
     read directories; a real deployment points at the landing dir)."""
@@ -179,8 +194,7 @@ def run_to_memory_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
-    return q
+    return _await_or_raise(q, timeout_sec)
 
 
 def run_to_parquet_sink(
@@ -211,8 +225,7 @@ def run_to_parquet_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
-    return q
+    return _await_or_raise(q, timeout_sec)
 
 
 def dedup_stream(
@@ -350,8 +363,7 @@ def indexed_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
-    return q
+    return _await_or_raise(q, timeout_sec)
 
 
 def retraction_stream(
@@ -406,8 +418,7 @@ def retraction_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
-    return q
+    return _await_or_raise(q, timeout_sec)
 
 
 def indexed_ann_stream(
@@ -467,8 +478,7 @@ def indexed_ann_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
-    return q
+    return _await_or_raise(q, timeout_sec)
 
 
 def decontam_gate_stream(
@@ -525,8 +535,7 @@ def decontam_gate_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
-    return q
+    return _await_or_raise(q, timeout_sec)
 
 
 def read_events_kafka(
