@@ -1539,3 +1539,93 @@ def fuzzy_name_pairs(
         .join(F.broadcast(nb), "name_b")
         .select("name_a", "name_b", "dist", "n_a", "n_b")
     )
+
+
+def exact_span_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_len: int = 6,
+    min_span_tokens: int = 12,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """Exact-substring (verbatim span) dedup — the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    operation: find maximal runs of >= ``min_span_tokens`` consecutive
+    tokens repeated VERBATIM across documents. Set-based tiers
+    (MinHash/SimHash/winnowing) score whole-document overlap and dilute
+    a short copied passage inside two otherwise-different documents;
+    this operator finds exactly those spans.
+
+    Spark-first re-expression of the paper's suffix-array scan:
+
+    1. positional ``gram_len``-token gram hashes per doc
+       (functions/text.ordered_shingle_hashes_expr — narrow, codegen);
+    2. inverted-index equi-self-join on the gram hash (pairs exist
+       only where content repeats — never all-pairs);
+    3. island detection: two grams at (pos_a, pos_b) and
+       (pos_a+1, pos_b+1) belong to the same verbatim run, so matches
+       group by the alignment diagonal ``pos_a - pos_b`` and split on
+       gaps via the pos_a - row_number() constant (the q110 SCD2 /
+       q128 sorted-run-length convention). An island of k consecutive
+       grams is a maximal verbatim span of k + gram_len - 1 tokens.
+
+    Returns one row per (id_a, id_b) document pair with n_spans,
+    max_span_tokens and matched_tokens (sum of span lengths over
+    spans >= min_span_tokens).
+
+    Scale (100 TB): the join shuffles O(repeated grams), not O(corpus)
+    — unique content produces no posting collisions, so cost tracks
+    the duplication rate exactly like the paper's suffix-array dedup.
+    ``max_gram_freq`` is the df-cut skew guard for boilerplate grams
+    (licence headers, templates) that would otherwise fan out
+    quadratically; the island windows partition by (pair, diagonal) —
+    millions of tiny partitions, no skew. Gram hashes are the shared
+    portable polynomial hashes (functions/text.py), so a collision is
+    identical in both engines; production would widen to 128-bit.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    posts = (
+        _fan_out(df)
+        .withColumn("_hs", TX.ordered_shingle_hashes_expr(text_col, gram_len))
+        .select(
+            F.col(id_col),
+            F.posexplode("_hs").alias("pos0", "gh"),
+        )
+        # 1-based positions match DuckDB list indexing in the oracle
+        .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gh")
+        .localCheckpoint(eager=True)
+    )
+    if max_gram_freq is not None:
+        hot = (
+            posts.groupBy("gh")
+            .agg(F.countDistinct(id_col).alias("df"))
+            .filter(F.col("df") > max_gram_freq)
+            .select("gh")
+        )
+        posts = posts.join(hot, "gh", "left_anti").localCheckpoint(eager=True)
+    a = posts.select("gh", F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"))
+    b = posts.select("gh", F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"))
+    matches = (
+        a.hint("shuffle_hash")
+        .join(b, "gh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pos_a", "pos_b")
+    )
+    w = Window.partitionBy(
+        "id_a", "id_b", F.col("pos_a") - F.col("pos_b")
+    ).orderBy("pos_a")
+    spans = (
+        matches.withColumn("island", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", (F.col("pos_a") - F.col("pos_b")).alias("diag"), "island")
+        .agg(
+            (F.max("pos_a") - F.min("pos_a") + F.lit(gram_len)).alias("span_tokens")
+        )
+        .filter(F.col("span_tokens") >= min_span_tokens)
+    )
+    return spans.groupBy("id_a", "id_b").agg(
+        F.count("*").alias("n_spans"),
+        F.max("span_tokens").alias("max_span_tokens"),
+        F.sum("span_tokens").alias("matched_tokens"),
+    )

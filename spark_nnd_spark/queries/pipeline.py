@@ -3686,6 +3686,77 @@ def q152_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("rank", F.row_number().over(w)).orderBy("rank")
 
 
+# q156 exact-span dedup: gram width / minimum reported span (tokens).
+# The planted passage is 12 tokens with block-keyed first+last tokens:
+# same-block pairs share all 12 (== SPAN_MIN, reported); cross-block
+# pairs share only the 10 middle tokens (< SPAN_MIN, excluded) — the
+# plant probes the threshold from both sides. Plant density is 1/100
+# docs with the shared-passage group keyed by doc_id div 400, so the
+# planted pair count grows LINEARLY with corpus size (a single global
+# passage would grow quadratically and swamp the bench tier).
+SPAN_GRAM_LEN = 6
+SPAN_MIN_TOKENS = 12
+SPAN_PLANT_MOD = 100
+SPAN_PLANT_REM = 7
+SPAN_PLANT_BLOCK = 400
+SPAN_PASSAGE_MID = "quick brown fox jumps over the lazy dog again tail"
+
+
+def _span_planted(d: DataFrame) -> DataFrame:
+    """Corpus with the deterministic verbatim passage appended (the
+    q151 planting convention: the synthetic corpus has no verbatim
+    cross-doc passages, so the fixture is part of the replayable query
+    text). Out-of-vocabulary passage tokens keep the span from
+    extending into surrounding text."""
+    did = F.col("doc_id")
+    blk = (did / SPAN_PLANT_BLOCK).cast("long").cast("string")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % SPAN_PLANT_MOD == SPAN_PLANT_REM,
+                F.concat(
+                    F.lit(" pb"), blk,
+                    F.lit(f" {SPAN_PASSAGE_MID} pe"), blk,
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q156_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (operators/dedup.exact_span_pairs —
+    Lee et al. 2022): maximal verbatim token runs >= SPAN_MIN_TOKENS
+    across document pairs, found via a positional gram inverted index
+    + diagonal island merge. The one dedup tier the set-based family
+    (q16/q42/q88/q91/q138) cannot express: a 12-token copied passage
+    inside two otherwise-unrelated documents is invisible to
+    whole-document MinHash (asserted in tests) but surfaces here as an
+    exact span. The corpus's own planted near-dup pairs also emit
+    their long shared runs — both signals are deterministic.
+
+    Scale (100 TB): shuffle is O(repeated grams) — unique content
+    never collides in the posting join — and the island windows
+    partition by (pair, diagonal); see the operator docstring."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        DD.exact_span_pairs(
+            _span_planted(d),
+            gram_len=SPAN_GRAM_LEN,
+            min_span_tokens=SPAN_MIN_TOKENS,
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("max_span_tokens").cast("long").alias("max_span_tokens"),
+            F.col("matched_tokens").cast("long").alias("matched_tokens"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -3808,6 +3879,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q153_dedup_sweep": q153_dedup_sweep,
     "q154_packing_curve": q154_packing_curve,
     "q155_curation_board": q155_curation_board,
+    "q156_exact_spans": q156_exact_spans,
 }
 
 
@@ -6423,6 +6495,59 @@ def pipeline_oracles() -> dict[str, str]:
             FROM cnt
         )
         SELECT pair, n, rank FROM r WHERE rank <= {BPE_TOPK} ORDER BY rank
+    """
+    # q156: identical planting arithmetic, then the same positional-gram
+    # inverted index + diagonal-island merge (row_number per (pair,
+    # diagonal), islands split on pos gaps — separate CTEs, DuckDB
+    # rejects nested window calls). SUM over INTEGER is HUGEINT in
+    # DuckDB — CAST the aggregates to BIGINT to match Spark's longs.
+    oracles["q156_exact_spans"] = f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % {SPAN_PLANT_MOD} = {SPAN_PLANT_REM}
+                        THEN ' pb' || (doc_id // {SPAN_PLANT_BLOCK})::VARCHAR
+                             || ' {SPAN_PASSAGE_MID} pe'
+                             || (doc_id // {SPAN_PLANT_BLOCK})::VARCHAR
+                        ELSE '' END AS text
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   {TX.ordered_shingle_hashes_sql('text', SPAN_GRAM_LEN)} AS hs
+            FROM aug
+        ),
+        g AS (
+            SELECT doc_id, u.pos AS pos, u.gh AS gh
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(hs) + 1),
+                              i -> struct_pack(pos := i, gh := hs[i]))) AS u
+                FROM h
+            )
+        ),
+        m AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.pos AS pos_a, b.pos AS pos_b
+            FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+        ),
+        r AS (
+            SELECT id_a, id_b, pos_a, pos_b,
+                   pos_a - ROW_NUMBER() OVER (
+                       PARTITION BY id_a, id_b, pos_a - pos_b
+                       ORDER BY pos_a) AS island
+            FROM m
+        ),
+        s AS (
+            SELECT id_a, id_b,
+                   MAX(pos_a) - MIN(pos_a) + {SPAN_GRAM_LEN} AS span_tokens
+            FROM r GROUP BY id_a, id_b, pos_a - pos_b, island
+            HAVING MAX(pos_a) - MIN(pos_a) + {SPAN_GRAM_LEN}
+                   >= {SPAN_MIN_TOKENS}
+        )
+        SELECT id_a, id_b, COUNT(*)::BIGINT AS n_spans,
+               MAX(span_tokens)::BIGINT AS max_span_tokens,
+               CAST(SUM(span_tokens) AS BIGINT) AS matched_tokens
+        FROM s GROUP BY id_a, id_b ORDER BY id_a, id_b
     """
     return oracles
 
