@@ -3757,6 +3757,109 @@ def q156_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGE_ROUNDS = 3
+
+
+def _bpe_pair_census(cur: DataFrame) -> DataFrame:
+    """Weighted adjacent-symbol-pair census over the (count, syms)
+    vocabulary table — q152's census generalized from characters to
+    the current merge round's symbols. The guard matters: Spark's
+    sequence(1, 0) counts DOWN (char_pairs_expr's documented trap)."""
+    s = F.col("syms")
+    pairs = F.when(
+        F.size(s) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(s) - 1),
+            lambda i: F.struct(
+                F.element_at(s, i).alias("l"),
+                F.element_at(s, i + 1).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    return (
+        cur.select("c", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("c").alias("n"))
+    )
+
+
+def _bpe_apply_merge(cur: DataFrame, left: str, right: str) -> DataFrame:
+    """Greedy left-to-right non-overlapping BPE merge as an array fold:
+    append each symbol unless the accumulator's last symbol is ``left``
+    and the incoming one is ``right``, in which case the pair collapses
+    to the concatenated symbol. Exact textbook semantics on runs
+    ('aaa' + merge(a,a) -> [aa, a]) — a string replace() would diverge
+    from greedy BPE on runs >= 3 (its scan resumes after the consumed
+    boundary separator). try_element_at: ANSI mode throws on
+    element_at(empty, -1)."""
+    merged = F.aggregate(
+        "syms",
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(left + right))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return cur.select("c", merged.alias("syms"))
+
+
+def q157_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer training — BPE_MERGE_ROUNDS greedy merge
+    iterations (census -> select best pair -> apply merge -> re-census),
+    the loop q152 computes exactly one step of, returning the merge
+    table (rank, pair, n-at-selection). The first text workload on the
+    engine's driver-loop + per-iteration localCheckpoint discipline
+    (the NND build / q59 Lloyd-step convention); the DuckDB oracle
+    unrolls the same fixed rounds the way q96 unrolls PageRank.
+    Tie-break (n DESC, l, r) is total, so every round is deterministic
+    in both engines.
+
+    Scale (100 TB): the corpus is read ONCE into a (word, count)
+    vocabulary (one map-side-combined aggregate — BPE's standard
+    word-frequency preprocessing); every merge round then folds over
+    the O(vocab) table, never the corpus. Per round: one narrow fold,
+    one pair census exchange of O(distinct pairs), and a
+    TakeOrderedAndProject for the argmax — the selected pair is the
+    one O(1) driver scalar (the reference's own convergence-test
+    class, NND.scala:118) that parameterizes the next round's fold."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(TX.tokens_expr("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    cur = vocab.select(
+        "c", F.split("tok", "").alias("syms")
+    ).localCheckpoint(eager=True)
+    per_round = []
+    for rk in range(1, BPE_MERGE_ROUNDS + 1):
+        best_df = (
+            _bpe_pair_census(cur)
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        best = best_df.collect()[0]
+        per_round.append(
+            best_df.select(
+                F.lit(rk).alias("rank"),
+                F.concat("l", F.lit("+"), "r").alias("pair"),
+                "n",
+            )
+        )
+        if rk < BPE_MERGE_ROUNDS:
+            cur = _bpe_apply_merge(cur, best.l, best.r).localCheckpoint(
+                eager=True
+            )
+    out = per_round[0]
+    for r in per_round[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("rank")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -3880,6 +3983,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q154_packing_curve": q154_packing_curve,
     "q155_curation_board": q155_curation_board,
     "q156_exact_spans": q156_exact_spans,
+    "q157_bpe_merge_rounds": q157_bpe_merge_rounds,
 }
 
 
@@ -6548,6 +6652,47 @@ def pipeline_oracles() -> dict[str, str]:
                MAX(span_tokens)::BIGINT AS max_span_tokens,
                CAST(SUM(span_tokens) AS BIGINT) AS matched_tokens
         FROM s GROUP BY id_a, id_b ORDER BY id_a, id_b
+    """
+    # q157: the oracle unrolls the same fixed merge rounds (the q96
+    # PageRank convention). The fold keeps acc/element types equal
+    # (VARCHAR[] of singleton lists) because DuckDB's list_reduce
+    # requires it; CAST SUM -> BIGINT (HUGEINT otherwise).
+    def _bpe_round(prev: str, k: int) -> str:
+        return f"""
+        c{k} AS (
+            SELECT u.l AS l, u.r AS r, CAST(SUM(c) AS BIGINT) AS n
+            FROM (
+                SELECT c, unnest(list_transform(range(1, len(syms)),
+                       i -> struct_pack(l := syms[i], r := syms[i+1]))) AS u
+                FROM {prev}
+            ) GROUP BY 1, 2
+        ),
+        b{k} AS (SELECT l, r, n FROM c{k} ORDER BY n DESC, l, r LIMIT 1),
+        s{k} AS (
+            SELECT c, list_reduce(
+                list_prepend([]::VARCHAR[], list_transform(syms, x -> [x])),
+                (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b{k}.l
+                                  AND x[1] = b{k}.r
+                            THEN list_append(acc[1 : len(acc)-1],
+                                             b{k}.l || b{k}.r)
+                            ELSE list_concat(acc, x) END) AS syms
+            FROM {prev}, b{k}
+        )"""
+
+    oracles["q157_bpe_merge_rounds"] = f"""
+        WITH w AS (
+            SELECT tok, COUNT(*)::BIGINT AS c
+            FROM (SELECT unnest({TX.tokens_sql()}) AS tok FROM documents)
+            GROUP BY tok
+        ),
+        s0 AS (SELECT c, string_split(tok, '') AS syms FROM w),
+        {','.join(_bpe_round(f's{k-1}', k) for k in range(1, BPE_MERGE_ROUNDS + 1))}
+        SELECT * FROM (
+            {' UNION ALL '.join(
+                f"SELECT {k} AS rank, l || '+' || r AS pair, n FROM b{k}"
+                for k in range(1, BPE_MERGE_ROUNDS + 1)
+            )}
+        ) ORDER BY rank
     """
     return oracles
 
