@@ -3860,6 +3860,132 @@ def q157_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("rank")
 
 
+# q158 retrieval-eval fixture: graded relevance derived from doc_id
+# (the q151 planting convention — the synthetic corpus ships no qrels,
+# so the labels are part of the replayable query text). EVAL_K = 5
+# because the shallowest retriever list (q146's LI_K) is 5 deep.
+EVAL_K = 5
+REL_G2_MOD, REL_G2_REM = 17, 2  # grade-2 (highly relevant) docs
+REL_G1_MOD, REL_G1_REM = 7, 3   # grade-1 docs (grade-2 wins overlaps)
+
+
+def _rel_grade(did) -> Column:
+    return (
+        F.when(did % REL_G2_MOD == REL_G2_REM, F.lit(2))
+        .when(did % REL_G1_MOD == REL_G1_REM, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def _rel_grade_sql(did: str = "doc_id") -> str:
+    return (
+        f"CASE WHEN {did} % {REL_G2_MOD} = {REL_G2_REM} THEN 2 "
+        f"WHEN {did} % {REL_G1_MOD} = {REL_G1_REM} THEN 1 ELSE 0 END"
+    )
+
+
+def q158_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@k and recall@k for every retriever the engine ships —
+    BM25 (q68), hybrid RRF (q80), late interaction (q146) — against
+    the deterministic doc_id-derived graded-relevance fixture. The
+    metric an operator actually tunes retrievers with; running the
+    RETRIEVER QUERIES THEMSELVES as the ranked lists means any change
+    to their scoring becomes driver-detectable here, the way q33 made
+    ANN recall driver-detectable.
+
+    nDCG uses the standard exponential gain (2^rel - 1)/log2(rank+1)
+    with the ideal DCG computed from the corpus's top-k grades;
+    recall@k = |top-k ∩ relevant| / |relevant|. Multi-query retrievers
+    are macro-averaged (per-query metrics rounded to 6dp first, both
+    engines).
+
+    Scale (100 TB): each retriever already ends in a top-N
+    (TakeOrderedAndProject); the eval runs on O(retrievers · k) rows
+    plus one O(1) corpus aggregate for |relevant| and the ideal DCG —
+    the eval itself never touches the corpus again."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    runs = []
+    bm = q68_bm25(spark, sf_dir).select(
+        F.lit("bm25").alias("retriever"),
+        F.lit(0).alias("query_id"),
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    runs.append(bm)
+    runs.append(
+        q80_hybrid_rrf(spark, sf_dir).select(
+            F.lit("hybrid_rrf").alias("retriever"),
+            F.lit(0).alias("query_id"),
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+    runs.append(
+        q146_late_interaction(spark, sf_dir).select(
+            F.lit("late_interaction").alias("retriever"),
+            "query_id",
+            "doc_id",
+            "rank",
+        )
+    )
+    lists = runs[0]
+    for r in runs[1:]:
+        lists = lists.unionAll(r)
+    lists = lists.filter(F.col("rank") <= EVAL_K)
+
+    d = load_table(spark, sf_dir, "documents")
+    rel = _rel_grade(F.col("doc_id"))
+    # ideal DCG: corpus top-k grades in ideal order (TakeOrdered, then
+    # a k-row window) + |relevant| for the recall denominator
+    ideal = (
+        d.select(rel.alias("rel"), "doc_id")
+        .orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(EVAL_K)
+        .withColumn(
+            "irank",
+            F.row_number().over(Window.orderBy(F.desc("rel"), F.asc("doc_id"))),
+        )
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+                / F.log2(F.col("irank") + 1.0)
+            ).alias("idcg")
+        )
+    )
+    nrel = d.agg(F.count_if(rel > 0).alias("n_rel"))
+    per_q = (
+        lists.withColumn("rel", _rel_grade(F.col("doc_id")))
+        .groupBy("retriever", "query_id")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+                / F.log2(F.col("rank") + 1.0)
+            ).alias("dcg"),
+            F.count_if(F.col("rel") > 0).alias("hits"),
+        )
+        .crossJoin(F.broadcast(ideal))
+        .crossJoin(F.broadcast(nrel))
+        .select(
+            "retriever",
+            "query_id",
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+            F.round(F.col("hits") / F.col("n_rel"), 6).alias("recall"),
+        )
+    )
+    return (
+        per_q.groupBy("retriever")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.round(F.avg("ndcg"), 6).alias("ndcg_at_k"),
+            F.round(F.avg("recall"), 6).alias("recall_at_k"),
+        )
+        .orderBy("retriever")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -3984,6 +4110,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q155_curation_board": q155_curation_board,
     "q156_exact_spans": q156_exact_spans,
     "q157_bpe_merge_rounds": q157_bpe_merge_rounds,
+    "q158_retrieval_eval": q158_retrieval_eval,
 }
 
 
@@ -6693,6 +6820,63 @@ def pipeline_oracles() -> dict[str, str]:
                 for k in range(1, BPE_MERGE_ROUNDS + 1)
             )}
         ) ORDER BY rank
+    """
+    # q158: the retriever lists are the retrievers' OWN oracles embedded
+    # as subqueries (DuckDB allows WITH inside a derived table), so the
+    # eval replays whatever they rank; metrics per query rounded to 6dp
+    # before the macro-average, same as the Spark side.
+    _dcg = f"SUM((pow(2.0, rel) - 1.0) / log2(rank + 1.0))"
+    oracles["q158_retrieval_eval"] = f"""
+        WITH bm AS (
+            SELECT 'bm25' AS retriever, 0 AS query_id, doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+            FROM ({oracles['q68_bm25']})
+        ),
+        hy AS (
+            SELECT 'hybrid_rrf' AS retriever, 0 AS query_id, doc_id,
+                   CAST(rank AS INT) AS rank
+            FROM ({oracles['q80_hybrid_rrf']})
+        ),
+        li AS (
+            SELECT 'late_interaction' AS retriever, query_id, doc_id, rank
+            FROM ({oracles['q146_late_interaction']})
+        ),
+        lists AS (
+            SELECT * FROM bm WHERE rank <= {EVAL_K}
+            UNION ALL SELECT * FROM hy WHERE rank <= {EVAL_K}
+            UNION ALL SELECT * FROM li WHERE rank <= {EVAL_K}
+        ),
+        graded AS (
+            SELECT retriever, query_id, rank,
+                   {_rel_grade_sql('doc_id')} AS rel
+            FROM lists
+        ),
+        ideal0 AS (
+            SELECT {_rel_grade_sql('doc_id')} AS rel, doc_id FROM documents
+            ORDER BY rel DESC, doc_id LIMIT {EVAL_K}
+        ),
+        ideal1 AS (
+            SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rank
+            FROM ideal0
+        ),
+        ideal AS (SELECT {_dcg} AS idcg FROM ideal1),
+        nrel AS (
+            SELECT COUNT(*) FILTER (WHERE {_rel_grade_sql('doc_id')} > 0)
+                   AS n_rel
+            FROM documents
+        ),
+        per_q AS (
+            SELECT retriever, query_id,
+                   round({_dcg} / ANY_VALUE(ideal.idcg), 6) AS ndcg,
+                   round(COUNT(*) FILTER (WHERE rel > 0)
+                         / ANY_VALUE(nrel.n_rel)::DOUBLE, 6) AS recall
+            FROM graded, ideal, nrel
+            GROUP BY retriever, query_id
+        )
+        SELECT retriever, COUNT(*)::BIGINT AS n_queries,
+               round(AVG(ndcg), 6) AS ndcg_at_k,
+               round(AVG(recall), 6) AS recall_at_k
+        FROM per_q GROUP BY retriever ORDER BY retriever
     """
     return oracles
 
