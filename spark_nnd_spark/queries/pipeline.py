@@ -3526,6 +3526,22 @@ def q155_curation_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reasons are a fixed-order filtered array join — deterministic, no
     NULLs."""
     d = load_table(spark, sf_dir, "documents")
+    drops = (
+        DD.minhash_lsh_pairs(
+            d, num_hashes=16, bands=4, n=3, threshold=0.2,
+            max_band_freq=MAX_BAND_FREQ,
+        )
+        .filter(F.round("jaccard", 6) >= BOARD_NEARDUP_TAU)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return board_compose(board_gates(d), drops).orderBy("doc_id")
+
+
+def board_gates(d: DataFrame) -> DataFrame:
+    """Per-doc text quality gates of the curation scoreboard — every
+    signal a codegen expression in one scan of (doc_id, text); shared
+    by q155 (inline), q159 (index-served) and the streaming gate."""
     s2 = TX.repetition_stats_expr(TX.ngrams_expr("text", 2))
     s3 = TX.repetition_stats_expr(TX.ngrams_expr("text", 3))
     n2 = F.size(TX.ngrams_expr("text", 2)).cast("long")
@@ -3546,7 +3562,7 @@ def q155_curation_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from spark_nnd_spark.functions.numeric import round_half_up_expr  # noqa: PLC0415
 
-    scored = d.select(
+    return d.select(
         "doc_id",
         TX.tree_score_expr("text").alias("margin_raw"),
         s2.alias("s2"),
@@ -3564,19 +3580,18 @@ def q155_curation_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rep_keep"),
         (F.col("entropy") >= F.lit(ENTROPY_MIN)).alias("entropy_keep"),
     )
-    drops = (
-        DD.minhash_lsh_pairs(
-            d, num_hashes=16, bands=4, n=3, threshold=0.2,
-            max_band_freq=MAX_BAND_FREQ,
-        )
-        .filter(F.round("jaccard", 6) >= BOARD_NEARDUP_TAU)
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-        .withColumn("dropped", F.lit(True))
-    )
-    gates = scored.join(F.broadcast(drops), "doc_id", "left").withColumn(
-        "dedup_keep", F.col("dropped").isNull()
-    )
+
+
+def board_compose(scored: DataFrame, drops: DataFrame) -> DataFrame:
+    """Compose the text gates with a near-dup drop set (doc_id rows —
+    whatever tier produced it: inline pairs, persisted index, or a
+    streaming probe) into the final keep/drop board with deterministic
+    fixed-order reason strings."""
+    gates = scored.join(
+        F.broadcast(drops.select("doc_id").withColumn("dropped", F.lit(True))),
+        "doc_id",
+        "left",
+    ).withColumn("dedup_keep", F.col("dropped").isNull())
     reasons = F.concat_ws(
         ",",
         F.filter(
@@ -3604,7 +3619,7 @@ def q155_curation_board(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("dedup_keep")
         ).alias("keep"),
         reasons.alias("reasons"),
-    ).orderBy("doc_id")
+    )
 
 
 # q151 PII planting moduli: the synthetic corpus contains no PII-shaped
@@ -3986,6 +4001,28 @@ def q158_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q159_indexed_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q155's curation scoreboard with the near-dup drop set served
+    from the PERSISTED index (operators/dedup.neardup_pairs_index via
+    _indexed_lsh_pairs) instead of re-running the MinHash-LSH pair
+    pipeline inline — the VERDICT r9 nit: at 100 TB the board reads
+    the drop set off the index artifact the ingest loop maintains,
+    never re-shingling the corpus. Index pairs == inline pairs
+    (asserted in tests), so the board is row-identical to q155 and
+    shares its oracle SQL — the q103/q105 indexed-twin convention.
+
+    Scale: one corpus scan for the text gates (all codegen), a
+    broadcast O(dup docs) drop set read from parquet, one sort."""
+    d = load_table(spark, sf_dir, "documents")
+    drops = (
+        _indexed_lsh_pairs(spark, sf_dir)
+        .filter(F.round("jaccard", 6) >= BOARD_NEARDUP_TAU)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return board_compose(board_gates(d), drops).orderBy("doc_id")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -4111,6 +4148,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q156_exact_spans": q156_exact_spans,
     "q157_bpe_merge_rounds": q157_bpe_merge_rounds,
     "q158_retrieval_eval": q158_retrieval_eval,
+    "q159_indexed_board": q159_indexed_board,
 }
 
 
@@ -6878,6 +6916,9 @@ def pipeline_oracles() -> dict[str, str]:
                round(AVG(recall), 6) AS recall_at_k
         FROM per_q GROUP BY retriever ORDER BY retriever
     """
+    # q159: index-served twin of q155 — execution strategy, not a
+    # semantic change (index==inline asserted in tests), same oracle.
+    oracles["q159_indexed_board"] = oracles["q155_curation_board"]
     return oracles
 
 

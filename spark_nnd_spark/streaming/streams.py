@@ -538,6 +538,77 @@ def decontam_gate_stream(
     return _await_or_raise(q, timeout_sec)
 
 
+def curation_gate_stream(
+    candidate_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.9,
+    max_band_freq: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    timeout_sec: int = 180,
+) -> Any:
+    """Streaming ingest-time curation gate — the q155/q159 scoreboard
+    composed as a stateless per-batch verdict: every candidate doc gets
+    the full keep/drop board (quality margin, repetition, entropy, and
+    a near-dup gate probed against the PERSISTED near-dup index) with
+    deterministic reason strings, written to a batchId-keyed parquet
+    directory. The ingest twin of the batch board: the text gates are
+    the exact shared expressions (queries/pipeline.board_gates /
+    board_compose), and the dedup gate drops a candidate that is an
+    'exact' or Jaccard-verified 'near' duplicate of an INDEXED doc at
+    >= ``threshold`` (ingest semantics — batch-internal pairs are the
+    batch layer's job, the q83/q103 split).
+
+    Idempotence: the probe never mutates the index, so the board is a
+    pure function of (batch, index); a replayed batch overwrites its
+    own batchId directory with identical rows (replay==batch asserted
+    in tests).
+
+    Scale (100 TB/day ingest): text gates are codegen expressions over
+    O(batch) rows; the index probe shuffles O(batch + candidates)
+    (BENCH_DEDUP_SCALE's measured contract); nothing corpus-sized
+    moves on the gate path."""
+    from spark_nnd_spark.operators.dedup import (  # noqa: PLC0415
+        neardup_query_index,
+    )
+    from spark_nnd_spark.queries.pipeline import (  # noqa: PLC0415
+        board_compose,
+        board_gates,
+    )
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        docs = batch_df.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        drops = (
+            neardup_query_index(
+                spark,
+                index_path,
+                docs,
+                threshold=threshold,
+                max_band_freq=max_band_freq,
+            )
+            .filter(F.col("verdict") != "novel")
+            .select("doc_id")
+        )
+        board_compose(board_gates(docs), drops).write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/board_batch={batch_id}")
+
+    q = (
+        candidate_stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return _await_or_raise(q, timeout_sec)
+
+
 def read_events_kafka(
     spark: SparkSession,
     bootstrap_servers: str,
