@@ -4023,6 +4023,114 @@ def q159_indexed_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     return board_compose(board_gates(d), drops).orderBy("doc_id")
 
 
+# q160 logistic-regression training step: literal init weights and
+# learning rate (the q59 Lloyd-step convention — one exactly-replayable
+# iteration of an iterative trainer); features are the card's portable
+# text ratios; the label is the q147 rule gate, so the step closes the
+# train->score loop curation pipelines run (learn a scorer that mimics
+# the hand rule, then score with it). Sigmoid outputs and gradient
+# means are rounded to 6dp before reuse — the engines' libm exp()
+# differ in the last ulp and double-sum order is nondeterministic, so
+# rounding at each handoff is what makes the epoch bit-replayable
+# (the q146 round-before-cut discipline).
+LR_W0 = {"bias": 0.0, "ntok": 0.1, "stop": -0.2, "ttr": 0.3}
+LR_RATE = 0.5
+LR_SCORE_SAMPLE = 20
+
+
+def q160_lr_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One closed-form logistic-regression gradient epoch over doc
+    features + scoring with the UPDATED weights in the same query:
+    w_new_j = w0_j + rate * round(avg((y - p) * x_j), 6) with
+    p = round(sigmoid(w0 . x), 6). Output: 4 'weight' rows (the merge
+    table of the trainer) and LR_SCORE_SAMPLE 'score' rows (the first
+    docs by id scored with w_new) — both tiers hash-checkable.
+
+    Scale (100 TB): the epoch is ONE map-side-combined aggregate over
+    the corpus (4 feature-gradient means, O(1) output) — the classic
+    distributed-GD shape; the updated weights broadcast back as a
+    one-row cross join, and only the k-doc score sample pays a
+    TakeOrderedAndProject. Feature expressions are codegen arithmetic
+    in the same scan that computes the label."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = TX.token_count_expr("text")
+    feats = d.select(
+        "doc_id",
+        (ntok.cast("double") / F.lit(100.0)).alias("x_ntok"),
+        TX.stopword_ratio_expr("text").alias("x_stop"),
+        TX.type_token_ratio_expr("text").alias("x_ttr"),
+        (
+            (ntok >= 5)
+            & (TX.stopword_ratio_expr("text") <= 0.6)
+            & (TX.type_token_ratio_expr("text") >= 0.3)
+        )
+        .cast("double")
+        .alias("y"),
+    )
+    z0 = (
+        (F.lit(LR_W0["bias"]) + F.lit(LR_W0["ntok"]) * F.col("x_ntok"))
+        + F.lit(LR_W0["stop"]) * F.col("x_stop")
+    ) + F.lit(LR_W0["ttr"]) * F.col("x_ttr")
+    p0 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z0)), 6)
+    resid = feats.select(
+        "doc_id", "x_ntok", "x_stop", "x_ttr", (F.col("y") - p0).alias("e")
+    )
+    grads = resid.agg(
+        F.round(F.avg("e"), 6).alias("g_bias"),
+        F.round(F.avg(F.col("e") * F.col("x_ntok")), 6).alias("g_ntok"),
+        F.round(F.avg(F.col("e") * F.col("x_stop")), 6).alias("g_stop"),
+        F.round(F.avg(F.col("e") * F.col("x_ttr")), 6).alias("g_ttr"),
+    )
+    upd = grads.select(
+        *[
+            (F.lit(LR_W0[n]) + F.lit(LR_RATE) * F.col(f"g_{n}")).alias(f"w_{n}")
+            for n in ("bias", "ntok", "stop", "ttr")
+        ],
+        "g_bias",
+        "g_ntok",
+        "g_stop",
+        "g_ttr",
+    )
+    weights = upd.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("k"),
+                        F.lit(n).alias("name"),
+                        F.round(F.col(f"g_{n}"), 6).alias("grad"),
+                        F.round(F.col(f"w_{n}"), 6).alias("value"),
+                    )
+                    for i, n in enumerate(("bias", "ntok", "stop", "ttr"))
+                ]
+            )
+        ).alias("w")
+    ).select(
+        F.lit("weight").alias("kind"),
+        F.col("w.k").cast("long").alias("k"),
+        "w.name",
+        "w.grad",
+        "w.value",
+    )
+    z1 = (
+        (F.col("w_bias") + F.col("w_ntok") * F.col("x_ntok"))
+        + F.col("w_stop") * F.col("x_stop")
+    ) + F.col("w_ttr") * F.col("x_ttr")
+    scores = (
+        feats.orderBy("doc_id")
+        .limit(LR_SCORE_SAMPLE)
+        .crossJoin(F.broadcast(upd))
+        .select(
+            F.lit("score").alias("kind"),
+            F.col("doc_id").alias("k"),
+            F.lit("p").alias("name"),
+            F.lit(0.0).alias("grad"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z1)), 6).alias("value"),
+        )
+    )
+    return weights.unionAll(scores).orderBy("kind", "k")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -4149,6 +4257,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q157_bpe_merge_rounds": q157_bpe_merge_rounds,
     "q158_retrieval_eval": q158_retrieval_eval,
     "q159_indexed_board": q159_indexed_board,
+    "q160_lr_train_step": q160_lr_train_step,
 }
 
 
@@ -6919,6 +7028,66 @@ def pipeline_oracles() -> dict[str, str]:
     # q159: index-served twin of q155 — execution strategy, not a
     # semantic change (index==inline asserted in tests), same oracle.
     oracles["q159_indexed_board"] = oracles["q155_curation_board"]
+    # q160: the same literal-seeded gradient epoch, every CASE/literal
+    # CAST to DOUBLE (DuckDB parses 0.1 as DECIMAL) and every sigmoid /
+    # gradient mean rounded to 6dp exactly where the Spark side rounds.
+    _lrd = lambda v: f"CAST({v} AS DOUBLE)"  # noqa: E731
+    _z0 = (
+        f"((({_lrd(LR_W0['bias'])} + {_lrd(LR_W0['ntok'])} * x_ntok)"
+        f" + {_lrd(LR_W0['stop'])} * x_stop)"
+        f" + {_lrd(LR_W0['ttr'])} * x_ttr)"
+    )
+    _z1 = "(((w_bias + w_ntok * x_ntok) + w_stop * x_stop) + w_ttr * x_ttr)"
+    _sig = lambda z: f"round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-{z})), 6)"  # noqa: E731
+    oracles["q160_lr_train_step"] = f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   {TX.token_count_sql()}::DOUBLE / {_lrd(100.0)} AS x_ntok,
+                   {TX.stopword_ratio_sql()} AS x_stop,
+                   {TX.type_token_ratio_sql()} AS x_ttr,
+                   CASE WHEN {TX.token_count_sql()} >= 5
+                         AND {TX.stopword_ratio_sql()} <= 0.6
+                         AND {TX.type_token_ratio_sql()} >= 0.3
+                        THEN {_lrd(1.0)} ELSE {_lrd(0.0)} END AS y
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, x_ntok, x_stop, x_ttr, y - {_sig(_z0)} AS e
+            FROM feats
+        ),
+        g AS (
+            SELECT round(AVG(e), 6) AS g_bias,
+                   round(AVG(e * x_ntok), 6) AS g_ntok,
+                   round(AVG(e * x_stop), 6) AS g_stop,
+                   round(AVG(e * x_ttr), 6) AS g_ttr
+            FROM r
+        ),
+        u AS (
+            SELECT g_bias, g_ntok, g_stop, g_ttr,
+                   {_lrd(LR_W0['bias'])} + {_lrd(LR_RATE)} * g_bias AS w_bias,
+                   {_lrd(LR_W0['ntok'])} + {_lrd(LR_RATE)} * g_ntok AS w_ntok,
+                   {_lrd(LR_W0['stop'])} + {_lrd(LR_RATE)} * g_stop AS w_stop,
+                   {_lrd(LR_W0['ttr'])} + {_lrd(LR_RATE)} * g_ttr AS w_ttr
+            FROM g
+        ),
+        weights AS (
+            {" UNION ALL ".join(
+                f"SELECT 'weight' AS kind, {i}::BIGINT AS k, '{n}' AS name, "
+                f"round(g_{n}, 6) AS grad, round(w_{n}, 6) AS value FROM u"
+                for i, n in enumerate(('bias', 'ntok', 'stop', 'ttr'))
+            )}
+        ),
+        sample AS (
+            SELECT * FROM feats ORDER BY doc_id LIMIT {LR_SCORE_SAMPLE}
+        ),
+        scores AS (
+            SELECT 'score' AS kind, doc_id AS k, 'p' AS name,
+                   {_lrd(0.0)} AS grad, {_sig(_z1)} AS value
+            FROM sample, u
+        )
+        SELECT * FROM (SELECT * FROM weights UNION ALL SELECT * FROM scores)
+        ORDER BY kind, k
+    """
     return oracles
 
 
