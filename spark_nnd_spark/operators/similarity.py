@@ -1767,6 +1767,8 @@ def semantic_dedup(
     tau: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hot_cell_salt: int | None = None,
+    hot_cell_threshold: int = 50_000,
 ) -> DataFrame:
     """SemDeDup-style embedding-space deduplication (Abbas et al.
     2023): assign every vector to its nearest-centroid cell, compare
@@ -1797,6 +1799,16 @@ def semantic_dedup(
     the explosion for free (32 even tasks, spread 1.1). The drop set
     is typically a small fraction of the corpus, so the verdict attach
     is a small-table join back.
+
+    ``hot_cell_salt`` is that caveat's operator-level fix (the r9
+    stretch): cells whose occupancy exceeds ``hot_cell_threshold`` run
+    through a pair-preserving salted self-join — side A keyed by
+    pmod(id, S), side B replicated S ways — so the hot cell's pair
+    enumeration splits across S reducers with EXACTLY the same output
+    pairs (asserted in tests), no session-global AQE conf required.
+    The census it needs is one map-side-combined O(cells) aggregate.
+    Cold cells keep the plain equi-join; default None is the unchanged
+    plan (q138/q148 outputs and plans are byte-identical).
     """
     assigned = _ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
     # both self-join sides read the assignment; don't run the UDF twice
@@ -1807,8 +1819,34 @@ def semantic_dedup(
     b = assigned.select(
         F.col("cell"), F.col("nb_id").alias("id_b"), F.col("c_vec").alias("v_b")
     )
+    if hot_cell_salt is not None and hot_cell_salt > 1:
+        s = int(hot_cell_salt)
+        hot = (
+            assigned.groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > hot_cell_threshold)
+            .select("cell")
+        )
+        a_hot = a.join(F.broadcast(hot), "cell", "left_semi").withColumn(
+            "salt", F.pmod(F.col("id_a"), F.lit(s)).cast("int")
+        )
+        b_hot = b.join(F.broadcast(hot), "cell", "left_semi").withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(s)]))
+        )
+        pairs = (
+            a.join(F.broadcast(hot), "cell", "left_anti")
+            .join(b.join(F.broadcast(hot), "cell", "left_anti"), "cell")
+            .select("id_a", "v_a", "id_b", "v_b")
+            .unionByName(
+                a_hot.join(b_hot, ["cell", "salt"]).select(
+                    "id_a", "v_a", "id_b", "v_b"
+                )
+            )
+        )
+    else:
+        pairs = a.join(b, "cell").select("id_a", "v_a", "id_b", "v_b")
     drops = (
-        a.join(b, "cell")
+        pairs
         .filter(F.col("id_b") < F.col("id_a"))
         .withColumn("cosine", cosine_similarity_expr("v_a", "v_b"))
         .filter(F.col("cosine") >= tau)
