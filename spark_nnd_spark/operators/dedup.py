@@ -156,6 +156,16 @@ def jaccard_pairs(
     Returns (id_a, id_b, jaccard) for id_a < id_b with
     ``|A∩B| / |A∪B| >= threshold`` over distinct n-token shingle sets.
     Docs with no shingles (< n tokens) pair with nothing.
+
+    Scale (measured caveat, BENCH_SF1_SPOT.json): candidate volume is
+    O(sum over shingles of df²). On an open-vocabulary corpus df stays
+    ~constant as the corpus grows (new docs bring new shingles) — the
+    linear regime; on a vocabulary-SATURATED corpus (the synthetic
+    testdata: 31 words, sum df² grew 51.6× over a 10× doc step) the
+    join is quadratic until ``max_shingle_freq`` bites. The df-cut is
+    the lever for that tail, and the MinHash-LSH tier (same step: 9.7×
+    shuffle) is the scale path when the raw shingle join's density is
+    unknown.
     """
     # Tokenize ONCE: the raw postings are checkpointed and every
     # derived stream — the per-doc set sizes, the hot-shingle census,
