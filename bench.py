@@ -124,6 +124,11 @@ HEADLINE = [
     "q153_dedup_sweep",
     "q154_packing_curve",
     "q155_curation_board",
+    "q156_exact_spans",
+    "q157_bpe_merge_rounds",
+    "q158_retrieval_eval",
+    "q159_indexed_board",
+    "q160_lr_train_step",
 ]
 
 

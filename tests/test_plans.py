@@ -972,3 +972,58 @@ def test_curation_board_single_corpus_scan(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_exact_spans_shuffle_hash_no_cartesian(spark):
+    """q156: the positional-gram inverted index self-joins with a
+    shuffle-hash equi-join on the gram hash (postings pre-materialized
+    — Scan ExistingRDD), never all-pairs; the island windows partition
+    by (pair, diagonal) so no global single-partition window exists."""
+    plan = _plan(spark, "q156_exact_spans")
+    assert "ShuffledHashJoin [gh" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "hashpartitioning(id_a" in plan  # island window is pair-keyed
+
+
+def test_bpe_merge_rounds_materialized_iterations(spark):
+    """q157: the driver loop materializes each round (eager
+    localCheckpoint — the NND iteration discipline), so the final plan
+    reads only pre-computed round results: no parquet re-scan, no
+    Python, and the only work left is the 3-row union + sort."""
+    plan = _plan(spark, "q157_bpe_merge_rounds")
+    assert "Scan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "EvalPython" not in plan
+    assert "Union" in plan
+
+
+def test_retrieval_eval_broadcast_stats_no_cartesian(spark):
+    """q158: the corpus-level idcg/n_rel one-row stats attach via
+    broadcast (BroadcastNestedLoopJoin on a 1-row side, the q68 stats
+    convention), never a CartesianProduct; eval math is codegen."""
+    plan = _plan(spark, "q158_retrieval_eval")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_indexed_board_broadcast_dropset(spark):
+    """q159: exactly one corpus text scan pays all text gates (the
+    q155 contract), and the index-served drop set attaches as a
+    broadcast join — the corpus never re-shingles."""
+    plan = _plan(spark, "q159_indexed_board")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_lr_train_step_mapside_gradient(spark):
+    """q160: the gradient epoch is ONE map-side-combined corpus
+    aggregate (partial_avg in the scan stage); the updated weights
+    broadcast back to the k-doc score sample; no Python, no cartesian."""
+    plan = _plan(spark, "q160_lr_train_step")
+    assert "partial_avg" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
