@@ -1639,3 +1639,209 @@ def exact_span_pairs(
         F.max("span_tokens").alias("max_span_tokens"),
         F.sum("span_tokens").alias("matched_tokens"),
     )
+
+
+# --------------------------------------------------------------- span index
+
+def build_span_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_len: int = 6,
+) -> None:
+    """Persist a positional-gram index over the corpus so exact-span
+    contamination probes (exact_span_pairs' one-sided ingest twin)
+    never re-tokenize already-ingested text — the sixth persisted
+    index family, same lifecycle discipline as the near-dup index
+    (build → probe → extend → retract → compact, shared kernel in
+    operators/index_lifecycle.py).
+
+    Layout under ``path``:
+    - ``meta``       — 1 row (gram_len): probe grams MUST be built
+      with the same width, so it is recorded, never trusted to the
+      caller.
+    - ``grams``      — (doc_id, pos, gh): positional gram postings,
+      repartitioned by gh and sorted within partitions so the probe's
+      equi-join can skip row groups via min/max stats.
+    - ``gram_stats`` — (gh, df): per-gram document frequency, so the
+      probe-time boilerplate df-cut reads O(grams) stats instead of
+      recomputing a corpus aggregate per batch.
+
+    Build cost: one tokenize pass + one exchange on gh — the same
+    exchange the inline pair join pays once per QUERY."""
+    spark = corpus.sparkSession
+    spark.createDataFrame([(gram_len,)], "gram_len int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+    grams = (
+        _fan_out(corpus)
+        .withColumn("_hs", TX.ordered_shingle_hashes_expr(text_col, gram_len))
+        .select(F.col(id_col), F.posexplode("_hs").alias("pos0", "gh"))
+        .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gh")
+    )
+    grams.repartition("gh").sortWithinPartitions("gh").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/grams")
+    spark.read.parquet(f"{path}/grams").groupBy("gh").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    ).write.mode("overwrite").parquet(f"{path}/gram_stats")
+
+
+def span_query_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    min_span_tokens: int = 12,
+    max_gram_freq: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Verbatim-span probe of a batch against the PERSISTED span index:
+    for each (batch doc, indexed doc) pair sharing a maximal verbatim
+    run of >= ``min_span_tokens`` tokens, returns (batch_id, index_id,
+    n_spans, max_span_tokens, matched_tokens) — exact_span_pairs'
+    island-merge kernel with the corpus side read from storage. The
+    ingest-time shape of Lee et al. 2022 span decontamination: is this
+    incoming doc a verbatim copy (in part) of anything already in the
+    corpus / eval suite?
+
+    Parity: probe grams use the gram_len recorded in meta; a batch doc
+    also present in the index does not match itself (id inequality);
+    retracted docs stop matching immediately (tombstone anti-join
+    before the join). ``max_gram_freq`` cuts boilerplate grams by the
+    STORED document frequency (gram_stats) — O(grams) stats, no corpus
+    rescan.
+
+    Scale: the join shuffles O(batch grams + matching corpus grams) —
+    matching is bounded by how much of the batch's content is repeated
+    corpus content; the corpus grams table streams through the
+    equi-join without ever being re-tokenized."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    from spark_nnd_spark.operators import index_lifecycle as IL  # noqa: PLC0415
+
+    gram_len = spark.read.parquet(f"{path}/meta").first()["gram_len"]
+    stored_id = [
+        c for c in spark.read.parquet(f"{path}/grams").columns
+        if c not in ("pos", "gh")
+    ][0]
+    qgrams = (
+        batch.withColumn("_hs", TX.ordered_shingle_hashes_expr(text_col, gram_len))
+        .select(F.col(id_col), F.posexplode("_hs").alias("pos0", "gh"))
+        .select(
+            F.col(id_col).alias("batch_id"),
+            (F.col("pos0") + 1).alias("pos_q"),
+            "gh",
+        )
+        .localCheckpoint(eager=True)
+    )
+    cgrams = IL.anti_tombstones(
+        spark.read.parquet(f"{path}/grams"),
+        IL.read_tombstones(spark, path),
+        stored_id,
+    ).select(
+        F.col(stored_id).alias("index_id"), F.col("pos").alias("pos_c"), "gh"
+    )
+    if max_gram_freq is not None:
+        hot = (
+            spark.read.parquet(f"{path}/gram_stats")
+            .filter(F.col("df") > max_gram_freq)
+            .select("gh")
+        )
+        qgrams = qgrams.join(F.broadcast(hot), "gh", "left_anti")
+    matches = (
+        cgrams.join(qgrams.hint("shuffle_hash"), "gh")
+        .filter(F.col("index_id") != F.col("batch_id"))
+        .select("batch_id", "index_id", "pos_q", "pos_c")
+    )
+    w = Window.partitionBy(
+        "batch_id", "index_id", F.col("pos_q") - F.col("pos_c")
+    ).orderBy("pos_q")
+    spans = (
+        matches.withColumn("island", F.col("pos_q") - F.row_number().over(w))
+        .groupBy(
+            "batch_id",
+            "index_id",
+            (F.col("pos_q") - F.col("pos_c")).alias("diag"),
+            "island",
+        )
+        .agg(
+            (F.max("pos_q") - F.min("pos_q") + F.lit(gram_len)).alias(
+                "span_tokens"
+            )
+        )
+        .filter(F.col("span_tokens") >= min_span_tokens)
+    )
+    return spans.groupBy("batch_id", "index_id").agg(
+        F.count("*").alias("n_spans"),
+        F.max("span_tokens").alias("max_span_tokens"),
+        F.sum("span_tokens").alias("matched_tokens"),
+    )
+
+
+def _span_tables(spark, path: str):
+    cols = spark.read.parquet(f"{path}/grams").columns
+    tbl_id = [c for c in cols if c not in ("pos", "gh")][0]
+    # physical layout reads depend on: gh-partitioned + gh-sorted
+    return [("grams", tbl_id, None, ("gh", ["gh"]))]
+
+
+def extend_span_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Admit a batch into the span index: re-admission upsert (shared
+    kernel), append the batch's positional grams, refresh gram_stats
+    (recomputed from grams — an O(index-grams) integer scan that a
+    retried extension cannot double-count, the band_stats argument)."""
+    from spark_nnd_spark.operators import index_lifecycle as IL  # noqa: PLC0415
+
+    gram_len = spark.read.parquet(f"{path}/meta").first()["gram_len"]
+    IL.settle_readmission(
+        spark, path, new_docs.select(id_col), _span_tables(spark, path)
+    )
+    stored_id = _span_tables(spark, path)[0][1]
+    (
+        new_docs.withColumn(
+            "_hs", TX.ordered_shingle_hashes_expr(text_col, gram_len)
+        )
+        .select(F.col(id_col), F.posexplode("_hs").alias("pos0", "gh"))
+        .select(
+            F.col(id_col).alias(stored_id),
+            (F.col("pos0") + 1).alias("pos"),
+            "gh",
+        )
+        .write.mode("append")
+        .parquet(f"{path}/grams")
+    )
+    spark.read.parquet(f"{path}/grams").groupBy("gh").agg(
+        F.count_distinct(F.col(stored_id)).alias("df")
+    ).write.mode("overwrite").parquet(f"{path}/gram_stats")
+
+
+def retract_from_span_index(spark, path: str, ids: DataFrame) -> None:
+    """O(retracted) tombstone append; the probe anti-joins it, so a
+    retracted doc stops matching immediately (the shared lifecycle
+    contract). gram_stats keeps pre-retraction counts until compaction
+    — the df-cut may over-cut, never under-cut, while tombstoned."""
+    from spark_nnd_spark.operators import index_lifecycle as IL  # noqa: PLC0415
+
+    IL.append_tombstones(spark, path, ids)
+
+
+def compact_span_index(spark, path: str) -> None:
+    """Fold the tombstone log into grams (layout-preserving rewrite),
+    rebuild gram_stats, drop the log last — byte-equivalent to a fresh
+    build over the surviving corpus (asserted in tests)."""
+    from spark_nnd_spark.operators import index_lifecycle as IL  # noqa: PLC0415
+
+    if not IL.compact(spark, path, _span_tables(spark, path)):
+        return
+    stored_id = _span_tables(spark, path)[0][1]
+    spark.read.parquet(f"{path}/grams").groupBy("gh").agg(
+        F.count_distinct(F.col(stored_id)).alias("df")
+    ).write.mode("overwrite").parquet(f"{path}/gram_stats")

@@ -3389,7 +3389,17 @@ def q153_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_pairs(
         d, num_hashes=16, bands=4, n=3, threshold=0.2, max_band_freq=MAX_BAND_FREQ
-    ).select("id_a", "id_b", F.round("jaccard", 6).alias("j"))
+    )
+    return _sweep_from_pairs(spark, d, pairs)
+
+
+def _sweep_from_pairs(
+    spark: SparkSession, d: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """The tau sweep over an arbitrary verified-pairs source — shared
+    by q153 (inline LSH pipeline) and q161 (persisted index), so the
+    curve semantics can never drift between them."""
+    pairs = pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("j"))
     taus = spark.createDataFrame(
         [(t,) for t in DEDUP_SWEEP_TAUS], "tau double"
     )
@@ -4131,6 +4141,95 @@ def q160_lr_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weights.unionAll(scores).orderBy("kind", "k")
 
 
+def q161_indexed_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q153's threshold calibration curve with the verified pairs
+    served from the PERSISTED near-dup index (the r9 VERDICT nit,
+    closed for the sweep the way q159 closed it for the board): the
+    LSH+verify pipeline is not re-run — the curve reads
+    neardup_pairs_index. Index pairs == inline pairs (asserted in
+    tests), so the curve is row-identical to q153 and shares its
+    oracle SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    return _sweep_from_pairs(spark, d, _indexed_lsh_pairs(spark, sf_dir))
+
+
+# q162 span-contamination plant: doc_id % 50 == 0 lands in BOTH the
+# src0 batch (doc_id % 20 == 0) and the src10 corpus side, block-keyed
+# by doc_id div 400 like q156 — so planted (batch doc, corpus doc)
+# span hits exist at every SF and grow linearly.
+SPAN_PROBE_MOD = 50
+_SPAN_IDX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _span_planted_probe(d: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    blk = (did / SPAN_PLANT_BLOCK).cast("long").cast("string")
+    return d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % SPAN_PROBE_MOD == 0,
+                F.concat(
+                    F.lit(" pb"), blk,
+                    F.lit(f" {SPAN_PASSAGE_MID} pe"), blk,
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def _span_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached span index over the planted non-src0 corpus."""
+    import tempfile  # noqa: PLC0415
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SPAN_IDX_CACHE:
+        path = tempfile.mkdtemp(prefix="span_idx_")
+        d = _span_planted_probe(load_table(spark, sf_dir, "documents"))
+        DD.build_span_index(
+            d.filter(F.col("source") != "src0"), path, gram_len=SPAN_GRAM_LEN
+        )
+        _SPAN_IDX_CACHE[key] = path
+    return _SPAN_IDX_CACHE[key]
+
+
+def q162_indexed_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time verbatim-span contamination served from the
+    PERSISTED span index (operators/dedup.build_span_index /
+    span_query_index): the src0 slice probes, the rest of the corpus
+    is indexed once — q156's island-merge kernel with the corpus side
+    read from storage, the Lee et al. 2022 decontamination shape at
+    the moment it actually runs (per ingest batch, not corpus x
+    corpus). The planted cross-source passage guarantees deterministic
+    hits; natural near-dup spans that cross the src0 boundary surface
+    too.
+
+    Scale: the corpus is tokenized ONCE at index build; each probe
+    shuffles O(batch grams + matching corpus grams) and the island
+    windows are (pair, diagonal)-keyed — same contract as q156, minus
+    the per-query corpus scan."""
+    d = _span_planted_probe(load_table(spark, sf_dir, "documents"))
+    idx = _span_index_for(spark, sf_dir)
+    return (
+        DD.span_query_index(
+            spark,
+            idx,
+            d.filter(F.col("source") == "src0"),
+            min_span_tokens=SPAN_MIN_TOKENS,
+        )
+        .select(
+            "batch_id",
+            "index_id",
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("max_span_tokens").cast("long").alias("max_span_tokens"),
+            F.col("matched_tokens").cast("long").alias("matched_tokens"),
+        )
+        .orderBy("batch_id", "index_id")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -4258,6 +4357,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q158_retrieval_eval": q158_retrieval_eval,
     "q159_indexed_board": q159_indexed_board,
     "q160_lr_train_step": q160_lr_train_step,
+    "q161_indexed_sweep": q161_indexed_sweep,
+    "q162_indexed_spans": q162_indexed_spans,
 }
 
 
@@ -7087,6 +7188,61 @@ def pipeline_oracles() -> dict[str, str]:
         )
         SELECT * FROM (SELECT * FROM weights UNION ALL SELECT * FROM scores)
         ORDER BY kind, k
+    """
+    # q161: index-served twin of q153 (execution strategy, not a
+    # semantic change; index==inline pairs asserted in tests).
+    oracles["q161_indexed_sweep"] = oracles["q153_dedup_sweep"]
+    # q162: inline replay of the one-sided span probe — batch side =
+    # planted src0 docs, corpus side = planted non-src0 docs, same
+    # island-merge CTEs as q156.
+    _span_plant_sql = f"""
+        SELECT doc_id, source,
+               text || CASE WHEN doc_id % {SPAN_PROBE_MOD} = 0
+                    THEN ' pb' || (doc_id // {SPAN_PLANT_BLOCK})::VARCHAR
+                         || ' {SPAN_PASSAGE_MID} pe'
+                         || (doc_id // {SPAN_PLANT_BLOCK})::VARCHAR
+                    ELSE '' END AS text
+        FROM documents"""
+    oracles["q162_indexed_spans"] = f"""
+        WITH aug AS ({_span_plant_sql}),
+        h AS (
+            SELECT doc_id, source,
+                   {TX.ordered_shingle_hashes_sql('text', SPAN_GRAM_LEN)} AS hs
+            FROM aug
+        ),
+        g AS (
+            SELECT doc_id, source, u.pos AS pos, u.gh AS gh
+            FROM (
+                SELECT doc_id, source,
+                       unnest(list_transform(range(1, len(hs) + 1),
+                              i -> struct_pack(pos := i, gh := hs[i]))) AS u
+                FROM h
+            )
+        ),
+        m AS (
+            SELECT q.doc_id AS batch_id, c.doc_id AS index_id,
+                   q.pos AS pos_q, c.pos AS pos_c
+            FROM g q JOIN g c ON q.gh = c.gh
+            WHERE q.source = 'src0' AND c.source <> 'src0'
+        ),
+        r AS (
+            SELECT batch_id, index_id, pos_q, pos_c,
+                   pos_q - ROW_NUMBER() OVER (
+                       PARTITION BY batch_id, index_id, pos_q - pos_c
+                       ORDER BY pos_q) AS island
+            FROM m
+        ),
+        s AS (
+            SELECT batch_id, index_id,
+                   MAX(pos_q) - MIN(pos_q) + {SPAN_GRAM_LEN} AS span_tokens
+            FROM r GROUP BY batch_id, index_id, pos_q - pos_c, island
+            HAVING MAX(pos_q) - MIN(pos_q) + {SPAN_GRAM_LEN}
+                   >= {SPAN_MIN_TOKENS}
+        )
+        SELECT batch_id, index_id, COUNT(*)::BIGINT AS n_spans,
+               MAX(span_tokens)::BIGINT AS max_span_tokens,
+               CAST(SUM(span_tokens) AS BIGINT) AS matched_tokens
+        FROM s GROUP BY batch_id, index_id ORDER BY batch_id, index_id
     """
     return oracles
 

@@ -1,0 +1,135 @@
+"""Span index family (q162) — full lifecycle: probe == inline kernel,
+extend == fresh build, retraction immediate, compaction == fresh build,
+re-admission upsert. Mirrors the near-dup index discipline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_nnd_spark.operators.dedup import (
+    build_span_index,
+    compact_span_index,
+    exact_span_pairs,
+    extend_span_index,
+    retract_from_span_index,
+    span_query_index,
+)
+
+PASSAGE = "p0 p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11"  # 12 tokens
+
+
+def _fill(prefix: str, n: int) -> str:
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def _corpus(spark):
+    rows = [
+        (1, _fill("a", 30) + " " + PASSAGE),
+        (2, _fill("b", 40)),
+        (3, PASSAGE + " " + _fill("c", 25)),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _batch(spark):
+    rows = [
+        (100, _fill("q", 20) + " " + PASSAGE + " " + _fill("r", 10)),
+        (101, _fill("s", 35)),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _probe(spark, idx, batch):
+    return sorted(
+        tuple(r)
+        for r in span_query_index(
+            spark, idx, batch, min_span_tokens=12
+        ).collect()
+    )
+
+
+def test_probe_matches_inline_kernel(spark, tmp_path):
+    idx = str(tmp_path / "sidx")
+    build_span_index(_corpus(spark), idx, gram_len=6)
+    got = _probe(spark, idx, _batch(spark))
+    # inline twin: exact_span_pairs over corpus+batch, cut to the
+    # cross (batch, corpus) pairs — the kernel the probe must equal
+    both = _corpus(spark).unionByName(_batch(spark))
+    inline = sorted(
+        (r.id_b, r.id_a, r.n_spans, r.max_span_tokens, r.matched_tokens)
+        for r in exact_span_pairs(both, gram_len=6, min_span_tokens=12).collect()
+        if r.id_b >= 100 and r.id_a < 100  # batch x corpus only
+    )
+    assert got == inline
+    assert {(b, c) for b, c, *_ in got} == {(100, 1), (100, 3)}
+    assert all(row[3] == 12 for row in got)  # the planted passage
+
+
+def test_extend_equals_fresh_build(spark, tmp_path):
+    base, grown, fresh = (str(tmp_path / n) for n in ("b", "g", "f"))
+    c = _corpus(spark)
+    extra = spark.createDataFrame(
+        [(4, PASSAGE + " " + _fill("d", 18))], "doc_id long, text string"
+    )
+    build_span_index(c, base, gram_len=6)
+    build_span_index(c, grown, gram_len=6)
+    extend_span_index(spark, grown, extra)
+    build_span_index(c.unionByName(extra), fresh, gram_len=6)
+    b = _batch(spark)
+    assert _probe(spark, grown, b) == _probe(spark, fresh, b)
+    # stats refreshed: df counts equal the fresh build's
+    gs = lambda p: sorted(  # noqa: E731
+        tuple(r) for r in spark.read.parquet(f"{p}/gram_stats").collect()
+    )
+    assert gs(grown) == gs(fresh)
+
+
+def test_retract_immediate_and_compact_equals_fresh(spark, tmp_path):
+    idx, fresh = str(tmp_path / "i"), str(tmp_path / "f")
+    build_span_index(_corpus(spark), idx, gram_len=6)
+    b = _batch(spark)
+    assert {(r[1]) for r in _probe(spark, idx, b)} == {1, 3}
+    # retract doc 1: its spans must stop matching immediately
+    retract_from_span_index(
+        spark, idx, spark.createDataFrame([(1,)], "doc_id long")
+    )
+    after = _probe(spark, idx, b)
+    assert {(r[1]) for r in after} == {3}
+    # compaction folds the log; probe unchanged, tables == fresh build
+    compact_span_index(spark, idx)
+    assert _probe(spark, idx, b) == after
+    build_span_index(
+        _corpus(spark).filter(F.col("doc_id") != 1), fresh, gram_len=6
+    )
+    assert _probe(spark, idx, b) == _probe(spark, fresh, b)
+    rows = lambda p: sorted(  # noqa: E731
+        tuple(r) for r in spark.read.parquet(f"{p}/grams").collect()
+    )
+    assert rows(idx) == rows(fresh)
+
+
+def test_readmission_upsert(spark, tmp_path):
+    idx = str(tmp_path / "i")
+    build_span_index(_corpus(spark), idx, gram_len=6)
+    retract_from_span_index(
+        spark, idx, spark.createDataFrame([(3,)], "doc_id long")
+    )
+    b = _batch(spark)
+    assert {(r[1]) for r in _probe(spark, idx, b)} == {1}
+    # re-admit doc 3 with NEW content (no passage): old grams must be
+    # purged, tombstone cleared — doc 3 stays a non-match on spans but
+    # is physically present with only the new rows
+    extend_span_index(
+        spark,
+        idx,
+        spark.createDataFrame(
+            [(3, _fill("z", 28))], "doc_id long, text string"
+        ),
+    )
+    assert {(r[1]) for r in _probe(spark, idx, b)} == {1}
+    n3 = (
+        spark.read.parquet(f"{idx}/grams")
+        .filter(F.col("doc_id") == 3)
+        .count()
+    )
+    assert n3 == 28 - 6 + 1  # grams of the NEW 28-token text only
