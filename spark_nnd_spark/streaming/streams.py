@@ -609,6 +609,84 @@ def curation_gate_stream(
     return _await_or_raise(q, timeout_sec)
 
 
+def span_gate_stream(
+    candidate_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    min_span_tokens: int = 12,
+    max_gram_freq: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    timeout_sec: int = 180,
+) -> Any:
+    """Streaming verbatim-span leakage guard — the ingest twin of q162
+    (and the span-level sibling of decontam_gate_stream's embedding
+    gate): each micro-batch of candidate docs is probed against the
+    PERSISTED span index (operators/dedup.span_query_index) and every
+    candidate that shares a maximal verbatim run of >=
+    ``min_span_tokens`` tokens with an indexed doc is reported with
+    the matching doc and span stats; clean candidates emit a verdict
+    row with -1 sentinels (never NULL — the driver-compare / sort
+    discipline). Verdicts land in a batchId-keyed parquet directory.
+
+    Idempotence: the probe never mutates the index — verdicts are a
+    pure function of (batch, index); a replayed batch overwrites its
+    own batchId directory with identical rows (replay==batch asserted
+    in tests). Retracting an indexed doc stops it causing rejections
+    immediately (tombstones reach the probe).
+
+    Scale: per batch, O(batch grams + matching corpus grams) shuffle —
+    matching volume tracks how much of the batch is repeated indexed
+    content; the index is never re-tokenized."""
+    from spark_nnd_spark.operators.dedup import span_query_index  # noqa: PLC0415
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        hits = span_query_index(
+            spark,
+            index_path,
+            batch_df,
+            min_span_tokens=min_span_tokens,
+            max_gram_freq=max_gram_freq,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        agg = hits.groupBy("batch_id").agg(
+            F.min("index_id").alias("first_index_id"),
+            F.sum("n_spans").alias("n_spans"),
+            F.max("max_span_tokens").alias("max_span_tokens"),
+        )
+        verdicts = (
+            batch_df.select(F.col(id_col).alias("batch_id"))
+            .join(agg, "batch_id", "left")
+            .select(
+                "batch_id",
+                F.coalesce("first_index_id", F.lit(-1)).cast("long").alias(
+                    "first_index_id"
+                ),
+                F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+                F.coalesce("max_span_tokens", F.lit(0)).cast("long").alias(
+                    "max_span_tokens"
+                ),
+                F.col("first_index_id").isNotNull().alias("contaminated"),
+            )
+        )
+        verdicts.write.mode("overwrite").parquet(
+            f"{out_path}/span_batch={batch_id}"
+        )
+
+    q = (
+        candidate_stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return _await_or_raise(q, timeout_sec)
+
+
 def read_events_kafka(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -133,3 +133,62 @@ def test_readmission_upsert(spark, tmp_path):
         .count()
     )
     assert n3 == 28 - 6 + 1  # grams of the NEW 28-token text only
+
+
+def test_span_gate_stream_replay_equals_batch(spark, tmp_path):
+    """Streaming span gate: planted verbatim passage rejected in every
+    replay; verdicts == one-shot batch probe; retraction flips the
+    verdict to admit."""
+    import os
+
+    import pandas as pd
+
+    from spark_nnd_spark.streaming.streams import span_gate_stream
+
+    idx = str(tmp_path / "sidx")
+    build_span_index(_corpus(spark), idx, gram_len=6)
+    cands = [
+        (200, _fill("m", 15) + " " + PASSAGE),  # contains indexed passage
+        (201, _fill("n", 30)),                  # clean
+        (202, PASSAGE + " " + _fill("o", 22)),  # contains indexed passage
+        (203, _fill("t", 26)),                  # clean
+    ]
+    src = tmp_path / "cands"
+    src.mkdir()
+    for b in range(2):
+        p = src / f"chunk{b}.parquet"
+        pd.DataFrame(
+            cands[2 * b : 2 * b + 2], columns=["doc_id", "text"]
+        ).to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + b, 1_700_000_000 + b))
+    out = str(tmp_path / "gates")
+
+    def run(ckpt: str):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        span_gate_stream(
+            stream, idx, out, checkpoint=str(tmp_path / ckpt),
+            min_span_tokens=12,
+        )
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(out).drop("span_batch").collect()
+        )
+
+    streamed = run("ck1")
+    v = {r[0]: r[4] for r in streamed}
+    assert v == {200: True, 201: False, 202: True, 203: False}
+    assert run("ck2") == streamed  # replay == first run
+
+    # retraction lifecycle: retract every doc carrying the passage ->
+    # the gate admits previously-rejected candidates immediately
+    retract_from_span_index(
+        spark, idx, spark.createDataFrame([(1,), (3,)], "doc_id long")
+    )
+    after = run("ck3")
+    assert {r[0]: r[4] for r in after} == {
+        200: False, 201: False, 202: False, 203: False
+    }
