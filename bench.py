@@ -129,6 +129,8 @@ HEADLINE = [
     "q158_retrieval_eval",
     "q159_indexed_board",
     "q160_lr_train_step",
+    "q161_indexed_sweep",
+    "q162_indexed_spans",
 ]
 
 

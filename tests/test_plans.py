@@ -1027,3 +1027,34 @@ def test_lr_train_step_mapside_gradient(spark):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_indexed_sweep_never_reads_corpus_text(spark):
+    """q161: the sweep is served from the index — the corpus TEXT is
+    never read (no scan's ReadSchema carries the text column; the one
+    documents scan is the column-pruned n_docs count), the sweep's own
+    aggregate is tau-keyed, and the remaining exchanges belong to the
+    index-pairs verify join (signature/shingle tables, O(pairs) — not
+    a corpus re-shingle)."""
+    import re
+
+    plan = _plan(spark, "q161_indexed_sweep")
+    for schema in re.findall(r"ReadSchema: (\S+)", plan):
+        assert "text:string" not in schema, schema
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert "tau" in keys, keys
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_indexed_spans_shuffle_hash_probe(spark):
+    """q162: the span probe equi-joins batch grams against the STORED
+    gram postings (shuffle-hash on gh — never all-pairs) and the
+    island windows stay (pair, diagonal)-keyed; the index parquet is
+    scanned, the corpus text is not re-tokenized (batch grams are the
+    only text-derived stream, pre-materialized)."""
+    plan = _plan(spark, "q162_indexed_spans")
+    assert "ShuffledHashJoin [gh" in plan
+    assert "hashpartitioning(batch_id" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
