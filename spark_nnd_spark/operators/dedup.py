@@ -1750,8 +1750,14 @@ def span_query_index(
             .select("gh")
         )
         qgrams = qgrams.join(F.broadcast(hot), "gh", "left_anti")
+    # the BATCH side broadcasts (ingest micro-batches are small by
+    # contract — the decontaminate_query_index discipline): the stored
+    # grams table streams through the join with ZERO shuffle, so probe
+    # shuffle is O(matches), independent of corpus size (measured:
+    # BENCH_SPAN_SCALE.json; the pre-fix shuffle_hash plan exchanged
+    # the O(N) corpus postings on every probe)
     matches = (
-        cgrams.join(qgrams.hint("shuffle_hash"), "gh")
+        cgrams.join(F.broadcast(qgrams), "gh")
         .filter(F.col("index_id") != F.col("batch_id"))
         .select("batch_id", "index_id", "pos_q", "pos_c")
     )

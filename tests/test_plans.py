@@ -1050,11 +1050,12 @@ def test_indexed_sweep_never_reads_corpus_text(spark):
 def test_indexed_spans_shuffle_hash_probe(spark):
     """q162: the span probe equi-joins batch grams against the STORED
     gram postings (shuffle-hash on gh — never all-pairs) and the
-    island windows stay (pair, diagonal)-keyed; the index parquet is
-    scanned, the corpus text is not re-tokenized (batch grams are the
-    only text-derived stream, pre-materialized)."""
+    island windows stay (pair, diagonal)-keyed; the BATCH side
+    broadcasts so the stored postings never shuffle; the corpus text
+    is not re-tokenized (batch grams are the only text-derived stream,
+    pre-materialized)."""
     plan = _plan(spark, "q162_indexed_spans")
-    assert "ShuffledHashJoin [gh" in plan
+    assert "BroadcastHashJoin [gh" in plan  # batch broadcasts, index streams
     assert "hashpartitioning(batch_id" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
