@@ -131,6 +131,8 @@ HEADLINE = [
     "q160_lr_train_step",
     "q161_indexed_sweep",
     "q162_indexed_spans",
+    "q163_bpe_encode_stats",
+    "q164_dup_flow",
 ]
 
 

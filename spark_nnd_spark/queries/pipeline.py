@@ -3828,7 +3828,8 @@ def _bpe_apply_merge(cur: DataFrame, left: str, right: str) -> DataFrame:
             ),
         ).otherwise(F.concat(acc, F.array(x))),
     )
-    return cur.select("c", merged.alias("syms"))
+    keep = [c for c in cur.columns if c != "syms"]
+    return cur.select(*keep, merged.alias("syms"))
 
 
 def q157_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4141,6 +4142,102 @@ def q160_lr_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weights.unionAll(scores).orderBy("kind", "k")
 
 
+def q163_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY — the encode half that closes q157's train loop:
+    run the same BPE_MERGE_ROUNDS greedy merges, then encode the WHOLE
+    corpus with the learned merge table and report per-source
+    compression: token count, symbol count before merges (= characters,
+    the byte-level start), symbols after, and the compression ratio.
+    The table an operator reads to decide whether M merge rounds paid
+    for themselves, per source.
+
+    Scale (100 TB): training folds over the O(vocab) word-frequency
+    table (q157); ENCODING joins the corpus token stream to the
+    post-merge vocab by word — a broadcast join (the vocab is tiny by
+    Zipf), so the corpus pays one tokenize scan + one map-side-combined
+    source aggregate and the quadratic-ish fold work never touches
+    corpus rows."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(TX.tokens_expr("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    cur = vocab.select(
+        "tok", "c", F.split("tok", "").alias("syms")
+    ).localCheckpoint(eager=True)
+    for _ in range(BPE_MERGE_ROUNDS):
+        best = (
+            _bpe_pair_census(cur)
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()[0]
+        )
+        cur = _bpe_apply_merge(cur, best.l, best.r).localCheckpoint(eager=True)
+    enc = cur.select(
+        "tok",
+        F.length("tok").cast("long").alias("n_sym_before"),
+        F.size("syms").cast("long").alias("n_sym_after"),
+    )
+    toks = d.select("source", F.explode(TX.tokens_expr("text")).alias("tok"))
+    return (
+        toks.join(F.broadcast(enc), "tok")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("n_sym_before").alias("syms_before"),
+            F.sum("n_sym_after").alias("syms_after"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "syms_before",
+            "syms_after",
+            F.round(
+                F.col("syms_before") / F.col("syms_after").cast("double"), 6
+            ).alias("compression"),
+        )
+        .orderBy("source")
+    )
+
+
+def q164_dup_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication flow matrix — the provenance table a
+    corpus audit reads to see WHICH sources duplicate WHICH: verified
+    near-dup pairs (the q16 pipeline at the q155 tau) aggregated by
+    (source of the kept smaller-id doc, source of the dropped doc),
+    with pair counts and the distinct dropped-doc count. Diagonal rows
+    are intra-source duplication; off-diagonal rows are cross-source
+    contamination flow (mirrors/scrapes).
+
+    Scale (100 TB): the pair pipeline is the banded LSH plan with its
+    measured O(N) shuffle; the source attach is two broadcast joins of
+    the O(docs)-keyed (doc_id, source) projection against O(pairs)
+    rows, and the matrix aggregate is O(sources²)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        d, num_hashes=16, bands=4, n=3, threshold=0.2,
+        max_band_freq=MAX_BAND_FREQ,
+    ).filter(F.round("jaccard", 6) >= BOARD_NEARDUP_TAU)
+    src = d.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("source_kept")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("source_dropped")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .groupBy("source_kept", "source_dropped")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("id_b").alias("n_docs_dropped"),
+        )
+        .orderBy("source_kept", "source_dropped")
+    )
+
+
 def q161_indexed_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q153's threshold calibration curve with the verified pairs
     served from the PERSISTED near-dup index (the r9 VERDICT nit,
@@ -4359,6 +4456,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q160_lr_train_step": q160_lr_train_step,
     "q161_indexed_sweep": q161_indexed_sweep,
     "q162_indexed_spans": q162_indexed_spans,
+    "q163_bpe_encode_stats": q163_bpe_encode_stats,
+    "q164_dup_flow": q164_dup_flow,
 }
 
 
@@ -7243,6 +7342,70 @@ def pipeline_oracles() -> dict[str, str]:
                MAX(span_tokens)::BIGINT AS max_span_tokens,
                CAST(SUM(span_tokens) AS BIGINT) AS matched_tokens
         FROM s GROUP BY batch_id, index_id ORDER BY batch_id, index_id
+    """
+    # q163: the q157 merge chain carrying the word through each round,
+    # then the encode join replayed relationally.
+    def _bpe_round_tok(prev: str, k: int) -> str:
+        return f"""
+        ec{k} AS (
+            SELECT u.l AS l, u.r AS r, CAST(SUM(c) AS BIGINT) AS n
+            FROM (
+                SELECT c, unnest(list_transform(range(1, len(syms)),
+                       i -> struct_pack(l := syms[i], r := syms[i+1]))) AS u
+                FROM {prev}
+            ) GROUP BY 1, 2
+        ),
+        eb{k} AS (SELECT l, r FROM ec{k} ORDER BY n DESC, l, r LIMIT 1),
+        es{k} AS (
+            SELECT tok, c, list_reduce(
+                list_prepend([]::VARCHAR[], list_transform(syms, x -> [x])),
+                (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = eb{k}.l
+                                  AND x[1] = eb{k}.r
+                            THEN list_append(acc[1 : len(acc)-1],
+                                             eb{k}.l || eb{k}.r)
+                            ELSE list_concat(acc, x) END) AS syms
+            FROM {prev}, eb{k}
+        )"""
+
+    oracles["q163_bpe_encode_stats"] = f"""
+        WITH w AS (
+            SELECT tok, COUNT(*)::BIGINT AS c
+            FROM (SELECT unnest({TX.tokens_sql()}) AS tok FROM documents)
+            GROUP BY tok
+        ),
+        es0 AS (SELECT tok, c, string_split(tok, '') AS syms FROM w),
+        {','.join(_bpe_round_tok(f'es{k-1}', k) for k in range(1, BPE_MERGE_ROUNDS + 1))},
+        enc AS (
+            SELECT tok, length(tok)::BIGINT AS n_sym_before,
+                   len(syms)::BIGINT AS n_sym_after
+            FROM es{BPE_MERGE_ROUNDS}
+        ),
+        toks AS (
+            SELECT source, unnest({TX.tokens_sql()}) AS tok FROM documents
+        )
+        SELECT source, COUNT(*)::BIGINT AS n_tokens,
+               CAST(SUM(n_sym_before) AS BIGINT) AS syms_before,
+               CAST(SUM(n_sym_after) AS BIGINT) AS syms_after,
+               round(CAST(SUM(n_sym_before) AS DOUBLE)
+                     / CAST(SUM(n_sym_after) AS DOUBLE), 6) AS compression
+        FROM toks JOIN enc USING (tok)
+        GROUP BY source ORDER BY source
+    """
+    # q164: the q16 pairs CTE at the board tau, sources attached by
+    # two joins against the (doc_id, source) projection.
+    oracles["q164_dup_flow"] = f"""
+        WITH pairs AS ({_lsh_pairs_core_sql(sh, mh)}),
+        hi AS (
+            SELECT id_a, id_b FROM pairs
+            WHERE jaccard >= CAST({BOARD_NEARDUP_TAU} AS DOUBLE)
+        ),
+        src AS (SELECT doc_id, source FROM documents)
+        SELECT a.source AS source_kept, b.source AS source_dropped,
+               COUNT(*)::BIGINT AS n_pairs,
+               COUNT(DISTINCT h.id_b)::BIGINT AS n_docs_dropped
+        FROM hi h JOIN src a ON h.id_a = a.doc_id
+                  JOIN src b ON h.id_b = b.doc_id
+        GROUP BY 1, 2 ORDER BY 1, 2
     """
     return oracles
 

@@ -1059,3 +1059,25 @@ def test_indexed_spans_shuffle_hash_probe(spark):
     assert "hashpartitioning(batch_id" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_bpe_encode_broadcasts_vocab(spark):
+    """q163: the encode pass joins the corpus token stream to the
+    post-merge vocab via BROADCAST (the vocab is O(distinct words)),
+    and the per-source stats combine map-side — the corpus never
+    shuffles rows, only (source) partials."""
+    plan = _plan(spark, "q163_bpe_encode_stats")
+    assert "BroadcastHashJoin [tok" in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_dup_flow_broadcast_source_attach(spark):
+    """q164: sources attach to the O(pairs) stream via broadcast joins
+    of the (doc_id, source) projection; the matrix aggregate is
+    O(sources²); no cartesian anywhere in the pairs plan."""
+    plan = _plan(spark, "q164_dup_flow")
+    assert "BroadcastHashJoin [id_a" in plan or "BroadcastHashJoin [cast(id_a" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
