@@ -133,6 +133,8 @@ HEADLINE = [
     "q162_indexed_spans",
     "q163_bpe_encode_stats",
     "q164_dup_flow",
+    "q165_lm_perplexity",
+    "q166_decontam_report",
 ]
 
 

@@ -4238,6 +4238,140 @@ def q164_dup_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q165 bigram LM: add-one smoothing over the corpus's own bigram
+# counts (train == score corpus, the CCNet quality-filter convention,
+# Wenzek et al. 2020); natural-log perplexity, rounded at the handoff
+# points so the doubles replay across engines.
+LM_PPL_SAMPLE = 0  # 0 = score every doc
+
+
+def q165_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model perplexity per document — the classic
+    LM-based quality signal (CCNet): train add-one-smoothed bigram
+    probabilities on the corpus, score each doc with
+    ppl = exp(-mean log P(w2|w1)). Low-ppl docs are fluent/common
+    phrasing, high-ppl docs are noise — the knob production filters
+    threshold on.
+
+    Scale (100 TB): training is one map-side-combined bigram count
+    aggregate (O(distinct bigrams) output) + one unigram aggregate;
+    scoring joins the doc bigram stream to the count tables — both
+    sides keyed on the bigram/unigram, an equi-join Catalyst can
+    broadcast while the tables fit (vocab-saturated corpora) and
+    shuffle-hash otherwise; the per-doc aggregate combines map-side.
+    No Python, no quadratic stage."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens_expr("text")
+    bigram = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    doc_bg = d.select(
+        "doc_id", F.explode(bigram).alias("bg")
+    ).select("doc_id", "bg.w1", "bg.w2").localCheckpoint(eager=True)
+    bg_counts = doc_bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = doc_bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab_n = doc_bg.select(
+        F.countDistinct("w2").alias("v")
+    )
+    from spark_nnd_spark.functions.numeric import round_half_up_expr  # noqa: PLC0415
+
+    # per-bigram log-prob quantized to INTEGER micro-nats (floor(ln*1e6
+    # + 0.5) as BIGINT): the per-doc sum is then exact integer
+    # arithmetic — order-free — where a sum of rounded DOUBLES differs
+    # in the last ulp by partial-sum order, and a doc mean landing
+    # EXACTLY on a .5e-6 boundary then flips the final rounding
+    # (measured: doc 148 at sf0.01). ln() itself agrees across engines
+    # far past 6dp (verified per-bigram).
+    logp_int = F.floor(
+        F.log(
+            (F.col("c12") + 1.0)
+            / (F.col("c1").cast("double") + F.col("v").cast("double"))
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        doc_bg.join(bg_counts, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(logp_int).alias("slp_int"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        round_half_up_expr(
+            F.exp(
+                -(
+                    F.col("slp_int").cast("double")
+                    / (F.col("n_bigrams").cast("double") * F.lit(1e6))
+                )
+            )
+        ).alias("ppl"),
+    ).orderBy("doc_id")
+
+
+def q166_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination LEADERBOARD REPORT — every leakage tier the
+    engine runs, composed into one summary an eval owner reads before
+    trusting a benchmark number: embedding-space paraphrase leakage
+    (q148), verbatim span leakage (q162) and shingle-overlap span
+    contamination (q78), one row per tier with the flagged train-doc
+    count, the distinct eval/corpus items implicated, and the tier's
+    total evidence volume. The composition mirrors q158: each tier's
+    own query RUNS as the evidence source, so any tier change is
+    driver-detectable here too.
+
+    Scale: each tier already ends in a small verdict/pair set; the
+    report aggregates O(flagged) rows per tier — it adds no corpus
+    work of its own."""
+    from spark_nnd_spark.queries.knn import (  # noqa: PLC0415
+        q148_embedding_decontam,
+    )
+
+    emb = q148_embedding_decontam(spark, sf_dir)
+    span = q162_indexed_spans(spark, sf_dir)
+    sh = q78_contamination_pairs(spark, sf_dir)
+    rows = [
+        emb.filter(F.col("contaminated"))
+        .agg(
+            F.count("*").cast("long").alias("n_flagged"),
+            F.countDistinct("first_eval_id").cast("long").alias("n_refs"),
+            F.sum("n_eval_hits").cast("long").alias("evidence"),
+        )
+        .select(F.lit("embedding").alias("tier"), "*"),
+        span.agg(
+            F.countDistinct("batch_id").cast("long").alias("n_flagged"),
+            F.countDistinct("index_id").cast("long").alias("n_refs"),
+            F.sum("matched_tokens").cast("long").alias("evidence"),
+        ).select(F.lit("span").alias("tier"), "*"),
+        sh.agg(
+            F.countDistinct("doc_id").cast("long").alias("n_flagged"),
+            F.countDistinct("bench_id").cast("long").alias("n_refs"),
+            F.sum("n_shared").cast("long").alias("evidence"),
+        ).select(F.lit("shingle").alias("tier"), "*"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.select(
+        "tier",
+        F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"),
+        F.coalesce("n_refs", F.lit(0)).alias("n_refs"),
+        F.coalesce("evidence", F.lit(0)).alias("evidence"),
+    ).orderBy("tier")
+
+
 def q161_indexed_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q153's threshold calibration curve with the verified pairs
     served from the PERSISTED near-dup index (the r9 VERDICT nit,
@@ -4458,6 +4592,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q162_indexed_spans": q162_indexed_spans,
     "q163_bpe_encode_stats": q163_bpe_encode_stats,
     "q164_dup_flow": q164_dup_flow,
+    "q165_lm_perplexity": q165_lm_perplexity,
+    "q166_decontam_report": q166_decontam_report,
 }
 
 
@@ -7406,6 +7542,61 @@ def pipeline_oracles() -> dict[str, str]:
         FROM hi h JOIN src a ON h.id_a = a.doc_id
                   JOIN src b ON h.id_b = b.doc_id
         GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    # q165: the same add-one bigram LM, per-bigram ln rounded to 6dp
+    # before the per-doc sum (order-insensitive at compare precision).
+    oracles["q165_lm_perplexity"] = f"""
+        WITH db AS (
+            SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS u
+                FROM (SELECT doc_id, {TX.tokens_sql()} AS t FROM documents)
+            )
+        ),
+        bc AS (SELECT w1, w2, COUNT(*)::BIGINT AS c12 FROM db GROUP BY 1, 2),
+        un AS (SELECT w1, COUNT(*)::BIGINT AS c1 FROM db GROUP BY 1),
+        vv AS (SELECT COUNT(DISTINCT w2)::BIGINT AS v FROM db),
+        sc AS (
+            SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+                   CAST(SUM(CAST(floor(
+                       ln((c12 + 1)::DOUBLE / (c1::DOUBLE + v::DOUBLE))
+                       * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS slp_int
+            FROM db JOIN bc USING (w1, w2) JOIN un USING (w1) CROSS JOIN vv
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams,
+               {round_half_up_sql(
+                   "exp(-(slp_int::DOUBLE / (n_bigrams::DOUBLE * 1000000.0)))"
+               )} AS ppl
+        FROM sc ORDER BY doc_id
+    """
+    # q166: each tier's own oracle embedded as a derived table (the
+    # q158 convention), one aggregate row per tier. q148's oracle lives
+    # in queries/knn.py — imported lazily (knn does not import pipeline,
+    # so no cycle).
+    from spark_nnd_spark.queries.knn import (  # noqa: PLC0415
+        _embedding_decontam_oracle,
+    )
+
+    oracles["q166_decontam_report"] = f"""
+        SELECT * FROM (
+            SELECT 'embedding' AS tier, COUNT(*)::BIGINT AS n_flagged,
+                   COUNT(DISTINCT first_eval_id)::BIGINT AS n_refs,
+                   COALESCE(CAST(SUM(n_eval_hits) AS BIGINT), 0) AS evidence
+            FROM ({_embedding_decontam_oracle()}) WHERE contaminated
+            UNION ALL
+            SELECT 'span', COUNT(DISTINCT batch_id)::BIGINT,
+                   COUNT(DISTINCT index_id)::BIGINT,
+                   COALESCE(CAST(SUM(matched_tokens) AS BIGINT), 0)
+            FROM ({oracles['q162_indexed_spans']})
+            UNION ALL
+            SELECT 'shingle', COUNT(DISTINCT doc_id)::BIGINT,
+                   COUNT(DISTINCT bench_id)::BIGINT,
+                   COALESCE(CAST(SUM(n_shared) AS BIGINT), 0)
+            FROM ({oracles['q78_contamination_pairs']})
+        ) ORDER BY tier
     """
     return oracles
 

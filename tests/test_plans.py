@@ -1081,3 +1081,25 @@ def test_dup_flow_broadcast_source_attach(spark):
     assert "BroadcastHashJoin [id_a" in plan or "BroadcastHashJoin [cast(id_a" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_lm_perplexity_no_python_no_cartesian(spark):
+    """q165: bigram LM training is map-side-combined count aggregates;
+    scoring is keyed equi-joins over the checkpointed bigram stream —
+    all codegen arithmetic, no Python, no cartesian (the 1-row vocab
+    size attaches via broadcast)."""
+    plan = _plan(spark, "q165_lm_perplexity")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_decontam_report_aggregates_tiers(spark):
+    """q166: the report composes three tier queries and aggregates
+    O(flagged) rows each — no cartesian, and the only Python is q148's
+    Arrow-batched centroid kernel (vectorized ArrowEvalPython; row-wise
+    BatchEvalPython stays banned)."""
+    plan = _plan(spark, "q166_decontam_report")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Union" in plan
