@@ -52,6 +52,9 @@ SPOT_QUERIES = [
     "q74_shingle_novelty",
     "q79_pq_adc_topk",
     "q61_dedup_keep",
+    "q156_exact_spans",
+    "q164_dup_flow",
+    "q165_lm_perplexity",
 ]
 SCALES = {"sf0.1eq": (5000, 2000), "sf1.0": (50000, 20000)}
 LANGS = ["en", "de", "fr", "es", "pt"]
