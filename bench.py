@@ -182,10 +182,13 @@ def _canary_run(spark) -> float:
 
 
 def _canary(spark) -> float:
-    """Median of 3 runs — robust to one host-scheduling hiccup in
-    either direction (min-of-3 would under-report a round whose single
-    lucky sample hit an idle host)."""
-    return sorted(_canary_run(spark) for _ in range(3))[1]
+    """Median of 5 runs — robust to two host-scheduling hiccups in
+    either direction (min would under-report a round whose single
+    lucky sample hit an idle host). Widened from median-of-3 after r10
+    logged same-day medians of 1.28-2.04 s (±38%) on this virtualized
+    host; the raw_vs_prev_round ratio is the primary signal now, the
+    canary only contextualizes it."""
+    return sorted(_canary_run(spark) for _ in range(5))[2]
 
 
 def main() -> None:
@@ -386,16 +389,26 @@ def main() -> None:
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     result_path = os.path.join(repo_dir, "BENCH_RESULT.json")
 
-    def _ratio_vs(prev: dict) -> tuple[float | None, int]:
+    def _ratio_vs(prev: dict) -> tuple[float | None, float | None, int]:
+        """(normalized_ratio, raw_ratio, n_common). The RAW common-
+        subset wall ratio ships alongside the canary-normalized one
+        because r10's canary swung ±38% same-day and the normalized
+        vs_prev_round (1.121) inverted the true raw signal (0.846) —
+        on this host the normalization can add more noise than it
+        removes; read raw + the noise-free shuffle-byte deltas first."""
         common = [n for n in times if n in prev.get("queries", {})]
         prev_canary = prev.get("host_canary_sec") or REF_CANARY_SEC
-        now_norm = sum(times[n] for n in common) * (REF_CANARY_SEC / canary)
-        prev_norm = sum(prev["queries"][n] for n in common) * (
-            REF_CANARY_SEC / prev_canary
-        )
-        if prev_norm > 0 and common:
-            return round(now_norm / prev_norm, 3), len(common)
-        return None, 0
+        now_raw = sum(times[n] for n in common)
+        prev_raw = sum(prev["queries"][n] for n in common)
+        if prev_raw > 0 and common:
+            now_norm = now_raw * (REF_CANARY_SEC / canary)
+            prev_norm = prev_raw * (REF_CANARY_SEC / prev_canary)
+            return (
+                round(now_norm / prev_norm, 3),
+                round(now_raw / prev_raw, 3),
+                len(common),
+            )
+        return None, None, 0
 
     # vs_prev_round (VERDICT r9): compare against the previous ROUND's
     # final state, not the file this run is about to overwrite (which a
@@ -406,6 +419,7 @@ def main() -> None:
     # BENCH_RESULT_r{N}.json (existence-gated — later same-round reruns
     # keep the snapshot, so vs_prev_round stays anchored to round N).
     vs_prev_round = None
+    raw_vs_prev_round = None
     vs_prev_round_n = 0
     try:
         import re as _re
@@ -423,14 +437,17 @@ def main() -> None:
                 with open(result_path) as f, open(snap_path, "w") as g:
                     g.write(f.read())
             with open(snap_path) as f:
-                vs_prev_round, vs_prev_round_n = _ratio_vs(json.load(f))
+                vs_prev_round, raw_vs_prev_round, vs_prev_round_n = _ratio_vs(
+                    json.load(f)
+                )
     except Exception:  # noqa: BLE001 - no snapshot: no round ratio
         pass
     vs_prev = None
+    raw_vs_prev = None
     vs_prev_n = 0
     try:
         with open(result_path) as f:
-            vs_prev, vs_prev_n = _ratio_vs(json.load(f))
+            vs_prev, raw_vs_prev, vs_prev_n = _ratio_vs(json.load(f))
     except Exception:  # noqa: BLE001 - first run / unparsable: no ratio
         pass
     out: dict = {
@@ -449,8 +466,10 @@ def main() -> None:
             round(total * (REF_CANARY_SEC / canary), 3) if canary > 0 else total
         ),
         "vs_prev": vs_prev,
+        "raw_vs_prev": raw_vs_prev,
         "vs_prev_common_queries": vs_prev_n,
         "vs_prev_round": vs_prev_round,
+        "raw_vs_prev_round": raw_vs_prev_round,
         "vs_prev_round_common_queries": vs_prev_round_n,
         "sf": float(sf),
     }
@@ -483,8 +502,10 @@ def main() -> None:
         "unit": "sec",
         "normalized_total": out["normalized_total"],
         "vs_prev": vs_prev,
+        "raw_vs_prev": raw_vs_prev,
         "vs_prev_common_queries": vs_prev_n,
         "vs_prev_round": vs_prev_round,
+        "raw_vs_prev_round": raw_vs_prev_round,
         "vs_prev_round_common_queries": vs_prev_round_n,
         "host_canary_sec": canary,
         "ref_canary_sec": REF_CANARY_SEC,

@@ -1594,6 +1594,30 @@ def exact_span_pairs(
     portable polynomial hashes (functions/text.py), so a collision is
     identical in both engines; production would widen to 128-bit.
     """
+    spans = _span_islands(
+        df, text_col, id_col, gram_len, max_gram_freq
+    ).filter(F.col("span_tokens") >= min_span_tokens)
+    return spans.groupBy("id_a", "id_b").agg(
+        F.count("*").alias("n_spans"),
+        F.max("span_tokens").alias("max_span_tokens"),
+        F.sum("span_tokens").alias("matched_tokens"),
+    )
+
+
+def _span_islands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    gram_len: int,
+    max_gram_freq: int | None,
+) -> DataFrame:
+    """Shared island kernel behind exact_span_pairs (pair scores) and
+    span_remove_rewrite (cut coordinates): one row per maximal verbatim
+    run between an (id_a < id_b) document pair, with the run's token
+    coordinates on BOTH sides — (id_a, id_b, diag, island, span_tokens,
+    start_b, end_b), positions 1-based to match DuckDB list indexing.
+    On a diagonal pos_a - pos_b is constant, so the a-side and b-side
+    run lengths are identical."""
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     posts = (
@@ -1626,18 +1650,109 @@ def exact_span_pairs(
     w = Window.partitionBy(
         "id_a", "id_b", F.col("pos_a") - F.col("pos_b")
     ).orderBy("pos_a")
-    spans = (
+    return (
         matches.withColumn("island", F.col("pos_a") - F.row_number().over(w))
-        .groupBy("id_a", "id_b", (F.col("pos_a") - F.col("pos_b")).alias("diag"), "island")
-        .agg(
-            (F.max("pos_a") - F.min("pos_a") + F.lit(gram_len)).alias("span_tokens")
+        .groupBy(
+            "id_a",
+            "id_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+            "island",
         )
-        .filter(F.col("span_tokens") >= min_span_tokens)
+        .agg(
+            (F.max("pos_a") - F.min("pos_a") + F.lit(gram_len)).alias(
+                "span_tokens"
+            ),
+            F.min("pos_b").alias("start_b"),
+            (F.max("pos_b") + F.lit(gram_len) - 1).alias("end_b"),
+        )
     )
-    return spans.groupBy("id_a", "id_b").agg(
-        F.count("*").alias("n_spans"),
-        F.max("span_tokens").alias("max_span_tokens"),
-        F.sum("span_tokens").alias("matched_tokens"),
+
+
+def span_remove_rewrite(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_len: int = 6,
+    min_span_tokens: int = 12,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """Exact-substring span REMOVAL — the output Lee et al. 2022
+    actually trains on: for every verbatim token run of >=
+    ``min_span_tokens`` duplicated across documents, keep the copy in
+    the smallest doc_id and cut it from every other document,
+    returning the rewritten corpus as one row per doc:
+    (doc_id, cleaned_text, n_spans_cut, tokens_cut).
+
+    Keep-one-copy: every pair-island cuts its id_b side (id_a < id_b),
+    so for a span shared by docs {2, 5, 9} docs 5 and 9 are cut (via
+    pairs 2-5 / 2-9) and doc 2 — never an id_b — keeps the only copy.
+    Overlapping cut intervals within a doc (the same region matched by
+    several partners) are unioned before slicing, so tokens_cut counts
+    each cut token once. Within-doc self-repetition is out of scope
+    (the pair kernel is cross-doc by construction).
+
+    Scale (100 TB): the heavy stage is the shared island kernel
+    (O(repeated grams) shuffle — exact_span_pairs' measured contract);
+    everything after it is O(cut intervals): a distinct, one per-doc
+    interval-union window, a collect_list into O(docs-with-cuts) rows,
+    and a LEFT join back to the corpus whose small side is the cut
+    set (broadcast-able when the duplication rate is low). The text
+    rewrite itself is a narrow codegen array expression — tokens are
+    filtered by position against the doc's merged intervals, never
+    exploded through a shuffle (document token order survives for
+    free)."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    cuts = (
+        _span_islands(df, text_col, id_col, gram_len, max_gram_freq)
+        .filter(F.col("span_tokens") >= min_span_tokens)
+        # same interval can arrive from several id_a partners
+        .select(F.col("id_b").alias(id_col), "start_b", "end_b")
+        .distinct()
+    )
+    prev_end = F.max("end_b").over(
+        Window.partitionBy(id_col)
+        .orderBy("start_b", "end_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = F.sum(
+        F.when(
+            F.col("start_b") > F.coalesce(prev_end, F.lit(-1)), 1
+        ).otherwise(0)
+    ).over(Window.partitionBy(id_col).orderBy("start_b", "end_b"))
+    merged = (
+        cuts.withColumn("grp", grp)
+        .groupBy(id_col, "grp")
+        .agg(F.min("start_b").alias("s"), F.max("end_b").alias("e"))
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("s"), F.col("e")))
+            ).alias("ivs")
+        )
+    )
+    ivs = F.coalesce(
+        F.col("ivs"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    toks = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            ivs, lambda iv: (i + 1 >= iv["s"]) & (i + 1 <= iv["e"])
+        ),
+    )
+    return df.join(merged, id_col, "left").select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("cleaned_text"),
+        F.coalesce(F.size("ivs"), F.lit(0)).cast("long").alias("n_spans_cut"),
+        F.coalesce(
+            F.aggregate(
+                ivs, F.lit(0), lambda acc, iv: acc + iv["e"] - iv["s"] + 1
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("tokens_cut"),
     )
 
 
@@ -1760,6 +1875,14 @@ def span_query_index(
         cgrams.join(F.broadcast(qgrams), "gh")
         .filter(F.col("index_id") != F.col("batch_id"))
         .select("batch_id", "index_id", "pos_q", "pos_c")
+        # retry-safety: a partially-failed-then-retried extend can leave
+        # duplicate (doc_id, pos, gh) postings in the stored grams; the
+        # set-based families absorb duplicates downstream, but a
+        # duplicated positional match would double row_number on its
+        # diagonal and split the island into ~half-length runs (spans
+        # near min_span_tokens shrink or vanish). O(matches) distinct
+        # makes the probe immune to duplicated postings.
+        .distinct()
     )
     w = Window.partitionBy(
         "batch_id", "index_id", F.col("pos_q") - F.col("pos_c")

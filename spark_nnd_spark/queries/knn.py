@@ -689,7 +689,7 @@ _IVFPQ_IDX_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _ivfpq_index_for(spark: SparkSession, sf_dir: str) -> str:
-    import tempfile
+    from spark_nnd_spark.session import session_scratch_dir  # noqa: PLC0415
 
     from spark_nnd_spark.operators.similarity import (
         build_ivfpq_index,
@@ -698,7 +698,7 @@ def _ivfpq_index_for(spark: SparkSession, sf_dir: str) -> str:
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVFPQ_IDX_CACHE:
-        path = tempfile.mkdtemp(prefix="ivfpq_idx_")
+        path = session_scratch_dir("ivfpq_idx_")
         emb = load_table(spark, sf_dir, "embeddings")
         build_ivfpq_index(
             emb,

@@ -1901,11 +1901,11 @@ _NEARDUP_IDX_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _neardup_index_for(spark: SparkSession, sf_dir: str) -> str:
-    import tempfile
+    from spark_nnd_spark.session import session_scratch_dir  # noqa: PLC0415
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _NEARDUP_IDX_CACHE:
-        path = tempfile.mkdtemp(prefix="neardup_idx_")
+        path = session_scratch_dir("neardup_idx_")
         d = load_table(spark, sf_dir, "documents")
         DD.build_neardup_index(
             d.filter(F.col("source") != "src0"), path, num_hashes=16, bands=4, n=3
@@ -1941,11 +1941,11 @@ _NEARDUP_FULL_IDX_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _neardup_full_index_for(spark: SparkSession, sf_dir: str) -> str:
-    import tempfile
+    from spark_nnd_spark.session import session_scratch_dir  # noqa: PLC0415
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _NEARDUP_FULL_IDX_CACHE:
-        path = tempfile.mkdtemp(prefix="neardup_full_idx_")
+        path = session_scratch_dir("neardup_full_idx_")
         d = load_table(spark, sf_dir, "documents")
         DD.build_neardup_index(d, path, num_hashes=16, bands=4, n=3)
         _NEARDUP_FULL_IDX_CACHE[key] = path
@@ -2022,13 +2022,13 @@ def _text_index_for(spark: SparkSession, sf_dir: str) -> str:
     table (operators/retrieval.py build_text_index) — built once per
     (session, sf_dir), the same amortized-ingest convention as the
     near-dup index."""
-    import tempfile
+    from spark_nnd_spark.session import session_scratch_dir  # noqa: PLC0415
 
     from spark_nnd_spark.operators import retrieval as RT
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _TEXT_IDX_CACHE:
-        path = tempfile.mkdtemp(prefix="text_idx_")
+        path = session_scratch_dir("text_idx_")
         RT.build_text_index(load_table(spark, sf_dir, "documents"), path)
         _TEXT_IDX_CACHE[key] = path
     return _TEXT_IDX_CACHE[key]
@@ -2192,11 +2192,11 @@ _MRL_IDX_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _mrl_index_for(spark: SparkSession, sf_dir: str) -> str:
-    import tempfile
+    from spark_nnd_spark.session import session_scratch_dir  # noqa: PLC0415
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _MRL_IDX_CACHE:
-        path = tempfile.mkdtemp(prefix="mrl_idx_")
+        path = session_scratch_dir("mrl_idx_")
         emb = load_table(spark, sf_dir, "embeddings")
         SIM.build_mrl_index(emb, path, prefix_dims=MRL_PREFIX_DIMS)
         _MRL_IDX_CACHE[key] = path
@@ -2233,13 +2233,13 @@ _EVENTS_DS_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _partitioned_events_for(spark: SparkSession, sf_dir: str) -> str:
-    import tempfile
+    from spark_nnd_spark.session import session_scratch_dir  # noqa: PLC0415
 
     from spark_nnd_spark.sources.sinks import write_sorted
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _EVENTS_DS_CACHE:
-        path = tempfile.mkdtemp(prefix="events_ds_")
+        path = session_scratch_dir("events_ds_")
         e = load_table(spark, sf_dir, "events")
         write_sorted(
             e, f"{path}/events", ["ts"], mode="overwrite", partition_by=["event_type"]
@@ -2419,11 +2419,11 @@ _RETRACT_IDX_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _retracted_index_for(spark: SparkSession, sf_dir: str) -> str:
-    import tempfile
+    from spark_nnd_spark.session import session_scratch_dir  # noqa: PLC0415
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _RETRACT_IDX_CACHE:
-        path = tempfile.mkdtemp(prefix="neardup_retract_idx_")
+        path = session_scratch_dir("neardup_retract_idx_")
         d = load_table(spark, sf_dir, "documents")
         corpus = d.filter(F.col("source") != "src0")
         DD.build_neardup_index(corpus, path, num_hashes=16, bands=4, n=3)
@@ -2467,11 +2467,11 @@ _BINARY_IDX_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _binary_index_for(spark: SparkSession, sf_dir: str) -> str:
-    import tempfile
+    from spark_nnd_spark.session import session_scratch_dir  # noqa: PLC0415
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BINARY_IDX_CACHE:
-        path = tempfile.mkdtemp(prefix="binary_idx_")
+        path = session_scratch_dir("binary_idx_")
         SIM.build_binary_index(load_table(spark, sf_dir, "embeddings"), path)
         _BINARY_IDX_CACHE[key] = path
     return _BINARY_IDX_CACHE[key]
@@ -4211,9 +4211,12 @@ def q164_dup_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination flow (mirrors/scrapes).
 
     Scale (100 TB): the pair pipeline is the banded LSH plan with its
-    measured O(N) shuffle; the source attach is two broadcast joins of
-    the O(docs)-keyed (doc_id, source) projection against O(pairs)
-    rows, and the matrix aggregate is O(sources²)."""
+    measured O(N) shuffle; the source attach BROADCASTS the verified
+    O(dup-pairs) stream — the small side by construction — so the
+    O(docs)-keyed (doc_id, source) projection streams map-side and
+    never shuffles or broadcasts (an explicit corpus-side broadcast
+    hint would bypass autoBroadcastJoinThreshold and OOM the driver at
+    scale); the matrix aggregate is O(sources²)."""
     d = load_table(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_pairs(
         d, num_hashes=16, bands=4, n=3, threshold=0.2,
@@ -4226,9 +4229,9 @@ def q164_dup_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = src.select(
         F.col("doc_id").alias("id_b"), F.col("source").alias("source_dropped")
     )
+    kept = F.broadcast(pairs).join(sa, "id_a")
     return (
-        pairs.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        F.broadcast(kept).join(sb, "id_b")
         .groupBy("source_kept", "source_dropped")
         .agg(
             F.count("*").alias("n_pairs"),
@@ -4372,6 +4375,36 @@ def q166_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tier")
 
 
+def q167_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEDUPLICATED CORPUS — q156 detects verbatim duplicated
+    spans; this emits what Lee et al. 2022 actually train on: every
+    duplicated run of >= SPAN_MIN_TOKENS tokens survives in exactly
+    one document (the smallest doc_id holding it) and is cut from all
+    others (operators/dedup.span_remove_rewrite). One row per corpus
+    doc: (doc_id, cleaned_text, n_spans_cut, tokens_cut) — untouched
+    docs pass through with 0/0, so the result IS the training corpus,
+    not a diff. Runs over the same planted corpus as q156 (the plant
+    is part of the replayable query text), so the planted passage is
+    kept once per plant block and cut everywhere else — asserted
+    one-survivor in tests.
+
+    Scale (100 TB): the island kernel is q156's (O(repeated grams)
+    shuffle); the rewrite adds only O(cut intervals) wide work (one
+    distinct + per-doc interval-union window + collect_list) and a
+    LEFT join whose small side is the cut set; the token slice is a
+    narrow codegen array filter — the corpus text shuffles ZERO times
+    beyond the posting join."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        DD.span_remove_rewrite(
+            _span_planted(d),
+            gram_len=SPAN_GRAM_LEN,
+            min_span_tokens=SPAN_MIN_TOKENS,
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q161_indexed_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q153's threshold calibration curve with the verified pairs
     served from the PERSISTED near-dup index (the r9 VERDICT nit,
@@ -4413,11 +4446,11 @@ def _span_planted_probe(d: DataFrame) -> DataFrame:
 
 def _span_index_for(spark: SparkSession, sf_dir: str) -> str:
     """Session-cached span index over the planted non-src0 corpus."""
-    import tempfile  # noqa: PLC0415
+    from spark_nnd_spark.session import session_scratch_dir  # noqa: PLC0415
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SPAN_IDX_CACHE:
-        path = tempfile.mkdtemp(prefix="span_idx_")
+        path = session_scratch_dir("span_idx_")
         d = _span_planted_probe(load_table(spark, sf_dir, "documents"))
         DD.build_span_index(
             d.filter(F.col("source") != "src0"), path, gram_len=SPAN_GRAM_LEN
@@ -4594,6 +4627,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q164_dup_flow": q164_dup_flow,
     "q165_lm_perplexity": q165_lm_perplexity,
     "q166_decontam_report": q166_decontam_report,
+    "q167_span_removal": q167_span_removal,
 }
 
 
@@ -7262,6 +7296,94 @@ def pipeline_oracles() -> dict[str, str]:
                MAX(span_tokens)::BIGINT AS max_span_tokens,
                CAST(SUM(span_tokens) AS BIGINT) AS matched_tokens
         FROM s GROUP BY id_a, id_b ORDER BY id_a, id_b
+    """
+    # q167: same island CTEs, but kept at interval granularity on the
+    # id_b side; interval union in two window CTEs (no nested window
+    # calls), then token-slice reconstruction via a 1-based indexed
+    # list_filter against the doc's flattened cut positions — the
+    # DuckDB twin of Spark's narrow array-filter rewrite.
+    oracles["q167_span_removal"] = f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % {SPAN_PLANT_MOD} = {SPAN_PLANT_REM}
+                        THEN ' pb' || (doc_id // {SPAN_PLANT_BLOCK})::VARCHAR
+                             || ' {SPAN_PASSAGE_MID} pe'
+                             || (doc_id // {SPAN_PLANT_BLOCK})::VARCHAR
+                        ELSE '' END AS text
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   {TX.ordered_shingle_hashes_sql('text', SPAN_GRAM_LEN)} AS hs
+            FROM aug
+        ),
+        g AS (
+            SELECT doc_id, u.pos AS pos, u.gh AS gh
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(hs) + 1),
+                              i -> struct_pack(pos := i, gh := hs[i]))) AS u
+                FROM h
+            )
+        ),
+        m AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.pos AS pos_a, b.pos AS pos_b
+            FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+        ),
+        r AS (
+            SELECT id_a, id_b, pos_a, pos_b,
+                   pos_a - ROW_NUMBER() OVER (
+                       PARTITION BY id_a, id_b, pos_a - pos_b
+                       ORDER BY pos_a) AS island
+            FROM m
+        ),
+        s AS (
+            SELECT id_b, MIN(pos_b) AS start_b,
+                   MAX(pos_b) + {SPAN_GRAM_LEN} - 1 AS end_b
+            FROM r GROUP BY id_a, id_b, pos_a - pos_b, island
+            HAVING MAX(pos_a) - MIN(pos_a) + {SPAN_GRAM_LEN}
+                   >= {SPAN_MIN_TOKENS}
+        ),
+        iv0 AS (SELECT DISTINCT id_b AS doc_id, start_b, end_b FROM s),
+        ivb AS (
+            SELECT doc_id, start_b, end_b,
+                   CASE WHEN start_b > COALESCE(MAX(end_b) OVER (
+                            PARTITION BY doc_id ORDER BY start_b, end_b
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS brk
+            FROM iv0
+        ),
+        ivg AS (
+            SELECT doc_id, start_b, end_b,
+                   SUM(brk) OVER (PARTITION BY doc_id
+                                  ORDER BY start_b, end_b) AS grp
+            FROM ivb
+        ),
+        ivu AS (
+            SELECT doc_id, MIN(start_b) AS s, MAX(end_b) AS e
+            FROM ivg GROUP BY doc_id, grp
+        ),
+        cut AS (
+            SELECT doc_id, COUNT(*)::BIGINT AS n_spans_cut,
+                   CAST(SUM(e - s + 1) AS BIGINT) AS tokens_cut,
+                   flatten(list(range(s, e + 1))) AS cut_pos
+            FROM ivu GROUP BY doc_id
+        )
+        SELECT a.doc_id,
+               -- array_to_string of an EMPTY list is NULL in DuckDB
+               -- (the q155 gotcha); a fully-cut doc must emit '' like
+               -- Spark's array_join does.
+               COALESCE(array_to_string(
+                   list_filter(string_split(a.text, ' '),
+                               (x, i) -> NOT list_contains(
+                                   COALESCE(c.cut_pos, []), i)),
+                   ' '), '') AS cleaned_text,
+               COALESCE(c.n_spans_cut, 0) AS n_spans_cut,
+               COALESCE(c.tokens_cut, 0) AS tokens_cut
+        FROM aug a LEFT JOIN cut c ON a.doc_id = c.doc_id
+        ORDER BY a.doc_id
     """
     # q157: the oracle unrolls the same fixed merge rounds (the q96
     # PageRank convention). The fold keeps acc/element types equal

@@ -19,6 +19,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def session_scratch_dir(prefix: str) -> str:
+    """``tempfile.mkdtemp`` with registered end-of-process cleanup.
+
+    The session-cached index builders (pipeline/knn ``*_index_for``)
+    persist a full index copy per (applicationId, sf_dir) under a temp
+    directory; before this helper each session LEAKED those directories
+    on disk. atexit reaps them when the Python driver exits — the same
+    lifetime as the applicationId cache key, so a live session never
+    loses an index it may still probe."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def get_spark(
     app_name: str = "spark_nnd_spark",
     shuffle_partitions: int | None = None,

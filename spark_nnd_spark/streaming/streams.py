@@ -659,9 +659,18 @@ def span_gate_stream(
             F.sum("n_spans").alias("n_spans"),
             F.max("max_span_tokens").alias("max_span_tokens"),
         )
+        # Derive `contaminated` from the un-aliased join column BEFORE
+        # the coalescing select: computing it in the same select that
+        # re-aliases a coalesced `first_index_id` works only because
+        # expressions in one select resolve against the INPUT plan —
+        # fragile under refactor (splitting/reordering the select would
+        # silently flip it to always-true).
         verdicts = (
             batch_df.select(F.col(id_col).alias("batch_id"))
             .join(agg, "batch_id", "left")
+            .withColumn(
+                "contaminated", F.col("first_index_id").isNotNull()
+            )
             .select(
                 "batch_id",
                 F.coalesce("first_index_id", F.lit(-1)).cast("long").alias(
@@ -671,7 +680,7 @@ def span_gate_stream(
                 F.coalesce("max_span_tokens", F.lit(0)).cast("long").alias(
                     "max_span_tokens"
                 ),
-                F.col("first_index_id").isNotNull().alias("contaminated"),
+                "contaminated",
             )
         )
         verdicts.write.mode("overwrite").parquet(

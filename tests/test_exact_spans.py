@@ -112,3 +112,65 @@ def test_max_gram_freq_drops_boilerplate(spark):
         _docs(spark, rows), gram_len=6, min_span_tokens=12
     ).collect()
     assert len(uncapped) == 15  # C(6,2) — every pair shares the header
+
+
+def test_span_removal_keeps_exactly_one_copy(spark):
+    # q167's kernel: a passage planted in three docs must survive the
+    # rewrite in EXACTLY the smallest doc_id and be cut (with correct
+    # token accounting) from the other two; untouched docs pass
+    # through byte-identical with 0/0 counters.
+    docs = _docs(
+        spark,
+        [
+            (2, _filler("a", 20) + " " + PASSAGE + " " + _filler("b", 20)),
+            (5, _filler("c", 20) + " " + PASSAGE + " " + _filler("d", 20)),
+            (9, PASSAGE + " " + _filler("e", 20)),
+            (7, _filler("z", 30)),  # untouched
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in DD.span_remove_rewrite(
+            docs, gram_len=6, min_span_tokens=12
+        ).collect()
+    }
+    assert len(out) == 4
+    survivors = [i for i in (2, 5, 9) if PASSAGE in out[i].cleaned_text]
+    assert survivors == [2]
+    assert out[2].n_spans_cut == 0 and out[2].tokens_cut == 0
+    for i in (5, 9):
+        assert out[i].n_spans_cut == 1 and out[i].tokens_cut == 12
+    # the cut is a token slice, not a blank: surrounding text survives
+    assert out[5].cleaned_text == _filler("c", 20) + " " + _filler("d", 20)
+    assert out[9].cleaned_text == _filler("e", 20)
+    assert out[7].cleaned_text == _filler("z", 30)
+    assert out[7].n_spans_cut == 0 and out[7].tokens_cut == 0
+
+
+def test_span_removal_merges_overlapping_cut_intervals(spark):
+    # doc 9 shares an 18-token run with doc 1 and the last 12 tokens of
+    # that run with doc 2: its two cut intervals overlap and must union
+    # into ONE merged cut (tokens_cut=18, n_spans_cut=1), not
+    # double-count the overlap.
+    run18 = " ".join(f"r{i}" for i in range(18))
+    tail12 = " ".join(f"r{i}" for i in range(6, 18))
+    docs = _docs(
+        spark,
+        [
+            (1, _filler("a", 20) + " " + run18),
+            (2, _filler("b", 20) + " " + tail12 + " " + _filler("c", 8)),
+            (9, _filler("d", 20) + " " + run18 + " " + _filler("e", 8)),
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in DD.span_remove_rewrite(
+            docs, gram_len=6, min_span_tokens=12
+        ).collect()
+    }
+    assert out[9].n_spans_cut == 1
+    assert out[9].tokens_cut == 18
+    assert out[9].cleaned_text == _filler("d", 20) + " " + _filler("e", 8)
+    # doc 2 (id_b of pair 1-2) loses its tail12 copy; doc 1 keeps run18
+    assert run18 in out[1].cleaned_text
+    assert tail12 not in out[2].cleaned_text

@@ -986,6 +986,24 @@ def test_exact_spans_shuffle_hash_no_cartesian(spark):
     assert "hashpartitioning(id_a" in plan  # island window is pair-keyed
 
 
+def test_span_removal_narrow_rewrite(spark):
+    """q167: the heavy stage is q156's shuffle-hash posting join; the
+    rewrite side must stay O(cut intervals) — pair-keyed island window
+    (never a global single-partition window), a per-doc interval-union
+    window keyed on doc_id, and a narrow codegen array filter for the
+    token slice (no Python, no cartesian, no explode of corpus tokens
+    through an exchange)."""
+    plan = _plan(spark, "q167_span_removal")
+    assert "ShuffledHashJoin [gh" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "hashpartitioning(id_a" in plan  # island window is pair-keyed
+    assert "hashpartitioning(doc_id" in plan  # interval union is doc-keyed
+    # the corpus text reaches the rewrite via the LEFT join, and the
+    # token filter is an array lambda in the projection, not an explode
+    assert "ArrayFilter" in plan or "filter(split(" in plan
+
+
 def test_bpe_merge_rounds_materialized_iterations(spark):
     """q157: the driver loop materializes each round (eager
     localCheckpoint — the NND iteration discipline), so the final plan
@@ -1073,12 +1091,26 @@ def test_bpe_encode_broadcasts_vocab(spark):
     assert "EvalPython" not in plan
 
 
-def test_dup_flow_broadcast_source_attach(spark):
-    """q164: sources attach to the O(pairs) stream via broadcast joins
-    of the (doc_id, source) projection; the matrix aggregate is
-    O(sources²); no cartesian anywhere in the pairs plan."""
+def test_dup_flow_broadcasts_pairs_not_corpus(spark):
+    """q164: the source attach must broadcast the O(dup-pairs) stream,
+    NEVER the O(docs)-keyed (doc_id, source) corpus projection — an
+    explicit corpus-side broadcast hint bypasses
+    autoBroadcastJoinThreshold and OOMs at 100 TB (VERDICT r10's one
+    scale-killer). Both attach joins build LEFT (pairs side), so the
+    corpus FileScans stream map-side with zero shuffle: no corpus scan
+    may sit under a BroadcastExchange."""
+    import re
+
     plan = _plan(spark, "q164_dup_flow")
-    assert "BroadcastHashJoin [id_a" in plan or "BroadcastHashJoin [cast(id_a" in plan
+    attach = re.findall(
+        r"BroadcastHashJoin \[(?:cast\()?id_[ab]#\d+L?\)?[^\n]*?, (BuildLeft|BuildRight)",
+        plan,
+    )
+    # outer two joins are the source attaches: both must build LEFT
+    # (the pairs side streams into the hashed relation; the corpus
+    # projection is the probe side). A regression back to
+    # F.broadcast(sa/sb) flips these to BuildRight.
+    assert attach and attach.count("BuildLeft") >= 2, attach
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
 
