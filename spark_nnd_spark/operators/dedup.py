@@ -1350,6 +1350,48 @@ def neardup_pairs_index(
     )
 
 
+def hash_band_rows(
+    df: DataFrame,
+    hash_col: str = "phash",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    bits: int = 64,
+) -> DataFrame:
+    """Banded rows (id, h, band, band_val) over a packed integer
+    fingerprint — the pigeonhole candidate key shared by the inline
+    pair join (hash_hamming_pairs) and the persisted image-hash index
+    (operators/multimodal.py build_image_index): band j is bits
+    [j·(bits/n_bands), (j+1)·(bits/n_bands)) extracted with an
+    unsigned shift, so both consumers band identically by
+    construction."""
+    if bits % n_bands != 0:
+        raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
+    band_bits = bits // n_bands
+    band_mask = (1 << band_bits) - 1
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftrightunsigned(F.col(hash_col), band_bits * j)
+                        .bitwiseAND(F.lit(band_mask))
+                        .alias("band_val"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(
+        "id",
+        "h",
+        F.col("bv.band").alias("band"),
+        F.col("bv.band_val").alias("band_val"),
+    )
+
+
 def hash_hamming_pairs(
     df: DataFrame,
     hash_col: str = "phash",
@@ -1375,27 +1417,7 @@ def hash_hamming_pairs(
     cap, the same skew guard as the MinHash/SimHash paths: a bucket of
     m identical-band docs fans out m²/2 candidates.
     """
-    if bits % n_bands != 0:
-        raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
-    band_bits = bits // n_bands
-    band_mask = (1 << band_bits) - 1
-    banded = df.select(
-        F.col(id_col).alias("id"),
-        F.col(hash_col).alias("h"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.shiftrightunsigned(F.col(hash_col), band_bits * j)
-                        .bitwiseAND(F.lit(band_mask))
-                        .alias("band_val"),
-                    )
-                    for j in range(n_bands)
-                ]
-            )
-        ).alias("bv"),
-    ).select("id", "h", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val"))
+    banded = hash_band_rows(df, hash_col, id_col, n_bands, bits)
     if max_band_freq is not None:
         hot = (
             banded.groupBy("band", "band_val")

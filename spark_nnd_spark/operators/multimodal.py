@@ -279,3 +279,221 @@ def perceptual_hash(
             )
 
     return df.mapInPandas(run, PHASH_SCHEMA)
+
+
+# ------------------------------------------- persisted image-hash index
+
+def _image_tables(spark, path: str):
+    # physical layout the probe depends on: band_val-partitioned +
+    # band_val-sorted for parquet row-group min/max skipping
+    return [("bands", "id", None, ("band_val", ["band_val"]))]
+
+
+def build_image_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    height: int = 16,
+    width: int = 16,
+    block: int = 2,
+    codec: str = "raw",
+    n_bands: int = 4,
+    bits: int = 64,
+) -> None:
+    """Persist a perceptual-hash (aHash) index over an image corpus —
+    the SEVENTH persisted index family (after near-dup LSH, BM25 text,
+    MRL prefix, IVF-PQ, binary bits, span grams), closing the modality
+    gap: an ingest pipeline with image columns gets the same
+    index-served dedup path text and vectors already have, same
+    lifecycle discipline (build → probe → extend → retract → compact,
+    shared kernel in operators/index_lifecycle.py).
+
+    Layout under ``path``:
+    - ``meta``       — 1 row (height, width, block, codec, n_bands,
+      bits): probe hashes MUST be computed with the stored params, so
+      they are recorded, never trusted to the caller.
+    - ``bands``      — (id, h, band, band_val): the banded pigeonhole
+      rows (operators/dedup.hash_band_rows — byte-identical banding to
+      the inline hash_hamming_pairs plan), carrying the full hash so
+      the probe verifies hamming without a second join.
+      Repartitioned+sorted by band_val for row-group skipping.
+    - ``band_stats`` — (band, band_val, bf): per-bucket DISTINCT-id
+      frequency, so the probe-time hot-bucket cap reads O(buckets)
+      stats instead of recomputing a corpus aggregate per batch
+      (count_distinct ⇒ a retried extend cannot inflate it).
+
+    Build cost: one narrow Arrow hash kernel pass + one exchange on
+    band_val — payload bytes never shuffle (the hash is 8 bytes)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from spark_nnd_spark.operators.dedup import hash_band_rows  # noqa: PLC0415
+
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(height, width, block, codec, n_bands, bits)],
+        "height int, width int, block int, codec string, "
+        "n_bands int, bits int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    hashes = perceptual_hash(
+        corpus,
+        id_col=id_col,
+        payload_col=payload_col,
+        height=height,
+        width=width,
+        block=block,
+        codec=codec,
+    )
+    bands = hash_band_rows(
+        hashes, hash_col="phash", id_col="id", n_bands=n_bands, bits=bits
+    )
+    bands.repartition("band_val").sortWithinPartitions("band_val").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/bands")
+    spark.read.parquet(f"{path}/bands").groupBy("band", "band_val").agg(
+        F.count_distinct("id").alias("bf")
+    ).write.mode("overwrite").parquet(f"{path}/band_stats")
+
+
+def image_query_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    max_hamming: int = 3,
+    max_band_freq: int | None = None,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual near-dup probe of an image batch against the
+    PERSISTED index: (batch_id, index_id, hamming) for every stored
+    image within ``max_hamming`` of a batch image — the inline
+    hash_hamming_pairs verdicts with the corpus side read from
+    storage. Pigeonhole-exact for max_hamming <= n_bands - 1, exactly
+    like the inline plan, so probe==inline is assertable row-for-row.
+
+    Parity: probe hashes use the params recorded in meta; a batch
+    image also present in the index does not match itself (id
+    inequality); retracted images stop matching immediately
+    (tombstone anti-join). ``max_band_freq`` caps hot buckets by the
+    STORED distinct-id frequency (band_stats) — O(buckets) stats, no
+    corpus rescan. Candidate pairs are distinct'd before verification,
+    so duplicated band rows from a retried extend cannot duplicate or
+    corrupt verdicts (the span-index retry-safety argument).
+
+    Scale: the batch side broadcasts (ingest micro-batches are small
+    by contract — the span/decontam probe discipline): the stored
+    bands stream through the join with ZERO shuffle, so probe shuffle
+    is O(matches), independent of corpus size."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from spark_nnd_spark.operators import index_lifecycle as IL  # noqa: PLC0415
+    from spark_nnd_spark.operators.dedup import hash_band_rows  # noqa: PLC0415
+
+    meta = spark.read.parquet(f"{path}/meta").first()
+    qh = perceptual_hash(
+        batch,
+        id_col=id_col,
+        payload_col=payload_col,
+        height=meta["height"],
+        width=meta["width"],
+        block=meta["block"],
+        codec=meta["codec"],
+    )
+    qb = hash_band_rows(
+        qh, hash_col="phash", id_col="id",
+        n_bands=meta["n_bands"], bits=meta["bits"],
+    ).select(
+        F.col("id").alias("batch_id"),
+        F.col("h").alias("h_q"),
+        "band",
+        "band_val",
+    ).localCheckpoint(eager=True)
+    cb = IL.anti_tombstones(
+        spark.read.parquet(f"{path}/bands"), IL.read_tombstones(spark, path), "id"
+    ).select(
+        F.col("id").alias("index_id"), F.col("h").alias("h_c"), "band", "band_val"
+    )
+    if max_band_freq is not None:
+        hot = (
+            spark.read.parquet(f"{path}/band_stats")
+            .filter(F.col("bf") > max_band_freq)
+            .select("band", "band_val")
+        )
+        qb = qb.join(F.broadcast(hot), ["band", "band_val"], "left_anti")
+    cand = (
+        cb.join(F.broadcast(qb), ["band", "band_val"])
+        .filter(F.col("index_id") != F.col("batch_id"))
+        .select("batch_id", "index_id", "h_q", "h_c")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("h_q").bitwiseXOR(F.col("h_c")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("batch_id", "index_id", "hamming")
+    )
+
+
+def extend_image_index(
+    spark,
+    path: str,
+    new_images: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> None:
+    """Admit a batch into the image index: re-admission upsert (shared
+    kernel), append the batch's banded hash rows, refresh band_stats
+    (count_distinct over bands — an O(index) integer scan a retried
+    extension cannot double-count)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from spark_nnd_spark.operators import index_lifecycle as IL  # noqa: PLC0415
+    from spark_nnd_spark.operators.dedup import hash_band_rows  # noqa: PLC0415
+
+    meta = spark.read.parquet(f"{path}/meta").first()
+    IL.settle_readmission(
+        spark, path, new_images.select(id_col), _image_tables(spark, path)
+    )
+    hashes = perceptual_hash(
+        new_images,
+        id_col=id_col,
+        payload_col=payload_col,
+        height=meta["height"],
+        width=meta["width"],
+        block=meta["block"],
+        codec=meta["codec"],
+    )
+    hash_band_rows(
+        hashes, hash_col="phash", id_col="id",
+        n_bands=meta["n_bands"], bits=meta["bits"],
+    ).write.mode("append").parquet(f"{path}/bands")
+    spark.read.parquet(f"{path}/bands").groupBy("band", "band_val").agg(
+        F.count_distinct("id").alias("bf")
+    ).write.mode("overwrite").parquet(f"{path}/band_stats")
+
+
+def retract_from_image_index(spark, path: str, ids: DataFrame) -> None:
+    """O(retracted) tombstone append; the probe anti-joins it, so a
+    retracted image stops matching immediately (the shared lifecycle
+    contract). band_stats keeps pre-retraction counts until compaction
+    — the hot-bucket cap may over-cut, never under-cut, while
+    tombstoned."""
+    from spark_nnd_spark.operators import index_lifecycle as IL  # noqa: PLC0415
+
+    IL.append_tombstones(spark, path, ids)
+
+
+def compact_image_index(spark, path: str) -> None:
+    """Fold the tombstone log into bands (layout-preserving rewrite),
+    rebuild band_stats, drop the log last — byte-equivalent to a fresh
+    build over the surviving corpus (asserted in tests)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from spark_nnd_spark.operators import index_lifecycle as IL  # noqa: PLC0415
+
+    if not IL.compact(spark, path, _image_tables(spark, path)):
+        return
+    spark.read.parquet(f"{path}/bands").groupBy("band", "band_val").agg(
+        F.count_distinct("id").alias("bf")
+    ).write.mode("overwrite").parquet(f"{path}/band_stats")

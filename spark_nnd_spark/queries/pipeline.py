@@ -4405,6 +4405,57 @@ def q167_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Persisted image-hash index over the non-src0 corpus (the q103/q162
+# split), built once per (session, sf_dir).
+_IMAGE_IDX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _image_index_for(spark: SparkSession, sf_dir: str) -> str:
+    from spark_nnd_spark.session import session_scratch_dir  # noqa: PLC0415
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IMAGE_IDX_CACHE:
+        path = session_scratch_dir("image_idx_")
+        d = load_table(spark, sf_dir, "documents")
+        MM.build_image_index(
+            d.filter(F.col("source") != "src0").select(
+                "doc_id", F.encode("text", "UTF-8").alias("payload")
+            ),
+            path,
+            id_col="doc_id",
+        )
+        _IMAGE_IDX_CACHE[key] = path
+    return _IMAGE_IDX_CACHE[key]
+
+
+def q168_indexed_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time perceptual image dedup served from the PERSISTED
+    image-hash index (operators/multimodal.build_image_index /
+    image_query_index — the 7th index family): the src0 slice probes
+    as the incoming batch, the rest of the corpus is indexed once, and
+    every (batch image, stored image) pair within hamming <= 3 of the
+    64-bit aHash is reported — q104's banded pigeonhole kernel with
+    the corpus side read from storage, closing the modality gap: image
+    columns now have the same index-served dedup path as text (q103)
+    and vectors (q127/q134).
+
+    Pigeonhole-exact at hamming <= 3 with 4 bands, so the all-pairs
+    one-sided DuckDB oracle must agree row-for-row (and probe==inline
+    is asserted in tests). Scale: the batch side broadcasts; the
+    stored bands stream through the join with zero shuffle — probe
+    cost is O(batch + matches), independent of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    idx = _image_index_for(spark, sf_dir)
+    batch = d.filter(F.col("source") == "src0").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return (
+        MM.image_query_index(spark, idx, batch, max_hamming=3, id_col="doc_id")
+        .select("batch_id", "index_id", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("batch_id", "index_id")
+    )
+
+
 def q161_indexed_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q153's threshold calibration curve with the verified pairs
     served from the PERSISTED near-dup index (the r9 VERDICT nit,
@@ -4628,6 +4679,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q165_lm_perplexity": q165_lm_perplexity,
     "q166_decontam_report": q166_decontam_report,
     "q167_span_removal": q167_span_removal,
+    "q168_indexed_phash": q168_indexed_phash,
 }
 
 
@@ -5991,6 +6043,46 @@ def pipeline_oracles() -> dict[str, str]:
         FROM h a JOIN h b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.phash, b.phash)) <= 3
         ORDER BY id_a, id_b
+    """
+    # q168: the index-served one-sided variant — src0 probes against
+    # the indexed remainder; the banded Spark probe is pigeonhole-exact
+    # at hamming 3 with 4 bands, so the oracle brute-forces the
+    # src0 × rest cross filter the engine bands.
+    oracles["q168_indexed_phash"] = f"""
+        WITH px AS (
+            SELECT doc_id, source,
+                   list_transform(range(1, 257),
+                       i -> CASE WHEN i <= len(text)
+                                 THEN unicode(substr(text, i, 1))
+                                 ELSE 0 END) AS p
+            FROM documents
+        ),
+        grid AS (
+            SELECT doc_id, source,
+                   list_transform(range(0, 64), i -> {cell}) AS g
+            FROM px
+        ),
+        packed AS (
+            SELECT doc_id, source,
+                   list_sum(list_transform(range(0, 64),
+                       i -> CASE WHEN g[i + 1] > list_avg(g)
+                                 THEN 1::HUGEINT << (63 - i)
+                                 ELSE 0::HUGEINT END)) AS hug
+            FROM grid
+        ),
+        h AS (
+            SELECT doc_id, source,
+                   (CASE WHEN hug >= 9223372036854775808::HUGEINT
+                         THEN hug - 18446744073709551616::HUGEINT
+                         ELSE hug END)::BIGINT AS phash
+            FROM packed
+        )
+        SELECT a.doc_id AS batch_id, b.doc_id AS index_id,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        FROM h a JOIN h b
+          ON a.source = 'src0' AND b.source <> 'src0'
+        WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        ORDER BY batch_id, index_id
     """
     oracles["q110_scd2_history"] = f"""
         WITH {EV.scd2_intervals_sql("events")}

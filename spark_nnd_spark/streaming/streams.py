@@ -1301,3 +1301,91 @@ def user_last_seen_stream(events: DataFrame, watermark: str = "10 minutes") -> D
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def image_gate_stream(
+    candidate_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    max_hamming: int = 3,
+    max_band_freq: int | None = None,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    timeout_sec: int = 180,
+) -> Any:
+    """Streaming perceptual image-dedup gate — the ingest twin of q168
+    (and the image-modality sibling of span_gate_stream /
+    decontam_gate_stream): each micro-batch of candidate images is
+    probed against the PERSISTED image-hash index
+    (operators/multimodal.image_query_index) and every candidate
+    within ``max_hamming`` of a stored image is reported with the
+    nearest stored id and distance; clean candidates emit a verdict
+    row with -1 sentinels (never NULL — the driver-compare / sort
+    discipline). Verdicts land in a batchId-keyed parquet directory.
+
+    Idempotence: the probe never mutates the index — verdicts are a
+    pure function of (batch, index); a replayed batch overwrites its
+    own batchId directory with identical rows (replay==batch asserted
+    in tests). Retracting an indexed image stops it causing rejections
+    immediately (tombstones reach the probe).
+
+    Scale: per batch, the batch side broadcasts and the stored bands
+    stream — O(batch + matches) shuffle per micro-batch; payload bytes
+    never leave the hash kernel."""
+    from spark_nnd_spark.operators.multimodal import (  # noqa: PLC0415
+        image_query_index,
+    )
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        hits = image_query_index(
+            spark,
+            index_path,
+            batch_df,
+            max_hamming=max_hamming,
+            max_band_freq=max_band_freq,
+            id_col=id_col,
+            payload_col=payload_col,
+        )
+        # nearest stored image per candidate: (min hamming, min id) —
+        # deterministic, and min_by breaks hamming ties by index_id
+        # because the struct compares lexicographically
+        agg = hits.groupBy("batch_id").agg(
+            F.min(F.struct("hamming", "index_id")).alias("best"),
+            F.count("*").alias("n_matches"),
+        )
+        # `is_dup` from the un-aliased join column BEFORE the
+        # coalescing select (the span_gate_stream refactor-safety
+        # pattern).
+        verdicts = (
+            batch_df.select(F.col(id_col).alias("batch_id"))
+            .join(agg, "batch_id", "left")
+            .withColumn("is_dup", F.col("best").isNotNull())
+            .select(
+                "batch_id",
+                F.coalesce(F.col("best.index_id"), F.lit(-1))
+                .cast("long")
+                .alias("nearest_index_id"),
+                F.coalesce(F.col("best.hamming"), F.lit(-1))
+                .cast("int")
+                .alias("min_hamming"),
+                F.coalesce("n_matches", F.lit(0)).cast("long").alias(
+                    "n_matches"
+                ),
+                "is_dup",
+            )
+        )
+        verdicts.write.mode("overwrite").parquet(
+            f"{out_path}/image_batch={batch_id}"
+        )
+
+    q = (
+        candidate_stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return _await_or_raise(q, timeout_sec)

@@ -1004,6 +1004,20 @@ def test_span_removal_narrow_rewrite(spark):
     assert "ArrayFilter" in plan or "filter(split(" in plan
 
 
+def test_indexed_phash_probe_broadcasts_batch(spark):
+    """q168: the image-index probe must broadcast the BATCH band rows
+    (pre-materialized — Scan ExistingRDD) so the stored bands table
+    streams through the candidate join with ZERO shuffle (the span
+    probe's measured-flat contract); verification is codegen
+    XOR+popcount, no cartesian, no row-wise Python."""
+    plan = _plan(spark, "q168_indexed_phash")
+    assert "BroadcastHashJoin [band" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # stored bands never hash-exchange on the candidate key
+    assert "Exchange hashpartitioning(band" not in plan
+
+
 def test_bpe_merge_rounds_materialized_iterations(spark):
     """q157: the driver loop materializes each round (eager
     localCheckpoint — the NND iteration discipline), so the final plan
