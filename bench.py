@@ -135,6 +135,10 @@ HEADLINE = [
     "q164_dup_flow",
     "q165_lm_perplexity",
     "q166_decontam_report",
+    "q167_span_removal",
+    "q168_indexed_phash",
+    "q169_lr_train_curve",
+    "q170_model_board",
 ]
 
 
@@ -242,6 +246,8 @@ def main() -> None:
         ("build_ivfpq_index", _knq._ivfpq_index_for),  # noqa: SLF001
         ("build_retracted_index", _plq._retracted_index_for),  # noqa: SLF001
         ("build_binary_index", _plq._binary_index_for),  # noqa: SLF001
+        ("build_span_index", _plq._span_index_for),  # noqa: SLF001
+        ("build_image_index", _plq._image_index_for),  # noqa: SLF001
     ]:
         t0 = time.perf_counter()
         try:

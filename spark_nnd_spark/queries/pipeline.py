@@ -3548,10 +3548,16 @@ def q155_curation_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     return board_compose(board_gates(d), drops).orderBy("doc_id")
 
 
-def board_gates(d: DataFrame) -> DataFrame:
+def board_gates(d: DataFrame, model_w: dict | None = None) -> DataFrame:
     """Per-doc text quality gates of the curation scoreboard — every
     signal a codegen expression in one scan of (doc_id, text); shared
-    by q155 (inline), q159 (index-served) and the streaming gate."""
+    by q155 (inline), q159 (index-served), q170 (model-scored) and the
+    streaming gate. When ``model_w`` (a q169-trained weight dict) is
+    given, the board gains the learned-classifier gate: model_score =
+    the 6dp sigmoid of the LR logit over the same text features the
+    trainer used, model_keep = score >= MODEL_KEEP_TAU — the
+    fastText-style model-in-the-loop filter, still one codegen
+    expression in the same scan."""
     s2 = TX.repetition_stats_expr(TX.ngrams_expr("text", 2))
     s3 = TX.repetition_stats_expr(TX.ngrams_expr("text", 3))
     n2 = F.size(TX.ngrams_expr("text", 2)).cast("long")
@@ -3572,47 +3578,81 @@ def board_gates(d: DataFrame) -> DataFrame:
     )
     from spark_nnd_spark.functions.numeric import round_half_up_expr  # noqa: PLC0415
 
-    return d.select(
-        "doc_id",
+    first = [
+        F.col("doc_id"),
         TX.tree_score_expr("text").alias("margin_raw"),
         s2.alias("s2"),
         s3.alias("s3"),
         n2.alias("n2"),
         n3.alias("n3"),
         round_half_up_expr(ent).alias("entropy"),
-    ).select(
-        "doc_id",
-        "entropy",
+    ]
+    final = [
+        F.col("doc_id"),
+        F.col("entropy"),
         F.round("margin_raw", 6).alias("margin"),
         (F.col("margin_raw") > 0.0).alias("quality_keep"),
         (
             (top2 <= F.lit(REP_TOP2_MAX)) & (dup3 <= F.lit(REP_DUP3_MAX))
         ).alias("rep_keep"),
         (F.col("entropy") >= F.lit(ENTROPY_MIN)).alias("entropy_keep"),
-    )
+    ]
+    if model_w is not None:
+        # same feature expressions as _lr_feats / the q169 trainer, so
+        # the served score replays the training-time arithmetic exactly
+        xn = TX.token_count_expr("text").cast("double") / F.lit(100.0)
+        z = (
+            (F.lit(model_w["bias"]) + F.lit(model_w["ntok"]) * xn)
+            + F.lit(model_w["stop"]) * TX.stopword_ratio_expr("text")
+        ) + F.lit(model_w["ttr"]) * TX.type_token_ratio_expr("text")
+        first.append(
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias(
+                "model_score"
+            )
+        )
+        final.extend(
+            [
+                F.col("model_score"),
+                (F.col("model_score") >= F.lit(MODEL_KEEP_TAU)).alias(
+                    "model_keep"
+                ),
+            ]
+        )
+    return d.select(*first).select(*final)
 
 
 def board_compose(scored: DataFrame, drops: DataFrame) -> DataFrame:
     """Compose the text gates with a near-dup drop set (doc_id rows —
     whatever tier produced it: inline pairs, persisted index, or a
     streaming probe) into the final keep/drop board with deterministic
-    fixed-order reason strings."""
+    fixed-order reason strings. If ``scored`` carries the model gate
+    (board_gates(model_w=...)), the verdict and reasons fold it in —
+    q155/q159/q170 and the streaming gate all share this compose."""
+    with_model = "model_keep" in scored.columns
     gates = scored.join(
         F.broadcast(drops.select("doc_id").withColumn("dropped", F.lit(True))),
         "doc_id",
         "left",
     ).withColumn("dedup_keep", F.col("dropped").isNull())
+    reason_flags = [
+        F.when(~F.col("dedup_keep"), F.lit("neardup")),
+        F.when(~F.col("entropy_keep"), F.lit("entropy")),
+        F.when(~F.col("quality_keep"), F.lit("quality")),
+        F.when(~F.col("rep_keep"), F.lit("repetition")),
+    ]
+    keep = (
+        F.col("quality_keep")
+        & F.col("rep_keep")
+        & F.col("entropy_keep")
+        & F.col("dedup_keep")
+    )
+    mid_cols: list = []
+    if with_model:
+        reason_flags.append(F.when(~F.col("model_keep"), F.lit("model")))
+        keep = keep & F.col("model_keep")
+        mid_cols = ["model_score", "model_keep"]
     reasons = F.concat_ws(
-        ",",
-        F.filter(
-            F.array(
-                F.when(~F.col("dedup_keep"), F.lit("neardup")),
-                F.when(~F.col("entropy_keep"), F.lit("entropy")),
-                F.when(~F.col("quality_keep"), F.lit("quality")),
-                F.when(~F.col("rep_keep"), F.lit("repetition")),
-            ),
-            lambda x: x.isNotNull(),
-        ),
+        ",", F.filter(F.array(*reason_flags), lambda x: x.isNotNull())
     )
     return gates.select(
         "doc_id",
@@ -3622,12 +3662,8 @@ def board_compose(scored: DataFrame, drops: DataFrame) -> DataFrame:
         "rep_keep",
         "entropy_keep",
         "dedup_keep",
-        (
-            F.col("quality_keep")
-            & F.col("rep_keep")
-            & F.col("entropy_keep")
-            & F.col("dedup_keep")
-        ).alias("keep"),
+        *mid_cols,
+        keep.alias("keep"),
         reasons.alias("reasons"),
     )
 
@@ -4456,6 +4492,194 @@ def q168_indexed_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LR_EPOCHS = 3
+
+
+def _lr_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, split, x_ntok, x_stop, x_ttr, y) for every doc,
+    with the q141 leakage-safe split attached — the training table
+    behind q169/q170, computed once and checkpointed (the split pays
+    the CC propagation; the features are codegen text expressions)."""
+    from spark_nnd_spark.operators.sampling import leakage_safe_split  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    sp = leakage_safe_split(
+        d, _indexed_lsh_pairs(spark, sf_dir), id_col="doc_id"
+    ).select("doc_id", "split")
+    ntok = TX.token_count_expr("text")
+    stop = TX.stopword_ratio_expr("text")
+    ttr = TX.type_token_ratio_expr("text")
+    return (
+        d.join(sp, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "split",
+            (ntok.cast("double") / F.lit(100.0)).alias("x_ntok"),
+            stop.alias("x_stop"),
+            ttr.alias("x_ttr"),
+            ((ntok >= 5) & (stop <= 0.6) & (ttr >= 0.3))
+            .cast("double")
+            .alias("y"),
+        )
+        .localCheckpoint(eager=True)  # split + features computed ONCE
+    )
+
+
+def _lr_z(w: dict) -> F.Column:
+    """The linear logit over the _lr_feats feature columns — paren
+    shape pinned so the oracle's double arithmetic replays exactly."""
+    return (
+        (F.lit(w["bias"]) + F.lit(w["ntok"]) * F.col("x_ntok"))
+        + F.lit(w["stop"]) * F.col("x_stop")
+    ) + F.lit(w["ttr"]) * F.col("x_ttr")
+
+
+def _lr_epochs(train: DataFrame) -> tuple[dict, list]:
+    """LR_EPOCHS full-batch GD epochs over the train slice; returns the
+    final weights and the per-epoch (kind, epoch, name, raw) rows.
+    Each epoch is ONE map-side-combined aggregate returning a single
+    row (the convergence-scalar class); losses and gradient means
+    accumulate as INTEGER micro-units so they replay order-free across
+    engines (the q165 trick — round(AVG(doubles), 6) hit a .5e-6
+    boundary at sf0.01)."""
+    w = dict(LR_W0)
+    raw_rows: list[tuple] = []
+    for e in range(1, LR_EPOCHS + 1):
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_lr_z(w))), 6)
+        pc = F.least(F.greatest(p, F.lit(0.000001)), F.lit(0.999999))
+        nats = F.floor(
+            -(
+                F.col("y") * F.log(pc)
+                + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - pc)
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long")
+        err = F.col("y") - p
+
+        def _gmean(contrib: F.Column) -> F.Column:
+            s = F.sum(
+                F.floor(contrib * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+            )
+            return F.round(
+                (s.cast("double") / F.count(F.lit(1)).cast("double"))
+                / F.lit(1000000.0),
+                6,
+            )
+
+        r = train.agg(
+            F.sum(nats).alias("nats"),
+            F.count(F.lit(1)).alias("n"),
+            _gmean(err).alias("g_bias"),
+            _gmean(err * F.col("x_ntok")).alias("g_ntok"),
+            _gmean(err * F.col("x_stop")).alias("g_stop"),
+            _gmean(err * F.col("x_ttr")).alias("g_ttr"),
+        ).first()
+        # pure IEEE double ops on collected scalars — identical in the
+        # oracle's SQL double arithmetic; the final rounding happens
+        # Spark-side (F.round) so both engines round identically
+        raw_rows.append(("loss", e, "train", r["nats"] / r["n"] / 1e6))
+        for name in ("bias", "ntok", "stop", "ttr"):
+            w[name] = w[name] + LR_RATE * r[f"g_{name}"]
+            raw_rows.append(("weight", e, name, w[name]))
+    return w, raw_rows
+
+
+def q169_lr_train_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression training to convergence with a held-out
+    evaluation — the train→eval loop a curation pipeline actually runs,
+    closing q160's single step: LR_EPOCHS full-batch GD epochs over
+    the TRAIN slice of the q141 leakage-safe split (duplicate clusters
+    never straddle train/test, so the eval is leakage-clean), then the
+    q137 rank-sum AUC of the final model on the held-out TEST slice.
+
+    Output, one uniform (kind, epoch, name, value) table:
+    - ('loss', e, 'train', L_e): mean log-loss at the START of epoch e
+      (pre-update weights) — monotone decreasing rows are the
+      convergence evidence (asserted in tests). Per-doc losses are
+      summed as INTEGER micro-nats (floor(nats*1e6 + .5), the q165
+      order-free exactness trick) with the 6dp-rounded sigmoid clamped
+      to [1e-6, 1-1e-6] so a saturated doc cannot emit ±inf.
+    - ('weight', e, feature, w): the 4 weights after each epoch —
+      rounded at 7 decimals because LR_RATE=0.5 × 6-decimal gradients
+      makes every weight an EXACT 7-decimal value, so a 6dp round
+      hits the .5 half-boundary systematically (sf0.01 found
+      w = 0.5009925 rounding 0.500993 vs 0.500992 across engines).
+    - ('auc', LR_EPOCHS, source, auc): per-source held-out AUC of the
+      final model (q137's integer rank-sum kernel; -1.0 sentinel for
+      single-class groups).
+
+    Scale (100 TB): each epoch is ONE map-side-combined aggregate over
+    the train slice returning a single row (grads + loss — the
+    reference's convergence-scalar class, NND.scala's per-iteration
+    sum counter); the split is computed once and checkpointed; the
+    eval is one source-keyed window pass. The driver loop holds
+    O(features) state."""
+    from spark_nnd_spark.operators.evaluation import grouped_auc  # noqa: PLC0415
+
+    feats = _lr_feats(spark, sf_dir)
+    w, raw_rows = _lr_epochs(feats.filter(F.col("split") == "train"))
+    base = spark.createDataFrame(
+        raw_rows, "kind string, epoch long, name string, raw double"
+    ).select(
+        "kind",
+        "epoch",
+        "name",
+        F.when(F.col("kind") == "weight", F.round("raw", 7))
+        .otherwise(F.round("raw", 6))
+        .alias("value"),
+    )
+    scored = feats.filter(F.col("split") == "test").select(
+        "doc_id",
+        "source",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_lr_z(w))), 6).alias("score"),
+        (F.col("y") == F.lit(1.0)).alias("label"),
+    )
+    aucs = grouped_auc(scored, "source", "score", "label", "doc_id").select(
+        F.lit("auc").alias("kind"),
+        F.lit(LR_EPOCHS).cast("long").alias("epoch"),
+        F.col("source").alias("name"),
+        F.coalesce(F.round("auc", 6), F.lit(-1.0)).alias("value"),
+    )
+    return base.unionAll(aucs).orderBy("kind", "epoch", "name")
+
+
+MODEL_KEEP_TAU = 0.5
+
+
+def q170_model_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MODEL-SCORED curation board — q155's scoreboard with the
+    q169-trained logistic classifier wired in as a first-class gate
+    (model_score / model_keep columns, 'model' reason, verdict folds
+    it in): the "model-in-the-loop filtering" shape every modern
+    corpus build runs (fastText-style quality classifiers), closing
+    the loop train (q169) → serve (this board + the streaming gate,
+    which inherit the gate through the shared board_gates /
+    board_compose helpers).
+
+    The served score replays the training-time arithmetic exactly
+    (same feature expressions, same 6dp sigmoid), so the whole
+    pipeline — split, 3 GD epochs, scoring, verdicts — hash-checks
+    against a single DuckDB replay.
+
+    Scale (100 TB): training is q169's three single-row aggregates;
+    serving adds ZERO passes — the model score is one more codegen
+    expression in the same corpus scan the other text gates share;
+    the near-dup drop set comes from the persisted index (q159's
+    path)."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = _lr_feats(spark, sf_dir)
+    w, _ = _lr_epochs(feats.filter(F.col("split") == "train"))
+    drops = (
+        _indexed_lsh_pairs(spark, sf_dir)
+        .filter(F.round("jaccard", 6) >= BOARD_NEARDUP_TAU)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return board_compose(board_gates(d, model_w=w), drops).orderBy("doc_id")
+
+
 def q161_indexed_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q153's threshold calibration curve with the verified pairs
     served from the PERSISTED near-dup index (the r9 VERDICT nit,
@@ -4680,6 +4904,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q166_decontam_report": q166_decontam_report,
     "q167_span_removal": q167_span_removal,
     "q168_indexed_phash": q168_indexed_phash,
+    "q169_lr_train_curve": q169_lr_train_curve,
+    "q170_model_board": q170_model_board,
 }
 
 
@@ -7637,6 +7863,196 @@ def pipeline_oracles() -> dict[str, str]:
         )
         SELECT * FROM (SELECT * FROM weights UNION ALL SELECT * FROM scores)
         ORDER BY kind, k
+    """
+    # q169: the oracle unrolls the LR_EPOCHS GD epochs as chained CTEs
+    # (the q157/q96 convention) on top of q141's split CTEs; losses
+    # replay via integer micro-nats (the q165 trick) on the clamped
+    # 6dp sigmoid, the held-out AUC via q137's integer rank-sum.
+    _zw = (
+        "(((w.w_bias + w.w_ntok * x_ntok) + w.w_stop * x_stop)"
+        " + w.w_ttr * x_ttr)"
+    )
+    _pc = (
+        f"least(greatest(p, {_lrd(0.000001)}), {_lrd(0.999999)})"
+    )
+    _nats = (
+        f"CAST(FLOOR((-(y * ln({_pc}) + ({_lrd(1.0)} - y) * ln({_lrd(1.0)}"
+        f" - {_pc}))) * {_lrd(1000000.0)} + {_lrd(0.5)}) AS BIGINT)"
+    )
+
+    def _gm(contrib: str) -> str:
+        # integer micro-unit gradient mean — mirrors the Spark _gmean
+        return (
+            f"round((CAST(SUM(CAST(FLOOR({contrib} * {_lrd(1000000.0)}"
+            f" + {_lrd(0.5)}) AS BIGINT)) AS DOUBLE)"
+            f" / CAST(COUNT(*) AS DOUBLE)) / {_lrd(1000000.0)}, 6)"
+        )
+
+    def _lr_epoch_sql(e: int) -> str:
+        return f"""
+        p{e} AS (
+            SELECT tr.*, {_sig(_zw)} AS p FROM tr, w{e - 1} w
+        ),
+        a{e} AS (
+            SELECT CAST(SUM({_nats}) AS BIGINT) AS nats, COUNT(*) AS n,
+                   {_gm("(y - p)")} AS g_bias,
+                   {_gm("((y - p) * x_ntok)")} AS g_ntok,
+                   {_gm("((y - p) * x_stop)")} AS g_stop,
+                   {_gm("((y - p) * x_ttr)")} AS g_ttr
+            FROM p{e}
+        ),
+        w{e} AS (
+            SELECT w.w_bias + {_lrd(LR_RATE)} * a.g_bias AS w_bias,
+                   w.w_ntok + {_lrd(LR_RATE)} * a.g_ntok AS w_ntok,
+                   w.w_stop + {_lrd(LR_RATE)} * a.g_stop AS w_stop,
+                   w.w_ttr + {_lrd(LR_RATE)} * a.g_ttr AS w_ttr
+            FROM w{e - 1} w, a{e} a
+        )"""
+
+    _lr_rows = " UNION ALL ".join(
+        f"SELECT 'loss' AS kind, CAST({e} AS BIGINT) AS epoch,"
+        f" 'train' AS name,"
+        f" round((CAST(nats AS DOUBLE) / CAST(n AS DOUBLE))"
+        f" / {_lrd(1000000.0)}, 6) AS value FROM a{e}"
+        for e in range(1, LR_EPOCHS + 1)
+    ) + " UNION ALL " + " UNION ALL ".join(
+        f"SELECT 'weight' AS kind, CAST({e} AS BIGINT) AS epoch,"
+        f" '{n}' AS name, round(w_{n}, 7) AS value FROM w{e}"
+        for e in range(1, LR_EPOCHS + 1)
+        for n in ("bias", "ntok", "stop", "ttr")
+    )
+    # shared split+train CTE chain (q169 reads the curve off it; q170
+    # reads the final weights w{LR_EPOCHS} to serve the model gate)
+    _lr_train_ctes = f""",
+        comp AS (
+            SELECT s AS doc_id, least(s, min(d)) AS component
+            FROM reach GROUP BY s
+        ),
+        feats AS (
+            SELECT d.doc_id, d.source,
+                   CASE WHEN {bsql} < 80 THEN 'train'
+                        WHEN {bsql} < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   {TX.token_count_sql()}::DOUBLE / {_lrd(100.0)} AS x_ntok,
+                   {TX.stopword_ratio_sql()} AS x_stop,
+                   {TX.type_token_ratio_sql()} AS x_ttr,
+                   CASE WHEN {TX.token_count_sql()} >= 5
+                         AND {TX.stopword_ratio_sql()} <= 0.6
+                         AND {TX.type_token_ratio_sql()} >= 0.3
+                        THEN {_lrd(1.0)} ELSE {_lrd(0.0)} END AS y
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        ),
+        tr AS (SELECT * FROM feats WHERE split = 'train'),
+        w0 AS (
+            SELECT {_lrd(LR_W0['bias'])} AS w_bias,
+                   {_lrd(LR_W0['ntok'])} AS w_ntok,
+                   {_lrd(LR_W0['stop'])} AS w_stop,
+                   {_lrd(LR_W0['ttr'])} AS w_ttr
+        ),{",".join(_lr_epoch_sql(e) for e in range(1, LR_EPOCHS + 1))}"""
+    oracles["q169_lr_train_curve"] = _cc_ctes(sh, mh) + _lr_train_ctes + f""",
+        sc AS (
+            SELECT f.doc_id, f.source, {_sig(_zw)} AS score,
+                   y = {_lrd(1.0)} AS label
+            FROM feats f, w{LR_EPOCHS} w WHERE f.split = 'test'
+        ),
+        rk AS (
+            SELECT source, label,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY score, doc_id) AS rn
+            FROM sc
+        ),
+        ag AS (
+            SELECT source,
+                   COUNT(*) FILTER (WHERE label) AS n_pos,
+                   COUNT(*) FILTER (WHERE NOT label) AS n_neg,
+                   CAST(SUM(CASE WHEN label THEN rn ELSE 0 END) AS BIGINT)
+                       AS prs
+            FROM rk GROUP BY source
+        ),
+        aucr AS (
+            SELECT 'auc' AS kind,
+                   CAST({LR_EPOCHS} AS BIGINT) AS epoch,
+                   source AS name,
+                   COALESCE(round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                       (CAST(prs AS DOUBLE)
+                        - CAST(n_pos AS DOUBLE)
+                          * (CAST(n_pos AS DOUBLE) + {_lrd(1.0)})
+                          / {_lrd(2.0)})
+                       / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+                       END, 6), {_lrd(-1.0)}) AS value
+            FROM ag
+        )
+        SELECT * FROM ({_lr_rows} UNION ALL
+                       SELECT kind, epoch, name, value FROM aucr)
+        ORDER BY kind, epoch, name
+    """
+    # q170: q155's board CTEs on top of the shared training chain; the
+    # drop set comes from the verified-pair SQL under a distinct CTE
+    # name (vpairs) because _cc_ctes already owns `pairs` — index
+    # pairs == inline pairs, the q159-certified identity.
+    oracles["q170_model_board"] = _cc_ctes(sh, mh) + _lr_train_ctes + f""",
+        b2 AS (SELECT doc_id, unnest({TX.ngrams_sql(n=2)}) AS g FROM documents),
+        c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM b2 GROUP BY 1, 2),
+        s2 AS (SELECT doc_id, MAX(c) AS best, SUM(c) AS tot FROM c2 GROUP BY 1),
+        b3 AS (SELECT doc_id, unnest({TX.ngrams_sql(n=3)}) AS g FROM documents),
+        c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM b3 GROUP BY 1, 2),
+        s3 AS (SELECT doc_id,
+                      COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS dup,
+                      SUM(c) AS tot
+               FROM c3 GROUP BY 1),
+        ech AS (SELECT doc_id, string_split(text, '') AS chars FROM documents),
+        ed AS (SELECT doc_id, chars,
+                      list_sort(list_distinct(chars)) AS alphabet,
+                      len(chars)::DOUBLE AS total
+               FROM ech),
+        ent AS (SELECT doc_id,
+                       {round_half_up_sql(
+                           "-list_sum(list_transform(alphabet, ch ->"
+                           " (len(list_filter(chars, x -> x = ch)) / total)"
+                           " * ln(len(list_filter(chars, x -> x = ch)) / total)))"
+                       )} AS entropy
+                FROM ed),
+        vpairs AS ({_lsh_pairs_core_sql(sh, mh)}),
+        drops AS (SELECT DISTINCT id_b AS doc_id FROM vpairs
+                  WHERE jaccard >= CAST({BOARD_NEARDUP_TAU} AS DOUBLE)),
+        ms AS (
+            SELECT f.doc_id, {_sig(_zw)} AS model_score
+            FROM feats f, w{LR_EPOCHS} w
+        ),
+        g AS (
+            SELECT d.doc_id,
+                   round({TX.tree_score_sql()}, 6) AS margin,
+                   {TX.tree_score_sql()} > CAST(0.0 AS DOUBLE) AS quality_keep,
+                   (CASE WHEN s2.tot > 0
+                         THEN s2.best::DOUBLE / s2.tot::DOUBLE ELSE 0.0 END
+                       <= CAST({REP_TOP2_MAX} AS DOUBLE)
+                    AND CASE WHEN s3.tot > 0
+                             THEN s3.dup::DOUBLE / s3.tot::DOUBLE ELSE 0.0 END
+                       <= CAST({REP_DUP3_MAX} AS DOUBLE)) AS rep_keep,
+                   e.entropy,
+                   e.entropy >= CAST({ENTROPY_MIN} AS DOUBLE) AS entropy_keep,
+                   dr.doc_id IS NULL AS dedup_keep,
+                   m.model_score,
+                   m.model_score >= CAST({MODEL_KEEP_TAU} AS DOUBLE)
+                       AS model_keep
+            FROM documents d
+            LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+            JOIN ent e USING (doc_id)
+            LEFT JOIN drops dr USING (doc_id)
+            JOIN ms m USING (doc_id)
+        )
+        SELECT doc_id, margin, entropy, quality_keep, rep_keep,
+               entropy_keep, dedup_keep, model_score, model_keep,
+               (quality_keep AND rep_keep AND entropy_keep AND dedup_keep
+                AND model_keep) AS keep,
+               COALESCE(array_to_string(list_filter([
+                   CASE WHEN NOT dedup_keep THEN 'neardup' ELSE NULL END,
+                   CASE WHEN NOT entropy_keep THEN 'entropy' ELSE NULL END,
+                   CASE WHEN NOT quality_keep THEN 'quality' ELSE NULL END,
+                   CASE WHEN NOT rep_keep THEN 'repetition' ELSE NULL END,
+                   CASE WHEN NOT model_keep THEN 'model' ELSE NULL END
+               ], x -> x IS NOT NULL), ','), '') AS reasons
+        FROM g ORDER BY doc_id
     """
     # q161: index-served twin of q153 (execution strategy, not a
     # semantic change; index==inline pairs asserted in tests).

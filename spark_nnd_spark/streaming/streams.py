@@ -548,6 +548,7 @@ def curation_gate_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     timeout_sec: int = 180,
+    model_w: dict | None = None,
 ) -> Any:
     """Streaming ingest-time curation gate — the q155/q159 scoreboard
     composed as a stateless per-batch verdict: every candidate doc gets
@@ -564,7 +565,11 @@ def curation_gate_stream(
     Idempotence: the probe never mutates the index, so the board is a
     pure function of (batch, index); a replayed batch overwrites its
     own batchId directory with identical rows (replay==batch asserted
-    in tests).
+    in tests). Pass ``model_w`` (a q169-trained weight dict) to add
+    the learned-classifier gate — the board inherits model_score /
+    model_keep and the 'model' reason through the shared
+    board_gates/board_compose helpers (q170's serving shape at
+    ingest time).
 
     Scale (100 TB/day ingest): text gates are codegen expressions over
     O(batch) rows; the index probe shuffles O(batch + candidates)
@@ -596,7 +601,7 @@ def curation_gate_stream(
             .filter(F.col("verdict") != "novel")
             .select("doc_id")
         )
-        board_compose(board_gates(docs), drops).write.mode(
+        board_compose(board_gates(docs, model_w=model_w), drops).write.mode(
             "overwrite"
         ).parquet(f"{out_path}/board_batch={batch_id}")
 

@@ -89,3 +89,57 @@ def test_curation_gate_stream_replay_equals_batch(spark, tmp_path):
     )
     batch = _rows(board_compose(board_gates(docs), drops))
     assert streamed == batch
+
+
+def test_model_scored_gate_stream_and_board(spark, tmp_path):
+    """q170's model gate at ingest: curation_gate_stream(model_w=...)
+    inherits model_score/model_keep and the 'model' reason through the
+    shared board helpers; stream == batch twin with the same weights;
+    an out-of-band all-negative model drops everything with 'model'."""
+    corpus = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "ndidx")
+    build_neardup_index(corpus, idx, num_hashes=16, bands=4, n=3)
+    cands = [
+        (9100, " ".join(f"w{i}" for i in range(40))),
+        (9101, "zz zz zz zz zz zz zz zz zz zz"),
+    ]
+    src = tmp_path / "cands"
+    src.mkdir()
+    p = src / "chunk0.parquet"
+    pd.DataFrame(cands, columns=["doc_id", "text"]).to_parquet(p, index=False)
+    out = str(tmp_path / "boards")
+    w = {"bias": 0.2, "ntok": 0.1, "stop": -0.2, "ttr": 0.3}
+
+    def run(ckpt: str, weights):
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(src)
+        )
+        curation_gate_stream(
+            stream, idx, out, checkpoint=str(tmp_path / ckpt),
+            threshold=0.9, model_w=weights,
+        )
+        return _rows(spark.read.parquet(out).drop("board_batch"))
+
+    streamed = run("ck1", w)
+    # schema now: doc_id, margin, entropy, quality_keep, rep_keep,
+    #   entropy_keep, dedup_keep, model_score, model_keep, keep, reasons
+    assert all(len(r) == 11 for r in streamed)
+    assert run("ck2", w) == streamed  # replay == first run
+
+    docs = spark.createDataFrame(cands, "doc_id long, text string")
+    drops = (
+        neardup_query_index(spark, idx, docs, threshold=0.9)
+        .filter(F.col("verdict") != "novel")
+        .select("doc_id")
+    )
+    batch = _rows(board_compose(board_gates(docs, model_w=w), drops))
+    assert streamed == batch
+
+    # a certain-negative model (huge negative bias) fails every doc
+    # with the 'model' reason folded into the verdict
+    wneg = {"bias": -100.0, "ntok": 0.0, "stop": 0.0, "ttr": 0.0}
+    rejected = run("ck3", wneg)
+    assert all(r[8] is False and r[9] is False for r in rejected)
+    assert all("model" in r[10] for r in rejected)

@@ -2680,3 +2680,30 @@ def test_kmv_pair_jaccard_exact_when_k_covers_union(spark):
     }
     assert trunc[("a", "b")]["n_union_kept"] == 16
     assert trunc[("a", "b")]["n_both"] == 0
+
+
+def test_lr_train_curve_converges(spark):
+    """q169: the per-epoch train losses must be monotone decreasing
+    (full-batch GD on a smooth convex loss with a sane rate), weights
+    must move every epoch, and the held-out AUC rows must be valid
+    probabilities or the -1.0 single-class sentinel."""
+    from spark_nnd_spark.queries.pipeline import (
+        LR_EPOCHS,
+        q169_lr_train_curve,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q169_lr_train_curve(spark, SF_SMOKE).collect()
+    losses = [r.value for r in rows if r.kind == "loss"]
+    assert len(losses) == LR_EPOCHS
+    assert all(a > b for a, b in zip(losses, losses[1:])), losses
+    weights = {(r.epoch, r.name): r.value for r in rows if r.kind == "weight"}
+    assert len(weights) == 4 * LR_EPOCHS
+    # gradient steps actually move the parameters epoch over epoch
+    assert any(
+        weights[(e, n)] != weights[(e + 1, n)]
+        for e in range(1, LR_EPOCHS)
+        for n in ("bias", "ntok", "stop", "ttr")
+    )
+    aucs = [r.value for r in rows if r.kind == "auc"]
+    assert aucs and all(v == -1.0 or 0.0 <= v <= 1.0 for v in aucs)

@@ -1018,6 +1018,33 @@ def test_indexed_phash_probe_broadcasts_batch(spark):
     assert "Exchange hashpartitioning(band" not in plan
 
 
+def test_lr_train_curve_scalar_epochs(spark):
+    """q169: the epochs are already-materialized driver scalars by plan
+    time (the convergence-scalar class — each was ONE single-row
+    aggregate), so the final plan is the curve rows (LocalTableScan)
+    plus the held-out AUC pass over the CHECKPOINTED feature table
+    (Scan ExistingRDD): no parquet re-scan, no Python, no cartesian,
+    and the AUC window is source-keyed, never single-partition."""
+    plan = _plan(spark, "q169_lr_train_curve")
+    assert "Scan parquet" not in plan
+    assert "hashpartitioning(source" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_model_board_single_corpus_scan(spark):
+    """q170: the learned-model gate must ride the SAME corpus scan as
+    the other text gates (q155's one-scan contract — serving the
+    classifier adds zero passes); drop set broadcast; no cartesian."""
+    plan = _plan(spark, "q170_model_board")
+    # one scan of the CORPUS; the drop set's persisted-index tables
+    # (q159's path) scan separately by design
+    assert plan.count("documents.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_bpe_merge_rounds_materialized_iterations(spark):
     """q157: the driver loop materializes each round (eager
     localCheckpoint — the NND iteration discipline), so the final plan
