@@ -119,19 +119,92 @@ def fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+# Auto df-cut defaults: the cap derives from the corpus's own posting
+# document-frequency distribution instead of a hand-tuned absolute
+# (BENCH_SF1_SPOT's finding: a fixed cap sits above the whole df
+# distribution until the corpus saturates, then the inverted-index
+# join is quadratic in Σ df²). A df QUANTILE was tried first and
+# fails exactly there — on a saturated corpus the whole distribution
+# shifts up with N, so the quantile rises with it and never bites
+# (measured: derived p99.9 cap 122 > the fixed 100 at the sf1.0
+# step). The shipped rule is a CANDIDATE BUDGET instead: the largest
+# cap c with Σ_{df<=c} df² <= AUTO_DF_BUDGET · Σ df — i.e. admit keys
+# until the self-join's candidate volume exceeds AUTO_DF_BUDGET
+# candidates per posting on average. Candidates stay O(postings) BY
+# CONSTRUCTION at any corpus size or saturation level. The floor
+# keeps tiny corpora / test fixtures exact — below it no cut fires.
+AUTO_DF_BUDGET = 8.0
+AUTO_DF_FLOOR = 16
+
+
+def derived_df_cap(
+    dfreq: DataFrame,
+    df_col: str = "df",
+    budget: float = AUTO_DF_BUDGET,
+    floor: int = AUTO_DF_FLOOR,
+) -> int:
+    """Corpus-derived posting-frequency cap under a candidate budget:
+    admit df values ascending while the admitted keys' Σ df² stays
+    within ``budget`` × total postings; the cap is the last admitted
+    df (all keys admitted → the max df — open-vocabulary corpora are
+    never cut), floored at ``floor``. Keys above the cap are exactly
+    the Zipf head that owns the quadratic candidate blow-up; what
+    survives generates <= budget candidates per posting on average —
+    the linear-join contract as an invariant, not a tuning. Cost: one
+    O(distinct keys) aggregate folded to an O(distinct df values)
+    histogram collected to the driver (the convergence-scalar class).
+
+    Trade (documented, visible in BENCH_AUTO_DFCUT.json): on a
+    vocabulary-saturated corpus the budget cuts into the body of the
+    distribution and verified pairs whose overlap is all-hot content
+    are lost — recall there belongs to the MinHash-LSH tier (q16),
+    which stays linear without any df cut."""
+    hist = (
+        dfreq.groupBy(df_col)
+        .agg(F.count("*").alias("k"))
+        .orderBy(df_col)
+        .collect()
+    )
+    total = sum(r[df_col] * r["k"] for r in hist)
+    if total == 0:
+        return floor
+    limit = budget * total
+    cap, cum = 0, 0.0
+    for r in hist:
+        cum += r["k"] * float(r[df_col]) ** 2
+        if cum > limit:
+            break
+        cap = r[df_col]
+    return max(floor, int(cap))
+
+
+def _resolve_shingle_cap(raw: DataFrame, max_shingle_freq) -> int | None:
+    """'auto' → derived_df_cap over the posting df distribution; pass
+    ints / None through unchanged (declared queries pin explicit caps
+    so their oracles replay; 'auto' is the production default)."""
+    if max_shingle_freq != "auto":
+        return max_shingle_freq
+    return derived_df_cap(
+        raw.groupBy("shingle").agg(F.count("*").alias("df"))
+    )
+
+
 def shingle_postings(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | str | None = "auto",
 ) -> DataFrame:
     """Inverted index: (shingle, doc_id) postings over distinct n-token
-    shingles, optionally dropping shingles hotter than max_shingle_freq
-    (df-cut — the skew guard for the self-join)."""
+    shingles, dropping shingles hotter than max_shingle_freq (df-cut —
+    the skew guard for the self-join). The default 'auto' derives the
+    cap from the corpus df distribution (derived_df_cap); pass an int
+    to pin it or None to disable."""
     posts = _fan_out(df).select(
         F.col(id_col), F.explode(TX.shingles_expr(text_col, n)).alias("shingle")
     )
+    max_shingle_freq = _resolve_shingle_cap(posts, max_shingle_freq)
     if max_shingle_freq is None:
         return posts
     hot = (
@@ -149,7 +222,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | str | None = "auto",
 ) -> DataFrame:
     """n-gram Jaccard near-duplicate pairs via inverted-index self-join.
 
@@ -187,12 +260,13 @@ def _jaccard_from_postings(
     raw: DataFrame,
     id_col: str,
     threshold: float,
-    max_shingle_freq: int | None,
+    max_shingle_freq: int | str | None,
 ) -> DataFrame:
     """The Jaccard-pairs core over materialized (id, shingle) postings —
     shared by the tokenize-inline path (jaccard_pairs) and the
     index-served path (jaccard_pairs_index), so the join/verify
     semantics can never drift between them."""
+    max_shingle_freq = _resolve_shingle_cap(raw, max_shingle_freq)
     # full set sizes (pre-cut, mirroring the oracle): shingles_expr is
     # per-doc distinct, so the count equals F.size of the array; docs
     # with zero shingles are absent here AND from the postings join, so
@@ -241,7 +315,7 @@ def jaccard_pairs_index(
     spark,
     path: str,
     threshold: float = 0.2,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | str | None = "auto",
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs served from the persisted index's
     shingle sidecar (build_neardup_index): the postings stream is the
@@ -269,7 +343,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.7,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | str | None = "auto",
 ) -> DataFrame:
     """Directed shingle-containment near-dup pairs:
     ``|A∩B| / |A| >= threshold`` emits (contained, container,
@@ -295,11 +369,12 @@ def _containment_from_postings(
     raw: DataFrame,
     id_col: str,
     threshold: float,
-    max_shingle_freq: int | None,
+    max_shingle_freq: int | str | None,
 ) -> DataFrame:
     """Containment-pairs core over materialized (id, shingle) postings —
     shared by the tokenize-inline path (containment_pairs) and the
     index-served path (containment_pairs_index)."""
+    max_shingle_freq = _resolve_shingle_cap(raw, max_shingle_freq)
     sizes = raw.groupBy(id_col).agg(F.count("*").alias("n_sh")).select(
         F.col(id_col).alias("id"), "n_sh"
     )
@@ -349,7 +424,7 @@ def containment_pairs_index(
     spark,
     path: str,
     threshold: float = 0.7,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | str | None = "auto",
 ) -> DataFrame:
     """Directed containment pairs served from the persisted index's
     shingle sidecar — the jaccard_pairs_index pattern on the asymmetric
@@ -1579,7 +1654,7 @@ def exact_span_pairs(
     id_col: str = "doc_id",
     gram_len: int = 6,
     min_span_tokens: int = 12,
-    max_gram_freq: int | None = None,
+    max_gram_freq: int | str | None = None,
 ) -> DataFrame:
     """Exact-substring (verbatim span) dedup — the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better"
@@ -1631,7 +1706,7 @@ def _span_islands(
     text_col: str,
     id_col: str,
     gram_len: int,
-    max_gram_freq: int | None,
+    max_gram_freq: int | str | None,
 ) -> DataFrame:
     """Shared island kernel behind exact_span_pairs (pair scores) and
     span_remove_rewrite (cut coordinates): one row per maximal verbatim
@@ -1653,6 +1728,10 @@ def _span_islands(
         .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gh")
         .localCheckpoint(eager=True)
     )
+    if max_gram_freq == "auto":
+        max_gram_freq = derived_df_cap(
+            posts.groupBy("gh").agg(F.countDistinct(id_col).alias("df"))
+        )
     if max_gram_freq is not None:
         hot = (
             posts.groupBy("gh")
@@ -1830,7 +1909,7 @@ def span_query_index(
     path: str,
     batch: DataFrame,
     min_span_tokens: int = 12,
-    max_gram_freq: int | None = None,
+    max_gram_freq: int | str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -1880,6 +1959,12 @@ def span_query_index(
     ).select(
         F.col(stored_id).alias("index_id"), F.col("pos").alias("pos_c"), "gh"
     )
+    if max_gram_freq == "auto":
+        # derived from the STORED per-gram doc frequencies — O(grams)
+        # metadata, no corpus rescan (the gram_stats contract)
+        max_gram_freq = derived_df_cap(
+            spark.read.parquet(f"{path}/gram_stats")
+        )
     if max_gram_freq is not None:
         hot = (
             spark.read.parquet(f"{path}/gram_stats")

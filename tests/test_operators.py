@@ -243,8 +243,13 @@ def test_jaccard_df_cut_drops_hot_shingle(spark):
              (101, "alpha beta gamma delta epsilon eta")]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
+    # explicit None: the operator DEFAULT is now the corpus-derived
+    # 'auto' budget cap, which (correctly) cuts this fixture's
+    # every-doc boilerplate shingle — this test wants the raw join
     uncapped = {(r["id_a"], r["id_b"])
-                for r in DD.jaccard_pairs(docs, n=3, threshold=0.1).collect()}
+                for r in DD.jaccard_pairs(
+                    docs, n=3, threshold=0.1, max_shingle_freq=None
+                ).collect()}
     capped = {(r["id_a"], r["id_b"])
               for r in DD.jaccard_pairs(docs, n=3, threshold=0.1,
                                         max_shingle_freq=5).collect()}
@@ -2707,3 +2712,55 @@ def test_lr_train_curve_converges(spark):
     )
     aucs = [r.value for r in rows if r.kind == "auc"]
     assert aucs and all(v == -1.0 or 0.0 <= v <= 1.0 for v in aucs)
+
+
+def test_auto_df_cap_tracks_corpus(spark):
+    """'auto' df-cut (the BENCH_SF1_SPOT fix): on a small / open-vocab
+    corpus the derived cap sits at-or-above the whole df distribution
+    (nothing cut — results equal the uncut join); on a
+    vocabulary-saturated corpus with a Zipf head the cap lands between
+    head and body, so ONLY the quadratic head keys are cut — without
+    hand-tuning an absolute."""
+    from spark_nnd_spark.operators.dedup import derived_df_cap
+
+    # open-ish fixture: every doc mostly unique — auto == uncut rows
+    rows = [(i, f"u{i} v{i} w{i} x{i} y{i} z{i}") for i in range(30)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon eta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    auto = {(r.id_a, r.id_b)
+            for r in DD.jaccard_pairs(docs, n=3, threshold=0.1).collect()}
+    uncut = {(r.id_a, r.id_b)
+             for r in DD.jaccard_pairs(
+                 docs, n=3, threshold=0.1, max_shingle_freq=None
+             ).collect()}
+    assert auto == uncut and (100, 101) in auto
+
+    # saturated fixture: one boilerplate shingle in EVERY doc (df 400,
+    # the Zipf head) over a body of df<=2 content shingles — the
+    # derived cap must land strictly between body and head
+    sat = [(i, f"the quick brown p{i % 200} q{i % 200} r{i}")
+           for i in range(400)]
+    sdocs = spark.createDataFrame(sat, "doc_id long, text string")
+    posts = sdocs.select(
+        F.col("doc_id"),
+        F.explode(
+            __import__(
+                "spark_nnd_spark.functions.text", fromlist=["text"]
+            ).shingles_expr("text", 3)
+        ).alias("shingle"),
+    )
+    cap = derived_df_cap(posts.groupBy("shingle").agg(F.count("*").alias("df")))
+    assert 2 <= cap < 400
+    # with the head cut, boilerplate-ONLY pairs (overlap = just the
+    # hot shingle, J = 1/7) vanish and the join is no longer quadratic
+    # in the hot key; the 200 genuine content pairs all survive
+    pairs = {(r.id_a, r.id_b)
+             for r in DD.jaccard_pairs(sdocs, n=3, threshold=0.1).collect()}
+    uncut = {(r.id_a, r.id_b)
+             for r in DD.jaccard_pairs(
+                 sdocs, n=3, threshold=0.1, max_shingle_freq=None
+             ).collect()}
+    content = {(i, i + 200) for i in range(200)}
+    assert pairs == content
+    assert len(uncut) > 10_000 and content <= uncut
