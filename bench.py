@@ -139,6 +139,8 @@ HEADLINE = [
     "q168_indexed_phash",
     "q169_lr_train_curve",
     "q170_model_board",
+    "q171_ref_lm_buckets",
+    "q172_indexed_scrub",
 ]
 
 

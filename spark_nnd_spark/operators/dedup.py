@@ -1802,8 +1802,6 @@ def span_remove_rewrite(
     filtered by position against the doc's merged intervals, never
     exploded through a shuffle (document token order survives for
     free)."""
-    from pyspark.sql.window import Window  # noqa: PLC0415
-
     cuts = (
         _span_islands(df, text_col, id_col, gram_len, max_gram_freq)
         .filter(F.col("span_tokens") >= min_span_tokens)
@@ -1811,6 +1809,26 @@ def span_remove_rewrite(
         .select(F.col("id_b").alias(id_col), "start_b", "end_b")
         .distinct()
     )
+    return _apply_cut_intervals(df, cuts, text_col, id_col)
+
+
+def _apply_cut_intervals(
+    df: DataFrame,
+    cuts: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Interval-union + token-slice rewrite shared by the
+    corpus-internal keep-one-copy rewrite (span_remove_rewrite) and
+    the index-served ingest scrub (span_scrub_index): ``cuts`` is
+    (id_col, start_b, end_b) 1-based inclusive token intervals;
+    overlapping intervals union per doc (running-max window — the
+    islands pattern), the per-doc merged set collects to an array,
+    and the text rewrite is a narrow codegen array filter. Emits one
+    row per input doc: (id, cleaned_text, n_spans_cut, tokens_cut);
+    untouched docs pass through with 0/0."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
     prev_end = F.max("end_b").over(
         Window.partitionBy(id_col)
         .orderBy("start_b", "end_b")
@@ -1912,6 +1930,7 @@ def span_query_index(
     max_gram_freq: int | str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _return_islands: bool = False,
 ) -> DataFrame:
     """Verbatim-span probe of a batch against the PERSISTED span index:
     for each (batch doc, indexed doc) pair sharing a maximal verbatim
@@ -2005,15 +2024,67 @@ def span_query_index(
         .agg(
             (F.max("pos_q") - F.min("pos_q") + F.lit(gram_len)).alias(
                 "span_tokens"
-            )
+            ),
+            F.min("pos_q").alias("start_q"),
+            (F.max("pos_q") + F.lit(gram_len) - 1).alias("end_q"),
         )
         .filter(F.col("span_tokens") >= min_span_tokens)
     )
+    if _return_islands:
+        return spans
     return spans.groupBy("batch_id", "index_id").agg(
         F.count("*").alias("n_spans"),
         F.max("span_tokens").alias("max_span_tokens"),
         F.sum("span_tokens").alias("matched_tokens"),
     )
+
+
+def span_scrub_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    min_span_tokens: int = 12,
+    max_gram_freq: int | str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest-time span-decontamination REWRITE against the PERSISTED
+    span index: where span_query_index FLAGS a candidate that shares a
+    verbatim run of >= ``min_span_tokens`` tokens with an indexed doc,
+    this emits the candidate's CLEANED text with every such run cut —
+    the operation a pipeline actually applies when the index holds
+    protected content (eval benchmarks, opted-out documents): admit
+    the doc, remove the leaked span. Unlike span_remove_rewrite's
+    corpus-internal keep-one-copy policy, EVERY matching batch-side
+    occurrence is cut (the indexed side is the canonical copy by
+    definition). One row per batch doc: (id, cleaned_text,
+    n_spans_cut, tokens_cut); clean docs pass through 0/0.
+
+    Scale: the probe is span_query_index's kernel verbatim (batch
+    side broadcasts, stored postings never shuffle — measured flat,
+    BENCH_SPAN_SCALE); the rewrite adds only O(cut intervals) wide
+    work + the narrow token-slice (the shared _apply_cut_intervals
+    kernel)."""
+    islands = span_query_index(
+        spark,
+        path,
+        batch,
+        min_span_tokens=min_span_tokens,
+        max_gram_freq=max_gram_freq,
+        text_col=text_col,
+        id_col=id_col,
+        _return_islands=True,
+    )
+    cuts = (
+        islands.select(
+            F.col("batch_id").alias(id_col),
+            F.col("start_q").alias("start_b"),
+            F.col("end_q").alias("end_b"),
+        )
+        # several indexed partners can contribute the same interval
+        .distinct()
+    )
+    return _apply_cut_intervals(batch, cuts, text_col, id_col)
 
 
 def _span_tables(spark, path: str):

@@ -4680,6 +4680,46 @@ def q170_model_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     return board_compose(board_gates(d, model_w=w), drops).orderBy("doc_id")
 
 
+# CCNet reference slice: src1 plays Wikipedia (deterministic,
+# non-probing — src0 is the ingest-batch side everywhere else).
+REF_LM_SOURCE = "src1"
+
+
+def q171_ref_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style reference-LM perplexity bucketing (operators/
+    sampling.ref_lm_buckets, Wenzek et al. 2020): every document
+    scored by mean token log-probability under an add-one-smoothed
+    unigram LM trained ONLY on the trusted reference slice
+    (source = src1 stands in for Wikipedia), then per-language ntile
+    thirds — tile 1 is the slice CCNet keeps outright, tile 3 is the
+    quarantine tail. The language-conditioned complement of q165's
+    self-trained bigram perplexity and q140's global DSIR top-k.
+
+    Scale (100 TB): one exploded-token aggregate builds the reference
+    counts + vocab size at O(vocab); scoring is a token-keyed join +
+    one per-doc fold; the tiles cost one lang-partitioned sort (at
+    true scale the same tiles come from two broadcast cutoffs off the
+    q126 histogram sketch — boundary rows only)."""
+    from spark_nnd_spark.operators.sampling import ref_lm_buckets  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "is_ref", F.col("source") == REF_LM_SOURCE
+    )
+    return (
+        ref_lm_buckets(
+            d, tokens_col=TX.tokens_expr("text"), ref_col="is_ref"
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "logprob",
+            F.col("bucket").cast("int").alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q161_indexed_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q153's threshold calibration curve with the verified pairs
     served from the PERSISTED near-dup index (the r9 VERDICT nit,
@@ -4766,6 +4806,34 @@ def q162_indexed_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("matched_tokens").cast("long").alias("matched_tokens"),
         )
         .orderBy("batch_id", "index_id")
+    )
+
+
+def q172_indexed_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time span-decontamination REWRITE served from the
+    PERSISTED span index (operators/dedup.span_scrub_index): q162
+    flags the src0 batch docs that verbatim-share >= SPAN_MIN_TOKENS
+    tokens with indexed content; this emits what the pipeline actually
+    admits — the batch with every such run CUT from the text (one row
+    per batch doc: cleaned_text, n_spans_cut, tokens_cut; clean docs
+    pass through 0/0). The index side is the canonical/protected copy
+    (eval benchmarks, opted-out docs), so every batch-side occurrence
+    is removed — the ingest complement of q167's corpus-internal
+    keep-one-copy rewrite.
+
+    Scale: q162's probe kernel verbatim (batch broadcasts, stored
+    postings never shuffle — BENCH_SPAN_SCALE's flat contract) plus
+    O(cut intervals) rewrite work and a narrow token slice."""
+    d = _span_planted_probe(load_table(spark, sf_dir, "documents"))
+    idx = _span_index_for(spark, sf_dir)
+    return (
+        DD.span_scrub_index(
+            spark,
+            idx,
+            d.filter(F.col("source") == "src0"),
+            min_span_tokens=SPAN_MIN_TOKENS,
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -4906,6 +4974,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q168_indexed_phash": q168_indexed_phash,
     "q169_lr_train_curve": q169_lr_train_curve,
     "q170_model_board": q170_model_board,
+    "q171_ref_lm_buckets": q171_ref_lm_buckets,
+    "q172_indexed_scrub": q172_indexed_scrub,
 }
 
 
@@ -8054,6 +8124,45 @@ def pipeline_oracles() -> dict[str, str]:
                ], x -> x IS NOT NULL), ','), '') AS reasons
         FROM g ORDER BY doc_id
     """
+    # q171: the reference-LM CTE chain replays the operator 1:1 —
+    # ref counts + vocab size from one token aggregate, add-one
+    # smoothed ln, per-doc mean rounded 6dp BEFORE the per-language
+    # ntile (rounded-value + doc_id tiebreak => deterministic tiles,
+    # the q140 ordering discipline). CASTs keep DuckDB's DECIMAL
+    # literals out of the double arithmetic.
+    oracles["q171_ref_lm_buckets"] = f"""
+        WITH toks AS (
+            SELECT doc_id, lang, source = 'src1' AS is_ref, t AS token
+            FROM (SELECT doc_id, lang, source,
+                         unnest({TX.tokens_sql()}) AS t
+                  FROM documents)
+            WHERE t <> ''
+        ),
+        vocab AS (
+            SELECT token,
+                   CAST(COUNT(*) FILTER (WHERE is_ref) AS BIGINT) AS ref_cnt
+            FROM toks GROUP BY token
+        ),
+        tot AS (
+            SELECT CAST(SUM(ref_cnt) AS BIGINT) AS ref_total,
+                   COUNT(*) AS v_size
+            FROM vocab
+        ),
+        scored AS (
+            SELECT doc_id, lang, COUNT(*) AS n_tokens,
+                   round(SUM(ln((ref_cnt + CAST(1.0 AS DOUBLE))
+                               / (ref_total
+                                  + CAST(1.0 AS DOUBLE) * v_size)))
+                         / COUNT(*), 6) AS logprob
+            FROM toks JOIN vocab USING (token), tot
+            GROUP BY doc_id, lang
+        )
+        SELECT doc_id, lang, n_tokens, logprob,
+               CAST(ntile(3) OVER (PARTITION BY lang
+                                   ORDER BY logprob DESC, doc_id) AS INT)
+                   AS bucket
+        FROM scored ORDER BY doc_id
+    """
     # q161: index-served twin of q153 (execution strategy, not a
     # semantic change; index==inline pairs asserted in tests).
     oracles["q161_indexed_sweep"] = oracles["q153_dedup_sweep"]
@@ -8108,6 +8217,83 @@ def pipeline_oracles() -> dict[str, str]:
                MAX(span_tokens)::BIGINT AS max_span_tokens,
                CAST(SUM(span_tokens) AS BIGINT) AS matched_tokens
         FROM s GROUP BY batch_id, index_id ORDER BY batch_id, index_id
+    """
+    # q172: q162's one-sided island CTEs at interval granularity on
+    # the batch side, then q167's interval-union + indexed-list_filter
+    # reconstruction over the src0 slice.
+    oracles["q172_indexed_scrub"] = f"""
+        WITH aug AS ({_span_plant_sql}),
+        h AS (
+            SELECT doc_id, source,
+                   {TX.ordered_shingle_hashes_sql('text', SPAN_GRAM_LEN)} AS hs
+            FROM aug
+        ),
+        g AS (
+            SELECT doc_id, source, u.pos AS pos, u.gh AS gh
+            FROM (
+                SELECT doc_id, source,
+                       unnest(list_transform(range(1, len(hs) + 1),
+                              i -> struct_pack(pos := i, gh := hs[i]))) AS u
+                FROM h
+            )
+        ),
+        m AS (
+            SELECT q.doc_id AS batch_id, c.doc_id AS index_id,
+                   q.pos AS pos_q, c.pos AS pos_c
+            FROM g q JOIN g c ON q.gh = c.gh
+            WHERE q.source = 'src0' AND c.source <> 'src0'
+        ),
+        r AS (
+            SELECT batch_id, index_id, pos_q, pos_c,
+                   pos_q - ROW_NUMBER() OVER (
+                       PARTITION BY batch_id, index_id, pos_q - pos_c
+                       ORDER BY pos_q) AS island
+            FROM m
+        ),
+        s AS (
+            SELECT batch_id, MIN(pos_q) AS start_b,
+                   MAX(pos_q) + {SPAN_GRAM_LEN} - 1 AS end_b
+            FROM r GROUP BY batch_id, index_id, pos_q - pos_c, island
+            HAVING MAX(pos_q) - MIN(pos_q) + {SPAN_GRAM_LEN}
+                   >= {SPAN_MIN_TOKENS}
+        ),
+        iv0 AS (SELECT DISTINCT batch_id AS doc_id, start_b, end_b FROM s),
+        ivb AS (
+            SELECT doc_id, start_b, end_b,
+                   CASE WHEN start_b > COALESCE(MAX(end_b) OVER (
+                            PARTITION BY doc_id ORDER BY start_b, end_b
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS brk
+            FROM iv0
+        ),
+        ivg AS (
+            SELECT doc_id, start_b, end_b,
+                   SUM(brk) OVER (PARTITION BY doc_id
+                                  ORDER BY start_b, end_b) AS grp
+            FROM ivb
+        ),
+        ivu AS (
+            SELECT doc_id, MIN(start_b) AS st, MAX(end_b) AS e
+            FROM ivg GROUP BY doc_id, grp
+        ),
+        cut AS (
+            SELECT doc_id, COUNT(*)::BIGINT AS n_spans_cut,
+                   CAST(SUM(e - st + 1) AS BIGINT) AS tokens_cut,
+                   flatten(list(range(st, e + 1))) AS cut_pos
+            FROM ivu GROUP BY doc_id
+        )
+        SELECT a.doc_id,
+               COALESCE(array_to_string(
+                   list_filter(string_split(a.text, ' '),
+                               (x, i) -> NOT list_contains(
+                                   COALESCE(c.cut_pos, []), i)),
+                   ' '), '') AS cleaned_text,
+               COALESCE(c.n_spans_cut, 0) AS n_spans_cut,
+               COALESCE(c.tokens_cut, 0) AS tokens_cut
+        FROM aug a LEFT JOIN cut c ON a.doc_id = c.doc_id
+        WHERE a.source = 'src0'
+        ORDER BY a.doc_id
     """
     # q163: the q157 merge chain carrying the word through each round,
     # then the encode join replayed relationally.

@@ -1394,3 +1394,56 @@ def image_gate_stream(
         .start()
     )
     return _await_or_raise(q, timeout_sec)
+
+
+def span_scrub_stream(
+    candidate_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    min_span_tokens: int = 12,
+    max_gram_freq: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    timeout_sec: int = 180,
+) -> Any:
+    """Streaming span-decontamination REWRITE — the ingest twin of
+    q172 (and the rewrite sibling of span_gate_stream's flag-only
+    verdicts): each micro-batch is scrubbed against the PERSISTED span
+    index (operators/dedup.span_scrub_index), emitting the batch with
+    every verbatim run of >= ``min_span_tokens`` indexed tokens CUT —
+    (doc_id, cleaned_text, n_spans_cut, tokens_cut) per candidate,
+    written to a batchId-keyed parquet directory. The pipeline that
+    ADMITS leaky docs minus the leak, instead of rejecting them whole.
+
+    Idempotence: the scrub never mutates the index — output is a pure
+    function of (batch, index); a replayed batch overwrites its own
+    batchId directory with identical rows (replay==batch asserted in
+    tests). Retracting an indexed doc stops its spans being cut
+    immediately (tombstones reach the probe).
+
+    Scale: span_query_index's per-batch contract (batch broadcasts,
+    stored postings never shuffle) + O(cut intervals) rewrite work."""
+    from spark_nnd_spark.operators.dedup import span_scrub_index  # noqa: PLC0415
+
+    def scrub(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        span_scrub_index(
+            spark,
+            index_path,
+            batch_df,
+            min_span_tokens=min_span_tokens,
+            max_gram_freq=max_gram_freq,
+            id_col=id_col,
+            text_col=text_col,
+        ).write.mode("overwrite").parquet(f"{out_path}/scrub_batch={batch_id}")
+
+    q = (
+        candidate_stream.writeStream.foreachBatch(scrub)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return _await_or_raise(q, timeout_sec)

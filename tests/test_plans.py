@@ -1045,6 +1045,33 @@ def test_model_board_single_corpus_scan(spark):
     assert "EvalPython" not in plan
 
 
+def test_ref_lm_buckets_single_token_pass(spark):
+    """q171: reference counts + vocab size come from ONE exploded-token
+    aggregate (map-side combined, checkpointed — both totals and the
+    scoring join read it); scoring is a token-keyed join + per-doc
+    fold; the tiles are a lang-partitioned window, never a global
+    single-partition sort; no Python anywhere."""
+    plan = _plan(spark, "q171_ref_lm_buckets")
+    assert "partial_count" in plan
+    assert "hashpartitioning(lang" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_indexed_scrub_broadcasts_batch(spark):
+    """q172: the scrub probe inherits q162's contract — the BATCH gram
+    rows broadcast (Scan ExistingRDD) so stored postings never
+    shuffle; island + interval windows are keyed (pair-diagonal /
+    batch doc), never single-partition; the token slice is a narrow
+    array filter, no Python."""
+    plan = _plan(spark, "q172_indexed_scrub")
+    assert "BroadcastHashJoin [gh" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "hashpartitioning(batch_id" in plan
+    assert "ArrayFilter" in plan or "filter(split(" in plan
+
+
 def test_bpe_merge_rounds_materialized_iterations(spark):
     """q157: the driver loop materializes each round (eager
     localCheckpoint — the NND iteration discipline), so the final plan

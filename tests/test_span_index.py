@@ -192,3 +192,114 @@ def test_span_gate_stream_replay_equals_batch(spark, tmp_path):
     assert {r[0]: r[4] for r in after} == {
         200: False, 201: False, 202: False, 203: False
     }
+
+
+def test_span_scrub_index_cuts_indexed_spans(spark, tmp_path):
+    """q172's kernel: a batch doc sharing the indexed passage gets it
+    CUT (surrounding text byte-identical), clean docs pass through
+    0/0, and the scrub agrees with the probe's flags doc-for-doc."""
+    from spark_nnd_spark.operators.dedup import span_scrub_index
+
+    idx = str(tmp_path / "sidx")
+    build_span_index(_corpus(spark), idx, gram_len=6)
+    b = _batch(spark)  # 100 carries the passage, 101 clean
+    out = {
+        r.doc_id: r
+        for r in span_scrub_index(
+            spark, idx, b, min_span_tokens=12
+        ).collect()
+    }
+    assert set(out) == {100, 101}
+    assert out[100].n_spans_cut == 1 and out[100].tokens_cut == 12
+    assert PASSAGE not in out[100].cleaned_text
+    assert out[100].cleaned_text == _fill("q", 20) + " " + _fill("r", 10)
+    assert out[101].n_spans_cut == 0 and out[101].tokens_cut == 0
+    assert out[101].cleaned_text == _fill("s", 35)
+    # scrub flags == probe flags
+    flagged = {
+        r.batch_id
+        for r in span_query_index(
+            spark, idx, b, min_span_tokens=12
+        ).collect()
+    }
+    assert {i for i, r in out.items() if r.n_spans_cut > 0} == flagged
+    # retraction reaches the scrub immediately: retract every indexed
+    # passage carrier -> nothing cut any more
+    retract_from_span_index(
+        spark, idx, spark.createDataFrame([(1,), (3,)], "doc_id long")
+    )
+    after = {
+        r.doc_id: r
+        for r in span_scrub_index(
+            spark, idx, b, min_span_tokens=12
+        ).collect()
+    }
+    assert after[100].n_spans_cut == 0
+    assert PASSAGE in after[100].cleaned_text
+
+
+def test_span_scrub_stream_replay_equals_batch(spark, tmp_path):
+    """Streaming scrub: leaky candidates are admitted MINUS the leak in
+    every replay; output == one-shot batch scrub; retraction restores
+    the text immediately."""
+    import os
+
+    import pandas as pd
+
+    from spark_nnd_spark.operators.dedup import span_scrub_index
+    from spark_nnd_spark.streaming.streams import span_scrub_stream
+
+    idx = str(tmp_path / "sidx")
+    build_span_index(_corpus(spark), idx, gram_len=6)
+    cands = [
+        (300, _fill("m", 15) + " " + PASSAGE),
+        (301, _fill("n", 30)),
+        (302, PASSAGE + " " + _fill("o", 22)),
+        (303, _fill("t", 26)),
+    ]
+    src = tmp_path / "cands"
+    src.mkdir()
+    for b in range(2):
+        p = src / f"chunk{b}.parquet"
+        pd.DataFrame(
+            cands[2 * b : 2 * b + 2], columns=["doc_id", "text"]
+        ).to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + b, 1_700_000_000 + b))
+    out = str(tmp_path / "scrubs")
+
+    def run(ckpt: str):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        span_scrub_stream(
+            stream, idx, out, checkpoint=str(tmp_path / ckpt),
+            min_span_tokens=12,
+        )
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(out).drop("scrub_batch").collect()
+        )
+
+    streamed = run("ck1")
+    by_id = {r[0]: r for r in streamed}
+    assert by_id[300][1] == _fill("m", 15) and by_id[300][3] == 12
+    assert by_id[302][1] == _fill("o", 22) and by_id[302][3] == 12
+    assert by_id[301][1] == _fill("n", 30) and by_id[301][3] == 0
+    assert run("ck2") == streamed  # replay == first run
+    # stream == one-shot batch twin
+    docs = spark.createDataFrame(cands, "doc_id long, text string")
+    batch = sorted(
+        tuple(r)
+        for r in span_scrub_index(
+            spark, idx, docs, min_span_tokens=12
+        ).collect()
+    )
+    assert streamed == batch
+    # retraction: spans stop being cut immediately
+    retract_from_span_index(
+        spark, idx, spark.createDataFrame([(1,), (3,)], "doc_id long")
+    )
+    after = {r[0]: r for r in run("ck3")}
+    assert after[300][1] == cands[0][1] and after[300][3] == 0
