@@ -141,6 +141,7 @@ HEADLINE = [
     "q170_model_board",
     "q171_ref_lm_buckets",
     "q172_indexed_scrub",
+    "q173_pack_manifest",
 ]
 
 

@@ -639,3 +639,99 @@ def budget_waterfill(
         .otherwise(F.lit(0.0))
         .alias("rate"),
     )
+
+
+# ------------------------------ whole-document sequence packing
+
+def pack_whole_docs(
+    df: DataFrame,
+    n_col: Column,
+    context_len: int,
+    block_docs: int = 32,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Whole-document greedy (next-fit) packing manifest — the export
+    convention for runs that must NOT split documents across context
+    windows (SFT, cross-document attention masking): walk each
+    source's documents in stable id order and append each whole doc to
+    the current pack, opening a new pack when it would overflow
+    ``context_len``. A single oversize document (n > context_len) gets
+    a pack of its own (flagged, so the exporter can truncate it
+    explicitly). Complements the straddle convention (q66), where docs
+    split at pack boundaries and no token is ever padding.
+
+    Determinism across engines: packing is sequential by nature, so
+    the manifest shards it — per source, docs are numbered and cut
+    into fixed ``block_docs`` blocks; each (source, block) packs
+    independently with an in-array fold (next-fit is a left fold over
+    (fill, bin) state). Block boundaries are id-derived, so any engine
+    replays the exact assignment (the DuckDB oracle runs the same fold
+    as a recursive CTE).
+
+    Returns one manifest row per document: (source, block, bin,
+    doc_id, n_tokens, fill_after, oversize) — ``bin`` is local to the
+    (source, block) shard; (source, block, bin) is the global pack key.
+
+    Scale (100 TB): the text column is touched once (the token count);
+    the manifest rows that shuffle are 4 integers + the source key.
+    One window exchange on source for the numbering, one hash exchange
+    to (source, block) groups of at most ``block_docs`` rows, then the
+    fold is narrow per-row work. No collect, no global sort, no
+    Python. Block-local packing costs at most one under-filled pack
+    per block vs an unsharded walk — bounded, and the price of making
+    a sequential algorithm embarrassingly parallel.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(source_col).orderBy(id_col)
+    base = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        n_col.cast("long").alias("n_tokens"),
+    ).withColumn("rn", F.row_number().over(w))
+    blk = base.withColumn(
+        "block", F.expr(f"(rn - 1) div {block_docs}").cast("long")
+    )
+    grouped = blk.groupBy("source", "block").agg(
+        F.array_sort(
+            F.collect_list(F.struct("rn", "doc_id", "n_tokens"))
+        ).alias("docs")
+    )
+    row_t = "array<struct<doc_id:bigint,n_tokens:bigint,bin:bigint,fill_after:bigint>>"
+    # zero fill > context_len forces the first doc to open bin 0
+    zero = F.expr(
+        f"named_struct('rows', CAST(array() AS {row_t}), "
+        f"'bin', CAST(-1 AS BIGINT), 'fill', CAST({context_len + 1} AS BIGINT))"
+    )
+
+    def _step(acc: Column, x: Column) -> Column:
+        fits = (acc["fill"] + x["n_tokens"]) <= F.lit(context_len)
+        nbin = F.when(fits, acc["bin"]).otherwise(acc["bin"] + 1)
+        nfill = F.when(fits, acc["fill"] + x["n_tokens"]).otherwise(x["n_tokens"])
+        row = F.struct(
+            x["doc_id"].alias("doc_id"),
+            x["n_tokens"].alias("n_tokens"),
+            nbin.alias("bin"),
+            nfill.alias("fill_after"),
+        )
+        return F.struct(
+            F.concat(acc["rows"], F.array(row)).alias("rows"),
+            nbin.alias("bin"),
+            nfill.alias("fill"),
+        )
+
+    folded = grouped.select(
+        "source",
+        "block",
+        F.aggregate("docs", zero, _step)["rows"].alias("rows"),
+    )
+    return folded.select("source", "block", F.explode("rows").alias("r")).select(
+        "source",
+        "block",
+        F.col("r.bin").alias("bin"),
+        F.col("r.doc_id").alias("doc_id"),
+        F.col("r.n_tokens").alias("n_tokens"),
+        F.col("r.fill_after").alias("fill_after"),
+        (F.col("r.n_tokens") > F.lit(context_len)).cast("int").alias("oversize"),
+    )

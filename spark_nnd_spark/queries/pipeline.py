@@ -4837,6 +4837,38 @@ def q172_indexed_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACKW_BLOCK_DOCS = 32  # docs per independent packing shard
+
+
+def q173_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHOLE-document packing manifest (operators/sampling.
+    pack_whole_docs) — the export q66 cannot produce: next-fit greedy
+    packing that never splits a document across context windows (the
+    SFT / cross-doc-attention-masking convention). Each source's docs,
+    in stable id order, are cut into PACKW_BLOCK_DOCS-doc shards that
+    pack independently; (source, block, bin) is the global pack key,
+    ``fill_after`` the running pack occupancy, ``oversize`` flags docs
+    longer than the window (a pack of their own — the exporter's
+    truncation list). Pairs with q154: that curve prices the straddle
+    convention, this manifest is the alternative when coherence wins.
+
+    Scale (100 TB): one corpus text scan (token counts), then only
+    (id, count) manifest rows move — a source window exchange and a
+    (source, block) hash exchange into bounded 32-row groups; the
+    next-fit fold is a narrow in-array aggregate (packing is a left
+    fold over (fill, bin) state, sharded to parallelize a sequential
+    algorithm). No Python, no collect, no global sort."""
+    from spark_nnd_spark.operators import sampling as SA  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    return SA.pack_whole_docs(
+        d,
+        TX.token_count_expr("text"),
+        context_len=PACK_CONTEXT,
+        block_docs=PACKW_BLOCK_DOCS,
+    ).orderBy("doc_id")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -4976,6 +5008,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q170_model_board": q170_model_board,
     "q171_ref_lm_buckets": q171_ref_lm_buckets,
     "q172_indexed_scrub": q172_indexed_scrub,
+    "q173_pack_manifest": q173_pack_manifest,
 }
 
 
@@ -8413,6 +8446,45 @@ def pipeline_oracles() -> dict[str, str]:
                    COALESCE(CAST(SUM(n_shared) AS BIGINT), 0)
             FROM ({oracles['q78_contamination_pairs']})
         ) ORDER BY tier
+    """
+    # q173: the next-fit fold replayed as a recursive CTE — recursion
+    # steps through each (source, block) shard's rows simultaneously
+    # (depth = block size), carrying the same (bin, fill) state the
+    # Spark in-array fold threads.
+    oracles["q173_pack_manifest"] = f"""
+        WITH RECURSIVE base AS (
+            SELECT source, doc_id,
+                   CAST({TX.token_count_sql()} AS BIGINT) AS n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        blk AS (
+            SELECT source, doc_id, n_tokens,
+                   (rn - 1) // {PACKW_BLOCK_DOCS} AS block,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source, (rn - 1) // {PACKW_BLOCK_DOCS}
+                       ORDER BY doc_id) AS brn
+            FROM base
+        ),
+        fold AS (
+            SELECT source, block, brn, doc_id, n_tokens,
+                   CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+            FROM blk WHERE brn = 1
+            UNION ALL
+            SELECT b.source, b.block, b.brn, b.doc_id, b.n_tokens,
+                   CASE WHEN f.fill + b.n_tokens <= {PACK_CONTEXT}
+                        THEN f.bin ELSE f.bin + 1 END,
+                   CASE WHEN f.fill + b.n_tokens <= {PACK_CONTEXT}
+                        THEN f.fill + b.n_tokens ELSE b.n_tokens END
+            FROM fold f JOIN blk b
+              ON b.source = f.source AND b.block = f.block
+             AND b.brn = f.brn + 1
+        )
+        SELECT source, block, bin, doc_id, n_tokens, fill AS fill_after,
+               CASE WHEN n_tokens > {PACK_CONTEXT} THEN 1 ELSE 0 END
+                   AS oversize
+        FROM fold ORDER BY doc_id
     """
     return oracles
 

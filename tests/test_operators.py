@@ -2764,3 +2764,36 @@ def test_auto_df_cap_tracks_corpus(spark):
     content = {(i, i + 200) for i in range(200)}
     assert pairs == content
     assert len(uncut) > 10_000 and content <= uncut
+
+
+def test_pack_whole_docs_next_fit(spark):
+    """Whole-doc next-fit packing: hand-computed assignments on a
+    fixture (context 10, block 4) — docs never split, bins open on
+    overflow, an oversize doc (n > context) packs alone, and blocks
+    pack independently."""
+    from spark_nnd_spark.operators.sampling import pack_whole_docs
+
+    lens = [4, 5, 3, 12, 2, 9, 1, 10]
+    df = spark.createDataFrame(
+        [("s", i, " ".join(["w"] * n)) for i, n in enumerate(lens)],
+        "source string, doc_id long, text string",
+    )
+    out = pack_whole_docs(
+        df, F.size(F.split("text", " ")), context_len=10, block_docs=4
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    # block 0: 4+5=9 -> bin0; 3 overflows -> bin1; 12 oversize -> bin2
+    assert [(rows[i].block, rows[i].bin) for i in range(4)] == [
+        (0, 0), (0, 0), (0, 1), (0, 2)]
+    assert rows[1].fill_after == 9 and rows[3].oversize == 1
+    # block 1 restarts: 2 -> bin0; 9 overflows -> bin1; 1 fits (fill
+    # 10); 10 overflows -> bin2
+    assert [(rows[i].block, rows[i].bin) for i in range(4, 8)] == [
+        (1, 0), (1, 1), (1, 1), (1, 2)]
+    assert rows[6].fill_after == 10
+    # every doc exactly once; non-oversize pack totals respect context
+    assert out.count() == len(lens)
+    packs = out.groupBy("source", "block", "bin").agg(
+        F.sum("n_tokens").alias("tot"), F.max("oversize").alias("ov")
+    )
+    assert packs.filter((F.col("ov") == 0) & (F.col("tot") > 10)).count() == 0

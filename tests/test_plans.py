@@ -1203,3 +1203,18 @@ def test_decontam_report_aggregates_tiers(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "Union" in plan
+
+
+def test_pack_manifest_sharded_fold(spark):
+    """q173: whole-doc packing never serializes — the numbering window
+    partitions by source (no single-partition global window), the
+    next-fit fold is an in-array aggregate over bounded (source,
+    block) groups (ObjectHashAggregate carrying collect_list of
+    3-integer manifest structs — the corpus TEXT never shuffles), and
+    the fold itself is codegen, no Python."""
+    plan = _plan(spark, "q173_pack_manifest")
+    assert "hashpartitioning(source" in plan
+    assert "collect_list" in plan
+    assert "ObjectHashAggregate" in plan  # grouped, never a global agg
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
