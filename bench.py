@@ -142,6 +142,9 @@ HEADLINE = [
     "q171_ref_lm_buckets",
     "q172_indexed_scrub",
     "q173_pack_manifest",
+    "q174_dedup_weights",
+    "q175_boilerplate_ngrams",
+    "q176_preference_pairs",
 ]
 
 

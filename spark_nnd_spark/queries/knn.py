@@ -1129,6 +1129,120 @@ def _balanced_cells_oracle() -> str:
     """
 
 
+PREF_PAIRS_PER_CELL = 3
+
+
+def q176_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-PAIR mining — reward-model / DPO training data
+    assembled from signals the engine already computes: within each
+    IVF cell (topic proxy — the q67/q144 fixed-centroid assignment,
+    so chosen and rejected discuss comparable content), pair the
+    rank-r highest quality-model-scored doc (q111's scorer) with the
+    rank-r lowest, r = 1..PREF_PAIRS_PER_CELL, keeping pairs with a
+    positive score margin. The guard 2r <= cell size stops the two
+    ends crossing in small cells, so a doc never appears as both
+    chosen and rejected of the same pair rank.
+
+    Scale (100 TB): assignment is the narrow Arrow map every IVF tier
+    uses; scoring is a zero-shuffle array fold; the only wide ops are
+    one cell-keyed exchange feeding both rank windows and the
+    (cell, rank)-keyed self-join of two O(cells · r) slices. Rank on
+    the 6dp-ROUNDED score with id tiebreaks (the q140 discipline) so
+    the pairing is deterministic cross-engine."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from spark_nnd_spark.functions import text as TXT  # noqa: PLC0415
+    from spark_nnd_spark.operators.similarity import _ivf_assign  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    assigned = _ivf_assign(
+        emb, fixed_centroids(64, 16, 42), id_col="vec_id", vec_col="embedding"
+    ).select(F.col("cell").cast("long").alias("cell"), F.col("nb_id").alias("doc_id"))
+    scored = d.select(
+        "doc_id", F.round(TXT.linear_score_expr("text"), 6).alias("score")
+    )
+    cs = assigned.join(scored, "doc_id")
+    wn = Window.partitionBy("cell")
+    wtop = Window.partitionBy("cell").orderBy(F.desc("score"), F.asc("doc_id"))
+    wbot = Window.partitionBy("cell").orderBy(F.asc("score"), F.desc("doc_id"))
+    r = cs.select(
+        "cell",
+        "doc_id",
+        "score",
+        F.row_number().over(wtop).alias("top_rk"),
+        F.row_number().over(wbot).alias("bot_rk"),
+        F.count("*").over(wn).alias("n_cell"),
+    )
+    top = r.filter(
+        (F.col("top_rk") <= PREF_PAIRS_PER_CELL)
+        & (2 * F.col("top_rk") <= F.col("n_cell"))
+    ).select(
+        "cell",
+        F.col("top_rk").cast("long").alias("pair_rank"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("score").alias("chosen_score"),
+    )
+    bot = r.select(
+        "cell",
+        F.col("bot_rk").cast("long").alias("pair_rank"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        top.join(bot, ["cell", "pair_rank"])
+        .withColumn(
+            "margin", F.round(F.col("chosen_score") - F.col("rejected_score"), 6)
+        )
+        .filter(F.col("margin") > 0)
+        .orderBy("cell", "pair_rank")
+    )
+
+
+def _preference_pairs_oracle() -> str:
+    from spark_nnd_spark.functions.text import linear_score_sql  # noqa: PLC0415
+
+    cents = fixed_centroids(64, 16, 42)
+    norm = "greatest(sqrt(list_dot_product(cv,cv)), 1e-12)"
+    dots = (
+        "["
+        + ",".join(f"list_dot_product(cv, {_vec_lit(c)}) / {norm}" for c in cents)
+        + "]"
+    )
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        cd AS (SELECT vec_id, {dots} AS dots FROM c),
+        assigned AS (
+            SELECT vec_id AS doc_id,
+                   (list_position(dots, list_max(dots)) - 1)::BIGINT AS cell
+            FROM cd
+        ),
+        scored AS (
+            SELECT doc_id, round({linear_score_sql('text')}, 6) AS score
+            FROM documents
+        ),
+        cs AS (SELECT a.cell, s.doc_id, s.score
+               FROM assigned a JOIN scored s USING (doc_id)),
+        r AS (
+            SELECT cell, doc_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY cell
+                                      ORDER BY score DESC, doc_id) AS top_rk,
+                   ROW_NUMBER() OVER (PARTITION BY cell
+                                      ORDER BY score ASC, doc_id DESC) AS bot_rk,
+                   COUNT(*) OVER (PARTITION BY cell) AS n_cell
+            FROM cs
+        )
+        SELECT t.cell, t.top_rk::BIGINT AS pair_rank,
+               t.doc_id AS chosen_id, t.score AS chosen_score,
+               b.doc_id AS rejected_id, b.score AS rejected_score,
+               round(t.score - b.score, 6) AS margin
+        FROM r t JOIN r b ON t.cell = b.cell AND t.top_rk = b.bot_rk
+        WHERE t.top_rk <= {PREF_PAIRS_PER_CELL} AND 2 * t.top_rk <= t.n_cell
+          AND round(t.score - b.score, 6) > 0
+        ORDER BY t.cell, pair_rank
+    """
+
+
 KNN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_knn_exact": q24_knn_exact,
     "q25_nnd_graph": q25_nnd_graph,
@@ -1142,6 +1256,7 @@ KNN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q148_embedding_decontam": q148_embedding_decontam,
     "q143_hard_negatives": q143_hard_negatives,
     "q144_balanced_cells": q144_balanced_cells,
+    "q176_preference_pairs": q176_preference_pairs,
 }
 
 KNN_ORACLES: dict[str, str] = {
@@ -1171,4 +1286,5 @@ KNN_ORACLES: dict[str, str] = {
     "q148_embedding_decontam": _embedding_decontam_oracle(),
     "q143_hard_negatives": _hard_negatives_oracle(),
     "q144_balanced_cells": _balanced_cells_oracle(),
+    "q176_preference_pairs": _preference_pairs_oracle(),
 }

@@ -4869,6 +4869,105 @@ def q173_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q174_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup — instead of dropping near-duplicates (q61's binary
+    keep), downweight them: every doc in a near-dup cluster gets loss
+    weight 1/cluster_size, so each distinct content unit contributes
+    one document's worth of gradient regardless of how many copies the
+    crawl found (the SlimPajama/Galactica-style alternative when
+    dropping is too aggressive). Clusters are the q31/q82 kernel
+    (indexed LSH pairs → connected components); singletons weight 1.
+    Emits the per-doc training manifest: (doc_id, component,
+    cluster_size, n_tokens, weight, effective_tokens) — summing
+    effective_tokens gives the deduplicated token budget q149 should
+    actually solve against.
+
+    Scale (100 TB): pairs come from the persisted near-dup index
+    (never re-shingling the corpus); connected components is the
+    large/small-star iteration over O(pairs) edges; the final join
+    attaches O(clustered docs) labels to the corpus — the corpus text
+    itself is scanned once for token counts and never shuffled (the
+    weight join is id-keyed). Weight arithmetic is one double division
+    of exact integers, deterministic in any engine."""
+    from spark_nnd_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _indexed_lsh_pairs(spark, sf_dir)
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    cs = comp.join(sizes, "component")
+    return (
+        d.select(
+            "doc_id", TX.token_count_expr("text").cast("long").alias("n_tokens")
+        )
+        .join(cs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).cast("long").alias("component"),
+            F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+            "n_tokens",
+            F.round(
+                F.lit(1.0) / F.coalesce("cluster_size", F.lit(1)), 6
+            ).alias("weight"),
+            F.round(
+                F.col("n_tokens") / F.coalesce("cluster_size", F.lit(1)), 6
+            ).alias("effective_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BOILER_N = 3       # shingle width for boilerplate detection
+BOILER_TOPK = 10   # boilerplate candidates reported per source
+
+
+def q175_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source BOILERPLATE extraction — the template/navigation text
+    a crawl repeats across a site's pages (cookie banners, headers,
+    license blurbs). For each source, the BOILER_TOPK distinct
+    3-token shingles with the highest document frequency, with their
+    in-source coverage fraction: the table an operator reads before
+    writing source-specific scrub rules (q73's blocklist) or setting
+    the span-dedup df-cut (dedup.derived_df_cap's budget rule prices
+    these same high-df grams). Deterministic tiebreak (df DESC,
+    shingle ASC) keeps the cut stable cross-engine.
+
+    Scale (100 TB): one corpus scan explodes per-doc DISTINCT shingles
+    (O(tokens) narrow work), map-side combined into (source, shingle)
+    counts — the only corpus-sized exchange; the per-source top-k is a
+    WindowGroupLimit (map-side partial top-k, never a global sort) and
+    the doc totals ride a tiny O(sources) broadcast join."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    posts = d.select(
+        "source", F.explode(TX.shingles_expr("text", BOILER_N)).alias("shingle")
+    )
+    dfreq = posts.groupBy("source", "shingle").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    nd = d.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    w = Window.partitionBy("source").orderBy(F.desc("df"), F.asc("shingle"))
+    return (
+        dfreq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BOILER_TOPK)
+        .join(F.broadcast(nd), "source")
+        .select(
+            "source",
+            F.col("rank").cast("long").alias("rank"),
+            "shingle",
+            "df",
+            "n_docs",
+            F.round(F.col("df") / F.col("n_docs"), 6).alias("coverage"),
+        )
+        .orderBy("source", "rank")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -5009,6 +5108,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q171_ref_lm_buckets": q171_ref_lm_buckets,
     "q172_indexed_scrub": q172_indexed_scrub,
     "q173_pack_manifest": q173_pack_manifest,
+    "q174_dedup_weights": q174_dedup_weights,
+    "q175_boilerplate_ngrams": q175_boilerplate_ngrams,
 }
 
 
@@ -8485,6 +8586,58 @@ def pipeline_oracles() -> dict[str, str]:
                CASE WHEN n_tokens > {PACK_CONTEXT} THEN 1 ELSE 0 END
                    AS oversize
         FROM fold ORDER BY doc_id
+    """
+    # q174: the q31/q82 CC closure, then sizes + the weight division
+    # (exact-integer inputs ⇒ the double quotient is bit-identical)
+    oracles["q174_dedup_weights"] = _cc_ctes(sh, mh) + f""",
+        comp AS (
+            SELECT s AS doc_id, least(s, min(d)) AS component
+            FROM reach GROUP BY s
+        ),
+        sizes AS (
+            SELECT component, COUNT(*)::BIGINT AS cluster_size
+            FROM comp GROUP BY component
+        ),
+        lab AS (
+            SELECT c.doc_id, c.component, z.cluster_size
+            FROM comp c JOIN sizes z USING (component)
+        )
+        SELECT d.doc_id,
+               COALESCE(l.component, d.doc_id) AS component,
+               COALESCE(l.cluster_size, 1)::BIGINT AS cluster_size,
+               CAST({TX.token_count_sql()} AS BIGINT) AS n_tokens,
+               round(CAST(1 AS DOUBLE) / COALESCE(l.cluster_size, 1), 6)
+                   AS weight,
+               round(CAST({TX.token_count_sql()} AS BIGINT)
+                     / CAST(COALESCE(l.cluster_size, 1) AS DOUBLE), 6)
+                   AS effective_tokens
+        FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+        ORDER BY d.doc_id
+    """
+    oracles["q175_boilerplate_ngrams"] = f"""
+        WITH posts AS (
+            SELECT source, unnest({TX.shingles_sql('text', BOILER_N)}) AS shingle
+            FROM documents
+        ),
+        dfreq AS (
+            SELECT source, shingle, COUNT(*)::BIGINT AS df
+            FROM posts GROUP BY source, shingle
+        ),
+        nd AS (
+            SELECT source, COUNT(*)::BIGINT AS n_docs
+            FROM documents GROUP BY source
+        ),
+        ranked AS (
+            SELECT source, shingle, df,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY df DESC, shingle) AS rank
+            FROM dfreq
+        )
+        SELECT r.source, r.rank::BIGINT AS rank, r.shingle, r.df, n.n_docs,
+               round(r.df / CAST(n.n_docs AS DOUBLE), 6) AS coverage
+        FROM ranked r JOIN nd n USING (source)
+        WHERE r.rank <= {BOILER_TOPK}
+        ORDER BY r.source, r.rank
     """
     return oracles
 

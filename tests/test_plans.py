@@ -1218,3 +1218,41 @@ def test_pack_manifest_sharded_fold(spark):
     assert "ObjectHashAggregate" in plan  # grouped, never a global agg
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_dedup_weights_corpus_never_shuffles(spark):
+    """q174: the weight attach is an id-keyed join of O(clustered)
+    labels onto the corpus — one documents scan for the token counts,
+    pairs from the persisted index (checkpointed scans), components
+    via the iterative kernel; no Python, no cartesian."""
+    plan = _plan(spark, "q174_dedup_weights")
+    assert plan.count("documents.parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_boilerplate_grouped_topk(spark):
+    """q175: one corpus scan explodes distinct shingles into a
+    map-side-combined (source, shingle) count; the per-source cut is
+    a rank window with WindowGroupLimit (map-side partial top-k); doc
+    totals broadcast. Never a global single-partition sort."""
+    plan = _plan(spark, "q175_boilerplate_ngrams")
+    # the corpus TEXT is read once; the doc-total side re-scans only
+    # the pruned single source column (column-pruning asserted)
+    assert plan.count("ReadSchema: struct<text:string") == 1
+    assert plan.count("ReadSchema: struct<source:string>") == 1
+    assert "WindowGroupLimit" in plan
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_preference_pairs_cell_keyed(spark):
+    """q176: both rank windows share one cell-keyed exchange; the
+    chosen/rejected self-join is (cell, rank)-keyed; scoring is the
+    zero-shuffle array fold (no BatchEvalPython — the only Python is
+    the IVF assignment's Arrow map)."""
+    plan = _plan(spark, "q176_preference_pairs")
+    assert "hashpartitioning(cell" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
