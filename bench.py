@@ -145,6 +145,7 @@ HEADLINE = [
     "q174_dedup_weights",
     "q175_boilerplate_ngrams",
     "q176_preference_pairs",
+    "q177_pca_power",
 ]
 
 

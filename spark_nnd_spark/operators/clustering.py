@@ -103,3 +103,172 @@ def kmeans_step(
         .agg(F.avg("x").alias("centroid"), F.count("*").alias("n"))
         .select("cluster_id", F.col("i").cast("long").alias("i"), "centroid", "n")
     )
+
+
+# ---------------------------------------- covariance spectrum (PCA)
+
+COV_QUANT = 1_000_000   # component quantization: exact integer sums
+EIG_VSCALE = 100_000    # eigenvector iterate scale (5-digit grid)
+
+
+def int_covariance(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Covariance matrix of an embedding column with EXACT integer
+    corpus aggregates — the input every spectral diagnostic (PCA,
+    anisotropy, effective dimensionality) needs, built so any engine
+    reproduces it bit-for-bit. Components quantize to COV_QUANT
+    micro-units (BIGINT); the corpus-sized sums Σqᵢqⱼ and Σqᵢ are
+    integer (order-free — the q165/q169 cross-engine discipline); the
+    final ``cov = A/N − (Bᵢ/N)(Bⱼ/N)`` is a fixed sequence of IEEE
+    double ops on exact integers, identical everywhere, rounded back
+    to a BIGINT in micro² units (1e12 × the real covariance).
+
+    Returns the full symmetric matrix as (i, j, c) rows, 1-based
+    dims, c in micro² units.
+
+    Scale (100 TB): one corpus scan; the upper-triangle explode is
+    O(rows · d²/2) narrow work map-side combined into d²/2 cells, so
+    the exchange carries O(d² · partitions) partial sums — never row
+    data. For d where d² explode dominates (d ≳ 1k), swap the explode
+    for a per-partition Arrow Gram-matrix kernel emitting the same
+    (i, j, partial) rows; the aggregation contract is unchanged."""
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * COV_QUANT + F.lit(0.5)).cast("long"),
+    )
+    rows = df.select(q.alias("q"))
+    g = rows.select(F.posexplode("q").alias("i0", "qi"), "q")
+    upper = g.select(
+        (F.col("i0") + 1).alias("i"),
+        "qi",
+        F.posexplode(
+            F.slice("q", F.col("i0") + 1, F.lit(dim) - F.col("i0"))
+        ).alias("k0", "qj"),
+    ).select(
+        "i",
+        (F.col("i") + F.col("k0")).alias("j"),
+        (F.col("qi") * F.col("qj")).alias("p"),
+    )
+    a = upper.groupBy("i", "j").agg(F.sum("p").alias("a"))
+    b = (
+        g.select((F.col("i0") + 1).alias("i"), "qi")
+        .groupBy("i")
+        .agg(F.sum("qi").alias("bv"), F.count("*").alias("n"))
+    )
+    cov_u = (
+        a.join(F.broadcast(b.select("i", F.col("bv").alias("bi"), "n")), "i")
+        .join(
+            F.broadcast(b.select(F.col("i").alias("j"), F.col("bv").alias("bj"))),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            F.floor(
+                F.col("a").cast("double") / F.col("n")
+                - (F.col("bi").cast("double") / F.col("n"))
+                * (F.col("bj").cast("double") / F.col("n"))
+                + F.lit(0.5)
+            ).cast("long").alias("c"),
+        )
+    )
+    return cov_u.unionByName(
+        cov_u.filter("i <> j").select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
+    )
+
+
+def top_eigen_power(
+    cov: DataFrame, dim: int = 64, iters: int = 3, vscale: int = EIG_VSCALE
+) -> DataFrame:
+    """Top eigenvalue/eigenvector of an :func:`int_covariance` matrix
+    by POWER ITERATION — the engine's iterative-linear-algebra tier
+    (embedding anisotropy: a dominant eigenvalue means one direction
+    carries most of the variance and cosine similarities collapse).
+    Each round is one matvec ``w = C·v`` as a grouped integer
+    aggregate (exact, order-free), then norm/Rayleigh folds over the
+    d-row result in FIXED index order (deterministic IEEE doubles —
+    the q157 fold idiom) and a re-quantized iterate
+    ``v' = round(w/‖w‖ · vscale)``. The O(d) iterate is the one
+    driver scalar per round (the convergence-scalar class,
+    NND.scala:118); all corpus- and matrix-sized math stays in plans.
+
+    Emits one row per iteration: (iter, lambda_top — Rayleigh
+    quotient in ORIGINAL units, explained_frac = λ/trace, top_dim,
+    top_loading). Deterministic cross-engine; the DuckDB oracle
+    unrolls the same rounds over list folds.
+
+    Scale: the matrix is O(d²) rows; every iteration is a d²-row
+    aggregate + a d-row fold — driver-adjacent constant cost next to
+    the corpus scan that built the matrix."""
+    import math  # noqa: PLC0415
+
+    cov = cov.localCheckpoint(eager=True)
+    trace_row = cov.filter("i = j").agg(F.sum("c").alias("trace"))
+    m = [int(math.floor(vscale / math.sqrt(dim) + 0.5))] * dim
+    per_iter = []
+    for t in range(1, iters + 1):
+        vlit = F.array(*[F.lit(x).cast("long") for x in m])
+        w_df = cov.groupBy("i").agg(
+            F.sum(F.col("c") * F.element_at(vlit, F.col("j").cast("int"))).alias("w")
+        )
+        packed = w_df.agg(
+            F.array_sort(F.collect_list(F.struct("i", "w"))).alias("ws")
+        )
+        stats = packed.select(
+            "ws",
+            F.sqrt(
+                F.aggregate(
+                    "ws",
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + s["w"].cast("double") * s["w"].cast("double"),
+                )
+            ).alias("norm"),
+            F.aggregate(
+                "ws",
+                F.lit(0.0),
+                lambda acc, s: acc
+                + F.element_at(vlit, s["i"].cast("int")).cast("double")
+                * s["w"].cast("double"),
+            ).alias("num"),
+            F.aggregate(
+                vlit,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ).alias("den"),
+        ).localCheckpoint(eager=True)
+        row = stats.crossJoin(trace_row).select(
+            F.lit(t).cast("long").alias("iter"),
+            F.round(
+                F.col("num") / F.col("den") / F.lit(1.0e12), 8
+            ).alias("lambda_top"),
+            F.round(
+                F.col("num") / F.col("den") / F.col("trace").cast("double"), 6
+            ).alias("explained_frac"),
+            "norm",
+        )
+        # O(d) driver step: re-quantize the iterate (same double ops
+        # the oracle's list_transform runs)
+        got = stats.collect()[0]
+        norm = got["norm"]
+        m = [
+            int(math.floor(float(s["w"]) / norm * vscale + 0.5))
+            for s in got["ws"]
+        ]
+        top0 = min(range(dim), key=lambda idx: (-abs(m[idx]), idx))
+        per_iter.append(
+            row.select(
+                "iter",
+                "lambda_top",
+                "explained_frac",
+                F.lit(top0 + 1).cast("long").alias("top_dim"),
+                F.round(
+                    F.lit(m[top0]).cast("double") / F.lit(float(vscale)), 6
+                ).alias("top_loading"),
+            )
+        )
+    out = per_iter[0]
+    for r in per_iter[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("iter")

@@ -1243,6 +1243,131 @@ def _preference_pairs_oracle() -> str:
     """
 
 
+PCA_ITERS = 3
+
+
+def q177_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space PCA by POWER ITERATION — the spectral
+    diagnostic behind anisotropy audits (a dominant top eigenvalue
+    means cosine similarity is collapsing onto one direction, the
+    classic representation-degeneration signal) and PCA-whitening
+    decisions. One corpus pass builds the exact-integer covariance
+    matrix (operators/clustering.int_covariance — the q165 integer
+    discipline applied to second moments); PCA_ITERS matvec rounds
+    (top_eigen_power) emit per-iteration Rayleigh quotients, each
+    round's O(d) iterate being the one collected driver scalar (the
+    reference's convergence-scalar class, NND.scala:118). The DuckDB
+    oracle unrolls the identical rounds over list folds, so an
+    ITERATIVE LINEAR-ALGEBRA pipeline is value-checked end-to-end.
+
+    Scale (100 TB): the corpus contributes one scan + an O(d²)
+    map-side-combined integer aggregate; every iteration afterwards
+    touches only the d² matrix rows. No Python kernels anywhere."""
+    from spark_nnd_spark.operators.clustering import (  # noqa: PLC0415
+        int_covariance,
+        top_eigen_power,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = int_covariance(emb, vec_col="embedding", dim=64)
+    return top_eigen_power(cov, dim=64, iters=PCA_ITERS)
+
+
+def _pca_power_oracle(iters: int = PCA_ITERS) -> str:
+    dim, quant, vscale = 64, 1_000_000, 100_000
+    v0 = 12500  # floor(vscale / sqrt(64) + 0.5)
+    rounds, finals = [], []
+    prev_v = "v0"
+    for t in range(1, iters + 1):
+        rounds.append(f"""
+        w{t}r AS (
+            SELECT s.i AS i, SUM(s.c * m[s.j])::BIGINT AS w
+            FROM sym s, {prev_v} GROUP BY s.i
+        ),
+        w{t} AS (SELECT list(struct_pack(i := i, w := w) ORDER BY i) AS ws
+                 FROM w{t}r),
+        s{t} AS (
+            SELECT ws,
+                   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                        list_transform(ws, s -> CAST(s.w AS DOUBLE)
+                                               * CAST(s.w AS DOUBLE))),
+                        (acc, x) -> acc + x)) AS norm,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                        list_transform(ws, s -> CAST(m[s.i] AS DOUBLE)
+                                               * CAST(s.w AS DOUBLE))),
+                        (acc, x) -> acc + x) AS num,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                        list_transform(m, x -> CAST(x AS DOUBLE)
+                                              * CAST(x AS DOUBLE))),
+                        (acc, x) -> acc + x) AS den
+            FROM w{t}, {prev_v}
+        ),
+        v{t} AS (
+            SELECT list_transform(ws, s ->
+                CAST(floor(CAST(s.w AS DOUBLE) / norm * {vscale} + 0.5)
+                     AS BIGINT)) AS m
+            FROM s{t}
+        ),
+        t{t} AS (
+            SELECT j AS top_dim,
+                   round(CAST(mv AS DOUBLE) / {vscale}, 6) AS top_loading
+            FROM (SELECT u.j AS j, u.mv AS mv
+                  FROM (SELECT unnest(list_transform(range(1, {dim + 1}),
+                               j -> struct_pack(j := j, mv := m[j]))) AS u
+                        FROM v{t}))
+            ORDER BY abs(mv) DESC, j LIMIT 1
+        ),
+        r{t} AS (
+            SELECT {t}::BIGINT AS iter,
+                   round(num / den / 1000000000000.0, 8) AS lambda_top,
+                   round(num / den / CAST(tr.trace AS DOUBLE), 6)
+                       AS explained_frac,
+                   t{t}.top_dim::BIGINT AS top_dim,
+                   t{t}.top_loading AS top_loading
+            FROM s{t}, tr, t{t}
+        )""")
+        finals.append(
+            f"SELECT iter, lambda_top, explained_frac, top_dim, top_loading FROM r{t}"
+        )
+        prev_v = f"v{t}"
+    return f"""
+        WITH t AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> CAST(floor(x * {quant} + 0.5) AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        g AS (
+            SELECT vec_id, u.i AS i, u.qi AS qi
+            FROM (SELECT vec_id, unnest(list_transform(range(1, len(q) + 1),
+                         i -> struct_pack(i := i, qi := q[i]))) AS u
+                  FROM t)
+        ),
+        b AS (SELECT i, SUM(qi)::BIGINT AS bv, COUNT(*)::BIGINT AS n
+              FROM g GROUP BY i),
+        a AS (
+            SELECT x.i AS i, y.i AS j, SUM(x.qi * y.qi)::BIGINT AS a
+            FROM g x JOIN g y ON x.vec_id = y.vec_id AND y.i >= x.i
+            GROUP BY 1, 2
+        ),
+        covu AS (
+            SELECT a.i, a.j,
+                   CAST(floor(CAST(a.a AS DOUBLE) / bi.n
+                              - (CAST(bi.bv AS DOUBLE) / bi.n)
+                              * (CAST(bj.bv AS DOUBLE) / bi.n)
+                              + 0.5) AS BIGINT) AS c
+            FROM a JOIN b bi ON a.i = bi.i JOIN b bj ON a.j = bj.i
+        ),
+        sym AS (SELECT i, j, c FROM covu
+                UNION ALL SELECT j, i, c FROM covu WHERE i <> j),
+        tr AS (SELECT SUM(c)::BIGINT AS trace FROM covu WHERE i = j),
+        v0 AS (SELECT list_transform(range(1, {dim + 1}),
+                      x -> CAST({v0} AS BIGINT)) AS m),{','.join(rounds)}
+        {' UNION ALL '.join(finals)}
+        ORDER BY iter
+    """
+
+
 KNN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_knn_exact": q24_knn_exact,
     "q25_nnd_graph": q25_nnd_graph,
@@ -1257,6 +1382,7 @@ KNN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q143_hard_negatives": q143_hard_negatives,
     "q144_balanced_cells": q144_balanced_cells,
     "q176_preference_pairs": q176_preference_pairs,
+    "q177_pca_power": q177_pca_power,
 }
 
 KNN_ORACLES: dict[str, str] = {
@@ -1287,4 +1413,5 @@ KNN_ORACLES: dict[str, str] = {
     "q143_hard_negatives": _hard_negatives_oracle(),
     "q144_balanced_cells": _balanced_cells_oracle(),
     "q176_preference_pairs": _preference_pairs_oracle(),
+    "q177_pca_power": _pca_power_oracle(),
 }

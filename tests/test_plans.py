@@ -1256,3 +1256,14 @@ def test_preference_pairs_cell_keyed(spark):
     assert "hashpartitioning(cell" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pca_power_iterations_materialized(spark):
+    """q177: the covariance matrix and each iteration's fold stats are
+    eager localCheckpoints (the q157 driver-loop discipline), so the
+    final plan only unions three precomputed one-row results with the
+    O(d^2) trace aggregate — no corpus re-scan, no Python."""
+    plan = _plan(spark, "q177_pca_power")
+    assert "Scan parquet" not in plan  # everything reads checkpoints
+    assert "EvalPython" not in plan
+    assert "Union" in plan
