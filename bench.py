@@ -146,6 +146,7 @@ HEADLINE = [
     "q175_boilerplate_ngrams",
     "q176_preference_pairs",
     "q177_pca_power",
+    "q178_kmeans_curve",
 ]
 
 

@@ -272,3 +272,100 @@ def top_eigen_power(
     for r in per_iter[1:]:
         out = out.unionByName(r)
     return out.orderBy("iter")
+
+
+def kmeans_curve(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = COV_QUANT,
+) -> DataFrame:
+    """Lloyd k-means TRAINED FOR ``iters`` ROUNDS with a per-round
+    convergence curve — the loop q59 computes one step of, made
+    cross-engine exact end-to-end by the integer discipline: vectors
+    quantize once to ``quant`` micro-units, so every distance is a
+    pure BIGINT sum (argmin has no float in it at all), the per-round
+    inertia Σ min-dist² is an EXACT integer (order-free — no float
+    accumulation anywhere in the corpus-sized sums), and the centroid
+    update re-rounds the exact integer means back onto the micro grid
+    (floor(S/n + 0.5) on a deterministic double quotient — S stays
+    under 2^53 through ~10^7 rows per cluster; swap to DECIMAL sums
+    beyond). Empty clusters keep their previous centroid.
+
+    Per round: assignment is a narrow projection against literal
+    centroids (k fold-expressions — zero shuffle, the clustering.py
+    contract), the update one (cluster, dim) map-side-combined
+    aggregate; the k·dim integer centroid table is the per-round
+    driver scalar (the convergence-scalar class, NND.scala:118).
+
+    Returns (round, inertia_micro2, n_clusters) — inertia in micro²
+    units (quant² × L2²), monotone non-increasing over rounds."""
+    import math  # noqa: PLC0415
+
+    qexpr = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * quant + F.lit(0.5)).cast("long"),
+    )
+    qv = df.select(F.col(id_col).alias("id"), qexpr.alias("q")).localCheckpoint(
+        eager=True
+    )
+    cents = {
+        int(r["id"]): [int(x) for x in r["q"]]
+        for r in qv.filter(F.col("id") < k).collect()
+    }
+    rows = []
+    for t in range(1, iters + 1):
+        cand = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        "q",
+                        F.array(*[F.lit(x).cast("long") for x in cv]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).alias("dist"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, cv in sorted(cents.items())
+        ]
+        best = F.array_min(F.array(*cand))
+        assigned = qv.select(
+            "id",
+            "q",
+            best["cid"].cast("long").alias("cid"),
+            best["dist"].alias("mind"),
+        ).localCheckpoint(eager=True)
+        rows.append(
+            assigned.agg(
+                F.sum("mind").alias("inertia_micro2"),
+                F.count_distinct("cid").alias("n_clusters"),
+            ).select(
+                F.lit(t).cast("long").alias("round"),
+                "inertia_micro2",
+                F.col("n_clusters").cast("long").alias("n_clusters"),
+            )
+        )
+        if t < iters:
+            sums = (
+                assigned.select("cid", F.posexplode("q").alias("i0", "x"))
+                .groupBy("cid", "i0")
+                .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+            upd: dict[int, dict[int, int]] = {}
+            for r in sums:
+                upd.setdefault(int(r["cid"]), {})[int(r["i0"])] = int(
+                    math.floor(float(r["s"]) / r["n"] + 0.5)
+                )
+            cents = {
+                cid: [upd[cid][i] for i in range(len(cv))] if cid in upd else cv
+                for cid, cv in cents.items()
+            }
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("round")

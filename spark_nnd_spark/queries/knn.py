@@ -1243,6 +1243,93 @@ def _preference_pairs_oracle() -> str:
     """
 
 
+KMEANS_CURVE_ITERS = 3
+
+
+def q178_kmeans_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means TRAINED TO A CURVE — KMEANS_CURVE_ITERS full Lloyd
+    rounds over the embeddings (operators/clustering.kmeans_curve),
+    emitting per-round exact-integer inertia and live-cluster count:
+    the convergence table an operator reads before freezing IVF/topic
+    centroids (q59 is one step of this loop; q67 audits the result).
+    The integer quantization makes assignment, inertia AND the
+    centroid handoff bit-replayable, so the DuckDB oracle unrolls all
+    rounds (the q157/q169/q177 iterative convention) and value-checks
+    an end-to-end TRAINING loop, not just one step.
+
+    Scale (100 TB): per round, one narrow corpus projection (literal
+    centroids — zero shuffle) + one (cluster, dim) map-side-combined
+    aggregate; only the k·dim integer centroid table hits the driver
+    between rounds."""
+    from spark_nnd_spark.operators.clustering import kmeans_curve  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_curve(emb, k=KMEANS_K, iters=KMEANS_CURVE_ITERS)
+
+
+def _kmeans_curve_oracle(k: int = KMEANS_K, iters: int = 3) -> str:
+    quant = 1_000_000
+    rounds, finals = [], []
+    prev_c = "c0"
+    for t in range(1, iters + 1):
+        rounds.append(f"""
+        d{t} AS (
+            SELECT e.vec_id, c.cid,
+                   list_sum(list_transform(range(1, len(e.q) + 1),
+                       i -> (e.q[i] - c.cq[i]) * (e.q[i] - c.cq[i]))) AS dist
+            FROM e CROSS JOIN {prev_c} c
+        ),
+        a{t} AS (
+            SELECT vec_id, cid, dist FROM (
+                SELECT vec_id, cid, dist,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn
+                FROM d{t}
+            ) WHERE rn = 1
+        ),
+        r{t} AS (
+            SELECT {t}::BIGINT AS round,
+                   SUM(dist)::BIGINT AS inertia_micro2,
+                   COUNT(DISTINCT cid)::BIGINT AS n_clusters
+            FROM a{t}
+        )""")
+        finals.append(
+            f"SELECT round, inertia_micro2, n_clusters FROM r{t}"
+        )
+        if t < iters:
+            rounds.append(f"""
+        s{t} AS (
+            SELECT cid, i, SUM(x)::BIGINT AS s, COUNT(*)::BIGINT AS n
+            FROM (
+                SELECT a.cid AS cid,
+                       UNNEST(range(1, len(e.q) + 1)) AS i,
+                       UNNEST(e.q) AS x
+                FROM a{t} a JOIN e USING (vec_id)
+            ) GROUP BY cid, i
+        ),
+        n{t} AS (
+            SELECT cid, list(CAST(floor(CAST(s AS DOUBLE) / n + 0.5)
+                                  AS BIGINT) ORDER BY i) AS cq
+            FROM s{t} GROUP BY cid
+        ),
+        c{t} AS (
+            SELECT p.cid, COALESCE(nn.cq, p.cq) AS cq
+            FROM {prev_c} p LEFT JOIN n{t} nn USING (cid)
+        )""")
+            prev_c = f"c{t}"
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> CAST(floor(x * {quant} + 0.5) AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        c0 AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < {k}),{','.join(rounds)}
+        {' UNION ALL '.join(finals)}
+        ORDER BY round
+    """
+
+
 PCA_ITERS = 3
 
 
@@ -1383,6 +1470,7 @@ KNN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q144_balanced_cells": q144_balanced_cells,
     "q176_preference_pairs": q176_preference_pairs,
     "q177_pca_power": q177_pca_power,
+    "q178_kmeans_curve": q178_kmeans_curve,
 }
 
 KNN_ORACLES: dict[str, str] = {
@@ -1414,4 +1502,5 @@ KNN_ORACLES: dict[str, str] = {
     "q144_balanced_cells": _balanced_cells_oracle(),
     "q176_preference_pairs": _preference_pairs_oracle(),
     "q177_pca_power": _pca_power_oracle(),
+    "q178_kmeans_curve": _kmeans_curve_oracle(),
 }

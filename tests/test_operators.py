@@ -2797,3 +2797,27 @@ def test_pack_whole_docs_next_fit(spark):
         F.sum("n_tokens").alias("tot"), F.max("oversize").alias("ov")
     )
     assert packs.filter((F.col("ov") == 0) & (F.col("tot") > 10)).count() == 0
+
+
+def test_kmeans_curve_monotone_inertia(spark):
+    """Lloyd's algorithm never increases inertia: the q178 kernel on a
+    clustered fixture must produce a non-increasing exact-integer
+    inertia curve and keep every cluster alive."""
+    import numpy as np
+
+    from spark_nnd_spark.operators.clustering import kmeans_curve
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 1, (4, 8))
+    rows = [
+        (i, (centers[i % 4] + rng.normal(0, 0.05, 8)).tolist())
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_curve(df, k=4, iters=3).collect()
+    inert = [r.inertia_micro2 for r in out]
+    assert inert == sorted(inert, reverse=True)
+    assert all(r.n_clusters == 4 for r in out)
+    # determinism: same input, same exact integers
+    again = [r.inertia_micro2 for r in kmeans_curve(df, k=4, iters=3).collect()]
+    assert again == inert

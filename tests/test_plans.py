@@ -1267,3 +1267,15 @@ def test_pca_power_iterations_materialized(spark):
     assert "Scan parquet" not in plan  # everything reads checkpoints
     assert "EvalPython" not in plan
     assert "Union" in plan
+
+
+def test_kmeans_curve_rounds_materialized(spark):
+    """q178: each Lloyd round's assignment is an eager localCheckpoint
+    (the iterative-loop discipline), so the final plan unions three
+    precomputed per-round aggregates — no embeddings re-scan, no
+    Python, and the assignment itself was a literal-centroid
+    projection (zero ×k row replication)."""
+    plan = _plan(spark, "q178_kmeans_curve")
+    assert "Scan parquet" not in plan
+    assert "EvalPython" not in plan
+    assert "Union" in plan
