@@ -147,6 +147,7 @@ HEADLINE = [
     "q176_preference_pairs",
     "q177_pca_power",
     "q178_kmeans_curve",
+    "q179_indexed_pca",
 ]
 
 
@@ -256,6 +257,7 @@ def main() -> None:
         ("build_binary_index", _plq._binary_index_for),  # noqa: SLF001
         ("build_span_index", _plq._span_index_for),  # noqa: SLF001
         ("build_image_index", _plq._image_index_for),  # noqa: SLF001
+        ("build_cov_stats", _knq._cov_stats_for),  # noqa: SLF001
     ]:
         t0 = time.perf_counter()
         try:

@@ -369,3 +369,132 @@ def kmeans_curve(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("round")
+
+
+# ----------------------- persisted mergeable covariance statistics
+
+def _cov_partials(df: DataFrame, vec_col: str, dim: int, quant: int):
+    """Exact integer moment partials of a batch: (i, j, a) upper-
+    triangle second moments + (i, b, n) first moments — the same
+    explode as :func:`int_covariance`, stopped BEFORE the N-division
+    so the result is a pure sum (associative, mergeable, retractable
+    by subtraction)."""
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * quant + F.lit(0.5)).cast("long"),
+    )
+    rows = df.select(q.alias("q"))
+    g = rows.select(F.posexplode("q").alias("i0", "qi"), "q")
+    second = (
+        g.select(
+            (F.col("i0") + 1).alias("i"),
+            "qi",
+            F.posexplode(
+                F.slice("q", F.col("i0") + 1, F.lit(dim) - F.col("i0"))
+            ).alias("k0", "qj"),
+        )
+        .select("i", (F.col("i") + F.col("k0")).alias("j"), (F.col("qi") * F.col("qj")).alias("p"))
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("a"))
+    )
+    first = (
+        g.select((F.col("i0") + 1).alias("i"), "qi")
+        .groupBy("i")
+        .agg(F.sum("qi").alias("b"), F.count("*").alias("n"))
+    )
+    return second, first
+
+
+def build_cov_stats(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    quant: int = COV_QUANT,
+) -> None:
+    """Persist the MERGEABLE covariance statistics of an embedding
+    corpus — the incremental-PCA sidecar (8th persisted family, the
+    algebraic one): because every stored number is an exact integer
+    SUM (Σqᵢqⱼ, Σqᵢ, N — the :func:`int_covariance` discipline),
+    extending with a batch is addition, retracting one is subtraction,
+    and extend == fresh-rebuild EXACTLY, not approximately. O(d²)
+    stored rows regardless of corpus size; a spectrum probe
+    (:func:`cov_from_stats` + :func:`top_eigen_power`) never rescans
+    the corpus."""
+    second, first = _cov_partials(df, vec_col, dim, quant)
+    second.coalesce(1).write.mode("overwrite").parquet(f"{path}/second")
+    first.coalesce(1).write.mode("overwrite").parquet(f"{path}/first")
+    df.sparkSession.createDataFrame(
+        [(int(dim), int(quant))], "dim int, quant long"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _merge_cov_stats(spark, path: str, second2, first2, sign: int) -> None:
+    s = F.lit(sign).cast("long")
+    second = (
+        spark.read.parquet(f"{path}/second")
+        .unionByName(second2.select("i", "j", (F.col("a") * s).alias("a")))
+        .groupBy("i", "j")
+        .agg(F.sum("a").alias("a"))
+        .localCheckpoint(eager=True)  # materialize before the overwrite
+    )
+    first = (
+        spark.read.parquet(f"{path}/first")
+        .unionByName(
+            first2.select("i", (F.col("b") * s).alias("b"), (F.col("n") * s).alias("n"))
+        )
+        .groupBy("i")
+        .agg(F.sum("b").alias("b"), F.sum("n").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    second.coalesce(1).write.mode("overwrite").parquet(f"{path}/second")
+    first.coalesce(1).write.mode("overwrite").parquet(f"{path}/first")
+
+
+def extend_cov_stats(
+    spark, path: str, new_df: DataFrame, vec_col: str = "embedding"
+) -> None:
+    """Admit a batch: ADD its integer moment partials to the stored
+    sums. Exactly equals a fresh build over the union (integer sums
+    are associative+commutative — tested), and costs one batch scan +
+    an O(d²) merge."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    second2, first2 = _cov_partials(new_df, vec_col, meta["dim"], meta["quant"])
+    _merge_cov_stats(spark, path, second2, first2, 1)
+
+
+def retract_cov_stats(
+    spark, path: str, old_df: DataFrame, vec_col: str = "embedding"
+) -> None:
+    """Retract documents: SUBTRACT their moment partials — the
+    algebraic retraction no other index family gets for free (no
+    tombstones, no compaction; the stats after retract(B) equal a
+    fresh build without B exactly — tested)."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    second2, first2 = _cov_partials(old_df, vec_col, meta["dim"], meta["quant"])
+    _merge_cov_stats(spark, path, second2, first2, -1)
+
+
+def cov_from_stats(spark, path: str) -> DataFrame:
+    """The symmetric integer covariance matrix served from the
+    persisted stats — same (i, j, c) contract as
+    :func:`int_covariance`, zero corpus I/O."""
+    second = spark.read.parquet(f"{path}/second")
+    first = spark.read.parquet(f"{path}/first")
+    cov_u = (
+        second.join(F.broadcast(first.select("i", F.col("b").alias("bi"), "n")), "i")
+        .join(F.broadcast(first.select(F.col("i").alias("j"), F.col("b").alias("bj"))), "j")
+        .select(
+            "i",
+            "j",
+            F.floor(
+                F.col("a").cast("double") / F.col("n")
+                - (F.col("bi").cast("double") / F.col("n"))
+                * (F.col("bj").cast("double") / F.col("n"))
+                + F.lit(0.5)
+            ).cast("long").alias("c"),
+        )
+    )
+    return cov_u.unionByName(
+        cov_u.filter("i <> j").select(F.col("j").alias("i"), F.col("i").alias("j"), "c")
+    )

@@ -1455,6 +1455,43 @@ def _pca_power_oracle(iters: int = PCA_ITERS) -> str:
     """
 
 
+# One covariance-stats sidecar per (session, sf_dir) — the q25/_nnd_graph
+# session-cache convention (build once, every spectrum probe reuses it).
+_COVSTATS_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _cov_stats_for(spark: SparkSession, sf_dir: str) -> str:
+    from spark_nnd_spark.operators.clustering import build_cov_stats  # noqa: PLC0415
+    from spark_nnd_spark.session import session_scratch_dir  # noqa: PLC0415
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _COVSTATS_CACHE:
+        path = session_scratch_dir("cov_stats_")
+        build_cov_stats(load_table(spark, sf_dir, "embeddings"), path, dim=64)
+        _COVSTATS_CACHE[key] = path
+    return _COVSTATS_CACHE[key]
+
+
+def q179_indexed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q177's power-iteration spectrum served from the PERSISTED
+    mergeable covariance statistics (operators/clustering.
+    build_cov_stats — the 8th index family, and the only ALGEBRAIC
+    one: stored exact integer sums make extend addition and retraction
+    subtraction, with extend == fresh-rebuild EXACT, not approximate —
+    tested in test_cov_stats.py). The probe reads O(d²) stored rows
+    and never rescans the corpus — how a continuously-ingesting
+    pipeline keeps an up-to-date anisotropy dashboard without paying
+    a corpus pass per refresh. Shares q177's oracle: index-served ==
+    inline is itself the assertion (the q159/q161 convention)."""
+    from spark_nnd_spark.operators.clustering import (  # noqa: PLC0415
+        cov_from_stats,
+        top_eigen_power,
+    )
+
+    path = _cov_stats_for(spark, sf_dir)
+    return top_eigen_power(cov_from_stats(spark, path), dim=64, iters=PCA_ITERS)
+
+
 KNN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_knn_exact": q24_knn_exact,
     "q25_nnd_graph": q25_nnd_graph,
@@ -1471,6 +1508,7 @@ KNN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q176_preference_pairs": q176_preference_pairs,
     "q177_pca_power": q177_pca_power,
     "q178_kmeans_curve": q178_kmeans_curve,
+    "q179_indexed_pca": q179_indexed_pca,
 }
 
 KNN_ORACLES: dict[str, str] = {
@@ -1503,4 +1541,7 @@ KNN_ORACLES: dict[str, str] = {
     "q176_preference_pairs": _preference_pairs_oracle(),
     "q177_pca_power": _pca_power_oracle(),
     "q178_kmeans_curve": _kmeans_curve_oracle(),
+    # index-served twin: the persisted-stats spectrum must equal the
+    # inline q177 computation exactly (integer sums are associative)
+    "q179_indexed_pca": _pca_power_oracle(),
 }

@@ -1,0 +1,73 @@
+"""Mergeable covariance-statistics sidecar (the algebraic index
+family): exact integer sums make extend ADDITION and retraction
+SUBTRACTION, so extend == fresh-rebuild and retract == never-added
+hold EXACTLY, and the q179 index-served spectrum equals the inline
+q177 computation value-for-value."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from spark_nnd_spark.operators.clustering import (
+    build_cov_stats,
+    cov_from_stats,
+    extend_cov_stats,
+    int_covariance,
+    retract_cov_stats,
+    top_eigen_power,
+)
+
+DIM = 16
+
+
+def _vecs(spark, lo: int, hi: int):
+    rows = [
+        (i, np.random.default_rng(i).normal(0, 0.2, DIM).tolist())
+        for i in range(lo, hi)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _mat(df) -> dict:
+    return {(r.i, r.j): r.c for r in df.collect()}
+
+
+def test_extend_equals_fresh_build(spark, tmp_path):
+    a = _vecs(spark, 0, 300)
+    b = _vecs(spark, 300, 400)
+    p1 = str(tmp_path / "inc")
+    build_cov_stats(a, p1, dim=DIM)
+    extend_cov_stats(spark, p1, b)
+    p2 = str(tmp_path / "fresh")
+    build_cov_stats(a.unionByName(b), p2, dim=DIM)
+    assert _mat(cov_from_stats(spark, p1)) == _mat(cov_from_stats(spark, p2))
+    # and both equal the inline operator on the union
+    assert _mat(cov_from_stats(spark, p1)) == _mat(
+        int_covariance(a.unionByName(b), dim=DIM)
+    )
+
+
+def test_retract_equals_never_added(spark, tmp_path):
+    a = _vecs(spark, 0, 300)
+    b = _vecs(spark, 300, 400)
+    p = str(tmp_path / "ret")
+    build_cov_stats(a, p, dim=DIM)
+    extend_cov_stats(spark, p, b)
+    retract_cov_stats(spark, p, b)
+    p_a = str(tmp_path / "only_a")
+    build_cov_stats(a, p_a, dim=DIM)
+    assert _mat(cov_from_stats(spark, p)) == _mat(cov_from_stats(spark, p_a))
+
+
+def test_indexed_spectrum_equals_inline(spark, tmp_path):
+    v = _vecs(spark, 0, 400)
+    p = str(tmp_path / "spec")
+    build_cov_stats(v, p, dim=DIM)
+    inline = top_eigen_power(int_covariance(v, dim=DIM), dim=DIM, iters=3).collect()
+    served = top_eigen_power(cov_from_stats(spark, p), dim=DIM, iters=3).collect()
+    assert [tuple(r) for r in inline] == [tuple(r) for r in served]
+    rows = [tuple(r) for r in inline]
+    assert [r[0] for r in rows] == [1, 2, 3]
+    # Rayleigh estimates climb toward the top eigenvalue
+    assert rows[0][1] <= rows[1][1] <= rows[2][1]

@@ -1279,3 +1279,12 @@ def test_kmeans_curve_rounds_materialized(spark):
     assert "Scan parquet" not in plan
     assert "EvalPython" not in plan
     assert "Union" in plan
+
+
+def test_indexed_pca_reads_stats_not_corpus(spark):
+    """q179: the spectrum probe must read the persisted O(d^2) moment
+    tables, never the embeddings corpus — no embeddings.parquet scan
+    anywhere in the plan (checkpoints + the tiny stats parquet only)."""
+    plan = _plan(spark, "q179_indexed_pca")
+    assert "embeddings.parquet" not in plan
+    assert "EvalPython" not in plan
