@@ -1447,3 +1447,95 @@ def span_scrub_stream(
         .start()
     )
     return _await_or_raise(q, timeout_sec)
+
+
+# ------------------------------- streaming whole-doc pack manifest
+
+_PACK_SCHEMA = (
+    "source string, block long, bin long, doc_id long, n_tokens long,"
+    " fill_after long, oversize int"
+)
+_PACK_STATE_SCHEMA = "rn long, bin long, fill long"
+
+
+def _pack_fn(context_len: int, block_docs: int):
+    """Stateful next-fit packing kernel: carry (doc counter, open bin,
+    fill) per source across micro-batches; a new ``block_docs`` block
+    resets the packing state, which is exactly what makes the stream
+    reproduce the batch manifest (q173 packs each block independently,
+    so a block boundary is a full state reset the stream can replay).
+    Docs are sorted by id within the micro-batch group (Arrow chunks
+    arrive unordered — the _transitions_fn discipline); ordered ingest
+    at batch granularity is assumed, as for every stateful twin."""
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True).sort_values(
+            "doc_id", ignore_index=True
+        )
+        if state.exists:
+            rn, bn, fill = state.get
+        else:
+            rn, bn, fill = 0, -1, context_len + 1
+        out = []
+        for doc_id, n in zip(
+            pdf["doc_id"].to_numpy(np.int64), pdf["n_tokens"].to_numpy(np.int64)
+        ):
+            rn += 1
+            if (rn - 1) % block_docs == 0:  # block boundary: state reset
+                bn, fill = -1, context_len + 1
+            if fill + n <= context_len:
+                fill += int(n)
+            else:
+                bn += 1
+                fill = int(n)
+            out.append(
+                (
+                    key[0],
+                    (rn - 1) // block_docs,
+                    bn,
+                    int(doc_id),
+                    int(n),
+                    fill,
+                    int(n > context_len),
+                )
+            )
+        state.update((rn, bn, fill))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "source", "block", "bin", "doc_id", "n_tokens",
+                "fill_after", "oversize",
+            ],
+        )
+
+    return fn
+
+
+def pack_stream(
+    docs: DataFrame, context_len: int = 256, block_docs: int = 32
+) -> DataFrame:
+    """Streaming twin of the q173 whole-document packing manifest:
+    assign every arriving document its (block, bin) pack coordinates
+    at ingest via ``applyInPandasWithState`` (state = the source's doc
+    counter + open pack, O(sources) total). Because the batch operator
+    packs fixed-size id-blocks independently, the stream's per-block
+    state reset makes its output EQUAL the batch manifest over any
+    id-ordered prefix (asserted in tests), so shards can be packed as
+    they land instead of in a corpus-wide export pass."""
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return toks.groupBy("source").applyInPandasWithState(
+        _pack_fn(context_len, block_docs),
+        outputStructType=_PACK_SCHEMA,
+        stateStructType=_PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

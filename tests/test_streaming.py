@@ -1221,3 +1221,70 @@ def test_decontam_gate_follows_eval_index_lifecycle(spark, tmp_path):
     )
     v = verdicts()
     assert not v[3001] and v[3002]
+
+
+def test_pack_stream_matches_batch_manifest(spark):
+    """Single-drain replay: the streaming pack manifest must equal
+    q173's batch manifest row-for-row on the same corpus."""
+    from spark_nnd_spark.queries.pipeline import q173_pack_manifest
+    from spark_nnd_spark.streaming.streams import pack_stream, read_documents_stream
+
+    stream = pack_stream(read_documents_stream(spark, SF_SMOKE))
+    run_to_memory_sink(stream, "packs", output_mode="append")
+    got = {
+        r["doc_id"]: (r["source"], r["block"], r["bin"], r["n_tokens"],
+                      r["fill_after"], r["oversize"])
+        for r in spark.sql("SELECT * FROM packs").collect()
+    }
+    want = {
+        r["doc_id"]: (r["source"], r["block"], r["bin"], r["n_tokens"],
+                      r["fill_after"], r["oversize"])
+        for r in q173_pack_manifest(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_pack_stream_state_straddles_batches(spark, tmp_path):
+    """3 id-ordered micro-batches with cuts INSIDE packing blocks: a
+    pack open at a batch boundary must keep filling from carried state,
+    and the merged output must still equal the batch manifest."""
+    import os
+
+    from spark_nnd_spark.queries.pipeline import q173_pack_manifest
+    from spark_nnd_spark.streaming.streams import pack_stream
+
+    d = tmp_path / "doc_chunks"
+    d.mkdir()
+    pdf = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text", "source")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n = len(pdf)
+    cuts = [0, n // 3 + 5, 2 * n // 3 + 7, n]  # off-block-boundary cuts
+    for i in range(3):
+        p = d / f"chunk{i}.parquet"
+        pdf.iloc[cuts[i] : cuts[i + 1]].to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    run_to_memory_sink(pack_stream(stream), "packs3", output_mode="append")
+    rows = spark.sql("SELECT * FROM packs3").collect()
+    got = {
+        r["doc_id"]: (r["source"], r["block"], r["bin"], r["n_tokens"],
+                      r["fill_after"], r["oversize"])
+        for r in rows
+    }
+    assert len(got) == len(rows), "a doc was packed twice"
+    want = {
+        r["doc_id"]: (r["source"], r["block"], r["bin"], r["n_tokens"],
+                      r["fill_after"], r["oversize"])
+        for r in q173_pack_manifest(spark, SF_SMOKE).collect()
+    }
+    assert got == want
