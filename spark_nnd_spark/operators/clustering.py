@@ -451,28 +451,62 @@ def _merge_cov_stats(spark, path: str, second2, first2, sign: int) -> None:
     first.coalesce(1).write.mode("overwrite").parquet(f"{path}/first")
 
 
+def _cov_marker_exists(spark, marker: str) -> bool:
+    jvm = spark.sparkContext._jvm  # noqa: SLF001
+    jsc = spark.sparkContext._jsc  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{marker}/_SUCCESS")
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    return fs.exists(hpath)
+
+
+def _merge_with_marker(
+    spark, path: str, df: DataFrame, vec_col: str, sign: int, batch_id
+) -> None:
+    """Shared extend/retract body. Unlike the set-based index families
+    (where a replayed append is absorbed by downstream distincts), a
+    replayed MERGE double-counts — so callers with at-least-once
+    delivery (streams, retried jobs) pass ``batch_id`` and the merge
+    becomes at-most-once via the _SUCCESS-checked marker (the
+    indexed_dedup_stream admission convention). A crash BETWEEN the
+    two table overwrites leaves the stats inconsistent — detectable
+    (marker absent) and repaired by rebuild or by re-running the merge
+    after restoring the tables; markerless calls are for one-shot
+    batch jobs that rebuild on failure."""
+    if batch_id is not None and _cov_marker_exists(
+        spark, f"{path}/applied/batch={batch_id}"
+    ):
+        return
+    meta = spark.read.parquet(f"{path}/meta").first()
+    second2, first2 = _cov_partials(df, vec_col, meta["dim"], meta["quant"])
+    _merge_cov_stats(spark, path, second2, first2, sign)
+    if batch_id is not None:
+        spark.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/applied/batch={batch_id}")
+
+
 def extend_cov_stats(
-    spark, path: str, new_df: DataFrame, vec_col: str = "embedding"
+    spark, path: str, new_df: DataFrame, vec_col: str = "embedding",
+    batch_id: int | None = None,
 ) -> None:
     """Admit a batch: ADD its integer moment partials to the stored
     sums. Exactly equals a fresh build over the union (integer sums
     are associative+commutative — tested), and costs one batch scan +
-    an O(d²) merge."""
-    meta = spark.read.parquet(f"{path}/meta").first()
-    second2, first2 = _cov_partials(new_df, vec_col, meta["dim"], meta["quant"])
-    _merge_cov_stats(spark, path, second2, first2, 1)
+    an O(d²) merge. Pass ``batch_id`` under at-least-once delivery:
+    a replayed extend with an applied marker is a no-op (tested)."""
+    _merge_with_marker(spark, path, new_df, vec_col, 1, batch_id)
 
 
 def retract_cov_stats(
-    spark, path: str, old_df: DataFrame, vec_col: str = "embedding"
+    spark, path: str, old_df: DataFrame, vec_col: str = "embedding",
+    batch_id: int | None = None,
 ) -> None:
     """Retract documents: SUBTRACT their moment partials — the
     algebraic retraction no other index family gets for free (no
     tombstones, no compaction; the stats after retract(B) equal a
-    fresh build without B exactly — tested)."""
-    meta = spark.read.parquet(f"{path}/meta").first()
-    second2, first2 = _cov_partials(old_df, vec_col, meta["dim"], meta["quant"])
-    _merge_cov_stats(spark, path, second2, first2, -1)
+    fresh build without B exactly — tested). ``batch_id`` gives the
+    same at-most-once replay guard as extend."""
+    _merge_with_marker(spark, path, old_df, vec_col, -1, batch_id)
 
 
 def cov_from_stats(spark, path: str) -> DataFrame:

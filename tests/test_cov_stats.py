@@ -71,3 +71,17 @@ def test_indexed_spectrum_equals_inline(spark, tmp_path):
     assert [r[0] for r in rows] == [1, 2, 3]
     # Rayleigh estimates climb toward the top eigenvalue
     assert rows[0][1] <= rows[1][1] <= rows[2][1]
+
+
+def test_extend_with_batch_id_is_replay_idempotent(spark, tmp_path):
+    a = _vecs(spark, 0, 300)
+    b = _vecs(spark, 300, 400)
+    p = str(tmp_path / "replay")
+    build_cov_stats(a, p, dim=DIM)
+    extend_cov_stats(spark, p, b, batch_id=7)
+    once = _mat(cov_from_stats(spark, p))
+    extend_cov_stats(spark, p, b, batch_id=7)  # replayed delivery: no-op
+    assert _mat(cov_from_stats(spark, p)) == once
+    # a NEW batch id still applies
+    extend_cov_stats(spark, p, b, batch_id=8)
+    assert _mat(cov_from_stats(spark, p)) != once
