@@ -148,6 +148,7 @@ HEADLINE = [
     "q177_pca_power",
     "q178_kmeans_curve",
     "q179_indexed_pca",
+    "q180_abtt_scores",
 ]
 
 

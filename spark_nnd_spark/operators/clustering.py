@@ -201,6 +201,27 @@ def top_eigen_power(
     Scale: the matrix is O(d²) rows; every iteration is a d²-row
     aggregate + a d-row fold — driver-adjacent constant cost next to
     the corpus scan that built the matrix."""
+    per_iter, _ = _power_loop(cov, dim, iters, vscale)
+    out = per_iter[0]
+    for r in per_iter[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("iter")
+
+
+def top_eigen_vector(
+    cov: DataFrame, dim: int = 64, iters: int = 3, vscale: int = EIG_VSCALE
+) -> list[int]:
+    """The final power-iteration iterate as ``vscale``-scaled integers
+    (‖v/vscale‖ ≈ 1 up to the integer grid) — the trained direction a
+    post-processing transform projects against (q180). Same loop and
+    same numbers as :func:`top_eigen_power`."""
+    _, m = _power_loop(cov, dim, iters, vscale)
+    return m
+
+
+def _power_loop(
+    cov: DataFrame, dim: int, iters: int, vscale: int
+) -> tuple[list[DataFrame], list[int]]:
     import math  # noqa: PLC0415
 
     cov = cov.localCheckpoint(eager=True)
@@ -268,10 +289,7 @@ def top_eigen_power(
                 ).alias("top_loading"),
             )
         )
-    out = per_iter[0]
-    for r in per_iter[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("iter")
+    return per_iter, m
 
 
 def kmeans_curve(
@@ -531,4 +549,62 @@ def cov_from_stats(spark, path: str) -> DataFrame:
     )
     return cov_u.unionByName(
         cov_u.filter("i <> j").select(F.col("j").alias("i"), F.col("i").alias("j"), "c")
+    )
+
+
+def abtt_scores(
+    df: DataFrame,
+    mu: list[int],
+    v: list[int],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = COV_QUANT,
+    vscale: int = EIG_VSCALE,
+) -> DataFrame:
+    """All-but-the-top projection scores (Mu & Viswanath, ICLR 2018:
+    subtract the corpus mean, then remove the top principal
+    direction(s) — the standard anisotropy correction for embedding
+    spaces). Given the micro-unit mean ``mu`` and the trained
+    ``vscale``-scaled direction ``v`` (:func:`top_eigen_vector`), emit
+    per vector the signed projection onto the top direction and the
+    residual norm after removing it — the corrected vector's length.
+    A large |proj| relative to resid_norm marks the vectors the
+    dominant direction explains (the ones whose cosine similarities
+    are inflated before correction).
+
+    Cross-engine exactness: centered coordinates and both inner
+    products are pure BIGINT arithmetic (order-free); the two final
+    rescale/sqrt steps are fixed IEEE ops on exact integers. The
+    direction is unit up to the integer grid (‖v/vscale‖ ≈ 1 ± 1e-5)
+    — a diagnostic-grade correction, documented.
+
+    Scale: one narrow corpus projection — mean and direction are
+    literals, nothing shuffles."""
+    mu_lit = F.array(*[F.lit(int(x)).cast("long") for x in mu])
+    v_lit = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    qexpr = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * quant + F.lit(0.5)).cast("long"),
+    )
+    base = df.select(
+        F.col(id_col), F.zip_with(qexpr, mu_lit, lambda a, b: a - b).alias("xc")
+    )
+    proj_int = F.aggregate(
+        F.zip_with("xc", v_lit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    norm2_int = F.aggregate(
+        F.transform("xc", lambda a: a * a),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    proj_d = proj_int.cast("double") / F.lit(float(quant) * float(vscale))
+    norm2_d = norm2_int.cast("double") / F.lit(float(quant) * float(quant))
+    return base.select(
+        id_col,
+        F.round(proj_d, 6).alias("proj"),
+        F.round(
+            F.sqrt(F.greatest(norm2_d - proj_d * proj_d, F.lit(0.0))), 6
+        ).alias("resid_norm"),
     )

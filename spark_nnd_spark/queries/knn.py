@@ -1360,13 +1360,11 @@ def q177_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_eigen_power(cov, dim=64, iters=PCA_ITERS)
 
 
-def _pca_power_oracle(iters: int = PCA_ITERS) -> str:
-    dim, quant, vscale = 64, 1_000_000, 100_000
-    v0 = 12500  # floor(vscale / sqrt(64) + 0.5)
-    rounds, finals = [], []
-    prev_v = "v0"
-    for t in range(1, iters + 1):
-        rounds.append(f"""
+def _power_round_ctes(t: int, prev_v: str, vscale: int) -> str:
+    """One power-iteration round (matvec → ordered fold stats →
+    re-quantized iterate) as oracle CTEs — shared by the q177/q179
+    spectrum oracles and the q180 transform oracle."""
+    return f"""
         w{t}r AS (
             SELECT s.i AS i, SUM(s.c * m[s.j])::BIGINT AS w
             FROM sym s, {prev_v} GROUP BY s.i
@@ -1394,28 +1392,16 @@ def _pca_power_oracle(iters: int = PCA_ITERS) -> str:
                 CAST(floor(CAST(s.w AS DOUBLE) / norm * {vscale} + 0.5)
                      AS BIGINT)) AS m
             FROM s{t}
-        ),
-        t{t} AS (
-            SELECT j AS top_dim,
-                   round(CAST(mv AS DOUBLE) / {vscale}, 6) AS top_loading
-            FROM (SELECT u.j AS j, u.mv AS mv
-                  FROM (SELECT unnest(list_transform(range(1, {dim + 1}),
-                               j -> struct_pack(j := j, mv := m[j]))) AS u
-                        FROM v{t}))
-            ORDER BY abs(mv) DESC, j LIMIT 1
-        ),
-        r{t} AS (
-            SELECT {t}::BIGINT AS iter,
-                   round(num / den / 1000000000000.0, 8) AS lambda_top,
-                   round(num / den / CAST(tr.trace AS DOUBLE), 6)
-                       AS explained_frac,
-                   t{t}.top_dim::BIGINT AS top_dim,
-                   t{t}.top_loading AS top_loading
-            FROM s{t}, tr, t{t}
-        )""")
-        finals.append(
-            f"SELECT iter, lambda_top, explained_frac, top_dim, top_loading FROM r{t}"
-        )
+        )"""
+
+
+def _pca_prefix_ctes(iters: int, dim: int, quant: int, vscale: int, v0: int) -> str:
+    """Everything from the quantized corpus through v{iters} — the
+    shared spine of the spectral oracles."""
+    rounds = []
+    prev_v = "v0"
+    for t in range(1, iters + 1):
+        rounds.append(_power_round_ctes(t, prev_v, vscale))
         prev_v = f"v{t}"
     return f"""
         WITH t AS (
@@ -1449,9 +1435,100 @@ def _pca_power_oracle(iters: int = PCA_ITERS) -> str:
                 UNION ALL SELECT j, i, c FROM covu WHERE i <> j),
         tr AS (SELECT SUM(c)::BIGINT AS trace FROM covu WHERE i = j),
         v0 AS (SELECT list_transform(range(1, {dim + 1}),
-                      x -> CAST({v0} AS BIGINT)) AS m),{','.join(rounds)}
+                      x -> CAST({v0} AS BIGINT)) AS m),{','.join(rounds)}"""
+
+
+def _pca_power_oracle(iters: int = PCA_ITERS) -> str:
+    dim, quant, vscale = 64, 1_000_000, 100_000
+    v0 = 12500  # floor(vscale / sqrt(64) + 0.5)
+    rounds, finals = [], []
+    for t in range(1, iters + 1):
+        rounds.append(f"""
+        t{t} AS (
+            SELECT j AS top_dim,
+                   round(CAST(mv AS DOUBLE) / {vscale}, 6) AS top_loading
+            FROM (SELECT u.j AS j, u.mv AS mv
+                  FROM (SELECT unnest(list_transform(range(1, {dim + 1}),
+                               j -> struct_pack(j := j, mv := m[j]))) AS u
+                        FROM v{t}))
+            ORDER BY abs(mv) DESC, j LIMIT 1
+        ),
+        r{t} AS (
+            SELECT {t}::BIGINT AS iter,
+                   round(num / den / 1000000000000.0, 8) AS lambda_top,
+                   round(num / den / CAST(tr.trace AS DOUBLE), 6)
+                       AS explained_frac,
+                   t{t}.top_dim::BIGINT AS top_dim,
+                   t{t}.top_loading AS top_loading
+            FROM s{t}, tr, t{t}
+        )""")
+        finals.append(
+            f"SELECT iter, lambda_top, explained_frac, top_dim, top_loading FROM r{t}"
+        )
+    return f"""
+        {_pca_prefix_ctes(iters, dim, quant, vscale, v0)},{','.join(rounds)}
         {' UNION ALL '.join(finals)}
         ORDER BY iter
+    """
+
+
+def q180_abtt_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top anisotropy correction (Mu & Viswanath, ICLR
+    2018) APPLIED — the transform the q177 diagnostic motivates: train
+    the top principal direction on the persisted covariance stats
+    (q179's sidecar — no corpus pass), then score every embedding with
+    its signed projection onto that direction and the residual norm
+    after removing it. Downstream, cosine over the residual space is
+    the corrected similarity; the projection column ranks the vectors
+    the dominant direction inflates. Oracle: the shared spectral CTE
+    spine through v3, then the same integer inner products.
+
+    Scale (100 TB): training reads O(d²) stored rows; scoring is one
+    narrow corpus projection against literal (mean, direction) — zero
+    shuffle beyond the presentation sort."""
+    import math  # noqa: PLC0415
+
+    from spark_nnd_spark.operators.clustering import (  # noqa: PLC0415
+        abtt_scores,
+        cov_from_stats,
+        top_eigen_vector,
+    )
+
+    path = _cov_stats_for(spark, sf_dir)
+    v = top_eigen_vector(cov_from_stats(spark, path), dim=64, iters=PCA_ITERS)
+    first = spark.read.parquet(f"{path}/first").orderBy("i").collect()
+    mu = [int(math.floor(float(r["b"]) / r["n"] + 0.5)) for r in first]
+    emb = load_table(spark, sf_dir, "embeddings")
+    return abtt_scores(emb, mu, v).orderBy("vec_id")
+
+
+def _abtt_oracle(iters: int = PCA_ITERS) -> str:
+    dim, quant, vscale = 64, 1_000_000, 100_000
+    scale_pv = float(quant) * float(vscale)   # proj rescale
+    scale_n2 = float(quant) * float(quant)    # norm² rescale
+    return f"""
+        {_pca_prefix_ctes(iters, dim, quant, vscale, 12500)},
+        mu AS (
+            SELECT list(CAST(floor(CAST(bv AS DOUBLE) / n + 0.5) AS BIGINT)
+                        ORDER BY i) AS mv
+            FROM b
+        ),
+        scored AS (
+            SELECT t.vec_id,
+                   list_sum(list_transform(range(1, {dim + 1}),
+                       i -> (t.q[i] - mu.mv[i]) * v{iters}.m[i])) AS pi,
+                   list_sum(list_transform(range(1, {dim + 1}),
+                       i -> (t.q[i] - mu.mv[i]) * (t.q[i] - mu.mv[i]))) AS n2
+            FROM t, mu, v{iters}
+        )
+        SELECT vec_id,
+               round(CAST(pi AS DOUBLE) / {scale_pv}, 6) AS proj,
+               round(sqrt(greatest(
+                   CAST(n2 AS DOUBLE) / {scale_n2}
+                   - (CAST(pi AS DOUBLE) / {scale_pv})
+                   * (CAST(pi AS DOUBLE) / {scale_pv}), 0.0)), 6)
+                   AS resid_norm
+        FROM scored ORDER BY vec_id
     """
 
 
@@ -1509,6 +1586,7 @@ KNN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q177_pca_power": q177_pca_power,
     "q178_kmeans_curve": q178_kmeans_curve,
     "q179_indexed_pca": q179_indexed_pca,
+    "q180_abtt_scores": q180_abtt_scores,
 }
 
 KNN_ORACLES: dict[str, str] = {
@@ -1544,4 +1622,5 @@ KNN_ORACLES: dict[str, str] = {
     # index-served twin: the persisted-stats spectrum must equal the
     # inline q177 computation exactly (integer sums are associative)
     "q179_indexed_pca": _pca_power_oracle(),
+    "q180_abtt_scores": _abtt_oracle(),
 }

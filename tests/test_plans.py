@@ -1288,3 +1288,13 @@ def test_indexed_pca_reads_stats_not_corpus(spark):
     plan = _plan(spark, "q179_indexed_pca")
     assert "embeddings.parquet" not in plan
     assert "EvalPython" not in plan
+
+
+def test_abtt_scoring_is_narrow(spark):
+    """q180: the transform pass is one narrow projection of the
+    embeddings against literal (mean, direction) — no hash exchange
+    between the scan and the presentation sort, no Python."""
+    plan = _plan(spark, "q180_abtt_scores")
+    assert "embeddings.parquet" in plan  # the scoring scan IS the corpus
+    assert "Exchange hashpartitioning" not in plan
+    assert "EvalPython" not in plan
