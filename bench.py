@@ -149,6 +149,7 @@ HEADLINE = [
     "q178_kmeans_curve",
     "q179_indexed_pca",
     "q180_abtt_scores",
+    "q181_gate_ablation",
 ]
 
 

@@ -4968,6 +4968,50 @@ def q175_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q181_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-gate ABLATION of the curation board — which filter does the
+    work: for each q155 gate, how many docs it fails (n_fail) and how
+    many it ALONE would remove (n_fail_only — docs every other gate
+    keeps), the two numbers an operator reads before loosening or
+    dropping a filter (a gate with n_fail_only ≈ 0 is redundant; a
+    large one is load-bearing). One board pass (the q155 pipeline),
+    one aggregate, four rows.
+
+    Scale (100 TB): inherits q155's one-scan contract; the ablation
+    adds a single map-side-combined aggregate over the board and a
+    4-row presentation union."""
+    board = q155_curation_board(spark, sf_dir).localCheckpoint(eager=True)
+    gates = {
+        "dedup": "dedup_keep",
+        "entropy": "entropy_keep",
+        "quality": "quality_keep",
+        "repetition": "rep_keep",
+    }
+    aggs = [F.count("*").alias("n_docs")]
+    for g, c in gates.items():
+        others = [v for v in gates.values() if v != c]
+        only = ~F.col(c)
+        for o in others:
+            only = only & F.col(o)
+        aggs.append(F.sum((~F.col(c)).cast("long")).alias(f"fail_{g}"))
+        aggs.append(F.sum(only.cast("long")).alias(f"only_{g}"))
+    one = board.agg(*aggs).localCheckpoint(eager=True)
+    rows = [
+        one.select(
+            F.lit(g).alias("gate"),
+            F.col(f"fail_{g}").alias("n_fail"),
+            F.col(f"only_{g}").alias("n_fail_only"),
+            F.col("n_docs"),
+            F.round(F.col(f"fail_{g}") / F.col("n_docs"), 6).alias("fail_frac"),
+        )
+        for g in gates
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("gate")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -5110,6 +5154,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q173_pack_manifest": q173_pack_manifest,
     "q174_dedup_weights": q174_dedup_weights,
     "q175_boilerplate_ngrams": q175_boilerplate_ngrams,
+    "q181_gate_ablation": q181_gate_ablation,
 }
 
 
@@ -8638,6 +8683,31 @@ def pipeline_oracles() -> dict[str, str]:
         FROM ranked r JOIN nd n USING (source)
         WHERE r.rank <= {BOILER_TOPK}
         ORDER BY r.source, r.rank
+    """
+    # q181: the q155 board replayed as a derived table (the q158/q166
+    # embed convention), then the per-gate fail / fail-only counts.
+    _gates = {
+        "dedup": "dedup_keep",
+        "entropy": "entropy_keep",
+        "quality": "quality_keep",
+        "repetition": "rep_keep",
+    }
+    _gate_rows = []
+    for _g, _c in _gates.items():
+        _others = " AND ".join(v for v in _gates.values() if v != _c)
+        _gate_rows.append(f"""
+            SELECT '{_g}' AS gate,
+                   SUM(CASE WHEN NOT {_c} THEN 1 ELSE 0 END)::BIGINT AS n_fail,
+                   SUM(CASE WHEN NOT {_c} AND {_others}
+                       THEN 1 ELSE 0 END)::BIGINT AS n_fail_only,
+                   COUNT(*)::BIGINT AS n_docs,
+                   round(SUM(CASE WHEN NOT {_c} THEN 1 ELSE 0 END)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS fail_frac
+            FROM brd""")
+    oracles["q181_gate_ablation"] = f"""
+        WITH brd AS (SELECT * FROM ({oracles['q155_curation_board']}))
+        {' UNION ALL '.join(_gate_rows)}
+        ORDER BY gate
     """
     return oracles
 

@@ -1539,3 +1539,43 @@ def pack_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cov_stats_stream(
+    embeddings: DataFrame,
+    stats_path: str,
+    vec_col: str = "embedding",
+    timeout_sec: int = 120,
+):
+    """Streaming MOMENT MAINTENANCE for the mergeable covariance
+    family: every micro-batch of embeddings extends the persisted
+    integer moment sums (operators/clustering.extend_cov_stats), so
+    the anisotropy dashboard (q179/q180) is always current without a
+    corpus pass. Because the family is algebraic, the maintained stats
+    equal a fresh build over everything ingested EXACTLY (integer sums
+    are associative); replayed batches are no-ops via the
+    batchId-keyed applied markers (the indexed_dedup_stream admission
+    convention — tested replay == batch in tests). State lives in the
+    sidecar (O(d²)), not the stream: the query itself is stateless.
+    """
+    from spark_nnd_spark.operators.clustering import extend_cov_stats  # noqa: PLC0415
+
+    def feed(batch_df: DataFrame, batch_id: int) -> None:
+        extend_cov_stats(
+            batch_df.sparkSession,
+            stats_path,
+            batch_df.localCheckpoint(eager=True),
+            vec_col=vec_col,
+            batch_id=batch_id,
+        )
+
+    q = (
+        embeddings.writeStream.foreachBatch(feed)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            f"{stats_path}/_stream_checkpoint",
+        )
+        .start()
+    )
+    return _await_or_raise(q, timeout_sec)

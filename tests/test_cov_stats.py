@@ -85,3 +85,48 @@ def test_extend_with_batch_id_is_replay_idempotent(spark, tmp_path):
     # a NEW batch id still applies
     extend_cov_stats(spark, p, b, batch_id=8)
     assert _mat(cov_from_stats(spark, p)) != once
+
+
+def test_cov_stats_stream_maintains_exact_stats(spark, tmp_path):
+    """Streaming moment maintenance: draining 3 micro-batches of
+    vectors into the sidecar must leave EXACTLY the stats of a fresh
+    build over seed+everything; a second drain of the same files
+    (replay) must change nothing (applied markers)."""
+    import os
+
+    from spark_nnd_spark.streaming.streams import cov_stats_stream
+
+    seed = _vecs(spark, 0, 100)
+    p = str(tmp_path / "stream_stats")
+    build_cov_stats(seed, p, dim=DIM)
+
+    d = tmp_path / "vec_chunks"
+    d.mkdir()
+    pdf = _vecs(spark, 100, 400).toPandas()
+    for i in range(3):
+        f = d / f"chunk{i}.parquet"
+        pdf.iloc[i * 100 : (i + 1) * 100].to_parquet(f, index=False)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    cov_stats_stream(stream, p)
+    fresh = str(tmp_path / "fresh_all")
+    build_cov_stats(_vecs(spark, 0, 400), fresh, dim=DIM)
+    assert _mat(cov_from_stats(spark, p)) == _mat(cov_from_stats(spark, fresh))
+
+    # replay the same files through a NEW stream (fresh checkpoint):
+    # the applied markers make every batch a no-op
+    import shutil
+
+    shutil.rmtree(f"{p}/_stream_checkpoint")
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    cov_stats_stream(stream2, p)
+    assert _mat(cov_from_stats(spark, p)) == _mat(cov_from_stats(spark, fresh))
