@@ -55,6 +55,11 @@ SPOT_QUERIES = [
     "q156_exact_spans",
     "q164_dup_flow",
     "q165_lm_perplexity",
+    "q173_pack_manifest",
+    "q175_boilerplate_ngrams",
+    "q176_preference_pairs",
+    "q177_pca_power",
+    "q178_kmeans_curve",
 ]
 SCALES = {"sf0.1eq": (5000, 2000), "sf1.0": (50000, 20000)}
 LANGS = ["en", "de", "fr", "es", "pt"]

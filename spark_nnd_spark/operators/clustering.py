@@ -117,7 +117,10 @@ def int_covariance(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -> 
     anisotropy, effective dimensionality) needs, built so any engine
     reproduces it bit-for-bit. Components quantize to COV_QUANT
     micro-units (BIGINT); the corpus-sized sums Σqᵢqⱼ and Σqᵢ are
-    integer (order-free — the q165/q169 cross-engine discipline); the
+    integer (order-free — the q165/q169 cross-engine discipline;
+    DECIMAL(38,0) accumulators, so no corpus size overflows them,
+    while per-element products stay BIGINT — fine through per-
+    component magnitudes of ~3e3); the
     final ``cov = A/N − (Bᵢ/N)(Bⱼ/N)`` is a fixed sequence of IEEE
     double ops on exact integers, identical everywhere, rounded back
     to a BIGINT in micro² units (1e12 × the real covariance).
@@ -148,11 +151,19 @@ def int_covariance(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -> 
         (F.col("i") + F.col("k0")).alias("j"),
         (F.col("qi") * F.col("qj")).alias("p"),
     )
-    a = upper.groupBy("i", "j").agg(F.sum("p").alias("a"))
+    # DECIMAL(38,0) sums: exact at any corpus size (per-element
+    # products stay BIGINT — bounded by (quant·max|x|)², fine through
+    # |x| ~ 3e3; DuckDB's SUM(BIGINT) is HUGEINT, also exact)
+    a = upper.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("a")
+    )
     b = (
         g.select((F.col("i0") + 1).alias("i"), "qi")
         .groupBy("i")
-        .agg(F.sum("qi").alias("bv"), F.count("*").alias("n"))
+        .agg(
+            F.sum(F.col("qi").cast("decimal(38,0)")).alias("bv"),
+            F.count("*").alias("n"),
+        )
     )
     cov_u = (
         a.join(F.broadcast(b.select("i", F.col("bv").alias("bi"), "n")), "i")
@@ -231,7 +242,10 @@ def _power_loop(
     for t in range(1, iters + 1):
         vlit = F.array(*[F.lit(x).cast("long") for x in m])
         w_df = cov.groupBy("i").agg(
-            F.sum(F.col("c") * F.element_at(vlit, F.col("j").cast("int"))).alias("w")
+            F.sum(
+                F.col("c").cast("decimal(38,0)")
+                * F.element_at(vlit, F.col("j").cast("int"))
+            ).alias("w")
         )
         packed = w_df.agg(
             F.array_sort(F.collect_list(F.struct("i", "w"))).alias("ws")
@@ -308,9 +322,9 @@ def kmeans_curve(
     inertia Σ min-dist² is an EXACT integer (order-free — no float
     accumulation anywhere in the corpus-sized sums), and the centroid
     update re-rounds the exact integer means back onto the micro grid
-    (floor(S/n + 0.5) on a deterministic double quotient — S stays
-    under 2^53 through ~10^7 rows per cluster; swap to DECIMAL sums
-    beyond). Empty clusters keep their previous centroid.
+    (floor(S/n + 0.5) on a deterministic double quotient; S is an
+    exact DECIMAL(38,0) sum — DuckDB's HUGEINT — so no corpus size
+    overflows it). Empty clusters keep their previous centroid.
 
     Per round: assignment is a narrow projection against literal
     centroids (k fold-expressions — zero shuffle, the clustering.py
@@ -359,7 +373,9 @@ def kmeans_curve(
         ).localCheckpoint(eager=True)
         rows.append(
             assigned.agg(
-                F.sum("mind").alias("inertia_micro2"),
+                F.sum(F.col("mind").cast("decimal(38,0)"))
+                .cast("double")
+                .alias("inertia_micro2"),
                 F.count_distinct("cid").alias("n_clusters"),
             ).select(
                 F.lit(t).cast("long").alias("round"),
@@ -371,7 +387,10 @@ def kmeans_curve(
             sums = (
                 assigned.select("cid", F.posexplode("q").alias("i0", "x"))
                 .groupBy("cid", "i0")
-                .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+                .agg(
+                    F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+                    F.count("*").alias("n"),
+                )
                 .collect()
             )
             upd: dict[int, dict[int, int]] = {}
@@ -413,12 +432,15 @@ def _cov_partials(df: DataFrame, vec_col: str, dim: int, quant: int):
         )
         .select("i", (F.col("i") + F.col("k0")).alias("j"), (F.col("qi") * F.col("qj")).alias("p"))
         .groupBy("i", "j")
-        .agg(F.sum("p").alias("a"))
+        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("a"))
     )
     first = (
         g.select((F.col("i0") + 1).alias("i"), "qi")
         .groupBy("i")
-        .agg(F.sum("qi").alias("b"), F.count("*").alias("n"))
+        .agg(
+            F.sum(F.col("qi").cast("decimal(38,0)")).alias("b"),
+            F.count("*").alias("n"),
+        )
     )
     return second, first
 

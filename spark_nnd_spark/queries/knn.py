@@ -1289,7 +1289,7 @@ def _kmeans_curve_oracle(k: int = KMEANS_K, iters: int = 3) -> str:
         ),
         r{t} AS (
             SELECT {t}::BIGINT AS round,
-                   SUM(dist)::BIGINT AS inertia_micro2,
+                   CAST(SUM(dist) AS DOUBLE) AS inertia_micro2,
                    COUNT(DISTINCT cid)::BIGINT AS n_clusters
             FROM a{t}
         )""")
@@ -1299,7 +1299,7 @@ def _kmeans_curve_oracle(k: int = KMEANS_K, iters: int = 3) -> str:
         if t < iters:
             rounds.append(f"""
         s{t} AS (
-            SELECT cid, i, SUM(x)::BIGINT AS s, COUNT(*)::BIGINT AS n
+            SELECT cid, i, SUM(x) AS s, COUNT(*)::BIGINT AS n
             FROM (
                 SELECT a.cid AS cid,
                        UNNEST(range(1, len(e.q) + 1)) AS i,
@@ -1366,7 +1366,7 @@ def _power_round_ctes(t: int, prev_v: str, vscale: int) -> str:
     spectrum oracles and the q180 transform oracle."""
     return f"""
         w{t}r AS (
-            SELECT s.i AS i, SUM(s.c * m[s.j])::BIGINT AS w
+            SELECT s.i AS i, SUM(CAST(s.c AS HUGEINT) * m[s.j]) AS w
             FROM sym s, {prev_v} GROUP BY s.i
         ),
         w{t} AS (SELECT list(struct_pack(i := i, w := w) ORDER BY i) AS ws
@@ -1416,10 +1416,10 @@ def _pca_prefix_ctes(iters: int, dim: int, quant: int, vscale: int, v0: int) -> 
                          i -> struct_pack(i := i, qi := q[i]))) AS u
                   FROM t)
         ),
-        b AS (SELECT i, SUM(qi)::BIGINT AS bv, COUNT(*)::BIGINT AS n
+        b AS (SELECT i, SUM(qi) AS bv, COUNT(*)::BIGINT AS n
               FROM g GROUP BY i),
         a AS (
-            SELECT x.i AS i, y.i AS j, SUM(x.qi * y.qi)::BIGINT AS a
+            SELECT x.i AS i, y.i AS j, SUM(x.qi * y.qi) AS a
             FROM g x JOIN g y ON x.vec_id = y.vec_id AND y.i >= x.i
             GROUP BY 1, 2
         ),
