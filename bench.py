@@ -150,6 +150,7 @@ HEADLINE = [
     "q179_indexed_pca",
     "q180_abtt_scores",
     "q181_gate_ablation",
+    "q182_pack_export",
 ]
 
 

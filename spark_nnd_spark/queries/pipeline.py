@@ -5012,6 +5012,57 @@ def q181_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("gate")
 
 
+def q182_pack_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PACKED TRAINING SHARDS themselves — q173 assigns pack
+    coordinates; this emits what the trainer reads: one row per pack
+    with the member documents' text concatenated in id order, the
+    member count, the token fill and the padding the fixed window
+    pays (the q154 waste, now per-pack). Whole docs only — the q66
+    straddle export is the other convention.
+
+    Scale (100 TB): the manifest join is id-keyed (manifest rows are
+    4 integers); the only text movement is ONE exchange of each doc
+    into its (source, block) shard — the same bytes any shard export
+    writer ships — grouped into bounded 32-doc packs. No Python, no
+    global sort beyond presentation."""
+    from spark_nnd_spark.operators import sampling as SA  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    manifest = SA.pack_whole_docs(
+        d,
+        TX.token_count_expr("text"),
+        context_len=PACK_CONTEXT,
+        block_docs=PACKW_BLOCK_DOCS,
+    )
+    joined = manifest.join(d.select("doc_id", "text"), "doc_id")
+    return (
+        joined.groupBy("source", "block", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("fill"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("packed_text"),
+        )
+        .select(
+            "source",
+            "block",
+            "bin",
+            "n_docs",
+            "fill",
+            F.greatest(F.lit(PACK_CONTEXT) - F.col("fill"), F.lit(0))
+            .cast("long")
+            .alias("padding"),
+            "packed_text",
+        )
+        .orderBy("source", "block", "bin")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -5155,6 +5206,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q174_dedup_weights": q174_dedup_weights,
     "q175_boilerplate_ngrams": q175_boilerplate_ngrams,
     "q181_gate_ablation": q181_gate_ablation,
+    "q182_pack_export": q182_pack_export,
 }
 
 
@@ -8708,6 +8760,19 @@ def pipeline_oracles() -> dict[str, str]:
         WITH brd AS (SELECT * FROM ({oracles['q155_curation_board']}))
         {' UNION ALL '.join(_gate_rows)}
         ORDER BY gate
+    """
+    # q182: the q173 manifest CTEs + the ordered text concatenation
+    oracles["q182_pack_export"] = f"""
+        WITH m AS (SELECT * FROM ({oracles['q173_pack_manifest']}))
+        SELECT m.source, m.block, m.bin,
+               COUNT(*)::BIGINT AS n_docs,
+               CAST(SUM(m.n_tokens) AS BIGINT) AS fill,
+               CAST(greatest({PACK_CONTEXT} - SUM(m.n_tokens), 0) AS BIGINT)
+                   AS padding,
+               string_agg(d.text, ' ' ORDER BY m.doc_id) AS packed_text
+        FROM m JOIN documents d ON m.doc_id = d.doc_id
+        GROUP BY m.source, m.block, m.bin
+        ORDER BY m.source, m.block, m.bin
     """
     return oracles
 

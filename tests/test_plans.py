@@ -1298,3 +1298,23 @@ def test_abtt_scoring_is_narrow(spark):
     assert "embeddings.parquet" in plan  # the scoring scan IS the corpus
     assert "Exchange hashpartitioning" not in plan
     assert "EvalPython" not in plan
+
+
+def test_pack_export_one_text_exchange(spark):
+    """q182: the corpus text crosses exactly one hash exchange (into
+    its (source, block, bin) pack group); the manifest join is
+    id-keyed; concatenation is a codegen array fold, no Python."""
+    plan = _plan(spark, "q182_pack_export")
+    assert "collect_list" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_gate_ablation_single_board_pass(spark):
+    """q181: the board is checkpointed once (the q155 pipeline runs
+    once, not per gate); the ablation is a union of four one-row
+    selects over the same aggregate."""
+    plan = _plan(spark, "q181_gate_ablation")
+    assert "Scan parquet" not in plan  # reads the checkpointed aggregate
+    assert "Union" in plan
+    assert "EvalPython" not in plan
