@@ -151,6 +151,7 @@ HEADLINE = [
     "q180_abtt_scores",
     "q181_gate_ablation",
     "q182_pack_export",
+    "q183_zipf_fit",
 ]
 
 

@@ -5063,6 +5063,67 @@ def q182_pack_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZIPF_TOP = 100  # vocabulary head the power law is fit over
+
+
+def q183_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law FIT over the vocabulary head — the OLS slope of
+    ln(freq) on ln(rank) for the top-ZIPF_TOP tokens: the power-law
+    exponent (≈ −1 for natural text) that corpus-quality audits read
+    as a diversity/degeneracy signal (a too-steep head means template
+    or boilerplate domination; q70 shows the head, this fits it).
+    Cross-engine exactness: the log coordinates quantize to integer
+    micro-nats (the q165 discipline), so every OLS sum is an exact
+    integer and the closed-form slope/intercept are deterministic
+    double expressions over exact inputs.
+
+    Scale (100 TB): one map-side-combined vocab count, a
+    TakeOrderedAndProject head cut (never a global sort), then the
+    rank window and the fit run over ZIPF_TOP rows."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(TX.tokens_expr("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(ZIPF_TOP)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    pts = counts.select(
+        F.row_number().over(w).alias("rank"), "n"
+    ).select(
+        F.floor(F.log(F.col("rank").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("n").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    agg = pts.agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("k")
+        / F.lit(1.0e6)
+    )
+    return agg.select(
+        F.col("k").cast("long").alias("n_top"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -5207,6 +5268,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q175_boilerplate_ngrams": q175_boilerplate_ngrams,
     "q181_gate_ablation": q181_gate_ablation,
     "q182_pack_export": q182_pack_export,
+    "q183_zipf_fit": q183_zipf_fit,
 }
 
 
@@ -8773,6 +8835,39 @@ def pipeline_oracles() -> dict[str, str]:
         FROM m JOIN documents d ON m.doc_id = d.doc_id
         GROUP BY m.source, m.block, m.bin
         ORDER BY m.source, m.block, m.bin
+    """
+    # q183: micro-nat log coordinates make every OLS sum an exact
+    # integer; slope/intercept are closed-form doubles over exact ints
+    oracles["q183_zipf_fit"] = f"""
+        WITH counts AS (
+            SELECT token, COUNT(*)::BIGINT AS n
+            FROM (SELECT unnest({TX.tokens_sql()}) AS token FROM documents)
+            GROUP BY token ORDER BY n DESC, token LIMIT {ZIPF_TOP}
+        ),
+        pts AS (
+            SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5)
+                        AS BIGINT) AS x,
+                   CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+                        AS BIGINT) AS y
+            FROM (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token)
+                         AS rank
+                  FROM counts)
+        ),
+        agg AS (
+            SELECT COUNT(*)::BIGINT AS k, SUM(x)::BIGINT AS sx,
+                   SUM(y)::BIGINT AS sy, SUM(x*y)::BIGINT AS sxy,
+                   SUM(x*x)::BIGINT AS sxx
+            FROM pts
+        )
+        SELECT k AS n_top,
+               round(CAST(k*sxy - sx*sy AS DOUBLE)
+                     / CAST(k*sxx - sx*sx AS DOUBLE), 6) AS slope,
+               round((CAST(sy AS DOUBLE)
+                      - (CAST(k*sxy - sx*sy AS DOUBLE)
+                         / CAST(k*sxx - sx*sx AS DOUBLE))
+                      * CAST(sx AS DOUBLE)) / k / 1000000.0, 6)
+                   AS intercept
+        FROM agg
     """
     return oracles
 

@@ -1318,3 +1318,13 @@ def test_gate_ablation_single_board_pass(spark):
     assert "Scan parquet" not in plan  # reads the checkpointed aggregate
     assert "Union" in plan
     assert "EvalPython" not in plan
+
+
+def test_zipf_fit_head_cut_is_take_ordered(spark):
+    """q183: the vocabulary head cut must be TakeOrderedAndProject
+    (map-side partial top-k), never a global rank window over the
+    whole vocab; the count shuffle carries O(vocab) partials."""
+    plan = _plan(spark, "q183_zipf_fit")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan
