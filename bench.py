@@ -152,6 +152,7 @@ HEADLINE = [
     "q181_gate_ablation",
     "q182_pack_export",
     "q183_zipf_fit",
+    "q184_heaps_fit",
 ]
 
 

@@ -5124,6 +5124,79 @@ def q183_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HEAPS_GRID = 10  # corpus-prefix checkpoints the growth law is fit over
+
+
+def q184_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law FIT — vocabulary growth V ∝ T^β over corpus prefixes
+    (docs in stable id order, HEAPS_GRID checkpoints): the exponent
+    corpus audits read as a saturation signal (β → 0 means new data
+    stops adding vocabulary — heavy duplication or closed-domain
+    text; natural corpora sit near β ≈ 0.5). Companion to q183: Zipf
+    fits the head's shape, Heaps fits the tail's growth. One token
+    pass computes each token's FIRST document and each prefix's token
+    total; the checkpoint grid and the micro-nat OLS (the q183
+    kernel) are O(grid) arithmetic over exact integers.
+
+    Scale (100 TB): one exploded-token aggregate (map-side combined to
+    O(vocab) first-doc rows + O(docs) per-doc counts); the grid
+    explode is ×HEAPS_GRID on those aggregates, never on the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens_expr("text")).alias("token"))
+    firsts = toks.groupBy("token").agg(F.min("doc_id").alias("fd"))
+    percnt = d.select(
+        "doc_id", TX.token_count_expr("text").cast("long").alias("n")
+    )
+    nrow = d.agg(F.count("*").alias("n_docs"))
+    ks = F.explode(
+        F.array(*[F.lit(k) for k in range(1, HEAPS_GRID + 1)])
+    ).alias("k")
+    # threshold t_k = (n_docs * k) div GRID; prefix = doc_id < t_k
+    vk = (
+        firsts.crossJoin(F.broadcast(nrow))
+        .select(ks, "fd", "n_docs")
+        .filter(F.col("fd") < F.expr(f"(n_docs * k) div {HEAPS_GRID}"))
+        .groupBy("k")
+        .agg(F.count("*").alias("vocab"))
+    )
+    tk = (
+        percnt.crossJoin(F.broadcast(nrow))
+        .select(ks, "doc_id", "n", "n_docs")
+        .filter(F.col("doc_id") < F.expr(f"(n_docs * k) div {HEAPS_GRID}"))
+        .groupBy("k")
+        .agg(F.sum("n").alias("toks"))
+    )
+    pts = vk.join(tk, "k").select(
+        F.floor(F.log(F.col("toks").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("vocab").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    agg = pts.agg(
+        F.count("*").alias("kk"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    beta = (
+        (F.col("kk") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("kk") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    intercept = (
+        (F.col("sy").cast("double") - beta * F.col("sx").cast("double"))
+        / F.col("kk")
+        / F.lit(1.0e6)
+    )
+    return agg.select(
+        F.col("kk").cast("long").alias("n_points"),
+        F.round(beta, 6).alias("beta"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -5269,6 +5342,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q181_gate_ablation": q181_gate_ablation,
     "q182_pack_export": q182_pack_export,
     "q183_zipf_fit": q183_zipf_fit,
+    "q184_heaps_fit": q184_heaps_fit,
 }
 
 
@@ -8866,6 +8940,55 @@ def pipeline_oracles() -> dict[str, str]:
                       - (CAST(k*sxy - sx*sy AS DOUBLE)
                          / CAST(k*sxx - sx*sx AS DOUBLE))
                       * CAST(sx AS DOUBLE)) / k / 1000000.0, 6)
+                   AS intercept
+        FROM agg
+    """
+    # q184: same micro-nat OLS kernel over the prefix-growth points
+    oracles["q184_heaps_fit"] = f"""
+        WITH nd AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+        firsts AS (
+            SELECT token, MIN(doc_id) AS fd
+            FROM (SELECT doc_id, unnest({TX.tokens_sql()}) AS token
+                  FROM documents)
+            GROUP BY token
+        ),
+        percnt AS (
+            SELECT doc_id, CAST({TX.token_count_sql()} AS BIGINT) AS n
+            FROM documents
+        ),
+        grid AS (SELECT unnest(range(1, {HEAPS_GRID} + 1)) AS k),
+        vk AS (
+            SELECT g.k, COUNT(*)::BIGINT AS vocab
+            FROM firsts f, grid g, nd
+            WHERE f.fd < (nd.n_docs * g.k) // {HEAPS_GRID}
+            GROUP BY g.k
+        ),
+        tk AS (
+            SELECT g.k, CAST(SUM(p.n) AS BIGINT) AS toks
+            FROM percnt p, grid g, nd
+            WHERE p.doc_id < (nd.n_docs * g.k) // {HEAPS_GRID}
+            GROUP BY g.k
+        ),
+        pts AS (
+            SELECT CAST(floor(ln(CAST(toks AS DOUBLE)) * 1000000.0 + 0.5)
+                        AS BIGINT) AS x,
+                   CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1000000.0 + 0.5)
+                        AS BIGINT) AS y
+            FROM vk JOIN tk USING (k)
+        ),
+        agg AS (
+            SELECT COUNT(*)::BIGINT AS kk, SUM(x)::BIGINT AS sx,
+                   SUM(y)::BIGINT AS sy, SUM(x*y)::BIGINT AS sxy,
+                   SUM(x*x)::BIGINT AS sxx
+            FROM pts
+        )
+        SELECT kk AS n_points,
+               round(CAST(kk*sxy - sx*sy AS DOUBLE)
+                     / CAST(kk*sxx - sx*sx AS DOUBLE), 6) AS beta,
+               round((CAST(sy AS DOUBLE)
+                      - (CAST(kk*sxy - sx*sy AS DOUBLE)
+                         / CAST(kk*sxx - sx*sx AS DOUBLE))
+                      * CAST(sx AS DOUBLE)) / kk / 1000000.0, 6)
                    AS intercept
         FROM agg
     """

@@ -1328,3 +1328,14 @@ def test_zipf_fit_head_cut_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
     assert "EvalPython" not in plan
+
+
+def test_heaps_fit_grid_on_aggregates(spark):
+    """q184: the corpus pays the token explode once (first-doc +
+    per-doc counts are map-side-combined aggregates); the ×GRID
+    explode runs on those O(vocab)/O(docs) aggregates with the doc
+    total broadcast, never on the token stream."""
+    plan = _plan(spark, "q184_heaps_fit")
+    assert "partial_min" in plan     # per-token first-doc combine
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
