@@ -153,6 +153,7 @@ HEADLINE = [
     "q182_pack_export",
     "q183_zipf_fit",
     "q184_heaps_fit",
+    "q185_spectrum2",
 ]
 
 

@@ -630,3 +630,29 @@ def abtt_scores(
             F.sqrt(F.greatest(norm2_d - proj_d * proj_d, F.lit(0.0))), 6
         ).alias("resid_norm"),
     )
+
+
+def deflate(
+    cov: DataFrame,
+    v: list[int],
+    lam_d: float,
+) -> DataFrame:
+    """Hotelling deflation: C' = C − λ·(v vᵀ)/(vᵀv), in the integer
+    matrix units — the step that turns the top-eigenvector loop into
+    a top-K spectrum (power-iterate, deflate, repeat). ``v`` is the
+    integer iterate (:func:`top_eigen_vector`), ``lam_d`` the
+    matrix-unit eigenvalue estimate; vᵀv is an exact integer, so the
+    per-cell correction floor(λ·vᵢ·vⱼ/vᵀv + 0.5) is a fixed
+    deterministic double expression. Residual-direction leakage is
+    bounded by the iterate's quantization (‖v‖/vscale − 1 ≈ 1e-5) —
+    fine for spectrum diagnostics, documented."""
+    vtv = sum(x * x for x in v)  # exact Python int
+    v_lit = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    corr = F.floor(
+        F.lit(float(lam_d))
+        * F.element_at(v_lit, F.col("i").cast("int")).cast("double")
+        * F.element_at(v_lit, F.col("j").cast("int")).cast("double")
+        / F.lit(float(vtv))
+        + F.lit(0.5)
+    ).cast("long")
+    return cov.select("i", "j", (F.col("c") - corr).alias("c"))

@@ -1360,14 +1360,19 @@ def q177_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_eigen_power(cov, dim=64, iters=PCA_ITERS)
 
 
-def _power_round_ctes(t: int, prev_v: str, vscale: int) -> str:
+def _power_round_ctes(
+    t: int, prev_v: str, vscale: int, sym: str = "sym", tag: str = ""
+) -> str:
     """One power-iteration round (matvec → ordered fold stats →
     re-quantized iterate) as oracle CTEs — shared by the q177/q179
-    spectrum oracles and the q180 transform oracle."""
+    spectrum oracles, the q180 transform oracle and q185's second
+    (deflated) loop, which passes its own matrix name and a CTE-name
+    tag to avoid collisions."""
+    t = f"{tag}{t}"
     return f"""
         w{t}r AS (
             SELECT s.i AS i, SUM(CAST(s.c AS HUGEINT) * m[s.j]) AS w
-            FROM sym s, {prev_v} GROUP BY s.i
+            FROM {sym} s, {prev_v} GROUP BY s.i
         ),
         w{t} AS (SELECT list(struct_pack(i := i, w := w) ORDER BY i) AS ws
                  FROM w{t}r),
@@ -1532,6 +1537,95 @@ def _abtt_oracle(iters: int = PCA_ITERS) -> str:
     """
 
 
+def q185_spectrum2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-2 SPECTRUM via power iteration + Hotelling deflation — the
+    effective-dimensionality table (how concentrated is the embedding
+    space: two dominant directions vs a flat spectrum changes whether
+    all-but-the-top should remove 1 or k components). Component 1 is
+    q177's loop on the stats-served matrix; the matrix is then
+    deflated by λ₁·v₁v₁ᵀ/v₁ᵀv₁ (operators/clustering.deflate — exact
+    integer vᵀv, deterministic correction) and the same loop extracts
+    component 2. Per component: (component, lambda_top,
+    explained_frac vs the ORIGINAL trace) — both recomputed from the
+    8dp eigenvalue so the two engines agree by construction.
+
+    Scale: everything after the (already-persisted) moment stats is
+    O(d²) arithmetic — two loops over 4096-row matrices."""
+    from spark_nnd_spark.operators.clustering import (  # noqa: PLC0415
+        _power_loop,
+        cov_from_stats,
+        deflate,
+    )
+
+    path = _cov_stats_for(spark, sf_dir)
+    cov = cov_from_stats(spark, path).localCheckpoint(eager=True)
+    trace_row = cov.filter("i = j").agg(F.sum("c").alias("trace"))
+
+    rows = []
+    cur = cov
+    for comp in (1, 2):
+        per, m = _power_loop(cur, 64, PCA_ITERS, 100_000)
+        last = per[-1].localCheckpoint(eager=True)
+        rows.append(
+            last.crossJoin(trace_row).select(
+                F.lit(comp).cast("long").alias("component"),
+                "lambda_top",
+                F.round(
+                    F.col("lambda_top")
+                    * F.lit(1.0e12)
+                    / F.col("trace").cast("double"),
+                    6,
+                ).alias("explained_frac"),
+            )
+        )
+        if comp == 1:
+            lam_d = float(last.collect()[0]["lambda_top"]) * 1.0e12
+            cur = deflate(cov, m, lam_d).localCheckpoint(eager=True)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("component")
+
+
+def _spectrum2_oracle(iters: int = PCA_ITERS) -> str:
+    dim, quant, vscale = 64, 1_000_000, 100_000
+    rounds2 = []
+    prev_v = "v0"
+    for t in range(1, iters + 1):
+        rounds2.append(_power_round_ctes(t, prev_v, vscale, sym="defl", tag="b"))
+        prev_v = f"vb{t}"
+    vtv = f"""(SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(m, x -> x * x)), (a, b) -> a + b) AS vtv
+               FROM v{iters})"""
+    return f"""
+        {_pca_prefix_ctes(iters, dim, quant, vscale, 12500)},
+        lam1 AS (
+            SELECT round(num / den / 1000000000000.0, 8) AS l FROM s{iters}
+        ),
+        defl AS (
+            SELECT s.i, s.j,
+                   s.c - CAST(floor(
+                       l.l * 1000000000000.0
+                       * CAST(v.m[s.i] AS DOUBLE)
+                       * CAST(v.m[s.j] AS DOUBLE)
+                       / CAST(t2.vtv AS DOUBLE) + 0.5) AS BIGINT) AS c
+            FROM sym s, lam1 l, v{iters} v, {vtv} t2
+        ),{','.join(rounds2)},
+        lam2 AS (
+            SELECT round(num / den / 1000000000000.0, 8) AS l FROM sb{iters}
+        )
+        SELECT 1::BIGINT AS component, l AS lambda_top,
+               round(l * 1000000000000.0 / CAST(tr.trace AS DOUBLE), 6)
+                   AS explained_frac
+        FROM lam1, tr
+        UNION ALL
+        SELECT 2::BIGINT, l,
+               round(l * 1000000000000.0 / CAST(tr.trace AS DOUBLE), 6)
+        FROM lam2, tr
+        ORDER BY component
+    """
+
+
 # One covariance-stats sidecar per (session, sf_dir) — the q25/_nnd_graph
 # session-cache convention (build once, every spectrum probe reuses it).
 _COVSTATS_CACHE: dict[tuple[str, str], str] = {}
@@ -1587,6 +1681,7 @@ KNN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q178_kmeans_curve": q178_kmeans_curve,
     "q179_indexed_pca": q179_indexed_pca,
     "q180_abtt_scores": q180_abtt_scores,
+    "q185_spectrum2": q185_spectrum2,
 }
 
 KNN_ORACLES: dict[str, str] = {
@@ -1623,4 +1718,5 @@ KNN_ORACLES: dict[str, str] = {
     # inline q177 computation exactly (integer sums are associative)
     "q179_indexed_pca": _pca_power_oracle(),
     "q180_abtt_scores": _abtt_oracle(),
+    "q185_spectrum2": _spectrum2_oracle(),
 }

@@ -1339,3 +1339,13 @@ def test_heaps_fit_grid_on_aggregates(spark):
     assert "partial_min" in plan     # per-token first-doc combine
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_spectrum2_no_corpus_rescan(spark):
+    """q185: both power loops and the deflation run over checkpointed
+    O(d^2) matrices served from the stats sidecar — no embeddings
+    scan, no Python anywhere."""
+    plan = _plan(spark, "q185_spectrum2")
+    assert "embeddings.parquet" not in plan
+    assert "EvalPython" not in plan
+    assert "Union" in plan
