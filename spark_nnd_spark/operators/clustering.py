@@ -279,7 +279,10 @@ def _power_loop(
                 F.col("num") / F.col("den") / F.lit(1.0e12), 8
             ).alias("lambda_top"),
             F.round(
-                F.col("num") / F.col("den") / F.col("trace").cast("double"), 6
+                F.try_divide(
+                    F.col("num") / F.col("den"), F.col("trace").cast("double")
+                ),
+                6,
             ).alias("explained_frac"),
             "norm",
         )
@@ -287,10 +290,15 @@ def _power_loop(
         # the oracle's list_transform runs)
         got = stats.collect()[0]
         norm = got["norm"]
-        m = [
-            int(math.floor(float(s["w"]) / norm * vscale + 0.5))
-            for s in got["ws"]
-        ]
+        if not norm:  # zero covariance (constant corpus): w ≡ 0 —
+            # keep the current iterate instead of dividing by zero;
+            # lambda/explained emit as 0/null from the SQL side
+            m = list(m)
+        else:
+            m = [
+                int(math.floor(float(s["w"]) / norm * vscale + 0.5))
+                for s in got["ws"]
+            ]
         top0 = min(range(dim), key=lambda idx: (-abs(m[idx]), idx))
         per_iter.append(
             row.select(
@@ -347,6 +355,13 @@ def kmeans_curve(
         int(r["id"]): [int(x) for x in r["q"]]
         for r in qv.filter(F.col("id") < k).collect()
     }
+    if not cents:
+        msg = (
+            f"kmeans_curve seeds centroids from ids < k={k} (the q178 "
+            "oracle convention); this corpus has no such ids — remap "
+            "ids to start at 0 or raise k"
+        )
+        raise ValueError(msg)
     rows = []
     for t in range(1, iters + 1):
         cand = [
@@ -461,42 +476,84 @@ def build_cov_stats(
     stored rows regardless of corpus size; a spectrum probe
     (:func:`cov_from_stats` + :func:`top_eigen_power`) never rescans
     the corpus."""
+    spark = df.sparkSession
     second, first = _cov_partials(df, vec_col, dim, quant)
-    second.coalesce(1).write.mode("overwrite").parquet(f"{path}/second")
-    first.coalesce(1).write.mode("overwrite").parquet(f"{path}/first")
-    df.sparkSession.createDataFrame(
+    spark.createDataFrame(
         [(int(dim), int(quant))], "dim int, quant long"
     ).write.mode("overwrite").parquet(f"{path}/meta")
-
-
-def _merge_cov_stats(spark, path: str, second2, first2, sign: int) -> None:
-    s = F.lit(sign).cast("long")
-    second = (
-        spark.read.parquet(f"{path}/second")
-        .unionByName(second2.select("i", "j", (F.col("a") * s).alias("a")))
-        .groupBy("i", "j")
-        .agg(F.sum("a").alias("a"))
-        .localCheckpoint(eager=True)  # materialize before the overwrite
+    _commit_cov_state(
+        spark, path, 0, second, first,
+        spark.createDataFrame([], "batch_id long"),
     )
-    first = (
-        spark.read.parquet(f"{path}/first")
-        .unionByName(
-            first2.select("i", (F.col("b") * s).alias("b"), (F.col("n") * s).alias("n"))
-        )
-        .groupBy("i")
-        .agg(F.sum("b").alias("b"), F.sum("n").alias("n"))
-        .localCheckpoint(eager=True)
-    )
-    second.coalesce(1).write.mode("overwrite").parquet(f"{path}/second")
-    first.coalesce(1).write.mode("overwrite").parquet(f"{path}/first")
 
 
-def _cov_marker_exists(spark, marker: str) -> bool:
+def _cov_fs(spark, path: str):
     jvm = spark.sparkContext._jvm  # noqa: SLF001
     jsc = spark.sparkContext._jsc  # noqa: SLF001
-    hpath = jvm.org.apache.hadoop.fs.Path(f"{marker}/_SUCCESS")
-    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
-    return fs.exists(hpath)
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, hpath.getFileSystem(jsc.hadoopConfiguration())
+
+
+def _cov_committed_versions(spark, path: str) -> list[int]:
+    """Version numbers under ``{path}/state`` whose _COMMITTED marker
+    exists — a half-renamed or staged directory is simply invisible."""
+    jvm, fs = _cov_fs(spark, path)
+    root = jvm.org.apache.hadoop.fs.Path(f"{path}/state")
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("v="):
+            continue
+        try:
+            v = int(name[2:])
+        except ValueError:
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/state/{name}/_COMMITTED")):
+            out.append(v)
+    return sorted(out)
+
+
+def cov_state_dir(spark, path: str) -> str:
+    """Directory of the LATEST committed stats version — the only
+    state readers ever see. Raises if no committed build exists."""
+    vs = _cov_committed_versions(spark, path)
+    if not vs:
+        msg = f"no committed cov-stats state under {path}"
+        raise ValueError(msg)
+    return f"{path}/state/v={vs[-1]}"
+
+
+def _commit_cov_state(
+    spark, path: str, version: int, second, first, applied
+) -> None:
+    """Atomic state commit: write second/first/applied plus the
+    _COMMITTED marker into one staging directory, then a single
+    filesystem RENAME publishes all of it as ``v={version}``. A crash
+    at any point before the rename leaves the previous version intact
+    and the new one invisible (the staging dir has no _COMMITTED until
+    fully written, and an unrenamed staging dir is never listed as a
+    version) — so 'batch applied' and 'batch marked applied' are one
+    indivisible event, closing the double-count window a replayed
+    at-least-once delivery could otherwise hit."""
+    jvm, fs = _cov_fs(spark, path)
+    staging = f"{path}/state/_staging_v={version}"
+    sp = jvm.org.apache.hadoop.fs.Path(staging)
+    fs.delete(sp, True)  # leftover from a crashed attempt
+    second.coalesce(1).write.parquet(f"{staging}/second")
+    first.coalesce(1).write.parquet(f"{staging}/first")
+    applied.coalesce(1).write.parquet(f"{staging}/applied")
+    fs.create(jvm.org.apache.hadoop.fs.Path(f"{staging}/_COMMITTED")).close()
+    final = jvm.org.apache.hadoop.fs.Path(f"{path}/state/v={version}")
+    if not fs.rename(sp, final):
+        msg = f"cov-stats commit rename failed: {staging} -> v={version}"
+        raise OSError(msg)
+    # GC: keep the new version plus one predecessor (a reader holding
+    # a lazy plan over the previous version stays valid).
+    for v in _cov_committed_versions(spark, path):
+        if v < version - 1:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/state/v={v}"), True)
 
 
 def _merge_with_marker(
@@ -506,23 +563,40 @@ def _merge_with_marker(
     (where a replayed append is absorbed by downstream distincts), a
     replayed MERGE double-counts — so callers with at-least-once
     delivery (streams, retried jobs) pass ``batch_id`` and the merge
-    becomes at-most-once via the _SUCCESS-checked marker (the
-    indexed_dedup_stream admission convention). A crash BETWEEN the
-    two table overwrites leaves the stats inconsistent — detectable
-    (marker absent) and repaired by rebuild or by re-running the merge
-    after restoring the tables; markerless calls are for one-shot
-    batch jobs that rebuild on failure."""
-    if batch_id is not None and _cov_marker_exists(
-        spark, f"{path}/applied/batch={batch_id}"
-    ):
+    becomes at-most-once: the applied-batch table lives INSIDE the
+    versioned state and is published by the same atomic rename as the
+    moments themselves, so there is no window where a batch is applied
+    but unmarked (or marked but unapplied). Markerless calls
+    (``batch_id=None``) are for one-shot batch jobs."""
+    state = cov_state_dir(spark, path)
+    applied = spark.read.parquet(f"{state}/applied")
+    if batch_id is not None and applied.filter(
+        F.col("batch_id") == int(batch_id)
+    ).take(1):
         return
     meta = spark.read.parquet(f"{path}/meta").first()
     second2, first2 = _cov_partials(df, vec_col, meta["dim"], meta["quant"])
-    _merge_cov_stats(spark, path, second2, first2, sign)
+    s = F.lit(sign).cast("long")
+    second = (
+        spark.read.parquet(f"{state}/second")
+        .unionByName(second2.select("i", "j", (F.col("a") * s).alias("a")))
+        .groupBy("i", "j")
+        .agg(F.sum("a").alias("a"))
+    )
+    first = (
+        spark.read.parquet(f"{state}/first")
+        .unionByName(
+            first2.select("i", (F.col("b") * s).alias("b"), (F.col("n") * s).alias("n"))
+        )
+        .groupBy("i")
+        .agg(F.sum("b").alias("b"), F.sum("n").alias("n"))
+    )
     if batch_id is not None:
-        spark.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
-            "overwrite"
-        ).parquet(f"{path}/applied/batch={batch_id}")
+        applied = applied.unionByName(
+            spark.createDataFrame([(int(batch_id),)], "batch_id long")
+        )
+    version = int(state.rsplit("v=", 1)[1]) + 1
+    _commit_cov_state(spark, path, version, second, first, applied)
 
 
 def extend_cov_stats(
@@ -553,8 +627,9 @@ def cov_from_stats(spark, path: str) -> DataFrame:
     """The symmetric integer covariance matrix served from the
     persisted stats — same (i, j, c) contract as
     :func:`int_covariance`, zero corpus I/O."""
-    second = spark.read.parquet(f"{path}/second")
-    first = spark.read.parquet(f"{path}/first")
+    state = cov_state_dir(spark, path)
+    second = spark.read.parquet(f"{state}/second")
+    first = spark.read.parquet(f"{state}/first")
     cov_u = (
         second.join(F.broadcast(first.select("i", F.col("b").alias("bi"), "n")), "i")
         .join(F.broadcast(first.select(F.col("i").alias("j"), F.col("b").alias("bj"))), "j")

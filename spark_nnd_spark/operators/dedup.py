@@ -24,6 +24,8 @@ because every hash is portable arithmetic (functions/text.py).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -136,6 +138,16 @@ def fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 AUTO_DF_BUDGET = 8.0
 AUTO_DF_FLOOR = 16
 
+# Observability for the 'auto' default (r11 ADVICE): every derived cut
+# that actually ENGAGES (cap < max df seen) is logged at WARNING and
+# recorded here, so a caller can audit what recall the budget traded
+# away without re-deriving the histogram. Keyed by nothing — it holds
+# the LAST derivation (driver-side, single-threaded query authoring);
+# read it right after the operator call.
+LAST_DERIVED_CAP: dict[str, float | int | None] = {}
+
+_LOG = logging.getLogger(__name__)
+
 
 def derived_df_cap(
     dfreq: DataFrame,
@@ -175,13 +187,37 @@ def derived_df_cap(
         if cum > limit:
             break
         cap = r[df_col]
-    return max(floor, int(cap))
+    cap = max(floor, int(cap))
+    max_df = int(hist[-1][df_col])
+    keys_cut = sum(r["k"] for r in hist if r[df_col] > cap)
+    postings_cut = sum(r[df_col] * r["k"] for r in hist if r[df_col] > cap)
+    LAST_DERIVED_CAP.clear()
+    LAST_DERIVED_CAP.update(
+        cap=cap, max_df=max_df, budget=budget, keys_cut=keys_cut,
+        postings_cut=postings_cut, total_postings=total,
+    )
+    if keys_cut:
+        _LOG.warning(
+            "auto df-cut engaged: cap=%d (max df %d); %d hot keys / %d of %d "
+            "postings dropped before pair verification — pairs whose overlap "
+            "is all-hot content are not verified at this tier; pass "
+            "max_*_freq=None for exact pairs or use the LSH tier for recall",
+            cap, max_df, keys_cut, postings_cut, total,
+        )
+    return cap
 
 
 def _resolve_shingle_cap(raw: DataFrame, max_shingle_freq) -> int | None:
     """'auto' → derived_df_cap over the posting df distribution; pass
     ints / None through unchanged (declared queries pin explicit caps
-    so their oracles replay; 'auto' is the production default)."""
+    so their oracles replay; 'auto' is the production default).
+
+    BEHAVIOR CHANGE (r11): the default flipped from None (never cut)
+    to 'auto'. On a vocabulary-saturated corpus the derived budget cap
+    can drop verified pairs whose overlap is entirely hot content —
+    the engaged cut is logged at WARNING with the dropped-posting
+    counts and recorded in :data:`LAST_DERIVED_CAP`; callers that need
+    exact pairs must pass ``None`` explicitly."""
     if max_shingle_freq != "auto":
         return max_shingle_freq
     return derived_df_cap(

@@ -464,10 +464,16 @@ def extend_image_index(
         block=meta["block"],
         codec=meta["codec"],
     )
+    # The appended batch keeps the build-time layout contract
+    # (repartition+sort by band_val → parquet row-group skipping on
+    # probes); without it, probes over extended indexes scan every
+    # appended row-group until a compaction rewrites the layout.
     hash_band_rows(
         hashes, hash_col="phash", id_col="id",
         n_bands=meta["n_bands"], bits=meta["bits"],
-    ).write.mode("append").parquet(f"{path}/bands")
+    ).repartition("band_val").sortWithinPartitions("band_val").write.mode(
+        "append"
+    ).parquet(f"{path}/bands")
     spark.read.parquet(f"{path}/bands").groupBy("band", "band_val").agg(
         F.count_distinct("id").alias("bf")
     ).write.mode("overwrite").parquet(f"{path}/band_stats")

@@ -1496,12 +1496,14 @@ def q180_abtt_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_nnd_spark.operators.clustering import (  # noqa: PLC0415
         abtt_scores,
         cov_from_stats,
+        cov_state_dir,
         top_eigen_vector,
     )
 
     path = _cov_stats_for(spark, sf_dir)
     v = top_eigen_vector(cov_from_stats(spark, path), dim=64, iters=PCA_ITERS)
-    first = spark.read.parquet(f"{path}/first").orderBy("i").collect()
+    state = cov_state_dir(spark, path)
+    first = spark.read.parquet(f"{state}/first").orderBy("i").collect()
     mu = [int(math.floor(float(r["b"]) / r["n"] + 0.5)) for r in first]
     emb = load_table(spark, sf_dir, "embeddings")
     return abtt_scores(emb, mu, v).orderBy("vec_id")

@@ -87,6 +87,57 @@ def test_extend_with_batch_id_is_replay_idempotent(spark, tmp_path):
     assert _mat(cov_from_stats(spark, p)) != once
 
 
+def test_crash_leftovers_are_invisible_and_commit_is_atomic(spark, tmp_path):
+    """The r11-ADVICE atomicity contract: a crashed merge can leave a
+    staging dir or an unrenamed version dir WITHOUT _COMMITTED — both
+    must be invisible to readers, and a subsequent merge must succeed
+    and publish moments + applied marker in ONE version directory (one
+    rename), so 'applied but unmarked' cannot exist."""
+    import pathlib
+
+    a = _vecs(spark, 0, 300)
+    b = _vecs(spark, 300, 400)
+    p = str(tmp_path / "atomic")
+    build_cov_stats(a, p, dim=DIM)
+    before = _mat(cov_from_stats(spark, p))
+
+    state = pathlib.Path(p) / "state"
+    (state / "_staging_v=1" / "second").mkdir(parents=True)  # crashed attempt
+    (state / "v=99").mkdir()  # renamed-but-never-committed cannot happen;
+    # an empty uncommitted dir stands in for any torn state
+    assert _mat(cov_from_stats(spark, p)) == before  # leftovers invisible
+
+    extend_cov_stats(spark, p, b, batch_id=3)
+    committed = sorted(d.name for d in state.iterdir() if (d / "_COMMITTED").exists())
+    assert committed == ["v=0", "v=1"]
+    # moments AND the applied marker live in the same committed unit
+    assert (state / "v=1" / "second").exists()
+    assert (state / "v=1" / "applied").exists()
+    applied = spark.read.parquet(str(state / "v=1" / "applied")).collect()
+    assert [r.batch_id for r in applied] == [3]
+    # replay of batch 3 is a no-op and creates no new version
+    extend_cov_stats(spark, p, b, batch_id=3)
+    assert sorted(
+        d.name for d in state.iterdir() if (d / "_COMMITTED").exists()
+    ) == ["v=0", "v=1"]
+
+
+def test_version_gc_keeps_at_most_two(spark, tmp_path):
+    import pathlib
+
+    p = str(tmp_path / "gc")
+    build_cov_stats(_vecs(spark, 0, 100), p, dim=DIM)
+    for i in range(4):
+        extend_cov_stats(spark, p, _vecs(spark, 100 + i * 50, 150 + i * 50),
+                         batch_id=i)
+    state = pathlib.Path(p) / "state"
+    committed = sorted(d.name for d in state.iterdir() if (d / "_COMMITTED").exists())
+    assert committed == ["v=3", "v=4"]
+    fresh = str(tmp_path / "gc_fresh")
+    build_cov_stats(_vecs(spark, 0, 300), fresh, dim=DIM)
+    assert _mat(cov_from_stats(spark, p)) == _mat(cov_from_stats(spark, fresh))
+
+
 def test_cov_stats_stream_maintains_exact_stats(spark, tmp_path):
     """Streaming moment maintenance: draining 3 micro-batches of
     vectors into the sidecar must leave EXACTLY the stats of a fresh

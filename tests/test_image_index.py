@@ -108,6 +108,17 @@ def test_extend_equals_fresh_build(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(f"{p}/band_stats").collect()
     )
     assert stats(grown) == stats(fresh)
+    # layout contract survives the extend (r11 ADVICE): every bands
+    # part file — including the appended batch — is sorted by band_val
+    # within the file, so parquet row-group skipping keeps working
+    # without waiting for a compaction
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    for f in pathlib.Path(grown, "bands").glob("*.parquet"):
+        vals = pq.read_table(f, columns=["band_val"])["band_val"].to_pylist()
+        assert vals == sorted(vals), f.name
 
 
 def test_retract_immediate_and_compact_equals_fresh(spark, tmp_path):

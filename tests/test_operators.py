@@ -2766,6 +2766,45 @@ def test_auto_df_cap_tracks_corpus(spark):
     assert len(uncut) > 10_000 and content <= uncut
 
 
+def test_auto_df_cut_is_observable(spark, caplog):
+    """r11 ADVICE: the 'auto' default silently traded recall — an
+    ENGAGED cut must now emit a WARNING with the dropped-posting
+    counts and record the derivation in LAST_DERIVED_CAP, so callers
+    can audit the trade without re-deriving the histogram."""
+    import logging
+
+    from spark_nnd_spark.functions import text as TX
+    from spark_nnd_spark.operators.dedup import (
+        LAST_DERIVED_CAP,
+        derived_df_cap,
+    )
+
+    sat = [(i, f"the quick brown p{i % 200} q{i % 200} r{i}")
+           for i in range(400)]
+    sdocs = spark.createDataFrame(sat, "doc_id long, text string")
+    posts = sdocs.select(
+        F.col("doc_id"),
+        F.explode(TX.shingles_expr("text", 3)).alias("shingle"),
+    ).groupBy("shingle").agg(F.count("*").alias("df"))
+    with caplog.at_level(logging.WARNING, "spark_nnd_spark.operators.dedup"):
+        cap = derived_df_cap(posts)
+    assert LAST_DERIVED_CAP["cap"] == cap
+    assert LAST_DERIVED_CAP["max_df"] == 400
+    assert LAST_DERIVED_CAP["keys_cut"] >= 1
+    assert LAST_DERIVED_CAP["postings_cut"] >= 400
+    assert any("auto df-cut engaged" in r.message for r in caplog.records)
+
+    # a cut that does NOT engage (open vocab) stays silent
+    open_posts = spark.createDataFrame(
+        [(f"s{i}", 1) for i in range(50)], "shingle string, df long"
+    )
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, "spark_nnd_spark.operators.dedup"):
+        derived_df_cap(open_posts)
+    assert LAST_DERIVED_CAP["keys_cut"] == 0
+    assert not caplog.records
+
+
 def test_pack_whole_docs_next_fit(spark):
     """Whole-doc next-fit packing: hand-computed assignments on a
     fixture (context 10, block 4) — docs never split, bins open on
@@ -2821,3 +2860,37 @@ def test_kmeans_curve_monotone_inertia(spark):
     # determinism: same input, same exact integers
     again = [r.inertia_micro2 for r in kmeans_curve(df, k=4, iters=3).collect()]
     assert again == inert
+
+
+def test_kmeans_curve_rejects_unseedable_id_space(spark):
+    """Seeding takes ids < k; an id space starting at 100 yields zero
+    seeds and must raise a clear ValueError, not an opaque array
+    failure (r11 ADVICE)."""
+    import pytest
+
+    from spark_nnd_spark.operators.clustering import kmeans_curve
+
+    df = spark.createDataFrame(
+        [(100 + i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ids < k"):
+        kmeans_curve(df, k=4, iters=1)
+
+
+def test_power_iteration_survives_constant_corpus(spark):
+    """A constant-embedding corpus has a ZERO covariance matrix; the
+    power loop must not divide by the zero norm (r11 ADVICE) — it
+    emits rows (lambda 0) and keeps the iterate."""
+    from spark_nnd_spark.operators.clustering import (
+        int_covariance,
+        top_eigen_power,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [0.5] * 4) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    out = top_eigen_power(int_covariance(df, dim=4), dim=4, iters=2).collect()
+    assert [r.iter for r in out] == [1, 2]
+    assert all(r.lambda_top == 0.0 for r in out)
