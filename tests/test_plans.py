@@ -1349,3 +1349,48 @@ def test_spectrum2_no_corpus_rescan(spark):
     assert "embeddings.parquet" not in plan
     assert "EvalPython" not in plan
     assert "Union" in plan
+
+
+def test_chunk_export_is_narrow(spark):
+    """q186: chunking is tokenize + generator + slice — zero hash
+    exchanges (the only exchange is the presentation range sort), no
+    Python, no join."""
+    plan = _plan(spark, "q186_chunk_export")
+    assert "Exchange hashpartitioning" not in plan
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert "Generate posexplode" in plan or "Generate" in plan
+
+
+def test_hard_negatives_mines_ranked_rows_only(spark):
+    """q187: the corpus text scan feeds only the retriever (one
+    documents scan for tokens + one for stats is q146's contract); the
+    mining join runs on O(queries*k) rows with no extra corpus scan
+    and no cartesian product."""
+    plan = _plan(spark, "q187_hard_negatives")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_source_divergence_vocab_bounded(spark):
+    """q188: one (source, token) map-side-combined aggregate over the
+    corpus; the pair join is keyed on token (equi-join, never a
+    cartesian over sources)."""
+    plan = _plan(spark, "q188_source_divergence")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_quality_select_no_source_wide_sort(spark):
+    """q189's reason to exist: NO rank window partitioned by source
+    alone over document rows (that single-threads a source at 100 TB).
+    The only row_number partitions by (source, score) — the boundary
+    bucket — and the cumulative window runs over the histogram."""
+    plan = _plan(spark, "q189_quality_select")
+    import re
+
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert "score" in spec, f"doc-row rank window missing score key: {spec}"
+    assert "partial_count" in plan  # histogram combines map-side
