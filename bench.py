@@ -155,9 +155,10 @@ HEADLINE = [
     "q184_heaps_fit",
     "q185_spectrum2",
     "q186_chunk_export",
-    "q187_hard_negatives",
+    "q187_retrieval_negatives",
     "q188_source_divergence",
     "q189_quality_select",
+    "q190_corpus_export",
 ]
 
 

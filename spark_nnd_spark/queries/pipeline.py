@@ -5223,8 +5223,9 @@ def q186_chunk_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
-def q187_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HARD-NEGATIVE mining for embedding-model training — the
+def q187_retrieval_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVER-RANKED hard-negative mining — q143 mines negatives in
+    embedding space (closest wrong-label vectors); this mines the
     contrastive-training data every dense retriever is trained on
     (in-batch negatives are easy; the hard ones come from a first-pass
     retriever ranking non-relevant docs highly, per DPR, Karpukhin et
@@ -5409,6 +5410,50 @@ def q189_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q190_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FINAL curated training corpus — the artifact every previous
+    stage exists to produce, composed end-to-end: the q155 curation
+    board decides WHICH documents survive (quality + repetition +
+    entropy gates, near-dup keep-one), the q167 span-removal rewrite
+    decides WHAT TEXT each survivor contributes (every duplicated
+    >= SPAN_MIN_TOKENS run kept in exactly one doc, over the same
+    planted corpus as q156/q167 — the plant is part of the replayable
+    query text). One row per exported doc: provenance-complete
+    (source, cleaned text, post-cut token count, spans/tokens cut).
+    The oracle COMPOSES the q155 and q167 oracles, so this tier is
+    driver-green only if both upstream artifacts are.
+
+    Scale (100 TB): the board pays one text scan, the span kernel
+    O(repeated grams); the composition adds only id-keyed equi-joins
+    with no explicit broadcast of any corpus-keyed side (the q164
+    lesson — AQE picks the build side from runtime sizes)."""
+    d = load_table(spark, sf_dir, "documents")
+    keep = q155_curation_board(spark, sf_dir).filter(F.col("keep")).select(
+        "doc_id"
+    )
+    rew = DD.span_remove_rewrite(
+        _span_planted(d),
+        gram_len=SPAN_GRAM_LEN,
+        min_span_tokens=SPAN_MIN_TOKENS,
+    )
+    return (
+        rew.join(keep, "doc_id")
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.col("cleaned_text").alias("text_out"),
+            F.when(F.col("cleaned_text") == "", F.lit(0))
+            .otherwise(F.size(TX.tokens_expr("cleaned_text")))
+            .cast("long")
+            .alias("n_tokens_out"),
+            "n_spans_cut",
+            "tokens_cut",
+        )
+        .orderBy("doc_id")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -5556,9 +5601,10 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q183_zipf_fit": q183_zipf_fit,
     "q184_heaps_fit": q184_heaps_fit,
     "q186_chunk_export": q186_chunk_export,
-    "q187_hard_negatives": q187_hard_negatives,
+    "q187_retrieval_negatives": q187_retrieval_negatives,
     "q188_source_divergence": q188_source_divergence,
     "q189_quality_select": q189_quality_select,
+    "q190_corpus_export": q190_corpus_export,
 }
 
 
@@ -9231,7 +9277,7 @@ def pipeline_oracles() -> dict[str, str]:
     """
     # q187: the q146 ranked list as CTE, graded, best positive per
     # query paired with every non-relevant ranked doc
-    oracles["q187_hard_negatives"] = f"""
+    oracles["q187_retrieval_negatives"] = f"""
         WITH li AS (SELECT * FROM ({oracles['q146_late_interaction']})),
         g AS (SELECT *, {_rel_grade_sql('doc_id')} AS rel FROM li),
         pos AS (
@@ -9338,6 +9384,24 @@ def pipeline_oracles() -> dict[str, str]:
         SELECT doc_id, source, score FROM j
         WHERE funll OR tie_rank <= room
         ORDER BY source, doc_id
+    """
+    # q190: composes the q155 and q167 oracles verbatim — the export
+    # is green only if both upstream artifacts are
+    oracles["q190_corpus_export"] = f"""
+        WITH rew AS (SELECT * FROM ({oracles['q167_span_removal']})),
+        brd AS (
+            SELECT doc_id FROM ({oracles['q155_curation_board']})
+            WHERE keep
+        )
+        SELECT r.doc_id, d.source, r.cleaned_text AS text_out,
+               CAST(CASE WHEN r.cleaned_text = '' THEN 0
+                         ELSE len(string_split(r.cleaned_text, ' '))
+                    END AS BIGINT) AS n_tokens_out,
+               r.n_spans_cut, r.tokens_cut
+        FROM rew r
+        JOIN brd USING (doc_id)
+        JOIN documents d USING (doc_id)
+        ORDER BY doc_id
     """
     return oracles
 

@@ -1362,12 +1362,12 @@ def test_chunk_export_is_narrow(spark):
     assert "Generate posexplode" in plan or "Generate" in plan
 
 
-def test_hard_negatives_mines_ranked_rows_only(spark):
+def test_retrieval_negatives_mines_ranked_rows_only(spark):
     """q187: the corpus text scan feeds only the retriever (one
     documents scan for tokens + one for stats is q146's contract); the
     mining join runs on O(queries*k) rows with no extra corpus scan
     and no cartesian product."""
-    plan = _plan(spark, "q187_hard_negatives")
+    plan = _plan(spark, "q187_retrieval_negatives")
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
 
@@ -1394,3 +1394,14 @@ def test_quality_select_no_source_wide_sort(spark):
         spec = m.group(1)
         assert "score" in spec, f"doc-row rank window missing score key: {spec}"
     assert "partial_count" in plan  # histogram combines map-side
+
+
+def test_corpus_export_no_corpus_side_broadcast(spark):
+    """q190 (the q164 lesson, promoted to an assert): no explicit
+    broadcast of a corpus-keyed projection — the only BroadcastExchange
+    feeding a join may be the O(dup-docs) drop set inside the board;
+    the id-keyed composition joins stay AQE-planned. Also: no
+    cartesian, no Python."""
+    plan = _plan(spark, "q190_corpus_export")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
