@@ -159,6 +159,7 @@ HEADLINE = [
     "q188_source_divergence",
     "q189_quality_select",
     "q190_corpus_export",
+    "q191_chunk_bm25",
 ]
 
 

@@ -5454,6 +5454,62 @@ def q190_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q191_chunk_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the CHUNK corpus — the RAG read path over q186's
+    export (q68 retrieves documents; a RAG index retrieves the
+    overlapping token windows themselves, so the hit is already
+    context-sized). Same scoring as q68 with chunk-grained stats
+    (dl = the chunk's true token length, avgdl/N over chunks); scores
+    round to 6dp BEFORE the top-N cut (the q146 boundary discipline)
+    and ties break on (doc_id, chunk_idx).
+
+    Scale (100 TB): chunking is the q186 narrow fan-out; the posting
+    scan filters to query terms BEFORE any shuffle, so the exchange
+    carries O(chunks containing a query term); df/stats are broadcast
+    one-row joins; the cut is a TakeOrdered."""
+    from spark_nnd_spark.operators import sampling as SA  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    ch = SA.chunk_tokens(d, size=CHUNK_SIZE, stride=CHUNK_STRIDE)
+    toks = ch.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("n_tokens").cast("double").alias("dl"),
+        F.explode(TX.tokens_expr("chunk_text")).alias("token"),
+    ).filter(F.col("token").isin(BM25_QUERY))
+    tf = (
+        toks.groupBy("doc_id", "chunk_idx", "dl", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    stats = ch.agg(
+        F.count("*").cast("double").alias("n_chunks"),
+        F.avg(F.col("n_tokens").cast("double")).alias("avgdl"),
+    )
+    idf = F.log(
+        (F.col("n_chunks") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = idf * (
+        F.col("tf") * (BM25_K1 + 1)
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.round(F.sum(term_score), 6).alias("score"),
+            F.count("*").alias("n_terms"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), "doc_id", "chunk_idx")
+        .limit(BM25_TOPN)
+        .select("doc_id", "chunk_idx", "n_terms", "score")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -5605,6 +5661,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q188_source_divergence": q188_source_divergence,
     "q189_quality_select": q189_quality_select,
     "q190_corpus_export": q190_corpus_export,
+    "q191_chunk_bm25": q191_chunk_bm25,
 }
 
 
@@ -9402,6 +9459,38 @@ def pipeline_oracles() -> dict[str, str]:
         JOIN brd USING (doc_id)
         JOIN documents d USING (doc_id)
         ORDER BY doc_id
+    """
+    # q191: the q186 chunk CTE feeding q68's BM25 formula with
+    # chunk-grained stats; round(6) before the cut, id tiebreaks
+    oracles["q191_chunk_bm25"] = f"""
+        WITH ch AS (SELECT * FROM ({oracles['q186_chunk_export']})),
+        toks AS (
+            SELECT doc_id, chunk_idx, n_tokens::DOUBLE AS dl,
+                   unnest({TX.tokens_sql('chunk_text')}) AS token
+            FROM ch
+        ),
+        tf AS (
+            SELECT doc_id, chunk_idx, dl, token, COUNT(*) AS tf
+            FROM toks WHERE token IN ({terms})
+            GROUP BY doc_id, chunk_idx, dl, token
+        ),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        stats AS (SELECT COUNT(*)::DOUBLE AS n_chunks,
+                         AVG(n_tokens::DOUBLE) AS avgdl
+                  FROM ch),
+        scored AS (
+            SELECT doc_id, chunk_idx,
+                   round(SUM(ln((n_chunks - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * ({k1} + 1)
+                          / (tf + {k1} * (1 - {b} + {b} * dl / avgdl)))),
+                       6) AS score,
+                   COUNT(*) AS n_terms
+            FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+            GROUP BY doc_id, chunk_idx
+        )
+        SELECT doc_id, chunk_idx, n_terms, score
+        FROM scored ORDER BY score DESC, doc_id, chunk_idx
+        LIMIT {BM25_TOPN}
     """
     return oracles
 

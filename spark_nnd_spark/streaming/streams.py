@@ -894,6 +894,19 @@ def quality_filter_stream(docs: DataFrame) -> DataFrame:
     )
 
 
+def chunk_stream(docs: DataFrame, size: int = 64, stride: int = 48) -> DataFrame:
+    """Streaming twin of the q186 chunk export: documents arriving on
+    a stream fan out into their overlapping token-window chunks at
+    ingest — how a live RAG index stays current without batch
+    re-chunking. Entirely stateless (one generator + narrow slices per
+    micro-batch, no watermark, no state store); the operator IS the
+    batch operator (operators/sampling.chunk_tokens), so replay ==
+    batch by construction (tested)."""
+    from spark_nnd_spark.operators.sampling import chunk_tokens  # noqa: PLC0415
+
+    return chunk_tokens(docs, size=size, stride=stride)
+
+
 def attribution_stream(
     clicks: DataFrame,
     purchases: DataFrame,

@@ -1405,3 +1405,13 @@ def test_corpus_export_no_corpus_side_broadcast(spark):
     plan = _plan(spark, "q190_corpus_export")
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_chunk_bm25_filters_before_shuffle(spark):
+    """q191: the posting stream cuts to query terms before any
+    exchange; df/stats ride broadcasts; the cut is a TakeOrdered, not
+    a single-partition rank window."""
+    plan = _plan(spark, "q191_chunk_bm25")
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

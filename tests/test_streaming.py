@@ -134,6 +134,31 @@ def test_quality_filter_stream_matches_batch(spark):
     assert got == want and len(got) > 0
 
 
+def test_chunk_stream_matches_batch(spark):
+    """Stateless chunk fan-out at ingest == the q186 batch export
+    (same operator, so drift is structurally impossible — this pins
+    the streaming plumbing: schema, generator under microbatch)."""
+    from spark_nnd_spark.operators.sampling import chunk_tokens
+    from spark_nnd_spark.streaming.streams import (
+        chunk_stream,
+        read_documents_stream,
+    )
+
+    stream = chunk_stream(read_documents_stream(spark, SF_SMOKE))
+    run_to_memory_sink(stream, "chk", output_mode="append")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+        for r in spark.sql("SELECT * FROM chk").collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_tokens(
+            spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_kafka_source_gated_with_clear_error(spark):
     from spark_nnd_spark.streaming.streams import read_events_kafka
 
