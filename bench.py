@@ -160,6 +160,7 @@ HEADLINE = [
     "q189_quality_select",
     "q190_corpus_export",
     "q191_chunk_bm25",
+    "q192_model_calibration",
 ]
 
 

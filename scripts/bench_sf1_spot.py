@@ -60,6 +60,11 @@ SPOT_QUERIES = [
     "q176_preference_pairs",
     "q177_pca_power",
     "q178_kmeans_curve",
+    "q186_chunk_export",
+    "q188_source_divergence",
+    "q189_quality_select",
+    "q190_corpus_export",
+    "q191_chunk_bm25",
 ]
 SCALES = {"sf0.1eq": (5000, 2000), "sf1.0": (50000, 20000)}
 LANGS = ["en", "de", "fr", "es", "pt"]

@@ -5510,6 +5510,32 @@ def q191_chunk_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q192_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the q169-TRAINED classifier on the
+    HELD-OUT split — the calibration audit of the actual model in the
+    loop (q139 calibrates the fixed hashed scorer; q137/q169 measure
+    the trained model's discrimination; this closes train → eval →
+    calibrate): per probability decile of the test slice, count, mean
+    predicted probability and empirical positive rate. A model used as
+    a curation gate (q170) is thresholded on these probabilities —
+    mis-calibration here means the MODEL_KEEP_TAU cut keeps a
+    different mass than intended.
+
+    Scale (100 TB): training is q169's three single-row aggregates;
+    scoring the held-out slice is one codegen expression; the bins are
+    an O(CALIB_BINS)-group map-side-combined aggregate."""
+    from spark_nnd_spark.operators.evaluation import calibration_bins  # noqa: PLC0415
+
+    feats = _lr_feats(spark, sf_dir)
+    w, _ = _lr_epochs(feats.filter(F.col("split") == "train"))
+    held = feats.filter(F.col("split") == "test")
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_lr_z(w))), 6)
+    scored = held.select(p.alias("score"), F.col("y").alias("label"))
+    return calibration_bins(
+        scored, "score", "label", n_bins=CALIB_BINS
+    ).orderBy("bin")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -5662,6 +5688,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q189_quality_select": q189_quality_select,
     "q190_corpus_export": q190_corpus_export,
     "q191_chunk_bm25": q191_chunk_bm25,
+    "q192_model_calibration": q192_model_calibration,
 }
 
 
@@ -9491,6 +9518,23 @@ def pipeline_oracles() -> dict[str, str]:
         SELECT doc_id, chunk_idx, n_terms, score
         FROM scored ORDER BY score DESC, doc_id, chunk_idx
         LIMIT {BM25_TOPN}
+    """
+    # q192: the shared LR training chain, the 6dp sigmoid over the
+    # held-out slice, then the q139 binning kernel
+    oracles["q192_model_calibration"] = _cc_ctes(sh, mh) + _lr_train_ctes + f""",
+        sc AS (
+            SELECT {_sig(_zw)} AS s, CAST(y AS INT) AS yl
+            FROM feats f, w{LR_EPOCHS} w WHERE f.split = 'test'
+        ),
+        binned AS (
+            SELECT least(CAST(floor(s * {CALIB_BINS}) AS INT),
+                         {CALIB_BINS - 1}) AS bin, s, yl
+            FROM sc
+        )
+        SELECT bin, COUNT(*)::BIGINT AS n,
+               round(AVG(s), 6) AS mean_score,
+               round(AVG(CAST(yl AS DOUBLE)), 6) AS pos_rate
+        FROM binned GROUP BY bin ORDER BY bin
     """
     return oracles
 
