@@ -5197,8 +5197,8 @@ def q184_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CHUNK_SIZE = 64    # retrieval-unit token window
-CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+RAG_CHUNK_SIZE = 64    # retrieval-unit token window (q186/q191)
+RAG_CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
 
 
 def q186_chunk_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5207,7 +5207,10 @@ def q186_chunk_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing JOINS whole documents into training windows; chunking
     SPLITS each document into size-64 / stride-48 retrievable units
     (16-token overlap keeps boundary context inside a chunk), the unit
-    every RAG index ingests. Emits per chunk its coordinates, true
+    every RAG index ingests. q65 is the inline PRETRAINING chunker
+    (count-derived starts, no coordinates); this is the operator-backed
+    RAG export — start offsets, true tail length, a streaming ingest
+    twin (chunk_stream) and a retrieval read path (q191) on top. Emits per chunk its coordinates, true
     token length (the tail chunk is short — the embedder pads, not the
     engine) and text.
 
@@ -5219,7 +5222,7 @@ def q186_chunk_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return SA.chunk_tokens(
-        d, size=CHUNK_SIZE, stride=CHUNK_STRIDE
+        d, size=RAG_CHUNK_SIZE, stride=RAG_CHUNK_STRIDE
     ).orderBy("doc_id", "chunk_idx")
 
 
@@ -5470,7 +5473,7 @@ def q191_chunk_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_nnd_spark.operators import sampling as SA  # noqa: PLC0415
 
     d = load_table(spark, sf_dir, "documents")
-    ch = SA.chunk_tokens(d, size=CHUNK_SIZE, stride=CHUNK_STRIDE)
+    ch = SA.chunk_tokens(d, size=RAG_CHUNK_SIZE, stride=RAG_CHUNK_STRIDE)
     toks = ch.select(
         "doc_id",
         "chunk_idx",
@@ -9348,14 +9351,14 @@ def pipeline_oracles() -> dict[str, str]:
         ),
         g AS (
             SELECT doc_id, tk, len(tk) AS n,
-                   unnest(range(0, len(tk), {CHUNK_STRIDE})) AS start
+                   unnest(range(0, len(tk), {RAG_CHUNK_STRIDE})) AS start
             FROM toks WHERE len(tk) > 0
         )
         SELECT doc_id,
-               CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+               CAST(start // {RAG_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
                CAST(start AS BIGINT) AS start,
-               CAST(least({CHUNK_SIZE}, n - start) AS BIGINT) AS n_tokens,
-               array_to_string(tk[start + 1 : start + {CHUNK_SIZE}], ' ')
+               CAST(least({RAG_CHUNK_SIZE}, n - start) AS BIGINT) AS n_tokens,
+               array_to_string(tk[start + 1 : start + {RAG_CHUNK_SIZE}], ' ')
                    AS chunk_text
         FROM g ORDER BY doc_id, chunk_idx
     """
