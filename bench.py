@@ -161,6 +161,7 @@ HEADLINE = [
     "q190_corpus_export",
     "q191_chunk_bm25",
     "q192_model_calibration",
+    "q193_length_buckets",
 ]
 
 

@@ -5539,6 +5539,69 @@ def q192_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin")
 
 
+BUCKET_MIN = 8    # smallest padded sequence length
+BUCKET_MAX = 512  # training context cap for q193
+
+
+def q193_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-BUCKETED batching audit — the trainer-side complement of
+    packing (q66/q173 pack to eliminate padding; when an SFT/reranker
+    trainer must keep one doc per row, it instead BUCKETS by length so
+    each batch pads to its bucket, not the global max). Buckets are
+    powers of two clamped to [BUCKET_MIN, BUCKET_MAX]; per bucket:
+    docs, real tokens, padded slots (docs · bucket, overlong docs
+    truncate to the cap) and the padding fraction — plus what the same
+    batch would waste padded to the GLOBAL max, the number that
+    justifies bucketing. Pure integer arithmetic end-to-end.
+
+    Scale (100 TB): one narrow projection (token count → bucket id) +
+    one map-side-combined O(buckets) aggregate; the global max rides a
+    one-row broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    n = TX.token_count_expr("text").cast("long")
+    capped = F.least(n, F.lit(BUCKET_MAX))
+    # explicit CASE ladder, not pow(2, ceil(log2(n))): float log2 at an
+    # exact power of two is an engine-dependent ulp hazard
+    sizes = []
+    b = BUCKET_MIN
+    while b < BUCKET_MAX:
+        sizes.append(b)
+        b *= 2
+    bucket = F.lit(BUCKET_MAX).cast("long")
+    for s in reversed(sizes):
+        bucket = F.when(capped <= s, F.lit(s).cast("long")).otherwise(bucket)
+    base = d.select(capped.alias("n"), bucket.alias("bucket"))
+    gmax = base.agg(F.max("n").alias("gmax"))
+    per = base.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("tokens"),
+    )
+    return (
+        per.crossJoin(F.broadcast(gmax))
+        .select(
+            "bucket",
+            "n_docs",
+            "tokens",
+            (F.col("bucket") * F.col("n_docs") - F.col("tokens"))
+            .cast("long")
+            .alias("pad_slots"),
+            F.round(
+                (F.col("bucket") * F.col("n_docs") - F.col("tokens"))
+                .cast("double")
+                / (F.col("bucket") * F.col("n_docs")).cast("double"),
+                6,
+            ).alias("pad_frac"),
+            F.round(
+                (F.col("gmax") * F.col("n_docs") - F.col("tokens"))
+                .cast("double")
+                / (F.col("gmax") * F.col("n_docs")).cast("double"),
+                6,
+            ).alias("pad_frac_unbucketed"),
+        )
+        .orderBy("bucket")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -5692,6 +5755,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q190_corpus_export": q190_corpus_export,
     "q191_chunk_bm25": q191_chunk_bm25,
     "q192_model_calibration": q192_model_calibration,
+    "q193_length_buckets": q193_length_buckets,
 }
 
 
@@ -9538,6 +9602,30 @@ def pipeline_oracles() -> dict[str, str]:
                round(AVG(s), 6) AS mean_score,
                round(AVG(CAST(yl AS DOUBLE)), 6) AS pos_rate
         FROM binned GROUP BY bin ORDER BY bin
+    """
+    # q193: the same CASE ladder (no float log2), exact integer waste
+    oracles["q193_length_buckets"] = f"""
+        WITH base AS (
+            SELECT least({TX.token_count_sql()}, {BUCKET_MAX})::BIGINT AS nn
+            FROM documents
+        ),
+        bk AS (
+            SELECT nn, (CASE WHEN nn <= 8 THEN 8 WHEN nn <= 16 THEN 16 WHEN nn <= 32 THEN 32 WHEN nn <= 64 THEN 64 WHEN nn <= 128 THEN 128 WHEN nn <= 256 THEN 256 ELSE 512 END)::BIGINT AS bucket FROM base
+        ),
+        gm AS (SELECT MAX(nn) AS gmax FROM bk),
+        per AS (
+            SELECT bucket, COUNT(*)::BIGINT AS n_docs,
+                   SUM(nn)::BIGINT AS tokens
+            FROM bk GROUP BY bucket
+        )
+        SELECT bucket, n_docs, tokens,
+               (bucket * n_docs - tokens)::BIGINT AS pad_slots,
+               round(CAST(bucket * n_docs - tokens AS DOUBLE)
+                     / CAST(bucket * n_docs AS DOUBLE), 6) AS pad_frac,
+               round(CAST(gmax * n_docs - tokens AS DOUBLE)
+                     / CAST(gmax * n_docs AS DOUBLE), 6)
+                   AS pad_frac_unbucketed
+        FROM per CROSS JOIN gm ORDER BY bucket
     """
     return oracles
 
