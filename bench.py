@@ -162,6 +162,7 @@ HEADLINE = [
     "q191_chunk_bm25",
     "q192_model_calibration",
     "q193_length_buckets",
+    "q194_indexed_divergence",
 ]
 
 
@@ -272,6 +273,7 @@ def main() -> None:
         ("build_span_index", _plq._span_index_for),  # noqa: SLF001
         ("build_image_index", _plq._image_index_for),  # noqa: SLF001
         ("build_cov_stats", _knq._cov_stats_for),  # noqa: SLF001
+        ("build_token_stats", _plq._token_stats_for),  # noqa: SLF001
     ]:
         t0 = time.perf_counter()
         try:

@@ -487,73 +487,28 @@ def build_cov_stats(
     )
 
 
-def _cov_fs(spark, path: str):
-    jvm = spark.sparkContext._jvm  # noqa: SLF001
-    jsc = spark.sparkContext._jsc  # noqa: SLF001
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jvm, hpath.getFileSystem(jsc.hadoopConfiguration())
-
-
-def _cov_committed_versions(spark, path: str) -> list[int]:
-    """Version numbers under ``{path}/state`` whose _COMMITTED marker
-    exists — a half-renamed or staged directory is simply invisible."""
-    jvm, fs = _cov_fs(spark, path)
-    root = jvm.org.apache.hadoop.fs.Path(f"{path}/state")
-    if not fs.exists(root):
-        return []
-    out = []
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if not name.startswith("v="):
-            continue
-        try:
-            v = int(name[2:])
-        except ValueError:
-            continue
-        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/state/{name}/_COMMITTED")):
-            out.append(v)
-    return sorted(out)
-
-
 def cov_state_dir(spark, path: str) -> str:
     """Directory of the LATEST committed stats version — the only
-    state readers ever see. Raises if no committed build exists."""
-    vs = _cov_committed_versions(spark, path)
-    if not vs:
-        msg = f"no committed cov-stats state under {path}"
-        raise ValueError(msg)
-    return f"{path}/state/v={vs[-1]}"
+    state readers ever see (operators/state_commit, the shared
+    atomic-commit path of the algebraic families)."""
+    from spark_nnd_spark.operators.state_commit import state_dir  # noqa: PLC0415
+
+    return state_dir(spark, path)
 
 
 def _commit_cov_state(
     spark, path: str, version: int, second, first, applied
 ) -> None:
-    """Atomic state commit: write second/first/applied plus the
-    _COMMITTED marker into one staging directory, then a single
-    filesystem RENAME publishes all of it as ``v={version}``. A crash
-    at any point before the rename leaves the previous version intact
-    and the new one invisible (the staging dir has no _COMMITTED until
-    fully written, and an unrenamed staging dir is never listed as a
-    version) — so 'batch applied' and 'batch marked applied' are one
-    indivisible event, closing the double-count window a replayed
-    at-least-once delivery could otherwise hit."""
-    jvm, fs = _cov_fs(spark, path)
-    staging = f"{path}/state/_staging_v={version}"
-    sp = jvm.org.apache.hadoop.fs.Path(staging)
-    fs.delete(sp, True)  # leftover from a crashed attempt
-    second.coalesce(1).write.parquet(f"{staging}/second")
-    first.coalesce(1).write.parquet(f"{staging}/first")
-    applied.coalesce(1).write.parquet(f"{staging}/applied")
-    fs.create(jvm.org.apache.hadoop.fs.Path(f"{staging}/_COMMITTED")).close()
-    final = jvm.org.apache.hadoop.fs.Path(f"{path}/state/v={version}")
-    if not fs.rename(sp, final):
-        msg = f"cov-stats commit rename failed: {staging} -> v={version}"
-        raise OSError(msg)
-    # GC: keep the new version plus one predecessor (a reader holding
-    # a lazy plan over the previous version stays valid).
-    for v in _cov_committed_versions(spark, path):
-        if v < version - 1:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/state/v={v}"), True)
+    """One atomic rename publishes moments + applied markers together
+    (operators/state_commit) — 'batch applied' and 'batch marked
+    applied' are one indivisible event, closing the double-count
+    window a replayed at-least-once delivery could otherwise hit."""
+    from spark_nnd_spark.operators.state_commit import commit_state  # noqa: PLC0415
+
+    commit_state(
+        spark, path, version,
+        {"second": second, "first": first, "applied": applied},
+    )
 
 
 def _merge_with_marker(

@@ -5302,57 +5302,12 @@ def q188_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair join is the counts table self-joined on token —
     O(vocab · sources²) rows where sources is a dashboard dimension
     (tens), never a corpus rescan; no Python anywhere."""
+    from spark_nnd_spark.operators import text_stats as TS  # noqa: PLC0415
+
     d = load_table(spark, sf_dir, "documents")
-    cc = (
-        d.select("source", F.explode(TX.tokens_expr("text")).alias("token"))
-        .groupBy("source", "token")
-        .agg(F.count("*").alias("n"))
+    return TS.js_divergence_pairs(TS._token_counts(d)).orderBy(  # noqa: SLF001
+        "source_a", "source_b"
     )
-    tot = cc.groupBy("source").agg(F.sum("n").alias("tot"))
-    p = cc.join(tot, "source").select(
-        "source",
-        "token",
-        (F.col("n").cast("double") / F.col("tot").cast("double")).alias("p"),
-    )
-    a = p.select(
-        F.col("source").alias("source_a"), "token", F.col("p").alias("pa")
-    )
-    b = p.select(
-        F.col("source").alias("source_b"), "token", F.col("p").alias("pb")
-    )
-    both = a.join(b, "token").filter(F.col("source_a") < F.col("source_b"))
-    m = (F.col("pa") + F.col("pb")) / 2
-    contrib = 0.5 * F.col("pa") * F.log(F.col("pa") / m) + 0.5 * F.col(
-        "pb"
-    ) * F.log(F.col("pb") / m)
-    agg = (
-        both.select(
-            "source_a",
-            "source_b",
-            F.floor(contrib * JS_Q + F.lit(0.5)).cast("long").alias("qc"),
-            F.floor(F.col("pa") * JS_Q + F.lit(0.5)).cast("long").alias("qpa"),
-            F.floor(F.col("pb") * JS_Q + F.lit(0.5)).cast("long").alias("qpb"),
-        )
-        .groupBy("source_a", "source_b")
-        .agg(
-            F.count("*").cast("long").alias("n_shared"),
-            F.sum("qc").alias("sqc"),
-            F.sum("qpa").alias("sqpa"),
-            F.sum("qpb").alias("sqpb"),
-        )
-    )
-    qd = F.lit(float(JS_Q))
-    return agg.select(
-        "source_a",
-        "source_b",
-        "n_shared",
-        F.round(
-            F.col("sqc").cast("double") / qd
-            + 0.5 * LN2 * (F.lit(1.0) - F.col("sqpa").cast("double") / qd)
-            + 0.5 * LN2 * (F.lit(1.0) - F.col("sqpb").cast("double") / qd),
-            6,
-        ).alias("js_nats"),
-    ).orderBy("source_a", "source_b")
 
 
 SELECT_PCT = 30  # per-source keep fraction for q189
@@ -5602,6 +5557,46 @@ def q193_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One token-stats sidecar per (session, sf_dir) — the _cov_stats_for
+# convention (build once, every probe reuses it).
+_TOKSTATS_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _token_stats_for(spark: SparkSession, sf_dir: str) -> str:
+    from spark_nnd_spark.operators.text_stats import build_token_stats  # noqa: PLC0415
+    from spark_nnd_spark.session import session_scratch_dir  # noqa: PLC0415
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TOKSTATS_CACHE:
+        path = session_scratch_dir("token_stats_")
+        build_token_stats(load_table(spark, sf_dir, "documents"), path)
+        _TOKSTATS_CACHE[key] = path
+    return _TOKSTATS_CACHE[key]
+
+
+def q194_indexed_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q188's distribution-shift matrix served from the PERSISTED
+    mergeable token statistics (operators/text_stats — the 9th index
+    family, and the second ALGEBRAIC one: stored exact integer counts
+    make extend addition and retraction subtraction, extend ==
+    fresh-rebuild EXACT, with the same atomic versioned commits as the
+    covariance sidecar). The probe reads O(sources · vocab) stored
+    rows and never rescans the corpus — a continuously-ingesting
+    pipeline keeps the source-similarity dashboard current by merging
+    batch counts, not by re-tokenizing 100 TB. Shares q188's oracle:
+    index-served == inline is itself the assertion (the q159/q161/
+    q179 convention)."""
+    from spark_nnd_spark.operators.text_stats import (  # noqa: PLC0415
+        js_divergence_pairs,
+        token_counts_from_stats,
+    )
+
+    path = _token_stats_for(spark, sf_dir)
+    return js_divergence_pairs(token_counts_from_stats(spark, path)).orderBy(
+        "source_a", "source_b"
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -5756,6 +5751,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q191_chunk_bm25": q191_chunk_bm25,
     "q192_model_calibration": q192_model_calibration,
     "q193_length_buckets": q193_length_buckets,
+    "q194_indexed_divergence": q194_indexed_divergence,
 }
 
 
@@ -9627,6 +9623,9 @@ def pipeline_oracles() -> dict[str, str]:
                    AS pad_frac_unbucketed
         FROM per CROSS JOIN gm ORDER BY bucket
     """
+    # q194: index-served == inline — shares q188's oracle verbatim
+    # (the q159/q161/q179 identity convention)
+    oracles["q194_indexed_divergence"] = oracles["q188_source_divergence"]
     return oracles
 
 

@@ -1554,6 +1554,46 @@ def pack_stream(
     )
 
 
+def token_stats_stream(
+    docs: DataFrame,
+    stats_path: str,
+    text_col: str = "text",
+    source_col: str = "source",
+    timeout_sec: int = 120,
+):
+    """Streaming COUNT MAINTENANCE for the mergeable token-stats
+    family (operators/text_stats): every micro-batch of documents adds
+    its exact integer counts to the sidecar, so the source-divergence
+    dashboard (q188/q194) is always current without a corpus pass.
+    Algebraic family, so maintained stats equal a fresh build over
+    everything ingested EXACTLY; replayed batches are no-ops via the
+    batchId-keyed applied markers published in the same atomic commit
+    as the counts (the cov_stats_stream contract). The query itself is
+    stateless; state lives in the O(sources · vocab) sidecar."""
+    from spark_nnd_spark.operators.text_stats import extend_token_stats  # noqa: PLC0415
+
+    def feed(batch_df: DataFrame, batch_id: int) -> None:
+        extend_token_stats(
+            batch_df.sparkSession,
+            stats_path,
+            batch_df.localCheckpoint(eager=True),
+            text_col=text_col,
+            source_col=source_col,
+            batch_id=batch_id,
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(feed)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            f"{stats_path}/_stream_checkpoint",
+        )
+        .start()
+    )
+    return _await_or_raise(q, timeout_sec)
+
+
 def cov_stats_stream(
     embeddings: DataFrame,
     stats_path: str,

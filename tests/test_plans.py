@@ -1415,3 +1415,11 @@ def test_chunk_bm25_filters_before_shuffle(spark):
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_indexed_divergence_reads_stats_not_corpus(spark):
+    """q194: the served divergence runs over the persisted counts —
+    no documents scan, no Python."""
+    plan = _plan(spark, "q194_indexed_divergence")
+    assert "documents.parquet" not in plan
+    assert "EvalPython" not in plan
