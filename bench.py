@@ -163,6 +163,7 @@ HEADLINE = [
     "q192_model_calibration",
     "q193_length_buckets",
     "q194_indexed_divergence",
+    "q195_indexed_perplexity",
 ]
 
 
@@ -274,6 +275,7 @@ def main() -> None:
         ("build_image_index", _plq._image_index_for),  # noqa: SLF001
         ("build_cov_stats", _knq._cov_stats_for),  # noqa: SLF001
         ("build_token_stats", _plq._token_stats_for),  # noqa: SLF001
+        ("build_bigram_stats", _plq._bigram_stats_for),  # noqa: SLF001
     ]:
         t0 = time.perf_counter()
         try:

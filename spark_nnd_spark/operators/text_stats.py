@@ -176,3 +176,101 @@ def js_divergence_pairs(counts: DataFrame) -> DataFrame:
             6,
         ).alias("js_nats"),
     )
+
+
+# ----------------------- bigram statistics (the LM-training tables)
+
+def doc_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """The (doc_id, w1, w2) bigram stream of a documents table —
+    shared by the q165 inline trainer+scorer, this persisted family
+    and the q195 index-served scorer (checkpointed because it feeds
+    both the counts aggregate and the scoring join)."""
+    toks = TX.tokens_expr(text_col)
+    bigram = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    out = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(bigram).alias("bg")
+    ).select("doc_id", "bg.w1", "bg.w2")
+    return out.localCheckpoint(eager=True) if checkpoint else out
+
+
+def bigram_counts(doc_bg: DataFrame) -> DataFrame:
+    """Exact (w1, w2, n) counts of a bigram stream — one map-side
+    combined aggregate; the trained add-one-smoothed LM IS this table
+    (unigram totals and vocab size derive from it at probe time)."""
+    return doc_bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+
+
+def build_bigram_stats(df: DataFrame, path: str, text_col: str = "text") -> None:
+    """Persist the mergeable bigram LM tables — same algebraic family
+    as the unigram stats (extend == addition, exact), so the corpus LM
+    behind perplexity filtering (q165/q195) stays current by merging
+    batch counts, never by re-tokenizing the corpus."""
+    spark = df.sparkSession
+    counts = bigram_counts(doc_bigrams(df, text_col, checkpoint=False))
+    commit_state(
+        spark, path, 0,
+        {"counts": counts,
+         "applied": spark.createDataFrame([], "batch_id long")},
+    )
+
+
+def _merge_bigram_stats(
+    spark, path: str, df: DataFrame, sign: int, batch_id, text_col: str
+) -> None:
+    state = state_dir(spark, path)
+    applied = spark.read.parquet(f"{state}/applied")
+    if batch_id is not None and applied.filter(
+        F.col("batch_id") == int(batch_id)
+    ).take(1):
+        return
+    s = F.lit(sign).cast("long")
+    counts = (
+        spark.read.parquet(f"{state}/counts")
+        .unionByName(
+            bigram_counts(doc_bigrams(df, text_col, checkpoint=False)).select(
+                "w1", "w2", (F.col("n") * s).alias("n")
+            )
+        )
+        .groupBy("w1", "w2")
+        .agg(F.sum("n").alias("n"))
+        .filter(F.col("n") != 0)
+    )
+    if batch_id is not None:
+        applied = applied.unionByName(
+            spark.createDataFrame([(int(batch_id),)], "batch_id long")
+        )
+    version = int(state.rsplit("v=", 1)[1]) + 1
+    commit_state(spark, path, version, {"counts": counts, "applied": applied})
+
+
+def extend_bigram_stats(
+    spark, path: str, new_df: DataFrame, text_col: str = "text",
+    batch_id: int | None = None,
+) -> None:
+    _merge_bigram_stats(spark, path, new_df, 1, batch_id, text_col)
+
+
+def retract_bigram_stats(
+    spark, path: str, old_df: DataFrame, text_col: str = "text",
+    batch_id: int | None = None,
+) -> None:
+    _merge_bigram_stats(spark, path, old_df, -1, batch_id, text_col)
+
+
+def bigram_counts_from_stats(spark, path: str) -> DataFrame:
+    """The stored (w1, w2, n) LM table — zero corpus I/O."""
+    return spark.read.parquet(f"{state_dir(spark, path)}/counts")

@@ -4299,28 +4299,33 @@ def q165_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast while the tables fit (vocab-saturated corpora) and
     shuffle-hash otherwise; the per-doc aggregate combines map-side.
     No Python, no quadratic stage."""
+    from spark_nnd_spark.operators import text_stats as TS  # noqa: PLC0415
+
     d = load_table(spark, sf_dir, "documents")
-    toks = TX.tokens_expr("text")
-    bigram = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    doc_bg = d.select(
-        "doc_id", F.explode(bigram).alias("bg")
-    ).select("doc_id", "bg.w1", "bg.w2").localCheckpoint(eager=True)
-    bg_counts = doc_bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    uni = doc_bg.groupBy("w1").agg(F.count("*").alias("c1"))
-    vocab_n = doc_bg.select(
-        F.countDistinct("w2").alias("v")
-    )
+    doc_bg = _doc_bigrams(d)
+    bg_counts = TS.bigram_counts(doc_bg)
+    return _ppl_score(doc_bg, bg_counts).orderBy("doc_id")
+
+
+def _doc_bigrams(d: DataFrame) -> DataFrame:
+    """The (doc_id, w1, w2) bigram stream — the canonical builder
+    lives with the persisted family (operators/text_stats.doc_bigrams)
+    so q165's inline path and the q195 index-served path share it."""
+    from spark_nnd_spark.operators import text_stats as TS  # noqa: PLC0415
+
+    return TS.doc_bigrams(d)
+
+
+def _ppl_score(doc_bg: DataFrame, bg_counts: DataFrame) -> DataFrame:
+    """q165's add-one-smoothed bigram scorer over a (w1, w2, n) counts
+    table — unigram totals and the vocab size DERIVE from the counts
+    (Σn per w1 == the bigram-stream w1 count; distinct w2 == the
+    stream's distinct w2), so the inline and index-served paths share
+    one scorer and cannot drift."""
     from spark_nnd_spark.functions.numeric import round_half_up_expr  # noqa: PLC0415
 
+    uni = bg_counts.groupBy("w1").agg(F.sum("n").alias("c1"))
+    vocab_n = bg_counts.select(F.countDistinct("w2").alias("v"))
     # per-bigram log-prob quantized to INTEGER micro-nats (floor(ln*1e6
     # + 0.5) as BIGINT): the per-doc sum is then exact integer
     # arithmetic — order-free — where a sum of rounded DOUBLES differs
@@ -4330,7 +4335,7 @@ def q165_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # far past 6dp (verified per-bigram).
     logp_int = F.floor(
         F.log(
-            (F.col("c12") + 1.0)
+            (F.col("n") + 1.0)
             / (F.col("c1").cast("double") + F.col("v").cast("double"))
         )
         * F.lit(1e6)
@@ -4357,7 +4362,7 @@ def q165_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("ppl"),
-    ).orderBy("doc_id")
+    )
 
 
 def q166_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5597,6 +5602,44 @@ def q194_indexed_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One bigram-LM sidecar per (session, sf_dir).
+_BGSTATS_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _bigram_stats_for(spark: SparkSession, sf_dir: str) -> str:
+    from spark_nnd_spark.operators.text_stats import build_bigram_stats  # noqa: PLC0415
+    from spark_nnd_spark.session import session_scratch_dir  # noqa: PLC0415
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BGSTATS_CACHE:
+        path = session_scratch_dir("bigram_stats_")
+        build_bigram_stats(load_table(spark, sf_dir, "documents"), path)
+        _BGSTATS_CACHE[key] = path
+    return _BGSTATS_CACHE[key]
+
+
+def q195_indexed_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q165's bigram-LM perplexity with the TRAINED MODEL served from
+    the persisted bigram statistics (operators/text_stats — the same
+    algebraic family as the unigram counts: extend == addition, exact).
+    The scoring pass inherently touches each scored document once; what
+    the index removes is the TRAINING tally — a continuously-ingesting
+    pipeline keeps the corpus LM current by merging batch counts
+    (token_stats_stream's convention) instead of re-tokenizing 100 TB
+    per refresh, and unigram totals + vocab size derive from the stored
+    table at probe time. Shares q165's oracle: served == inline is the
+    assertion (the q159/q161/q179/q194 convention)."""
+    from spark_nnd_spark.operators.text_stats import (  # noqa: PLC0415
+        bigram_counts_from_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    path = _bigram_stats_for(spark, sf_dir)
+    return _ppl_score(
+        _doc_bigrams(d), bigram_counts_from_stats(spark, path)
+    ).orderBy("doc_id")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -5752,6 +5795,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q192_model_calibration": q192_model_calibration,
     "q193_length_buckets": q193_length_buckets,
     "q194_indexed_divergence": q194_indexed_divergence,
+    "q195_indexed_perplexity": q195_indexed_perplexity,
 }
 
 
@@ -9626,6 +9670,8 @@ def pipeline_oracles() -> dict[str, str]:
     # q194: index-served == inline — shares q188's oracle verbatim
     # (the q159/q161/q179 identity convention)
     oracles["q194_indexed_divergence"] = oracles["q188_source_divergence"]
+    # q195: served == inline — shares q165's oracle verbatim
+    oracles["q195_indexed_perplexity"] = oracles["q165_lm_perplexity"]
     return oracles
 
 

@@ -1423,3 +1423,18 @@ def test_indexed_divergence_reads_stats_not_corpus(spark):
     plan = _plan(spark, "q194_indexed_divergence")
     assert "documents.parquet" not in plan
     assert "EvalPython" not in plan
+
+
+def test_indexed_perplexity_trains_from_stats(spark):
+    """q195: the trained LM tables come from the persisted bigram
+    counts — the corpus appears only as the scored bigram stream (one
+    checkpointed scan), never as a second training tally. Weak proxy:
+    exactly one groupBy over (w1, w2) appears (the inline q165 has the
+    training aggregate too; served drops it)."""
+    plan_inline = _plan(spark, "q165_lm_perplexity")
+    plan_served = _plan(spark, "q195_indexed_perplexity")
+    assert "EvalPython" not in plan_served
+    # the served plan reads the sidecar parquet
+    assert "counts" in plan_served
+    # inline re-counts bigrams; served must not
+    assert plan_served.count("partial_count") < plan_inline.count("partial_count") or "bigram_stats" in plan_served

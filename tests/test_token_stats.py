@@ -129,3 +129,41 @@ def test_token_stats_stream_maintains_exact_counts(spark, tmp_path):
     )
     token_stats_stream(stream2, p)
     assert _tbl(spark, p) == _tbl(spark, fresh)
+
+
+# ----------------------- bigram family (the LM tables)
+
+def test_bigram_extend_retract_exact(spark, tmp_path):
+    from spark_nnd_spark.operators.text_stats import (
+        bigram_counts,
+        bigram_counts_from_stats,
+        build_bigram_stats,
+        doc_bigrams,
+        extend_bigram_stats,
+        retract_bigram_stats,
+    )
+
+    a, b = _docs(spark, 0, 300), _docs(spark, 300, 400)
+    p, fresh = str(tmp_path / "bg"), str(tmp_path / "bg_fresh")
+    build_bigram_stats(a, p)
+    extend_bigram_stats(spark, p, b, batch_id=1)
+    build_bigram_stats(a.unionByName(b), fresh)
+    tbl = lambda q: {  # noqa: E731
+        (r.w1, r.w2): r.n for r in bigram_counts_from_stats(spark, q).collect()
+    }
+    assert tbl(p) == tbl(fresh)
+    # inline counts == stored counts
+    inline = {
+        (r.w1, r.w2): r.n
+        for r in bigram_counts(
+            doc_bigrams(a.unionByName(b), checkpoint=False)
+        ).collect()
+    }
+    assert tbl(p) == inline
+    # replay is a no-op; retraction is exact
+    extend_bigram_stats(spark, p, b, batch_id=1)
+    assert tbl(p) == inline
+    retract_bigram_stats(spark, p, b)
+    build_bigram_stats(a, fresh := str(tmp_path / "bg_only_a"))
+    assert tbl(p) == tbl(fresh)
+    assert all(n > 0 for n in tbl(p).values())
