@@ -164,6 +164,7 @@ HEADLINE = [
     "q193_length_buckets",
     "q194_indexed_divergence",
     "q195_indexed_perplexity",
+    "q196_indexed_dsir",
 ]
 
 

@@ -377,6 +377,20 @@ def dsir_log_weights(
         )
         .localCheckpoint(eager=True)  # feeds totals AND the scoring join
     )
+    return dsir_score(toks.drop("__is_tgt"), vocab, id_col=id_col, alpha=alpha)
+
+
+def dsir_score(
+    toks: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """The DSIR scoring kernel over an (id, token) stream and a
+    (token, raw_cnt, tgt_cnt) distribution table — shared by the
+    inline tally (dsir_log_weights) and the index-served path (the
+    q196 probe derives the table from the persisted token stats), so
+    the two cannot drift."""
     totals = vocab.agg(
         F.sum("raw_cnt").alias("raw_total"),
         F.sum("tgt_cnt").alias("tgt_total"),

@@ -5640,6 +5640,54 @@ def q195_indexed_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q196_indexed_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q140's DSIR selection with BOTH distributions served from the
+    persisted token statistics: raw counts are Σ over sources of the
+    stored (source, token, n) rows, target counts the source = src0
+    slice of the same table — the q140 inline tally derives exactly,
+    so the trained importance model never re-tokenizes the corpus (the
+    scoring pass inherently reads each scored doc once; the TALLY is
+    what the sidecar removes, the q195 perplexity convention). Shares
+    q140's oracle: served == inline is the assertion."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from spark_nnd_spark.operators.sampling import dsir_score  # noqa: PLC0415
+    from spark_nnd_spark.operators.text_stats import (  # noqa: PLC0415
+        token_counts_from_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = token_counts_from_stats(
+        spark, _token_stats_for(spark, sf_dir)
+    )
+    vocab = (
+        counts.filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.sum("n").alias("raw_cnt"),
+            F.sum(
+                F.when(
+                    F.col("source") == DSIR_TARGET_SOURCE, F.col("n")
+                ).otherwise(F.lit(0))
+            ).alias("tgt_cnt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    toks = d.select(
+        "doc_id", F.explode(TX.tokens_expr("text")).alias("token")
+    ).filter(F.col("token") != "")
+    w = dsir_score(toks, vocab)
+    top = w.orderBy(F.desc("log_weight"), F.asc("doc_id")).limit(DSIR_TOP_K)
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("log_weight"), F.asc("doc_id"))
+    )
+    return (
+        top.withColumn("rank", rank)
+        .select("doc_id", "n_tokens", "log_weight", "rank")
+        .orderBy("rank")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -5796,6 +5844,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q193_length_buckets": q193_length_buckets,
     "q194_indexed_divergence": q194_indexed_divergence,
     "q195_indexed_perplexity": q195_indexed_perplexity,
+    "q196_indexed_dsir": q196_indexed_dsir,
 }
 
 
@@ -9672,6 +9721,8 @@ def pipeline_oracles() -> dict[str, str]:
     oracles["q194_indexed_divergence"] = oracles["q188_source_divergence"]
     # q195: served == inline — shares q165's oracle verbatim
     oracles["q195_indexed_perplexity"] = oracles["q165_lm_perplexity"]
+    # q196: served == inline — shares q140's oracle verbatim
+    oracles["q196_indexed_dsir"] = oracles["q140_dsir_weights"]
     return oracles
 
 
