@@ -165,6 +165,7 @@ HEADLINE = [
     "q194_indexed_divergence",
     "q195_indexed_perplexity",
     "q196_indexed_dsir",
+    "q197_indexed_ref_lm",
 ]
 
 

@@ -514,6 +514,26 @@ def ref_lm_buckets(
         .agg(F.count_if(F.col("__is_ref")).alias("ref_cnt"))
         .localCheckpoint(eager=True)  # feeds totals AND the scoring join
     )
+    return ref_lm_score(
+        toks.drop("__is_ref"), vocab,
+        lang_col=lang_col, id_col=id_col, n_buckets=n_buckets,
+    )
+
+
+def ref_lm_score(
+    toks: DataFrame,
+    vocab: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """The reference-LM scoring + per-language tiling kernel over an
+    (id, lang, token) stream and a (token, ref_cnt) table covering the
+    FULL corpus vocabulary — shared by the inline tally
+    (ref_lm_buckets) and the index-served path (the q197 probe derives
+    the table from the persisted token stats), so they cannot drift."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
     totals = vocab.agg(
         F.sum("ref_cnt").alias("ref_total"),
         F.count("*").alias("v_size"),

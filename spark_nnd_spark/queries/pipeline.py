@@ -5688,6 +5688,53 @@ def q196_indexed_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q197_indexed_ref_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q171's CCNet reference-LM buckets with the TRAINED LM served
+    from the persisted token statistics: the reference counts are the
+    source = src1 slice of the stored (source, token, n) table and the
+    smoothing vocabulary is the table's full token set — the q171
+    inline tally derives exactly. The fourth probe the one maintained
+    sidecar serves (divergence q194, perplexity q195, DSIR q196, this)
+    — the 'one merged statistic powers every distribution-based
+    curation signal' property that makes the family worth persisting.
+    Shares q171's oracle: served == inline is the assertion."""
+    from spark_nnd_spark.operators.sampling import ref_lm_score  # noqa: PLC0415
+    from spark_nnd_spark.operators.text_stats import (  # noqa: PLC0415
+        token_counts_from_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = token_counts_from_stats(
+        spark, _token_stats_for(spark, sf_dir)
+    )
+    vocab = (
+        counts.filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("source") == REF_LM_SOURCE, F.col("n")
+                ).otherwise(F.lit(0))
+            ).alias("ref_cnt")
+        )
+        .localCheckpoint(eager=True)
+    )
+    toks = d.select(
+        "doc_id", "lang", F.explode(TX.tokens_expr("text")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        ref_lm_score(toks, vocab)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "logprob",
+            F.col("bucket").cast("int").alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -5845,6 +5892,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q194_indexed_divergence": q194_indexed_divergence,
     "q195_indexed_perplexity": q195_indexed_perplexity,
     "q196_indexed_dsir": q196_indexed_dsir,
+    "q197_indexed_ref_lm": q197_indexed_ref_lm,
 }
 
 
@@ -9723,6 +9771,8 @@ def pipeline_oracles() -> dict[str, str]:
     oracles["q195_indexed_perplexity"] = oracles["q165_lm_perplexity"]
     # q196: served == inline — shares q140's oracle verbatim
     oracles["q196_indexed_dsir"] = oracles["q140_dsir_weights"]
+    # q197: served == inline — shares q171's oracle verbatim
+    oracles["q197_indexed_ref_lm"] = oracles["q171_ref_lm_buckets"]
     return oracles
 
 
