@@ -166,6 +166,7 @@ HEADLINE = [
     "q195_indexed_perplexity",
     "q196_indexed_dsir",
     "q197_indexed_ref_lm",
+    "q198_indexed_chunk_bm25",
 ]
 
 
@@ -278,6 +279,7 @@ def main() -> None:
         ("build_cov_stats", _knq._cov_stats_for),  # noqa: SLF001
         ("build_token_stats", _plq._token_stats_for),  # noqa: SLF001
         ("build_bigram_stats", _plq._bigram_stats_for),  # noqa: SLF001
+        ("build_chunk_index", _plq._chunk_index_for),  # noqa: SLF001
     ]:
         t0 = time.perf_counter()
         try:

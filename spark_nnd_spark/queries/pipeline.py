@@ -5735,6 +5735,70 @@ def q197_indexed_ref_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_ID_MUL = 1024  # chunk_id = doc_id * MUL + chunk_idx (idx < MUL)
+
+# One chunk-grained BM25 index per (session, sf_dir).
+_CHUNKIDX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _chunk_index_for(spark: SparkSession, sf_dir: str) -> str:
+    from spark_nnd_spark.operators import sampling as SA  # noqa: PLC0415
+    from spark_nnd_spark.operators.retrieval import build_text_index  # noqa: PLC0415
+    from spark_nnd_spark.session import session_scratch_dir  # noqa: PLC0415
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CHUNKIDX_CACHE:
+        path = session_scratch_dir("chunk_idx_")
+        ch = SA.chunk_tokens(
+            load_table(spark, sf_dir, "documents"),
+            size=RAG_CHUNK_SIZE,
+            stride=RAG_CHUNK_STRIDE,
+        ).select(
+            (F.col("doc_id") * CHUNK_ID_MUL + F.col("chunk_idx")).alias(
+                "chunk_id"
+            ),
+            "chunk_text",
+        )
+        build_text_index(ch, path, text_col="chunk_text", id_col="chunk_id")
+        _CHUNKIDX_CACHE[key] = path
+    return _CHUNKIDX_CACHE[key]
+
+
+def q198_indexed_chunk_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q191's chunk retrieval served from a PERSISTED chunk-grained
+    BM25 index — the RAG serving shape: chunk once at ingest (the
+    q186 export feeds the same build), persist token-sorted postings
+    keyed by chunk_id = doc_id·1024 + chunk_idx, and answer queries
+    from O(postings of the query terms) with the full tombstone
+    lifecycle the text family already carries (retracting a document
+    retracts its chunks — right-to-be-forgotten reaches the RAG index).
+    The synthetic chunk_id preserves (doc_id, chunk_idx) lexicographic
+    order, so the ranked cut is identical to the inline tier. Shares
+    q191's oracle: served == inline is the assertion."""
+    from spark_nnd_spark.operators.retrieval import bm25_query_index  # noqa: PLC0415
+
+    path = _chunk_index_for(spark, sf_dir)
+    scored = bm25_query_index(
+        spark, path, BM25_QUERY, k1=BM25_K1, b=BM25_B, id_col="chunk_id"
+    ).select(
+        "chunk_id",
+        "n_terms",
+        F.round("score", 6).alias("score"),
+    )
+    return (
+        scored.orderBy(F.desc("score"), "chunk_id")
+        .limit(BM25_TOPN)
+        .select(
+            F.expr(f"chunk_id div {CHUNK_ID_MUL}").cast("long").alias("doc_id"),
+            F.pmod(F.col("chunk_id"), F.lit(CHUNK_ID_MUL))
+            .cast("long")
+            .alias("chunk_idx"),
+            "n_terms",
+            "score",
+        )
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -5893,6 +5957,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q195_indexed_perplexity": q195_indexed_perplexity,
     "q196_indexed_dsir": q196_indexed_dsir,
     "q197_indexed_ref_lm": q197_indexed_ref_lm,
+    "q198_indexed_chunk_bm25": q198_indexed_chunk_bm25,
 }
 
 
@@ -9773,6 +9838,8 @@ def pipeline_oracles() -> dict[str, str]:
     oracles["q196_indexed_dsir"] = oracles["q140_dsir_weights"]
     # q197: served == inline — shares q171's oracle verbatim
     oracles["q197_indexed_ref_lm"] = oracles["q171_ref_lm_buckets"]
+    # q198: served == inline — shares q191's oracle verbatim
+    oracles["q198_indexed_chunk_bm25"] = oracles["q191_chunk_bm25"]
     return oracles
 
 

@@ -1438,3 +1438,13 @@ def test_indexed_perplexity_trains_from_stats(spark):
     assert "counts" in plan_served
     # inline re-counts bigrams; served must not
     assert plan_served.count("partial_count") < plan_inline.count("partial_count") or "bigram_stats" in plan_served
+
+
+def test_indexed_chunk_bm25_prunes_postings(spark):
+    """q198: the probe reads the persisted chunk postings with the
+    token IN filter pushed to the scan — never the documents table —
+    and ends in a TakeOrdered."""
+    plan = _plan(spark, "q198_indexed_chunk_bm25")
+    assert "documents.parquet" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
