@@ -279,3 +279,40 @@ def test_char_pairs_cross_engine(spark):
             params=[w],
         ).fetchone()
         assert list(dp) == want, w
+
+
+@given(st.lists(st.lists(token, min_size=0, max_size=40).map(" ".join), min_size=1, max_size=8),
+       st.integers(2, 8), st.integers(1, 8))
+@settings(max_examples=15, deadline=None)
+def test_chunk_tokens_covers_every_token_exactly(spark, texts, size, stride):
+    """Property: on arbitrary token streams and (size, stride) with
+    stride <= size, concatenating each doc's chunks at stride offsets
+    reconstructs the doc exactly — every token in >= 1 chunk, order
+    preserved, tail lengths true, empty docs absent."""
+    from spark_nnd_spark.operators.sampling import chunk_tokens
+
+    if stride > size:
+        stride = size  # coverage requires stride <= size
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = chunk_tokens(df, size=size, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, text in enumerate(texts):
+        toks = text.split(" ") if text else []
+        got = sorted(by_doc.get(i, []), key=lambda r: r.chunk_idx)
+        if not text:
+            assert not got
+            continue
+        # every chunk equals exactly the slice it claims
+        for r in got:
+            ctoks = r.chunk_text.split(" ")
+            assert len(ctoks) == r.n_tokens <= size
+            assert r.start == r.chunk_idx * stride
+            assert ctoks == toks[r.start : r.start + size]
+        covered = set()
+        for r in got:
+            covered.update(range(r.start, r.start + r.n_tokens))
+        assert covered == set(range(len(toks)))
