@@ -476,13 +476,15 @@ def build_cov_stats(
     stored rows regardless of corpus size; a spectrum probe
     (:func:`cov_from_stats` + :func:`top_eigen_power`) never rescans
     the corpus."""
+    from spark_nnd_spark.operators.state_commit import next_version  # noqa: PLC0415
+
     spark = df.sparkSession
     second, first = _cov_partials(df, vec_col, dim, quant)
     spark.createDataFrame(
         [(int(dim), int(quant))], "dim int, quant long"
     ).write.mode("overwrite").parquet(f"{path}/meta")
     _commit_cov_state(
-        spark, path, 0, second, first,
+        spark, path, next_version(spark, path), second, first,
         spark.createDataFrame([], "batch_id long"),
     )
 

@@ -179,6 +179,14 @@ def derived_df_cap(
     )
     total = sum(r[df_col] * r["k"] for r in hist)
     if total == 0:
+        # Empty input still refreshes the observability dict — a
+        # caller auditing the cut right after the call must never
+        # read the PREVIOUS derivation.
+        LAST_DERIVED_CAP.clear()
+        LAST_DERIVED_CAP.update(
+            cap=floor, max_df=0, budget=budget, keys_cut=0,
+            postings_cut=0, total_postings=0,
+        )
         return floor
     limit = budget * total
     cap, cum = 0, 0.0

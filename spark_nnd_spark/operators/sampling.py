@@ -397,13 +397,20 @@ def dsir_score(
         F.count("*").alias("v_size"),
     )
     a = F.lit(float(alpha))
+    # LEFT join + coalesce(cnt, 0): a token absent from the served
+    # distribution (sidecar lagging a continuously-ingesting corpus)
+    # gets the documented add-one smoothing floor instead of silently
+    # vanishing from both the score and n_tokens. With a full-coverage
+    # vocab (the inline tier) this is byte-identical to an inner join.
+    tgt = F.coalesce(F.col("tgt_cnt"), F.lit(0))
+    raw = F.coalesce(F.col("raw_cnt"), F.lit(0))
     tok_logw = F.log(
-        (F.col("tgt_cnt") + a) / (F.col("tgt_total") + a * F.col("v_size"))
+        (tgt + a) / (F.col("tgt_total") + a * F.col("v_size"))
     ) - F.log(
-        (F.col("raw_cnt") + a) / (F.col("raw_total") + a * F.col("v_size"))
+        (raw + a) / (F.col("raw_total") + a * F.col("v_size"))
     )
     return (
-        toks.join(vocab, "token")
+        toks.join(vocab, "token", "left")
         .crossJoin(F.broadcast(totals))
         .groupBy(id_col)
         .agg(
@@ -538,12 +545,17 @@ def ref_lm_score(
         F.sum("ref_cnt").alias("ref_total"),
         F.count("*").alias("v_size"),
     )
+    # LEFT join + coalesce: out-of-vocab tokens receive the add-one
+    # floor probability instead of dropping out of logprob/n_tokens —
+    # identical to the old inner join whenever the vocab covers the
+    # scored stream (the inline tier), correct when a lagging sidecar
+    # serves a continuously-ingesting corpus (the index-served tier).
     tok_logp = F.log(
-        (F.col("ref_cnt") + F.lit(1.0))
+        (F.coalesce(F.col("ref_cnt"), F.lit(0)) + F.lit(1.0))
         / (F.col("ref_total") + F.lit(1.0) * F.col("v_size"))
     )
     scored = (
-        toks.join(vocab, "token")
+        toks.join(vocab, "token", "left")
         .crossJoin(F.broadcast(totals))
         .groupBy(id_col, lang_col)
         .agg(

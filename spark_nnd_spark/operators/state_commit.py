@@ -65,21 +65,42 @@ def state_dir(spark, path: str) -> str:
     return f"{path}/state/v={vs[-1]}"
 
 
+def next_version(spark, path: str) -> int:
+    """Latest committed version + 1, or 0 for a fresh path — what a
+    (re)build must commit as so it never collides with existing state
+    (Hadoop's rename-into-existing-dir semantics would otherwise NEST
+    the staging dir inside the old version while readers keep serving
+    the stale one)."""
+    vs = committed_versions(spark, path)
+    return (vs[-1] + 1) if vs else 0
+
+
 def commit_state(
     spark, path: str, version: int, tables: dict[str, DataFrame]
 ) -> None:
     """Write every table plus the _COMMITTED marker into one staging
     directory, then one RENAME publishes all of it as ``v={version}``
     — 'batch applied' and 'batch marked applied' are one indivisible
-    event (callers put the applied-batch table in ``tables``)."""
+    event (callers put the applied-batch table in ``tables``).
+
+    Fails fast if ``v={version}`` already exists: Hadoop's
+    rename-into-existing-dir would silently nest the staging dir
+    inside it and readers would keep serving whatever version is
+    latest — a rebuild must go through :func:`next_version`."""
     jvm, fs = _fs(spark, path)
+    final = jvm.org.apache.hadoop.fs.Path(f"{path}/state/v={version}")
+    if fs.exists(final):
+        msg = (
+            f"state version v={version} already exists under {path}; "
+            "rebuilds must commit next_version(), not overwrite"
+        )
+        raise ValueError(msg)
     staging = f"{path}/state/_staging_v={version}"
     sp = jvm.org.apache.hadoop.fs.Path(staging)
     fs.delete(sp, True)  # leftover from a crashed attempt
     for name, df in tables.items():
         df.coalesce(1).write.parquet(f"{staging}/{name}")
     fs.create(jvm.org.apache.hadoop.fs.Path(f"{staging}/_COMMITTED")).close()
-    final = jvm.org.apache.hadoop.fs.Path(f"{path}/state/v={version}")
     if not fs.rename(sp, final):
         msg = f"state commit rename failed: {staging} -> v={version}"
         raise OSError(msg)

@@ -27,7 +27,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spark_nnd_spark.functions import text as TX
-from spark_nnd_spark.operators.state_commit import commit_state, state_dir
+from spark_nnd_spark.operators.state_commit import (
+    commit_state,
+    next_version,
+    state_dir,
+)
 
 JS_Q = 1_000_000_000_000  # pico-nat quantization for JS terms
 LN2 = 0.6931471805599453  # shared literal so both engines use one ln(2)
@@ -58,7 +62,7 @@ def build_token_stats(
     spark = df.sparkSession
     counts = _token_counts(df, text_col, source_col)
     commit_state(
-        spark, path, 0,
+        spark, path, next_version(spark, path),
         {"counts": counts,
          "applied": spark.createDataFrame([], "batch_id long")},
     )
@@ -222,7 +226,7 @@ def build_bigram_stats(df: DataFrame, path: str, text_col: str = "text") -> None
     spark = df.sparkSession
     counts = bigram_counts(doc_bigrams(df, text_col, checkpoint=False))
     commit_state(
-        spark, path, 0,
+        spark, path, next_version(spark, path),
         {"counts": counts,
          "applied": spark.createDataFrame([], "batch_id long")},
     )

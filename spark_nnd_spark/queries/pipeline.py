@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_nnd_spark.functions import text as TX
@@ -5737,6 +5737,33 @@ def q197_indexed_ref_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CHUNK_ID_MUL = 1024  # chunk_id = doc_id * MUL + chunk_idx (idx < MUL)
 
+
+def packed_chunk_id(doc_col: str, idx_col: str) -> Column:
+    """``doc_id * CHUNK_ID_MUL + chunk_idx`` with a RUNTIME guard: a
+    document with ``chunk_idx >= CHUNK_ID_MUL`` (≈49k tokens at the
+    RAG stride — book-length, exactly what a 100 TB corpus contains)
+    would silently alias into the next doc_id's chunk space; instead
+    the build fails with a clear error. The guard is a JVM-side
+    ``raise_error`` branch inside the projection — zero extra passes,
+    fails on first offending row at index-build time."""
+    guarded_idx = F.when(
+        F.col(idx_col) >= CHUNK_ID_MUL,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"chunk_idx >= CHUNK_ID_MUL ({CHUNK_ID_MUL}) for "
+                    "doc_id="
+                ),
+                F.col(doc_col).cast("string"),
+                F.lit(
+                    "; packed chunk ids would collide — raise "
+                    "CHUNK_ID_MUL or split the document"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(idx_col))
+    return F.col(doc_col) * CHUNK_ID_MUL + guarded_idx
+
 # One chunk-grained BM25 index per (session, sf_dir).
 _CHUNKIDX_CACHE: dict[tuple[str, str], str] = {}
 
@@ -5754,9 +5781,7 @@ def _chunk_index_for(spark: SparkSession, sf_dir: str) -> str:
             size=RAG_CHUNK_SIZE,
             stride=RAG_CHUNK_STRIDE,
         ).select(
-            (F.col("doc_id") * CHUNK_ID_MUL + F.col("chunk_idx")).alias(
-                "chunk_id"
-            ),
+            packed_chunk_id("doc_id", "chunk_idx").alias("chunk_id"),
             "chunk_text",
         )
         build_text_index(ch, path, text_col="chunk_text", id_col="chunk_id")
