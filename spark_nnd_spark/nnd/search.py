@@ -1,0 +1,249 @@
+"""Graph-served ANN search: greedy best-first (beam) search over a
+built K-NN graph for out-of-corpus query vectors.
+
+The reference's entire output is the K-NN graph itself
+(`/root/reference/src/main/scala/com/github/fvictorio/nnd/NND.scala:66`,
+``buildGraph -> RDD[(Long, NodeWithNeighbors)]``) — and the single most
+common thing a consumer does with a K-NNG is search it for queries that
+were NOT in the build (HNSW/NSW-style navigable-graph serving; Malkov &
+Yashunin 2016 describe the greedy kernel this re-expresses). The engine
+already serves hash/quantization tiers (LSH, IVF, PQ, MRL, binary);
+this module serves queries from the flagship artifact itself.
+
+Algorithm (classic best-first with an ``ef``-bounded candidate pool):
+
+- seed every query with ``n_entry`` deterministic entry points PER
+  GRAPH PARTITION (the graph has no cross-``partition`` edges —
+  NND.scala:296-306 — so per-partition seeding is what makes every
+  walled component reachable). ``n_entry`` is also the coverage knob
+  for NATURAL components: the K-NN graph of well-separated clusters
+  is one component per cluster and greedy search can never cross
+  between them, so seeds must land in every component a true neighbor
+  can live in — size ``n_entry`` to the expected cluster count (a
+  missed component is ~((C-1)/C)^n_entry rare for C same-sized
+  clusters);
+- iterate: expand the best ``beam`` not-yet-expanded candidates per
+  query, score their graph neighbors against the query, keep the
+  top-``ef`` pool; stop when no pool entry is unexpanded (or at
+  ``max_iterations``);
+- return the pool's exact-scored top-k (scores are computed exactly at
+  candidate generation, so no separate rerank pass is needed).
+
+Similarity is the graph's own metric ``1 / (1 + ||q - x||_2)``
+(NND.scala:296-306) — monotone in L2, so top-k under it equals
+L2-nearest-neighbor top-k.
+
+Scale (100 TB): per-query cost is O(iterations · beam · K) candidate
+rows — independent of corpus size, the property that makes graph
+serving worth building the graph for. Per ITERATION the plan touches
+the corpus exactly twice, both as BROADCAST-hash joins against
+O(Q·beam)-row id sets (adjacency fetch, vector fetch): the corpus side
+never shuffles, queries never cartesian with the corpus, and on the
+persisted family (operators/knn_graph_index) both fetches hit
+id-keyed parquet where a bucketed layout turns them into pruned
+lookups. The driver loop holds only a convergence scalar per round —
+the descent.py A12/A13 discipline (localCheckpoint per iteration,
+``count`` as the stop test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_nnd_spark.functions.vector import l2_distance_expr
+
+_POOL_COLS = ("query_id", "id", "sim", "expanded")
+
+
+def _sim(q: str, x: str):
+    return F.lit(1.0) / (F.lit(1.0) + l2_distance_expr(q, x))
+
+
+def entry_points(
+    points: DataFrame, n_entry: int, seed: int
+) -> DataFrame:
+    """``n_entry`` deterministic seeds per graph ``partition`` — the
+    rows with the smallest ``xxhash64(id, seed)`` draw, so the choice
+    is stable across runs and rotates with ``seed``. One narrow scan +
+    one ALL-ID (no features) shuffle of O(N) rows; the K winners then
+    carry their vectors forward. Per-partition because graph edges
+    never cross partitions: a single global seed set would leave other
+    partitions' components unreachable."""
+    w = Window.partitionBy("partition").orderBy(
+        F.xxhash64("id", F.lit(seed)), F.asc("id")
+    )
+    return (
+        points.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_entry)
+        .select("id", "features")
+    )
+
+
+def graph_search_topk(
+    graph: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    ef: int = 32,
+    beam: int = 8,
+    n_entry: int = 8,
+    max_iterations: int = 20,
+    seed: int = 42,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q_vec",
+    points: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k nearest stored neighbors of each query vector, served by
+    greedy best-first search over ``graph`` (a ``build_graph`` /
+    ``update_graph`` result: id, features, partition, neighbors).
+
+    ``points`` optionally overrides the vector table (id, features,
+    partition) — the persisted family passes its stored vectors so the
+    adjacency table alone never needs to carry features.
+
+    Returns (query_id, nb_id, rank, sim), rank 1..k by sim desc / id
+    asc — ties broken exactly like the graph build.
+    """
+    if points is None:
+        points = graph.select("id", "features", "partition")
+    adj = (
+        graph.filter(F.col("neighbors").isNotNull())
+        .select(
+            "id",
+            F.transform("neighbors", lambda s: s["id"]).alias("nb_ids"),
+        )
+    )
+    # Materialize the serving tables ONCE (lazily, on first use): an
+    # unmaterialized build_graph result re-runs its assemble join-back
+    # in EVERY iteration's lineage otherwise. The persisted family
+    # (operators/knn_graph_index) passes parquet-backed inputs, where
+    # the checkpoint is a cheap no-op insurance.
+    adj = adj.localCheckpoint(eager=False)
+    points = points.select("id", "features", "partition").localCheckpoint(
+        eager=False
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("q_vec"),
+    )
+
+    # ---- seed pool: every query scores the shared entry set ---------
+    entries = entry_points(points, n_entry, seed)
+    pool = (
+        entries.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "id",
+            _sim("q_vec", "features").alias("sim"),
+            F.lit(False).alias("expanded"),
+        )
+    )
+    pool = _truncate(pool, ef).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        frontier = _rank(pool.filter(~F.col("expanded"))).filter(
+            F.col("__r") <= beam
+        )
+        # Convergence scalar (descent.py A12 class): the pool is a
+        # localCheckpoint, so this count re-reads memory, not lineage.
+        if not frontier.take(1):
+            break
+        f_pairs = frontier.select("query_id", "id")
+        scored = _expand_score(adj, points, q, f_pairs)
+        expanded_pool = pool.join(
+            F.broadcast(f_pairs.withColumn("__f", F.lit(True))),
+            ["query_id", "id"],
+            "left",
+        ).select(
+            "query_id",
+            "id",
+            "sim",
+            (F.col("expanded") | F.col("__f").isNotNull()).alias("expanded"),
+        )
+        merged = (
+            expanded_pool.unionByName(scored)
+            .groupBy("query_id", "id")
+            .agg(
+                F.max("sim").alias("sim"),
+                F.max("expanded").alias("expanded"),
+            )
+        )
+        pool = _truncate(merged, ef).localCheckpoint(eager=True)
+
+    return (
+        _rank(pool)
+        .filter(F.col("__r") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("nb_id"),
+            F.col("__r").alias("rank"),
+            "sim",
+        )
+    )
+
+
+def _expand_score(
+    adj: DataFrame, points: DataFrame, q: DataFrame, f_pairs: DataFrame
+) -> DataFrame:
+    """One search round's candidate generation + scoring — the only
+    corpus-touching step, kept as a named unit so the plan contract is
+    test-assertable (tests/test_plans.py): adjacency fetch and vector
+    fetch are BROADCAST-hash joins against the O(Q·beam) frontier; the
+    corpus side never sort-merge-joins or shuffles. The one exchange
+    is the ``distinct`` over O(Q·beam·K) candidate rows — query-sized,
+    not corpus-sized. A masked candidate id (tombstoned / held-out
+    node) simply fails the vector-fetch join and drops out."""
+    cand = (
+        adj.join(F.broadcast(f_pairs), "id")
+        .select("query_id", F.explode("nb_ids").alias("id"))
+        .distinct()
+    )
+    return (
+        points.select("id", "features")
+        .join(F.broadcast(cand), "id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "id",
+            _sim("q_vec", "features").alias("sim"),
+            F.lit(False).alias("expanded"),
+        )
+    )
+
+
+def _rank(pool: DataFrame) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("id"))
+    return pool.withColumn("__r", F.row_number().over(w))
+
+
+def _truncate(pool: DataFrame, ef: int) -> DataFrame:
+    return _rank(pool).filter(F.col("__r") <= ef).select(*_POOL_COLS)
+
+
+def brute_topk_l2(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k under the graph metric ``1/(1+L2)`` — the recall
+    ground truth for :func:`graph_search_topk` (cosine brute force
+    would grade the graph against a DIFFERENT metric). Broadcast the
+    queries over one corpus scan; the deliberately-exact oracle tier,
+    O(Q·N) like q24/q33's brute rows."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("q_vec"),
+    )
+    scored = (
+        corpus.select("id", "features")
+        .crossJoin(F.broadcast(q))
+        .select("query_id", "id", _sim("q_vec", "features").alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("nb_id"), "rank", "sim")
+    )
