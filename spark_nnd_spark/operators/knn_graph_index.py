@@ -1,0 +1,340 @@
+"""Persisted K-NN-graph index family (the 10th): the flagship NND
+artifact (reference output contract NND.scala:63,66 —
+``RDD[(Long, NodeWithNeighbors)]``) with the same build → probe →
+extend → retract → compact lifecycle every other expensive artifact in
+the engine carries (LSH postings, IVF cells, span grams, image bands,
+token stats, covariance moments).
+
+Layout under ``{path}``:
+
+- ``points/``     (id, features, label, finished) hive-partitioned by
+  ``partition`` — the vector table every probe's fetch join hits;
+- ``adjacency/``  (id, neighbors) hive-partitioned by ``partition`` —
+  the base graph as of the last build/compaction;
+- ``updates/``    (id, neighbors, partition, batch) — append-only
+  adjacency DELTAS from ``extend``; a row supersedes the base row (and
+  any lower-``batch`` update) for its id;
+- ``meta/``       build parameters pinned so extend replays the build
+  configuration;
+- ``tombstones/`` the shared O(retracted) delete log
+  (operators/index_lifecycle).
+
+Scale contract (100 TB):
+
+- **extend is O(batch)-write**: ``update_graph`` already bounds the
+  COMPUTE to the new batch's neighborhood (descent.py); the diff
+  against the prior graph bounds the WRITE to rows whose neighbor
+  list actually changed, appended as a delta — the base adjacency is
+  never rewritten on ingest.
+- **read pays O(updated), not O(graph)**: resolution is base
+  anti-join broadcast(update ids) ∪ latest-per-id over the UPDATES
+  table alone — no corpus-sized window. Tombstones mask rows via the
+  standard broadcast anti-join; stale in-LIST references to retracted
+  or superseded nodes are left in place and die at the probe's
+  vector-fetch join (nnd/search._expand_score), the same delete-log
+  read tax every other family pays until compaction.
+- **compact restores the zero-tax read**: fold updates into the base,
+  physically prune tombstoned ids from rows AND neighbor lists,
+  clear both logs (tombstones dropped LAST, so a crashed compaction
+  stays correct and a retry converges).
+"""
+
+from __future__ import annotations
+
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_nnd_spark.nnd.descent import build_graph, update_graph
+from spark_nnd_spark.operators import index_lifecycle as IL
+from spark_nnd_spark.schemas import normalize_points
+
+_NEIGHBOR_T = "array<struct<id bigint, similarity double>>"
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark.sparkContext._jvm  # noqa: SLF001
+    jsc = spark.sparkContext._jsc  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(jsc.hadoopConfiguration()).exists(hpath)
+
+
+def build_knn_graph_index(
+    points: DataFrame,
+    path: str,
+    k: int,
+    max_iterations: int = 5,
+    early_termination: float = 0.01,
+    sample_rate: float = 1.0,
+    buckets_per_instance: int = 4,
+    seed: int = 42,
+) -> None:
+    """Build the graph (nnd/descent.build_graph) and persist points +
+    adjacency + pinned build params. One NND build, two
+    hive-partitioned writes — nothing beyond what the build itself
+    shuffles."""
+    pts = normalize_points(points)
+    g = build_graph(
+        pts,
+        k=k,
+        max_iterations=max_iterations,
+        early_termination=early_termination,
+        sample_rate=sample_rate,
+        buckets_per_instance=buckets_per_instance,
+        seed=seed,
+        validate=False,
+    )
+    persist_graph_index(
+        g, path,
+        k=k, max_iterations=max_iterations,
+        early_termination=early_termination, sample_rate=sample_rate,
+        buckets_per_instance=buckets_per_instance, seed=seed,
+    )
+
+
+def persist_graph_index(
+    graph: DataFrame,
+    path: str,
+    k: int,
+    max_iterations: int = 5,
+    early_termination: float = 0.01,
+    sample_rate: float = 1.0,
+    buckets_per_instance: int = 4,
+    seed: int = 42,
+) -> None:
+    """Persist an ALREADY-BUILT graph (a build_graph/update_graph
+    result) into the family layout — the entry point for users who
+    hold the artifact in memory and want the lifecycle without paying
+    a rebuild. The params are pinned as meta so extend replays the
+    build configuration; they must be the ones the graph was built
+    with."""
+    spark = graph.sparkSession
+    g = graph.localCheckpoint(eager=True)
+    g.select("id", "features", "label", "finished", "partition").write.mode(
+        "overwrite"
+    ).partitionBy("partition").parquet(f"{path}/points")
+    g.filter(F.col("neighbors").isNotNull()).select(
+        "id", "neighbors", "partition"
+    ).write.mode("overwrite").partitionBy("partition").parquet(
+        f"{path}/adjacency"
+    )
+    spark.createDataFrame(
+        [(
+            int(k), int(max_iterations), float(early_termination),
+            float(sample_rate), int(buckets_per_instance), int(seed),
+        )],
+        "k long, max_iterations long, early_termination double, "
+        "sample_rate double, buckets_per_instance long, seed long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _meta(spark: SparkSession, path: str) -> dict[str, Any]:
+    return spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+
+
+def _resolved_adjacency(spark: SparkSession, path: str) -> DataFrame:
+    """Base adjacency with update deltas applied: base rows whose id
+    has no delta, plus the latest delta per updated id. The only
+    exchange is the latest-per-id window over the UPDATES table
+    (O(updated rows)); the base side pays one broadcast anti-join."""
+    base = spark.read.parquet(f"{path}/adjacency")
+    if not _exists(spark, f"{path}/updates"):
+        return base
+    upd = spark.read.parquet(f"{path}/updates")
+    w = Window.partitionBy("id").orderBy(F.desc("batch"))
+    latest = (
+        upd.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("id", "neighbors", "partition")
+    )
+    upd_ids = upd.select("id").distinct()
+    return base.join(F.broadcast(upd_ids), "id", "left_anti").unionByName(
+        latest
+    )
+
+
+def read_graph(spark: SparkSession, path: str) -> DataFrame:
+    """The stored graph in ``build_graph`` output shape (id, features,
+    label, partition, finished, neighbors), tombstone-masked and
+    update-resolved. Neighbor LISTS may still reference retracted /
+    superseded ids until compaction — probes drop those at the
+    vector-fetch join; consumers that need pruned lists run
+    :func:`compact_knn_graph_index` first (or explode-filter
+    themselves)."""
+    tomb = IL.read_tombstones(spark, path)
+    pts = IL.anti_tombstones(
+        spark.read.parquet(f"{path}/points"), tomb, "id"
+    )
+    adj = IL.anti_tombstones(_resolved_adjacency(spark, path), tomb, "id")
+    return pts.join(adj.select("id", "neighbors"), "id", "left").select(
+        "id", "features", "label", "partition", "finished",
+        F.when(F.col("finished"), F.lit(None).cast(_NEIGHBOR_T))
+        .otherwise(F.coalesce("neighbors", F.array().cast(_NEIGHBOR_T)))
+        .alias("neighbors"),
+    )
+
+
+def graph_index_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    ef: int = 64,
+    beam: int = 16,
+    n_entry: int = 16,
+    max_iterations: int = 20,
+    seed: int = 42,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Nearest STORED neighbors of each query vector, served by greedy
+    search (nnd/search.graph_search_topk) over the persisted graph.
+    Tombstoned nodes cannot surface: their rows are masked out of both
+    the adjacency and the vector table before the search sees them."""
+    from spark_nnd_spark.nnd.search import graph_search_topk  # noqa: PLC0415
+
+    g = read_graph(spark, path)
+    return graph_search_topk(
+        g,
+        queries,
+        k=k,
+        ef=ef,
+        beam=beam,
+        n_entry=n_entry,
+        max_iterations=max_iterations,
+        seed=seed,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        points=g.select("id", "features", "partition"),
+    )
+
+
+def _graph_tables(path: str) -> list[IL.TableSpec]:  # noqa: ARG001
+    return [("points", "id", "partition"), ("adjacency", "id", "partition")]
+
+
+def extend_knn_graph_index(
+    spark: SparkSession, path: str, new_points: DataFrame
+) -> None:
+    """Fold a batch of new points into the stored graph
+    (nnd/descent.update_graph — compute scales with the batch, not the
+    corpus) and append the resulting adjacency CHANGES as a delta.
+
+    Re-admission of tombstoned ids is the standard upsert
+    (index_lifecycle.settle_readmission: purge old physical rows,
+    clear their tombstones) — a retracted-then-reingested node comes
+    back with only its new vector. Live-id overlap also settles as an
+    upsert: the batch's version of the point wins.
+    """
+    new_pts = normalize_points(new_points).localCheckpoint(eager=True)
+    tables = _graph_tables(path)
+    IL.settle_readmission(spark, path, new_pts.select("id"), tables)
+    # live-id overlap: purge the old physical rows (points + base
+    # adjacency + any update deltas) so the batch's version wins
+    overlap = (
+        spark.read.parquet(f"{path}/points")
+        .select("id")
+        .join(F.broadcast(new_pts.select("id")), "id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    if overlap.take(1):
+        upd_tables = list(tables)
+        if _exists(spark, f"{path}/updates"):
+            upd_tables.append(("updates", "id", None))
+        IL.rewrite_minus(spark, path, overlap, upd_tables)
+
+    prev = read_graph(spark, path).localCheckpoint(eager=True)
+    new_pts.select("id", "features", "label", "finished", "partition").write.mode(
+        "append"
+    ).partitionBy("partition").parquet(f"{path}/points")
+
+    m = _meta(spark, path)
+    full = update_graph(
+        prev,
+        prev.select("id", "features", "label", "partition", "finished")
+        .unionByName(new_pts.select(
+            "id", "features", "label", "partition", "finished"
+        )),
+        k=int(m["k"]),
+        max_iterations=int(m["max_iterations"]),
+        early_termination=float(m["early_termination"]),
+        sample_rate=float(m["sample_rate"]),
+        buckets_per_instance=int(m["buckets_per_instance"]),
+        seed=int(m["seed"]),
+        validate=False,
+    )
+    # Delta = rows whose neighbor list changed (new ids have no prev
+    # row). Struct-array equality is exact — no float normalization
+    # needed, both sides carry the kernel's float64 sims.
+    prev_nb = prev.select("id", F.col("neighbors").alias("__old"))
+    changed = (
+        full.filter(~F.col("finished"))
+        .join(prev_nb, "id", "left")
+        .filter(
+            F.col("__old").isNull()
+            | (F.col("neighbors") != F.col("__old"))
+        )
+        .select("id", "neighbors", "partition")
+    )
+    batch_no = 0
+    if _exists(spark, f"{path}/updates"):
+        batch_no = (
+            spark.read.parquet(f"{path}/updates")
+            .agg(F.max("batch"))
+            .collect()[0][0]
+            + 1
+        )
+    changed.withColumn("batch", F.lit(batch_no).cast("long")).write.mode(
+        "append"
+    ).parquet(f"{path}/updates")
+
+
+def retract_from_knn_graph_index(
+    spark: SparkSession, path: str, ids: DataFrame
+) -> None:
+    """Tombstone-retract nodes: O(retracted) append; every read path
+    masks their rows immediately, and their appearances inside other
+    nodes' neighbor lists die at the probe's vector-fetch join until
+    compaction physically prunes them."""
+    IL.append_tombstones(spark, path, ids)
+
+
+def compact_knn_graph_index(spark: SparkSession, path: str) -> None:
+    """Fold updates + tombstones into the physical tables: resolved
+    adjacency minus tombstoned rows, neighbor lists pruned of
+    tombstoned ids, points minus tombstoned rows; drop the updates
+    dir, then the tombstone log LAST (a crash at any point leaves a
+    state every read path still serves correctly, and a retry
+    converges)."""
+    tomb = IL.read_tombstones(spark, path)
+    adj = _resolved_adjacency(spark, path)
+    pts = spark.read.parquet(f"{path}/points")
+    if tomb is not None:
+        adj = IL.anti_tombstones(adj, tomb, "id")
+        pts = IL.anti_tombstones(pts, tomb, "id")
+        # the log is O(retracted) small by construction — a driver
+        # literal keeps list pruning inside codegen, no explode/regroup
+        tomb_ids = [r.id for r in tomb.collect()]
+        if tomb_ids:
+            lit = F.array(*[F.lit(int(i)) for i in tomb_ids])
+            adj = adj.select(
+                "id",
+                F.filter(
+                    "neighbors", lambda s: ~F.array_contains(lit, s["id"])
+                ).alias("neighbors"),
+                "partition",
+            )
+    adj = adj.localCheckpoint(eager=True)  # detach from files being replaced
+    pts = pts.localCheckpoint(eager=True)
+    adj.write.mode("overwrite").partitionBy("partition").parquet(
+        f"{path}/adjacency"
+    )
+    pts.write.mode("overwrite").partitionBy("partition").parquet(
+        f"{path}/points"
+    )
+    if _exists(spark, f"{path}/updates"):
+        shutil.rmtree(f"{path}/updates", ignore_errors=True)
+    if tomb is not None:
+        shutil.rmtree(f"{path}/tombstones", ignore_errors=True)

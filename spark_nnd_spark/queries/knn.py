@@ -360,6 +360,102 @@ def q200_graph_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One persisted K-NN-graph index per (session, sf_dir): the FLAGSHIP
+# build persisted into the 10th family's layout, with the held-out
+# query ids tombstone-RETRACTED — so the served graph equals q199's
+# masked inline graph and served == inline is assertable.
+_GIDX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _graph_index_for(spark: SparkSession, sf_dir: str) -> str:
+    from spark_nnd_spark.operators.knn_graph_index import (  # noqa: PLC0415
+        persist_graph_index,
+        retract_from_knn_graph_index,
+    )
+    from spark_nnd_spark.session import session_scratch_dir  # noqa: PLC0415
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _GIDX_CACHE:
+        path = session_scratch_dir("knn_graph_idx_")
+        persist_graph_index(
+            _nnd_graph(spark, sf_dir), path,
+            k=K, max_iterations=5, early_termination=0.01,
+            sample_rate=1.0, buckets_per_instance=4, seed=42,
+        )
+        retract_from_knn_graph_index(
+            spark, path,
+            spark.range(GS_HELDOUT).select(F.col("id")),
+        )
+        _GIDX_CACHE[key] = path
+    return _GIDX_CACHE[key]
+
+
+def q201_indexed_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q199's serving shape from the PERSISTED K-NN-graph index (the
+    10th family, operators/knn_graph_index): the flagship build is
+    persisted once, the held-out ids are tombstone-retracted, and
+    out-of-corpus queries are answered by greedy search over the
+    stored adjacency + vector tables. Identical configuration to the
+    inline tier, so served == inline row-for-row (asserted in
+    tests/test_graph_index_queries.py); rows-only driver check like
+    q199 (the artifact is not SQL-replayable); q202 is the hash-checked
+    recall grade."""
+    from spark_nnd_spark.operators.knn_graph_index import (  # noqa: PLC0415
+        graph_index_search,
+    )
+
+    q = _points(spark, sf_dir).filter(F.col("id") < GS_HELDOUT).select(
+        F.col("id").alias("query_id"), F.col("features").alias("q_vec")
+    )
+    return (
+        graph_index_search(
+            spark, _graph_index_for(spark, sf_dir), q,
+            k=GS_K, ef=GS_EF, beam=GS_BEAM, n_entry=GS_ENTRY,
+            max_iterations=GS_ITERS, seed=42,
+        )
+        .select("query_id", "nb_id", "rank", F.round("sim", 6).alias("sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def q202_indexed_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked recall row for the INDEX-SERVED graph search (the
+    q200 convention, aimed at q201's result): the oracle replays the
+    brute-force ground truth and asserts floor_ok TRUE; the Spark side
+    computes it from measured recall, so a regression anywhere in the
+    persist → retract → read → search path flips the hash red."""
+    from spark_nnd_spark.nnd.search import brute_topk_l2  # noqa: PLC0415
+
+    corpus = _points(spark, sf_dir).filter(F.col("id") >= GS_HELDOUT)
+    q = _points(spark, sf_dir).filter(F.col("id") < GS_HELDOUT).select(
+        F.col("id").alias("query_id"), F.col("features").alias("q_vec")
+    )
+    brute = brute_topk_l2(corpus, q, k=GS_K).select("query_id", "nb_id")
+    brute = brute.localCheckpoint(eager=True)
+    hits = (
+        q201_indexed_graph_search(spark, sf_dir)
+        .select("query_id", "nb_id")
+        .join(brute, ["query_id", "nb_id"])
+        .agg(F.count("*").alias("hits"))
+    )
+    total = brute.agg(F.count("*").alias("total"))
+    recall = F.round(F.col("hits") / F.col("total"), 4)
+    return hits.crossJoin(total).select(
+        F.lit("indexed_graph_search").alias("method"),
+        F.lit(None).cast("long").alias("hits"),
+        F.col("total"),
+        F.lit(None).cast("double").alias("recall"),
+        F.lit(GS_FLOOR).alias("floor"),
+        (recall >= F.lit(GS_FLOOR)).alias("floor_ok"),
+    )
+
+
+def _indexed_graph_recall_oracle() -> str:
+    return _graph_search_recall_oracle().replace(
+        "'graph_search'", "'indexed_graph_search'"
+    )
+
+
 def _graph_search_recall_oracle() -> str:
     """DuckDB side of q200: replay ONLY the brute-force ground truth
     (total); floor_ok is the literal assertion the Spark side must
@@ -1807,6 +1903,8 @@ KNN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q185_spectrum2": q185_spectrum2,
     "q199_graph_search": q199_graph_search,
     "q200_graph_search_recall": q200_graph_search_recall,
+    "q201_indexed_graph_search": q201_indexed_graph_search,
+    "q202_indexed_graph_recall": q202_indexed_graph_recall,
 }
 
 KNN_ORACLES: dict[str, str] = {
@@ -1844,7 +1942,8 @@ KNN_ORACLES: dict[str, str] = {
     "q179_indexed_pca": _pca_power_oracle(),
     "q180_abtt_scores": _abtt_oracle(),
     "q185_spectrum2": _spectrum2_oracle(),
-    # q199 is rows-only (iterative seeded artifact); q200 is its
-    # hash-checked grade.
+    # q199/q201 are rows-only (iterative seeded artifact); q200/q202
+    # are their hash-checked grades.
     "q200_graph_search_recall": _graph_search_recall_oracle(),
+    "q202_indexed_graph_recall": _indexed_graph_recall_oracle(),
 }

@@ -481,6 +481,65 @@ def indexed_ann_stream(
     return _await_or_raise(q, timeout_sec)
 
 
+def graph_gate_stream(
+    query_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    k: int = 5,
+    ef: int = 64,
+    beam: int = 16,
+    n_entry: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    timeout_sec: int = 180,
+) -> Any:
+    """Ingest gate over the PERSISTED K-NN-graph index
+    (operators/knn_graph_index, the 10th family): each micro-batch of
+    embeddings is answered with its nearest STORED neighbors by greedy
+    graph search inside ``foreachBatch``, landing batchId-keyed —
+    the flagship artifact's streaming face (the nearest-stored-neighbor
+    verdict a continuous ingest pipeline gates on before admitting a
+    vector as novel).
+
+    Same conventions as ``indexed_ann_stream``: foreachBatch because
+    the search is an iterative multi-join loop the incremental planner
+    cannot host; overwrite into ``graph_batch={id}`` so replays rewrite
+    their own directory; the probe never mutates the index, so verdicts
+    are a pure function of (query, index) and replay == batch.
+
+    Scale: per batch the search pays O(iterations) broadcast joins
+    against the stored graph — per-query cost O(iters·beam·K),
+    corpus-independent (nnd/search.py)."""
+    from spark_nnd_spark.operators.knn_graph_index import (  # noqa: PLC0415
+        graph_index_search,
+    )
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        graph_index_search(
+            spark,
+            index_path,
+            batch_df,
+            k=k,
+            ef=ef,
+            beam=beam,
+            n_entry=n_entry,
+            query_id_col=id_col,
+            query_vec_col=vec_col,
+        ).write.mode("overwrite").parquet(f"{out_path}/graph_batch={batch_id}")
+
+    q = (
+        query_stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return _await_or_raise(q, timeout_sec)
+
+
 def decontam_gate_stream(
     candidate_stream: DataFrame,
     eval_index_path: str,

@@ -1,0 +1,210 @@
+"""Persisted K-NN-graph index family (the 10th —
+operators/knn_graph_index): build/read roundtrip, O(batch) extend
+deltas with recall parity, live-id upsert, tombstone retraction,
+retract-then-reingest readmission, compaction convergence, and the
+ingest gate stream's replay==batch purity."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from spark_nnd_spark.operators import knn_graph_index as KG
+from tests.conftest import make_clustered_points
+
+POINT_DDL = (
+    "id long, features array<double>, label long, partition long, "
+    "finished boolean"
+)
+
+
+def _pts(spark, seed: int = 42):
+    return spark.createDataFrame(
+        make_clustered_points(n_clusters=8, per_cluster=25, dim=8, seed=seed),
+        POINT_DDL,
+    )
+
+
+def _edges(g):
+    return {
+        (r.id, r.nb)
+        for r in g.select(
+            "id",
+            F.explode(F.transform("neighbors", lambda s: s["id"])).alias("nb"),
+        ).collect()
+    }
+
+
+def test_build_read_roundtrip(spark, tmp_path):
+    pts = _pts(spark)
+    d = str(tmp_path / "g")
+    KG.build_knn_graph_index(pts, d, k=10, max_iterations=4, seed=42)
+    g = KG.read_graph(spark, d)
+    assert g.count() == 200
+    assert set(g.columns) == {
+        "id", "features", "label", "partition", "finished", "neighbors",
+    }
+    row = g.filter(F.col("id") == 0).collect()[0]
+    assert row.neighbors and len(row.neighbors) <= 10
+    sims = [n.similarity for n in row.neighbors]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_extend_is_delta_write_with_recall_parity(spark, tmp_path):
+    from tests.conftest import knn_oracle
+
+    rows = make_clustered_points(n_clusters=8, per_cluster=25, dim=8, seed=42)
+    pts = spark.createDataFrame(rows, POINT_DDL)
+    base = pts.filter(F.col("id") % 2 == 0).localCheckpoint(eager=True)
+    batch = pts.filter(F.col("id") % 2 == 1).localCheckpoint(eager=True)
+    d = str(tmp_path / "g")
+    KG.build_knn_graph_index(base, d, k=5, max_iterations=4, seed=3)
+    KG.extend_knn_graph_index(spark, d, batch)
+
+    g = KG.read_graph(spark, d)
+    assert g.count() == 200
+    # the write is a DELTA: appended update rows, base adjacency intact
+    upd = spark.read.parquet(f"{d}/updates")
+    assert 0 < upd.count() < 2 * 200  # bounded by touched rows, not graph²
+    # new-node recall vs the exact numpy oracle over the FULL point set
+    # (the update_graph contract, test_nnd conventions)
+    oracle = knn_oracle(rows, 5)
+    by_id = {
+        r.id: {n.id for n in (r.neighbors or [])}
+        for r in g.filter(F.col("id") % 2 == 1).collect()
+    }
+    hits = total = 0
+    for i, got in by_id.items():
+        want = {j for j, _ in oracle[i]}
+        hits += len(got & want)
+        total += len(want)
+    assert total > 0 and hits / total >= 0.7, f"recall {hits/total:.3f}"
+
+
+def test_extend_upserts_overlapping_live_id(spark, tmp_path):
+    pts = _pts(spark)
+    d = str(tmp_path / "g")
+    KG.build_knn_graph_index(pts, d, k=5, max_iterations=3, seed=42)
+    moved = spark.createDataFrame(
+        [(0, [999.0] * 8, 7, 0, False)], POINT_DDL
+    )
+    KG.extend_knn_graph_index(spark, d, moved)
+    g = KG.read_graph(spark, d)
+    rows = g.filter(F.col("id") == 0).collect()
+    assert len(rows) == 1  # single row wins, no duplicate
+    assert rows[0].features == [999.0] * 8
+    assert rows[0].label == 7
+
+
+def test_retract_masks_rows_and_probe_results(spark, tmp_path):
+    pts = _pts(spark)
+    d = str(tmp_path / "g")
+    KG.build_knn_graph_index(pts, d, k=10, max_iterations=4, seed=42)
+    q = pts.filter(F.col("id") < 3).select(
+        F.col("id").alias("query_id"), F.col("features").alias("q_vec")
+    )
+    before = KG.graph_index_search(spark, d, q, k=5, ef=64, beam=16, n_entry=32)
+    victim = [r.nb_id for r in before.filter(F.col("rank") == 1).collect()]
+    KG.retract_from_knn_graph_index(
+        spark, d, spark.createDataFrame([(int(i),) for i in victim], "id long")
+    )
+    g = KG.read_graph(spark, d)
+    assert g.filter(F.col("id").isin([int(i) for i in victim])).count() == 0
+    after = KG.graph_index_search(spark, d, q, k=5, ef=64, beam=16, n_entry=32)
+    assert after.filter(F.col("nb_id").isin([int(i) for i in victim])).count() == 0
+    assert after.count() == 3 * 5  # still k rows per query
+
+
+def test_readmission_after_retract(spark, tmp_path):
+    pts = _pts(spark)
+    d = str(tmp_path / "g")
+    KG.build_knn_graph_index(pts, d, k=5, max_iterations=3, seed=42)
+    KG.retract_from_knn_graph_index(
+        spark, d, spark.createDataFrame([(1,)], "id long")
+    )
+    assert KG.read_graph(spark, d).filter(F.col("id") == 1).count() == 0
+    back = spark.createDataFrame([(1, [5.0] * 8, 9, 0, False)], POINT_DDL)
+    KG.extend_knn_graph_index(spark, d, back)
+    rows = KG.read_graph(spark, d).filter(F.col("id") == 1).collect()
+    assert len(rows) == 1
+    assert rows[0].features == [5.0] * 8  # only the NEW content
+    assert not os.path.isdir(f"{d}/tombstones")  # log cleared
+
+
+def test_compact_converges_and_prunes_lists(spark, tmp_path):
+    pts = _pts(spark)
+    base = pts.filter(F.col("id") < 150).localCheckpoint(eager=True)
+    batch = pts.filter(F.col("id") >= 150).localCheckpoint(eager=True)
+    d = str(tmp_path / "g")
+    KG.build_knn_graph_index(base, d, k=5, max_iterations=3, seed=42)
+    KG.extend_knn_graph_index(spark, d, batch)
+    KG.retract_from_knn_graph_index(
+        spark, d, spark.createDataFrame([(5,), (160,)], "id long")
+    )
+    before = _edges(KG.read_graph(spark, d))
+    KG.compact_knn_graph_index(spark, d)
+    assert not os.path.isdir(f"{d}/updates")
+    assert not os.path.isdir(f"{d}/tombstones")
+    g = KG.read_graph(spark, d)
+    # physical prune: retracted ids gone from rows AND neighbor lists
+    assert g.filter(F.col("id").isin([5, 160])).count() == 0
+    after = _edges(g)
+    assert not any(nb in (5, 160) for _, nb in after)
+    # compaction changes REPRESENTATION only: surviving edges equal the
+    # pre-compact logical view minus edges INTO the retracted ids
+    assert after == {e for e in before if e[1] not in (5, 160)}
+
+
+def test_graph_gate_stream_replay_equals_batch(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from spark_nnd_spark.streaming.streams import graph_gate_stream
+
+    pts = _pts(spark)
+    d = str(tmp_path / "g")
+    KG.build_knn_graph_index(pts, d, k=10, max_iterations=4, seed=42)
+
+    rng = np.random.default_rng(7)
+    centers = rng.uniform(-50, 50, size=(4, 8))
+    qvecs = [
+        (1000 + i, [float(x) for x in centers[i % 4] + rng.normal(0, 1, 8)])
+        for i in range(6)
+    ]
+    src = tmp_path / "queries"
+    src.mkdir()
+    for b in range(2):
+        p = src / f"chunk{b}.parquet"
+        pd.DataFrame(
+            qvecs[3 * b : 3 * b + 3], columns=["vec_id", "embedding"]
+        ).to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + b, 1_700_000_000 + b))
+    out = str(tmp_path / "gateout")
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    graph_gate_stream(
+        stream, d, out, checkpoint=str(tmp_path / "ck"),
+        k=5, ef=64, beam=16, n_entry=32,
+    )
+    assert sorted(
+        p for p in os.listdir(out) if p.startswith("graph_batch=")
+    ) == ["graph_batch=0", "graph_batch=1"]
+    streamed = sorted(
+        (r.query_id, r.rank, r.nb_id, round(r.sim, 9))
+        for r in spark.read.parquet(out).collect()
+    )
+    all_q = spark.createDataFrame(qvecs, "vec_id long, embedding array<double>")
+    batch = sorted(
+        (r.query_id, r.rank, r.nb_id, round(r.sim, 9))
+        for r in KG.graph_index_search(
+            spark, d, all_q, k=5, ef=64, beam=16, n_entry=32,
+            query_id_col="vec_id", query_vec_col="embedding",
+        ).collect()
+    )
+    assert streamed == batch
+    assert len(streamed) == 6 * 5
