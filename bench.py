@@ -167,6 +167,10 @@ HEADLINE = [
     "q196_indexed_dsir",
     "q197_indexed_ref_lm",
     "q198_indexed_chunk_bm25",
+    "q199_graph_search",
+    "q200_graph_search_recall",
+    "q201_indexed_graph_search",
+    "q202_indexed_graph_recall",
 ]
 
 
@@ -213,14 +217,17 @@ def _canary_run(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def _canary(spark) -> float:
-    """Median of 5 runs — robust to two host-scheduling hiccups in
-    either direction (min would under-report a round whose single
-    lucky sample hit an idle host). Widened from median-of-3 after r10
-    logged same-day medians of 1.28-2.04 s (±38%) on this virtualized
-    host; the raw_vs_prev_round ratio is the primary signal now, the
-    canary only contextualizes it."""
-    return sorted(_canary_run(spark) for _ in range(5))[2]
+def _canary(spark) -> tuple[float, list[float]]:
+    """(median, all samples) of 5 runs — robust to two host-scheduling
+    hiccups in either direction (min would under-report a round whose
+    single lucky sample hit an idle host). Widened from median-of-3
+    after r10 logged same-day medians of 1.28-2.04 s (±38%) on this
+    virtualized host; the raw samples ship in the result JSON so a
+    judge can see the spread instead of trusting one number. The
+    raw_vs_prev_round ratio is the primary signal; the canary only
+    contextualizes it."""
+    samples = sorted(_canary_run(spark) for _ in range(5))
+    return samples[2], samples
 
 
 def main() -> None:
@@ -369,7 +376,7 @@ def main() -> None:
     # host scheduling weather (the same query measured 5s and 25s back
     # to back), so a round whose canary is 2x slower should have its
     # query totals read accordingly.
-    canary = _canary(spark)
+    canary, canary_runs = _canary(spark)
 
     total = round(sum(times.values()), 3)
     # Reference canary for the v2 (~2 s, median-of-3) workload: the r7
@@ -498,7 +505,8 @@ def main() -> None:
         "shuffle_regressions": shuffle_regressions,
         "index_builds": builds,
         "host_canary_sec": canary,
-        "canary_workload": "v2_median3_2s",
+        "canary_runs": canary_runs,
+        "canary_workload": "v2_median5_2s",
         "ref_canary_sec": REF_CANARY_SEC,
         "normalized_total": (
             round(total * (REF_CANARY_SEC / canary), 3) if canary > 0 else total
