@@ -5917,6 +5917,156 @@ def q198_indexed_chunk_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------- domain-grain curation (q203/q204, C4/RefinedWeb)
+# The driver's documents fixture carries no url/domain column
+# (FIXTURES.md records the ask), so the domain is PLANTED from
+# (doc_id, source) — the q151 PII convention: the plant is part of
+# the replayable query text, deterministic in both engines.
+DOMAIN_MOD = 7                 # domains per source
+DOMAIN_MIN_DOCS = 2            # below this a domain can't prove quality
+DOMAIN_KEEP_TAU = 0.6          # min fraction of docs passing the q37 gate
+DOMAIN_BLOCK_RESIDUES = (2, 5)  # the literal blocklist: d2.*/d5.* domains
+
+
+def _domain_expr() -> Column:
+    return F.concat(
+        F.lit("d"),
+        (F.col("doc_id") % DOMAIN_MOD).cast("string"),
+        F.lit("."),
+        F.col("source"),
+        F.lit(".example"),
+    )
+
+
+def _domain_sql() -> str:
+    return f"'d' || (doc_id % {DOMAIN_MOD})::VARCHAR || '.' || source || '.example'"
+
+
+def q203_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOMAIN quality aggregation — the C4/RefinedWeb curation
+    grain: roll every doc's quality signals up to its domain and
+    decide keep/drop per domain (n_docs, token mass, mean stopword
+    ratio, fraction passing the q37 doc gate; a domain survives when
+    enough of its docs do AND it has enough docs to judge). Per-doc
+    ratios are micro-quantized to integers before summing (the q188
+    pico-nat convention) so the domain means are order-free and
+    hash-stable cross-engine.
+
+    Scale (100 TB): one codegen text scan + ONE map-side-combined
+    aggregate keyed by domain — O(domains) output rows; no joins."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = TX.token_count_expr("text")
+    stop = TX.stopword_ratio_expr("text")
+    ttr = TX.type_token_ratio_expr("text")
+    doc_keep = (n_tok >= 5) & (stop <= 0.6) & (ttr >= 0.3)
+    per_doc = d.select(
+        _domain_expr().alias("domain"),
+        n_tok.alias("n_tokens"),
+        F.round(stop * 1e6).cast("long").alias("sw_u"),
+        doc_keep.cast("long").alias("keep_i"),
+    )
+    n = F.count("*")
+    keep_frac = F.round(F.sum("keep_i") / n, 6)
+    return (
+        per_doc.groupBy("domain")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.sum("sw_u") / (n * 1e6), 6).alias("mean_stopword"),
+            keep_frac.alias("keep_frac"),
+            (
+                (keep_frac >= DOMAIN_KEEP_TAU)
+                & (n >= DOMAIN_MIN_DOCS)
+            ).alias("domain_keep"),
+        )
+        .orderBy("domain")
+    )
+
+
+def q204_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist + learned-domain-quality gate applied back at
+    DOC grain — the C4 filter shape: a doc is dropped when its domain
+    is on the literal blocklist OR failed q203's quality vote. One row
+    per doc with the full provenance (domain, on_blocklist,
+    domain_keep, keep).
+
+    Scale (100 TB): the corpus pays one scan; both gates arrive by
+    broadcast (the blocklist is a literal, the q203 verdict table is
+    O(domains) rows) — no corpus-keyed shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    verdicts = q203_domain_quality(spark, sf_dir).select(
+        "domain", "domain_keep"
+    )
+    blocked_lit = F.array(
+        *[F.lit(f"d{r}") for r in DOMAIN_BLOCK_RESIDUES]
+    )
+    docs = d.select(
+        "doc_id",
+        _domain_expr().alias("domain"),
+        F.array_contains(
+            blocked_lit, F.concat(F.lit("d"), (F.col("doc_id") % DOMAIN_MOD).cast("string"))
+        ).alias("on_blocklist"),
+    )
+    return (
+        docs.join(F.broadcast(verdicts), "domain", "left")
+        .select(
+            "doc_id",
+            "domain",
+            "on_blocklist",
+            F.coalesce("domain_keep", F.lit(False)).alias("domain_keep"),
+            (
+                ~F.col("on_blocklist")
+                & F.coalesce("domain_keep", F.lit(False))
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _domain_quality_oracle() -> str:
+    tok = TX.token_count_sql()
+    stop = TX.stopword_ratio_sql()
+    ttr = TX.type_token_ratio_sql()
+    return f"""
+        WITH per_doc AS (
+            SELECT {_domain_sql()} AS domain,
+                   {tok} AS n_tokens,
+                   CAST(round(({stop}) * 1e6) AS BIGINT) AS sw_u,
+                   CASE WHEN {tok} >= 5 AND {stop} <= 0.6 AND {ttr} >= 0.3
+                        THEN 1 ELSE 0 END AS keep_i
+            FROM documents
+        )
+        SELECT domain,
+               COUNT(*)::BIGINT AS n_docs,
+               SUM(n_tokens)::BIGINT AS n_tokens,
+               round(SUM(sw_u) / (COUNT(*) * 1e6), 6) AS mean_stopword,
+               round(SUM(keep_i) / COUNT(*), 6) AS keep_frac,
+               (round(SUM(keep_i) / COUNT(*), 6) >= {DOMAIN_KEEP_TAU}
+                AND COUNT(*) >= {DOMAIN_MIN_DOCS}) AS domain_keep
+        FROM per_doc GROUP BY domain ORDER BY domain
+    """
+
+
+def _domain_blocklist_oracle() -> str:
+    residues = ", ".join(f"'d{r}'" for r in DOMAIN_BLOCK_RESIDUES)
+    return f"""
+        WITH verdicts AS (
+            SELECT domain, domain_keep FROM ({_domain_quality_oracle()})
+        ),
+        docs AS (
+            SELECT doc_id, {_domain_sql()} AS domain,
+                   ('d' || (doc_id % {DOMAIN_MOD})::VARCHAR) IN ({residues})
+                       AS on_blocklist
+            FROM documents
+        )
+        SELECT d.doc_id, d.domain, d.on_blocklist,
+               COALESCE(v.domain_keep, FALSE) AS domain_keep,
+               (NOT d.on_blocklist AND COALESCE(v.domain_keep, FALSE)) AS keep
+        FROM docs d LEFT JOIN verdicts v USING (domain)
+        ORDER BY d.doc_id
+    """
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -6076,6 +6226,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q196_indexed_dsir": q196_indexed_dsir,
     "q197_indexed_ref_lm": q197_indexed_ref_lm,
     "q198_indexed_chunk_bm25": q198_indexed_chunk_bm25,
+    "q203_domain_quality": q203_domain_quality,
+    "q204_domain_blocklist": q204_domain_blocklist,
 }
 
 
@@ -9958,6 +10110,8 @@ def pipeline_oracles() -> dict[str, str]:
     oracles["q197_indexed_ref_lm"] = oracles["q171_ref_lm_buckets"]
     # q198: served == inline — shares q191's oracle verbatim
     oracles["q198_indexed_chunk_bm25"] = oracles["q191_chunk_bm25"]
+    oracles["q203_domain_quality"] = _domain_quality_oracle()
+    oracles["q204_domain_blocklist"] = _domain_blocklist_oracle()
     return oracles
 
 
