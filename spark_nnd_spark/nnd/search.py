@@ -33,15 +33,22 @@ Similarity is the graph's own metric ``1 / (1 + ||q - x||_2)``
 (NND.scala:296-306) — monotone in L2, so top-k under it equals
 L2-nearest-neighbor top-k.
 
+Expansion is UNDIRECTED by default (out-neighbors ∪ reverse
+neighbors — the B(v) ∪ R(v) closure NN-Descent iterates with): a pure
+K-NN graph is directed and a far-from-corpus node freshly folded in
+by ``update_graph`` has no in-edges, so directed-only search could
+never reach it; the reverse pass restores reachability for exactly
+that ingest-gate case.
+
 Scale (100 TB): per-query cost is O(iterations · beam · K) candidate
 rows — independent of corpus size, the property that makes graph
-serving worth building the graph for. Per ITERATION the plan touches
-the corpus exactly twice, both as BROADCAST-hash joins against
-O(Q·beam)-row id sets (adjacency fetch, vector fetch): the corpus side
-never shuffles, queries never cartesian with the corpus, and on the
-persisted family (operators/knn_graph_index) both fetches hit
-id-keyed parquet where a bucketed layout turns them into pruned
-lookups. The driver loop holds only a convergence scalar per round —
+serving worth building the graph for. Per ITERATION the plan scans
+the corpus three times (adjacency forward + adjacency reverse +
+vector fetch), every one a BROADCAST-hash join against an
+O(Q·beam)-row id set: the corpus side never shuffles, queries never
+cartesian with the corpus, and on the persisted family
+(operators/knn_graph_index) the fetches hit id-keyed parquet where a
+bucketed layout turns them into pruned lookups. The driver loop holds only a convergence scalar per round —
 the descent.py A12/A13 discipline (localCheckpoint per iteration,
 ``count`` as the stop test).
 """
@@ -92,6 +99,7 @@ def graph_search_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "q_vec",
     points: DataFrame | None = None,
+    include_reverse: bool = True,
 ) -> DataFrame:
     """Top-k nearest stored neighbors of each query vector, served by
     greedy best-first search over ``graph`` (a ``build_graph`` /
@@ -149,7 +157,7 @@ def graph_search_topk(
         if not frontier.take(1):
             break
         f_pairs = frontier.select("query_id", "id")
-        scored = _expand_score(adj, points, q, f_pairs)
+        scored = _expand_score(adj, points, q, f_pairs, include_reverse)
         expanded_pool = pool.join(
             F.broadcast(f_pairs.withColumn("__f", F.lit(True))),
             ["query_id", "id"],
@@ -183,7 +191,11 @@ def graph_search_topk(
 
 
 def _expand_score(
-    adj: DataFrame, points: DataFrame, q: DataFrame, f_pairs: DataFrame
+    adj: DataFrame,
+    points: DataFrame,
+    q: DataFrame,
+    f_pairs: DataFrame,
+    include_reverse: bool = True,
 ) -> DataFrame:
     """One search round's candidate generation + scoring — the only
     corpus-touching step, kept as a named unit so the plan contract is
@@ -192,12 +204,29 @@ def _expand_score(
     corpus side never sort-merge-joins or shuffles. The one exchange
     is the ``distinct`` over O(Q·beam·K) candidate rows — query-sized,
     not corpus-sized. A masked candidate id (tombstoned / held-out
-    node) simply fails the vector-fetch join and drops out."""
-    cand = (
-        adj.join(F.broadcast(f_pairs), "id")
-        .select("query_id", F.explode("nb_ids").alias("id"))
-        .distinct()
+    node) simply fails the vector-fetch join and drops out.
+
+    ``include_reverse`` expands the UNDIRECTED graph: besides the
+    frontier's out-neighbors, every node that lists a frontier member
+    among ITS neighbors is a candidate too — the same B(v) ∪ R(v)
+    closure NN-Descent itself iterates with (NND.scala:146-152), and
+    what makes freshly-extended outlier nodes reachable at all (a pure
+    K-NN graph is directed; nothing need point AT a far new node). The
+    reverse pass is a second adjacency SCAN with a broadcast hash join
+    on the exploded neighbor column — still zero corpus shuffle; a
+    100 TB deployment that wants to halve the scan count persists a
+    reverse-pair table instead."""
+    fwd = adj.join(F.broadcast(f_pairs), "id").select(
+        "query_id", F.explode("nb_ids").alias("id")
     )
+    if include_reverse:
+        rev = (
+            adj.select(F.col("id").alias("src"), F.explode("nb_ids").alias("id"))
+            .join(F.broadcast(f_pairs), "id")
+            .select("query_id", F.col("src").alias("id"))
+        )
+        fwd = fwd.unionByName(rev)
+    cand = fwd.distinct()
     return (
         points.select("id", "features")
         .join(F.broadcast(cand), "id")

@@ -188,14 +188,29 @@ def graph_index_search(
     seed: int = 42,
     query_id_col: str = "query_id",
     query_vec_col: str = "q_vec",
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Nearest STORED neighbors of each query vector, served by greedy
     search (nnd/search.graph_search_topk) over the persisted graph.
     Tombstoned nodes cannot surface: their rows are masked out of both
-    the adjacency and the vector table before the search sees them."""
+    the adjacency and the vector table before the search sees them.
+    ``exclude_ids`` additionally masks the given node ids for THIS
+    probe only (broadcast anti-join) — the replay-purity device of the
+    ingest gate (a retried micro-batch that partially admitted itself
+    must still probe the exact pre-batch graph)."""
     from spark_nnd_spark.nnd.search import graph_search_topk  # noqa: PLC0415
 
     g = read_graph(spark, path)
+    if exclude_ids is not None:
+        g = g.join(
+            F.broadcast(
+                exclude_ids.select(
+                    F.col(exclude_ids.columns[0]).alias("id")
+                ).distinct()
+            ),
+            "id",
+            "left_anti",
+        )
     return graph_search_topk(
         g,
         queries,

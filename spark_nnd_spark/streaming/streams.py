@@ -493,6 +493,8 @@ def graph_gate_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     timeout_sec: int = 180,
+    admit_novel: bool = False,
+    novel_sim_tau: float = 0.5,
 ) -> Any:
     """Ingest gate over the PERSISTED K-NN-graph index
     (operators/knn_graph_index, the 10th family): each micro-batch of
@@ -505,21 +507,45 @@ def graph_gate_stream(
     Same conventions as ``indexed_ann_stream``: foreachBatch because
     the search is an iterative multi-join loop the incremental planner
     cannot host; overwrite into ``graph_batch={id}`` so replays rewrite
-    their own directory; the probe never mutates the index, so verdicts
-    are a pure function of (query, index) and replay == batch.
+    their own directory; a probe-only gate never mutates the index, so
+    verdicts are a pure function of (query, index) and replay == batch.
+
+    ``admit_novel=True`` closes the steady-state loop (the
+    indexed_dedup_stream twin): each row whose nearest stored neighbor
+    scores below ``novel_sim_tau`` is folded into the graph
+    (extend_knn_graph_index), so batch N+1's probe sees batch N's
+    vectors. Replay safety is the dedup stream's two-layer scheme:
+    verdict PURITY via ``exclude_ids`` (a retried batch that partially
+    admitted itself still probes the exact pre-batch graph), and
+    at-most-once-OBSERVED admission via a batchId marker written after
+    the extension (a crash between extension and marker re-extends on
+    retry — the extend upsert purges the overlap first, so the retry
+    converges to the same stored state).
 
     Scale: per batch the search pays O(iterations) broadcast joins
     against the stored graph — per-query cost O(iters·beam·K),
-    corpus-independent (nnd/search.py)."""
+    corpus-independent (nnd/search.py); admission work scales with the
+    novel rows (update_graph's incremental contract)."""
     from spark_nnd_spark.operators.knn_graph_index import (  # noqa: PLC0415
+        extend_knn_graph_index,
         graph_index_search,
     )
 
+    def _dir_exists(spark, p: str) -> bool:
+        jvm = spark.sparkContext._jvm  # noqa: SLF001
+        jsc = spark.sparkContext._jsc  # noqa: SLF001
+        hpath = jvm.org.apache.hadoop.fs.Path(p)
+        return hpath.getFileSystem(jsc.hadoopConfiguration()).exists(hpath)
+
     def probe(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        marker = f"{index_path}/admitted/graph_batch={batch_id}"
+        if admit_novel and _dir_exists(spark, f"{marker}/_SUCCESS"):
+            return  # fully processed on a previous attempt
         if batch_df.isEmpty():
             return
-        graph_index_search(
+        batch_df = batch_df.localCheckpoint(eager=True)
+        topk = graph_index_search(
             spark,
             index_path,
             batch_df,
@@ -529,7 +555,43 @@ def graph_gate_stream(
             n_entry=n_entry,
             query_id_col=id_col,
             query_vec_col=vec_col,
-        ).write.mode("overwrite").parquet(f"{out_path}/graph_batch={batch_id}")
+            exclude_ids=batch_df.select(id_col) if admit_novel else None,
+        )
+        best = topk.filter(F.col("rank") == 1).select(
+            "query_id",
+            (F.col("sim") >= F.lit(novel_sim_tau)).alias("__dup"),
+        )
+        verdicts = (
+            batch_df.select(F.col(id_col).alias("query_id"))
+            .join(best, "query_id", "left")
+            .select(
+                "query_id",
+                F.when(F.coalesce("__dup", F.lit(False)), "duplicate")
+                .otherwise("novel")
+                .alias("verdict"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # left join from verdicts: a query with NO reachable stored
+        # neighbor still lands its 'novel' verdict row (null top-k)
+        verdicts.join(topk, "query_id", "left").write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/graph_batch={batch_id}")
+        if admit_novel:
+            novel = batch_df.join(
+                verdicts.filter(F.col("verdict") == "novel").select(
+                    F.col("query_id").alias(id_col)
+                ),
+                id_col,
+                "left_semi",
+            ).select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("features")
+            )
+            if novel.take(1):
+                extend_knn_graph_index(spark, index_path, novel)
+            spark.createDataFrame(
+                [(batch_id,)], "graph_batch long"
+            ).coalesce(1).write.mode("overwrite").parquet(marker)
 
     q = (
         query_stream.writeStream.foreachBatch(probe)

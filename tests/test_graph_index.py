@@ -208,3 +208,73 @@ def test_graph_gate_stream_replay_equals_batch(spark, tmp_path):
     )
     assert streamed == batch
     assert len(streamed) == 6 * 5
+
+
+def test_graph_gate_stream_admit_novel_closes_the_loop(spark, tmp_path):
+    """admit_novel: batch 1's novel vectors are folded into the graph,
+    so batch 2 sees them — a batch-2 duplicate of a batch-1 vector
+    verdicts 'duplicate'; a far-away vector verdicts 'novel'. A full
+    reprocess from a fresh checkpoint is a no-op (admission markers),
+    leaving identical outputs."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_nnd_spark.streaming.streams import graph_gate_stream
+
+    pts = _pts(spark)
+    d = str(tmp_path / "g")
+    KG.build_knn_graph_index(pts, d, k=10, max_iterations=4, seed=42)
+
+    rng = np.random.default_rng(3)
+    v_new = [float(x) for x in rng.uniform(200, 250, 8)]  # far from corpus
+    v_new2 = [float(x) for x in rng.uniform(-250, -200, 8)]
+    batches = [
+        [(1000, v_new), (1001, v_new2)],           # batch 0: both novel
+        [(1002, v_new), (1003, [float(x) for x in rng.uniform(500, 550, 8)])],
+    ]  # batch 1: 1002 duplicates the ADMITTED 1000; 1003 novel
+    src = tmp_path / "queries"
+    src.mkdir()
+    for b, rows in enumerate(batches):
+        p = src / f"chunk{b}.parquet"
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]).to_parquet(
+            p, index=False
+        )
+        os.utime(p, (1_700_000_000 + b, 1_700_000_000 + b))
+    out = str(tmp_path / "gateout")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        graph_gate_stream(
+            stream, d, out, checkpoint=str(tmp_path / ck),
+            k=3, ef=64, beam=16, n_entry=32,
+            admit_novel=True, novel_sim_tau=0.9,
+        )
+        return sorted(
+            (r.query_id, r.verdict)
+            for r in spark.read.parquet(out)
+            .select("query_id", "verdict")
+            .distinct()
+            .collect()
+        )
+
+    first = run("ck1")
+    assert first == [
+        (1000, "novel"), (1001, "novel"), (1002, "duplicate"), (1003, "novel"),
+    ]
+    # the duplicate's nearest stored neighbor IS the admitted 1000
+    top = spark.read.parquet(out).filter(
+        (F.col("query_id") == 1002) & (F.col("rank") == 1)
+    ).collect()[0]
+    assert top.nb_id == 1000 and top.sim >= 0.9
+    # novel rows were admitted into the stored graph
+    g = KG.read_graph(spark, d)
+    assert g.filter(F.col("id").isin([1000, 1001, 1003])).count() == 3
+    assert g.filter(F.col("id") == 1002).count() == 0
+    # reprocess from a fresh checkpoint: markers skip both batches,
+    # outputs identical, no double admission
+    assert run("ck2") == first
+    assert KG.read_graph(spark, d).count() == 200 + 3
