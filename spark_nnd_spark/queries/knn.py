@@ -345,7 +345,7 @@ def q200_graph_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = (
         _graph_search(spark, sf_dir)
         .select("query_id", "nb_id")
-        .join(brute, ["query_id", "nb_id"])
+        .join(F.broadcast(brute), ["query_id", "nb_id"])
         .agg(F.count("*").alias("hits"))
     )
     total = brute.agg(F.count("*").alias("total"))
@@ -435,7 +435,7 @@ def q202_indexed_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = (
         q201_indexed_graph_search(spark, sf_dir)
         .select("query_id", "nb_id")
-        .join(brute, ["query_id", "nb_id"])
+        .join(F.broadcast(brute), ["query_id", "nb_id"])
         .agg(F.count("*").alias("hits"))
     )
     total = brute.agg(F.count("*").alias("total"))

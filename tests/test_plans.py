@@ -1448,3 +1448,30 @@ def test_indexed_chunk_bm25_prunes_postings(spark):
     assert "documents.parquet" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
+
+
+def test_domain_quality_is_one_mapside_aggregate(spark):
+    """q203's contract: one codegen text scan + ONE map-side-combined
+    aggregate keyed by domain — no joins, one agg exchange (plus the
+    presentation sort)."""
+    plan = _plan(spark, "q203_domain_quality")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_domain_blocklist_gates_arrive_by_broadcast(spark):
+    """q204's contract: the corpus scans once; both gates (literal
+    blocklist, O(domains) verdict table) join by broadcast — no
+    corpus-keyed SortMergeJoin."""
+    plan = _plan(spark, "q204_domain_blocklist")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_graph_recall_row_has_no_cartesian_beyond_scalar_cross(spark):
+    """q200 composes the brute ground truth (query side broadcast) with
+    two 1-row aggregates; the only nested-loop join allowed is the
+    scalar hits x total cross."""
+    plan = _plan(spark, "q200_graph_search_recall")
+    assert "SortMergeJoin" not in plan
