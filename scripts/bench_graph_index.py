@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Persisted K-NN-graph family scale benchmark: build + fixed-batch
+extend + graph-served probe at doubling corpus sizes.
+
+Claims under test (the 10th family's twin of bench_token_stats.py):
+- PROBE shuffle is QUERY-bounded, not corpus-bounded: every corpus
+  touch in the search loop is a broadcast-hash join; the only
+  exchanges carry O(Q·beam·K) candidate rows, so probe shuffle stays
+  ~flat while N doubles (wall grows with the scan, not the shuffle);
+- EXTEND of a fixed-size batch writes O(batch) delta rows and its
+  compute is bounded by the batch neighborhood (update_graph), so
+  extend wall/shuffle grow far slower than the corpus;
+- BUILD pays the NND O(ρKN) shuffle law already measured in
+  BENCH_NND_SCALE.json (re-reported here per size for context).
+
+Usage: python scripts/bench_graph_index.py [N ...] (default 20000
+40000 80000). Writes BENCH_GRAPH_INDEX_OUT if set (default
+BENCH_GRAPH_INDEX.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from spark_nnd_spark import get_spark  # noqa: E402
+from spark_nnd_spark.operators import knn_graph_index as KG  # noqa: E402
+from spark_nnd_spark.session import session_scratch_dir  # noqa: E402
+
+SEED = 42
+DIM = 16
+N_CLUSTERS = 64
+BATCH = 2_000  # fixed-size extend batch at every corpus size
+N_QUERIES = 16
+
+
+def points(spark, n: int, id_base: int = 0):
+    """Deterministic clustered vectors (per-row seeded RNG so any id
+    range regenerates identically)."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64) + id_base
+            feats = []
+            for i in ids:
+                rng = np.random.default_rng([SEED, int(i)])
+                c = np.random.default_rng(
+                    [SEED, int(i) % N_CLUSTERS]
+                ).uniform(-50, 50, DIM)
+                feats.append((c + rng.normal(0, 1.0, DIM)).tolist())
+            yield pd.DataFrame({"id": ids, "features": feats})
+
+    return spark.range(n).repartition(32).mapInPandas(
+        gen, "id long, features array<double>"
+    )
+
+
+def stage_writes(spark) -> dict[int, int]:
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+        stages = json.load(
+            urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app_id}/stages"
+            )
+        )
+        return {s["stageId"]: s.get("shuffleWriteBytes", 0) for s in stages}
+    except Exception:
+        return {}
+
+
+def _delta(before: dict, after: dict) -> float:
+    return round(
+        sum(w for sid, w in after.items() if sid not in before) / 1e6, 2
+    )
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:]] or [20_000, 40_000, 80_000]
+    spark = get_spark(
+        app_name="graph_index_scale_bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "20000",
+        },
+    )
+    queries = (
+        points(spark, N_QUERIES, id_base=50_000_000)
+        .select(F.col("id").alias("query_id"), F.col("features").alias("q_vec"))
+        .localCheckpoint(eager=True)
+    )
+    queries.count()
+    results = []
+    for n in sizes:
+        pts = points(spark, n).localCheckpoint(eager=True)
+        pts.count()
+        batch = points(spark, BATCH, id_base=10_000_000 + n).localCheckpoint(
+            eager=True
+        )
+        batch.count()
+        path = session_scratch_dir(f"graph_idx_scale_{n}_")
+
+        b0 = stage_writes(spark)
+        t0 = time.perf_counter()
+        KG.build_knn_graph_index(pts, path, k=10, max_iterations=4, seed=SEED)
+        build_sec = round(time.perf_counter() - t0, 2)
+        b1 = stage_writes(spark)
+
+        t0 = time.perf_counter()
+        res = KG.graph_index_search(
+            spark, path, queries, k=5, ef=64, beam=16, n_entry=64
+        )
+        n_res = res.count()
+        probe_sec = round(time.perf_counter() - t0, 2)
+        b2 = stage_writes(spark)
+
+        t0 = time.perf_counter()
+        KG.extend_knn_graph_index(spark, path, batch)
+        extend_sec = round(time.perf_counter() - t0, 2)
+        b3 = stage_writes(spark)
+
+        rec = {
+            "n": n,
+            "build_sec": build_sec,
+            "build_shuffle_mb": _delta(b0, b1),
+            "probe_sec": probe_sec,
+            "probe_rows": n_res,
+            "probe_shuffle_mb": _delta(b1, b2),
+            "extend_sec": extend_sec,
+            "extend_batch": BATCH,
+            "extend_shuffle_mb": _delta(b2, b3),
+        }
+        results.append(rec)
+        print(json.dumps(rec))
+    out = os.environ.get("BENCH_GRAPH_INDEX_OUT", "BENCH_GRAPH_INDEX.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,7 @@ from spark_nnd_spark.functions.vector import (
 )
 from spark_nnd_spark.nnd.exact import build_graph_exact
 from spark_nnd_spark.nnd.descent import build_graph, update_graph
+from spark_nnd_spark.nnd.search import graph_search_topk
 
 __all__ = [
     "get_spark",
@@ -51,6 +52,7 @@ __all__ = [
     "build_graph_exact",
     "build_graph",
     "update_graph",
+    "graph_search_topk",
 ]
 
 __version__ = "0.1.0"

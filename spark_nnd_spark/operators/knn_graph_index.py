@@ -295,12 +295,13 @@ def extend_knn_graph_index(
     )
     batch_no = 0
     if _exists(spark, f"{path}/updates"):
-        batch_no = (
+        # the overlap purge above may have emptied the table → max None
+        prev_max = (
             spark.read.parquet(f"{path}/updates")
             .agg(F.max("batch"))
             .collect()[0][0]
-            + 1
         )
+        batch_no = (prev_max + 1) if prev_max is not None else 0
     changed.withColumn("batch", F.lit(batch_no).cast("long")).write.mode(
         "append"
     ).parquet(f"{path}/updates")

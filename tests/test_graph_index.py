@@ -278,3 +278,23 @@ def test_graph_gate_stream_admit_novel_closes_the_loop(spark, tmp_path):
     # outputs identical, no double admission
     assert run("ck2") == first
     assert KG.read_graph(spark, d).count() == 200 + 3
+
+
+def test_double_extend_content_update_latest_wins(spark, tmp_path):
+    """Updating an id that lives only in the UPDATES table (extended
+    twice, never compacted): the overlap purge may empty the updates
+    table mid-extend (the max(batch)=None regression), and resolution
+    must serve the second version before AND after compaction."""
+    pts = _pts(spark)
+    d = str(tmp_path / "g")
+    KG.build_knn_graph_index(pts, d, k=5, max_iterations=3, seed=42)
+    v1 = spark.createDataFrame([(500, [1.0] * 8, 1, 0, False)], POINT_DDL)
+    v2 = spark.createDataFrame([(500, [2.0] * 8, 2, 0, False)], POINT_DDL)
+    KG.extend_knn_graph_index(spark, d, v1)
+    KG.extend_knn_graph_index(spark, d, v2)
+    rows = KG.read_graph(spark, d).filter(F.col("id") == 500).collect()
+    assert len(rows) == 1 and rows[0].features == [2.0] * 8
+    KG.compact_knn_graph_index(spark, d)
+    rows = KG.read_graph(spark, d).filter(F.col("id") == 500).collect()
+    assert len(rows) == 1 and rows[0].features == [2.0] * 8
+    assert KG.read_graph(spark, d).count() == 201
