@@ -966,12 +966,47 @@ def test_packing_curve_one_source_window(spark):
 def test_curation_board_single_corpus_scan(spark):
     """q155: every text gate is a codegen expression in ONE corpus scan
     (no signal pays its own pass — the pairs pipeline is a checkpointed
-    side input); the drop set joins broadcast; no cartesian."""
-    plan = _plan(spark, "q155_curation_board")
+    side input); the drop set joins broadcast; no cartesian. Since r13
+    the composed board is session-cached (_board_for), so the contract
+    is asserted on the UNCACHED pipeline; the published q155 plan must
+    then be a pure checkpoint read (consumers reuse one
+    materialization)."""
+    from spark_nnd_spark.operators import dedup as DD
+    from spark_nnd_spark.queries.pipeline import (
+        MAX_BAND_FREQ,
+        BOARD_NEARDUP_TAU,
+        board_compose,
+        board_gates,
+    )
+    from spark_nnd_spark.sources import load_table
+
+    import pyspark.sql.functions as F
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    drops = (
+        DD.minhash_lsh_pairs(
+            d, num_hashes=16, bands=4, n=3, threshold=0.2,
+            max_band_freq=MAX_BAND_FREQ,
+        )
+        .filter(F.round("jaccard", 6) >= BOARD_NEARDUP_TAU)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)  # side input, as in _board_for
+    )
+    plan = (
+        board_compose(board_gates(d), drops)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert plan.count("Scan parquet") == 1
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+    # the PUBLISHED query reads the session-cached materialization
+    pub = _plan(spark, "q155_curation_board")
+    assert "Scan parquet" not in pub
+    assert "Scan ExistingRDD" in pub
 
 
 def test_exact_spans_shuffle_hash_no_cartesian(spark):
@@ -1074,14 +1109,14 @@ def test_indexed_scrub_broadcasts_batch(spark):
 
 def test_bpe_merge_rounds_materialized_iterations(spark):
     """q157: the driver loop materializes each round (eager
-    localCheckpoint — the NND iteration discipline), so the final plan
-    reads only pre-computed round results: no parquet re-scan, no
-    Python, and the only work left is the 3-row union + sort."""
+    localCheckpoint — the NND iteration discipline) and since r13 the
+    merge table itself is the collected driver-side result
+    (bpe_train_merges), so the final plan is a local 3-row table +
+    sort: no parquet re-scan, no Python."""
     plan = _plan(spark, "q157_bpe_merge_rounds")
     assert "Scan parquet" not in plan
-    assert "Scan ExistingRDD" in plan
     assert "EvalPython" not in plan
-    assert "Union" in plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
 
 
 def test_retrieval_eval_broadcast_stats_no_cartesian(spark):
