@@ -171,6 +171,10 @@ HEADLINE = [
     "q200_graph_search_recall",
     "q201_indexed_graph_search",
     "q202_indexed_graph_recall",
+    "q203_domain_quality",
+    "q204_domain_blocklist",
+    "q205_indexed_winnow",
+    "q206_gapfill_locf",
 ]
 
 

@@ -2196,3 +2196,186 @@ def compact_span_index(spark, path: str) -> None:
     spark.read.parquet(f"{path}/grams").groupBy("gh").agg(
         F.count_distinct(F.col(stored_id)).alias("df")
     ).write.mode("overwrite").parquet(f"{path}/gram_stats")
+
+
+def build_winnow_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    w: int = 4,
+) -> None:
+    """Persist a winnowed-fingerprint index over the corpus so local-
+    passage copy probes (winnow_pairs' one-sided ingest twin) never
+    re-shingle already-ingested text — the eleventh persisted index
+    family, same lifecycle discipline as the near-dup and span indexes
+    (build → probe → extend → retract → compact, shared kernel in
+    operators/index_lifecycle.py). Winnowing (Schleimer/Wilkerson/
+    Aiken, SIGMOD 2003) keeps ~2/(w+1) of the positional shingle
+    hashes while guaranteeing any shared run of ~w+n consecutive
+    tokens surfaces at least one common fingerprint, so the stored
+    postings are a constant factor smaller than the span index's full
+    gram stream at the cost of span-extent information: probes report
+    SHARED-FINGERPRINT counts (evidence of copied passages), not exact
+    span boundaries.
+
+    Layout under ``path``:
+    - ``meta``     — 1 row (n, w): probe fingerprints MUST be built
+      with the same shingle width and window, so they are recorded
+      with the index, never trusted to the caller.
+    - ``fps``      — (doc_id, fp): per-doc DISTINCT selected
+      fingerprints, repartitioned by fp and sorted within partitions
+      so the probe's equi-join can skip row groups via min/max stats.
+    - ``fp_stats`` — (fp, df): per-fingerprint document frequency for
+      the probe-time boilerplate cut — O(fps) stats, no corpus rescan
+      per batch.
+
+    Build cost: one tokenize pass + one exchange on fp — the same
+    exchange the inline pair join pays once per QUERY."""
+    spark = corpus.sparkSession
+    spark.createDataFrame([(n, w)], "n int, w int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+    fps = (
+        _fan_out(corpus)
+        .withColumn("_hs", TX.ordered_shingle_hashes_expr(text_col, n))
+        .select(
+            F.col(id_col),
+            F.explode(TX.winnow_select_expr(F.col("_hs"), w)).alias("fp"),
+        )
+    )
+    fps.repartition("fp").sortWithinPartitions("fp").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/fps")
+    spark.read.parquet(f"{path}/fps").groupBy("fp").agg(
+        F.count("*").alias("df")
+    ).write.mode("overwrite").parquet(f"{path}/fp_stats")
+
+
+def winnow_query_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    min_shared: int = 2,
+    max_fp_freq: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Copied-passage probe of a batch against the PERSISTED winnow
+    index: for each (batch doc, indexed doc) pair sharing >=
+    ``min_shared`` selected fingerprints, returns (batch_id, index_id,
+    n_shared) — winnow_pairs' inverted-index join with the corpus side
+    read from storage. The ingest-time plagiarism/near-dup shape: does
+    this incoming doc locally copy anything already admitted?
+
+    Parity: probe fingerprints use the (n, w) recorded in meta; a
+    batch doc also present in the index does not match itself (id
+    inequality); retracted docs stop matching immediately (tombstone
+    anti-join before the join). ``max_fp_freq`` cuts boilerplate
+    fingerprints by the STORED document frequency (fp_stats) — under a
+    pending tombstone log the stored df over-counts, so the cut may
+    over-cut, never under-cut, until compaction (the span-index
+    contract).
+
+    Scale: the batch's fingerprint set (small — ~2/(w+1) of its
+    shingles) broadcasts into the fp-sorted postings scan, so the join
+    shuffles O(matching corpus postings) and the stored postings are
+    never re-shingled; the stats join is fp-keyed and pruned the same
+    way."""
+    from spark_nnd_spark.operators import index_lifecycle as IL  # noqa: PLC0415
+
+    meta = spark.read.parquet(f"{path}/meta").first()
+    bfp = (
+        batch.withColumn("_hs", TX.ordered_shingle_hashes_expr(text_col, meta["n"]))
+        .select(
+            F.col(id_col).alias("batch_id"),
+            F.explode(TX.winnow_select_expr(F.col("_hs"), meta["w"])).alias("fp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    if max_fp_freq is not None:
+        hot = (
+            spark.read.parquet(f"{path}/fp_stats")
+            .join(F.broadcast(bfp.select("fp").distinct()), "fp", "left_semi")
+            .filter(F.col("df") > max_fp_freq)
+            .select("fp")
+        )
+        bfp = bfp.join(F.broadcast(hot), "fp", "left_anti")
+    tomb = IL.read_tombstones(spark, path)
+    stored_id = _winnow_tables(spark, path)[0][1]
+    posts = IL.anti_tombstones(
+        spark.read.parquet(f"{path}/fps"), tomb, stored_id
+    ).select(F.col(stored_id).alias("index_id"), "fp")
+    return (
+        posts.join(F.broadcast(bfp), "fp")
+        .filter(F.col("batch_id") != F.col("index_id"))
+        .groupBy("batch_id", "index_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def _winnow_tables(spark, path: str):
+    cols = spark.read.parquet(f"{path}/fps").columns
+    tbl_id = [c for c in cols if c != "fp"][0]
+    # physical layout reads depend on: fp-partitioned + fp-sorted
+    return [("fps", tbl_id, None, ("fp", ["fp"]))]
+
+
+def extend_winnow_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Admit a batch into the winnow index: re-admission upsert
+    (shared kernel), append the batch's selected fingerprints, refresh
+    fp_stats (recomputed from fps — an O(index-fps) integer scan a
+    retried extension cannot double-count, the band_stats argument)."""
+    from spark_nnd_spark.operators import index_lifecycle as IL  # noqa: PLC0415
+
+    meta = spark.read.parquet(f"{path}/meta").first()
+    IL.settle_readmission(
+        spark, path, new_docs.select(id_col), _winnow_tables(spark, path)
+    )
+    stored_id = _winnow_tables(spark, path)[0][1]
+    (
+        new_docs.withColumn(
+            "_hs", TX.ordered_shingle_hashes_expr(text_col, meta["n"])
+        )
+        .select(
+            F.col(id_col).alias(stored_id),
+            F.explode(TX.winnow_select_expr(F.col("_hs"), meta["w"])).alias("fp"),
+        )
+        .write.mode("append")
+        .parquet(f"{path}/fps")
+    )
+    spark.read.parquet(f"{path}/fps").groupBy("fp").agg(
+        F.count("*").alias("df")
+    ).write.mode("overwrite").parquet(f"{path}/fp_stats")
+
+
+def retract_from_winnow_index(spark, path: str, ids: DataFrame) -> None:
+    """O(retracted) tombstone append; the probe anti-joins it, so a
+    retracted doc stops matching immediately (the shared lifecycle
+    contract). fp_stats keeps pre-retraction counts until compaction —
+    the boilerplate cut may over-cut, never under-cut, while
+    tombstoned."""
+    from spark_nnd_spark.operators import index_lifecycle as IL  # noqa: PLC0415
+
+    IL.append_tombstones(spark, path, ids)
+
+
+def compact_winnow_index(spark, path: str) -> None:
+    """Fold the tombstone log into fps (layout-preserving rewrite),
+    rebuild fp_stats, drop the log last — byte-equivalent to a fresh
+    build over the surviving corpus (asserted in tests)."""
+    from spark_nnd_spark.operators import index_lifecycle as IL  # noqa: PLC0415
+
+    if not IL.compact(spark, path, _winnow_tables(spark, path)):
+        return
+    spark.read.parquet(f"{path}/fps").groupBy("fp").agg(
+        F.count("*").alias("df")
+    ).write.mode("overwrite").parquet(f"{path}/fp_stats")

@@ -475,3 +475,62 @@ def hopping_counts(df: DataFrame, size_hours: int = 2, slide_hours: int = 1) -> 
         .select(F.col("w.start").alias("w_start"), "event_type", "c", "v")
         .orderBy("w_start", "event_type")
     )
+
+
+def gap_fill_locf(df: DataFrame, grain_seconds: int = 3600) -> DataFrame:
+    """Dense per-user time grid with last-observation-carried-forward
+    fill — the hypertable gap-fill shape (TimescaleDB's
+    time_bucket_gapfill + locf): bucket events to the grain, generate
+    every slot between each user's first and last bucket, and carry
+    the last observed bucket average across empty slots. Returns
+    (user_id, slot_epoch, n_events, v_hour, v_locf); v_hour is NULL on
+    gap slots, v_locf never after the first observation.
+
+    Values go through exact integer cents (floor(v*100+0.5)) before
+    summing so the bucket average is order-free, then one half-up
+    presentation rounding — the engine-replayable convention of
+    decayed_engagement/q203.
+
+    Scale (100 TB of events): one map-side-combined aggregate to
+    O(users x buckets) rows, an O(users) bounds aggregate, and a
+    NARROW sequence-explode that fans each user row out to its own
+    slots — the grid never shuffles after generation because the LOCF
+    window reuses the (user_id) partitioning of the bounds join. Slots
+    per series are bounded by retention_window / grain, a config
+    knob, not data volume; no global sort, no driver state.
+    """
+    from spark_nnd_spark.functions.numeric import round_half_up_expr
+
+    slot = (F.date_trunc("hour", F.col("ts")).cast("long") if grain_seconds == 3600
+            else (F.col("ts").cast("long") - F.col("ts").cast("long") % grain_seconds))
+    hourly = df.groupBy(
+        "user_id", slot.alias("slot_epoch")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("_cents"),
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("slot_epoch").alias("_mn"), F.max("slot_epoch").alias("_mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("_mn"), F.col("_mx"), F.lit(grain_seconds))
+        ).alias("slot_epoch"),
+    )
+    v_hour = round_half_up_expr(F.col("_cents") / (100.0 * F.col("n_events")))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("slot_epoch")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, ["user_id", "slot_epoch"], "left")
+        .select(
+            "user_id",
+            "slot_epoch",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            v_hour.alias("v_hour"),
+        )
+        .withColumn("v_locf", F.last("v_hour", ignorenulls=True).over(w))
+    )

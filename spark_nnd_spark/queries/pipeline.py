@@ -6067,6 +6067,134 @@ def _domain_blocklist_oracle() -> str:
     """
 
 
+_WINNOW_IDX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _winnow_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached winnow index over the non-src0 corpus slice."""
+    from spark_nnd_spark.session import session_scratch_dir  # noqa: PLC0415
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _WINNOW_IDX_CACHE:
+        path = session_scratch_dir("winnow_idx_")
+        d = load_table(spark, sf_dir, "documents")
+        DD.build_winnow_index(
+            d.filter(F.col("source") != "src0"),
+            path,
+            n=WINNOW_N,
+            w=WINNOW_W,
+        )
+        _WINNOW_IDX_CACHE[key] = path
+    return _WINNOW_IDX_CACHE[key]
+
+
+def q205_indexed_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time copied-passage detection served from the PERSISTED
+    winnow index (operators/dedup.build_winnow_index /
+    winnow_query_index, the eleventh index family): the src0 slice
+    probes as the incoming batch, the rest of the corpus is
+    fingerprinted once — q91's winnowed inverted-index join with the
+    corpus side read from storage. Winnowing's window guarantee (any
+    shared ~W+N-token run surfaces a common selected fingerprint)
+    makes this the cheap standing plagiarism gate: stored postings are
+    ~2/(W+1) the span index's gram stream.
+
+    The boilerplate cut uses the STORED per-fingerprint df (fp_stats),
+    so the served verdicts mirror an index-side census, not a per-batch
+    corpus rescan.
+
+    Scale: the batch's fingerprint set broadcasts into the fp-sorted
+    postings scan — O(matching postings) shuffle, the corpus never
+    re-shingled per batch (BENCH_SPAN_SCALE's flat-probe contract,
+    winnow edition)."""
+    d = load_table(spark, sf_dir, "documents")
+    idx = _winnow_index_for(spark, sf_dir)
+    return (
+        DD.winnow_query_index(
+            spark,
+            idx,
+            d.filter(F.col("source") == "src0"),
+            min_shared=WINNOW_MIN_SHARED,
+            max_fp_freq=MAX_SHINGLE_FREQ,
+        )
+        .orderBy("batch_id", "index_id")
+    )
+
+
+def q206_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user dense hourly grid with last-observation-carried-forward
+    fill (operators/events.gap_fill_locf) — the hypertable gap-fill /
+    LOCF interpolation shape (TimescaleDB time_bucket_gapfill + locf):
+    gap slots get n_events=0, NULL bucket average, and the carried
+    v_locf. Exact integer-cents bucket sums keep the averages
+    order-free; one half-up rounding makes them engine-replayable.
+
+    Scale: one map-side-combined (user, bucket) aggregate, an O(users)
+    bounds aggregate, and a narrow per-user sequence explode; the LOCF
+    window runs inside the existing user_id partitioning — no global
+    sort, slots bounded by retention/grain."""
+    e = load_table(spark, sf_dir, "events")
+    return EV.gap_fill_locf(e).orderBy("user_id", "slot_epoch")
+
+
+def _indexed_winnow_oracle() -> str:
+    hs = TX.ordered_shingle_hashes_sql("text", WINNOW_N)
+    sel = TX.winnow_select_sql("hs", WINNOW_W)
+    return f"""
+        WITH h AS (
+            SELECT doc_id, source, {hs} AS hs FROM documents
+        ),
+        fp0 AS (
+            SELECT doc_id, source, unnest({sel}) AS fp FROM h
+        ),
+        idx AS (
+            SELECT doc_id, fp FROM fp0 WHERE source <> 'src0'
+            QUALIFY COUNT(*) OVER (PARTITION BY fp) <= {MAX_SHINGLE_FREQ}
+        ),
+        b AS (SELECT doc_id, fp FROM fp0 WHERE source = 'src0')
+        SELECT b.doc_id AS batch_id, i.doc_id AS index_id,
+               COUNT(*) AS n_shared
+        FROM b JOIN idx i ON b.fp = i.fp
+        GROUP BY 1, 2 HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+        ORDER BY batch_id, index_id
+    """
+
+
+def _gapfill_locf_oracle() -> str:
+    from spark_nnd_spark.functions.numeric import round_half_up_sql
+
+    v_hour = round_half_up_sql("h.cents / (100.0 * h.n_events)")
+    return f"""
+        WITH hourly AS (
+            SELECT user_id,
+                   (epoch_us(date_trunc('hour', ts::TIMESTAMP)) // 1000000)
+                       AS slot_epoch,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        b AS (
+            SELECT user_id, MIN(slot_epoch) AS mn, MAX(slot_epoch) AS mx
+            FROM hourly GROUP BY 1
+        ),
+        grid AS (
+            SELECT user_id, unnest(range(mn, mx + 3600, 3600)) AS slot_epoch
+            FROM b
+        ),
+        j AS (
+            SELECT g.user_id, g.slot_epoch,
+                   COALESCE(h.n_events, 0)::BIGINT AS n_events,
+                   {v_hour} AS v_hour
+            FROM grid g LEFT JOIN hourly h USING (user_id, slot_epoch)
+        )
+        SELECT user_id, slot_epoch, n_events, v_hour,
+               last_value(v_hour IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY slot_epoch
+                         ROWS UNBOUNDED PRECEDING) AS v_locf
+        FROM j ORDER BY user_id, slot_epoch
+    """
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_doc_stats": q11_doc_stats,
     "q12_exact_dedup": q12_exact_dedup,
@@ -6228,6 +6356,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q198_indexed_chunk_bm25": q198_indexed_chunk_bm25,
     "q203_domain_quality": q203_domain_quality,
     "q204_domain_blocklist": q204_domain_blocklist,
+    "q205_indexed_winnow": q205_indexed_winnow,
+    "q206_gapfill_locf": q206_gapfill_locf,
 }
 
 
@@ -10112,6 +10242,8 @@ def pipeline_oracles() -> dict[str, str]:
     oracles["q198_indexed_chunk_bm25"] = oracles["q191_chunk_bm25"]
     oracles["q203_domain_quality"] = _domain_quality_oracle()
     oracles["q204_domain_blocklist"] = _domain_blocklist_oracle()
+    oracles["q205_indexed_winnow"] = _indexed_winnow_oracle()
+    oracles["q206_gapfill_locf"] = _gapfill_locf_oracle()
     return oracles
 
 

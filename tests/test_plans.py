@@ -1510,3 +1510,24 @@ def test_graph_recall_row_has_no_cartesian_beyond_scalar_cross(spark):
     scalar hits x total cross."""
     plan = _plan(spark, "q200_graph_search_recall")
     assert "SortMergeJoin" not in plan
+
+
+def test_indexed_winnow_batch_broadcasts_into_stored_postings(spark):
+    """q205: the winnow probe broadcasts the BATCH fingerprint set into
+    the fp-sorted stored postings scan — the postings never shuffle,
+    nothing is all-pairs, no Python in the path."""
+    plan = _plan(spark, "q205_indexed_winnow")
+    assert "BroadcastHashJoin [fp" in plan  # batch broadcasts, index streams
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_gapfill_grid_is_narrow_explode_per_user(spark):
+    """q206: the dense slot grid comes from a sequence-EXPLODE of the
+    O(users) bounds rows (never a cross join against a slot table),
+    and the LOCF window runs inside the user partitioning."""
+    plan = _plan(spark, "q206_gapfill_locf")
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan

@@ -1,0 +1,159 @@
+"""Winnow index family (q205) — full lifecycle: probe == inline
+winnow_pairs twin, extend == fresh build, retraction immediate,
+compaction == fresh build, re-admission upsert. Mirrors the span-index
+discipline (the eleventh persisted family)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_nnd_spark.operators.dedup import (
+    build_winnow_index,
+    compact_winnow_index,
+    extend_winnow_index,
+    retract_from_winnow_index,
+    winnow_pairs,
+    winnow_query_index,
+)
+
+# 20 tokens: 17 pure passage shingles at n=4 — enough selected minima
+# to clear min_shared=2 on every shared-passage pair
+PASSAGE = " ".join(f"p{i}" for i in range(20))
+
+
+def _fill(prefix: str, n: int) -> str:
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def _corpus(spark):
+    rows = [
+        (1, _fill("a", 30) + " " + PASSAGE),
+        (2, _fill("b", 40)),
+        (3, PASSAGE + " " + _fill("c", 25)),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _batch(spark):
+    rows = [
+        (100, _fill("q", 20) + " " + PASSAGE + " " + _fill("r", 10)),
+        (101, _fill("s", 35)),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _probe(spark, idx, batch):
+    return sorted(
+        tuple(r)
+        for r in winnow_query_index(spark, idx, batch, min_shared=2).collect()
+    )
+
+
+def test_probe_matches_inline_kernel(spark, tmp_path):
+    idx = str(tmp_path / "widx")
+    build_winnow_index(_corpus(spark), idx, n=4, w=4)
+    got = _probe(spark, idx, _batch(spark))
+    # inline twin: winnow_pairs over corpus+batch (no df-cut), cut to
+    # the cross (batch, corpus) pairs — the kernel the probe must equal
+    both = _corpus(spark).unionByName(_batch(spark))
+    inline = sorted(
+        (r.id_b, r.id_a, r.n_shared)
+        for r in winnow_pairs(both, n=4, w=4, min_shared=2).collect()
+        if r.id_b >= 100 and r.id_a < 100  # batch x corpus only
+    )
+    assert got == inline
+    assert {(b, c) for b, c, _ in got} == {(100, 1), (100, 3)}
+    assert all(n >= 2 for _, _, n in got)
+
+
+def test_extend_equals_fresh_build(spark, tmp_path):
+    base, grown, fresh = (str(tmp_path / n) for n in ("b", "g", "f"))
+    c = _corpus(spark)
+    extra = spark.createDataFrame(
+        [(4, PASSAGE + " " + _fill("d", 18))], "doc_id long, text string"
+    )
+    build_winnow_index(c, base, n=4, w=4)
+    build_winnow_index(c, grown, n=4, w=4)
+    extend_winnow_index(spark, grown, extra)
+    build_winnow_index(c.unionByName(extra), fresh, n=4, w=4)
+    b = _batch(spark)
+    assert _probe(spark, grown, b) == _probe(spark, fresh, b)
+    # new doc matches the batch's planted passage via the grown index
+    assert 4 in {r[1] for r in _probe(spark, grown, b)}
+    # stats refreshed: df counts equal the fresh build's
+    st = lambda p: sorted(  # noqa: E731
+        tuple(r) for r in spark.read.parquet(f"{p}/fp_stats").collect()
+    )
+    assert st(grown) == st(fresh)
+
+
+def test_retract_immediate_and_compact_equals_fresh(spark, tmp_path):
+    idx, fresh = str(tmp_path / "i"), str(tmp_path / "f")
+    build_winnow_index(_corpus(spark), idx, n=4, w=4)
+    b = _batch(spark)
+    assert {r[1] for r in _probe(spark, idx, b)} == {1, 3}
+    # retract doc 1: its fingerprints must stop matching immediately
+    retract_from_winnow_index(
+        spark, idx, spark.createDataFrame([(1,)], "doc_id long")
+    )
+    after = _probe(spark, idx, b)
+    assert {r[1] for r in after} == {3}
+    # compaction folds the log; probe unchanged, tables == fresh build
+    compact_winnow_index(spark, idx)
+    assert _probe(spark, idx, b) == after
+    build_winnow_index(
+        _corpus(spark).filter(F.col("doc_id") != 1), fresh, n=4, w=4
+    )
+    assert _probe(spark, idx, b) == _probe(spark, fresh, b)
+    rows = lambda p: sorted(  # noqa: E731
+        tuple(r) for r in spark.read.parquet(f"{p}/fps").collect()
+    )
+    assert rows(idx) == rows(fresh)
+
+
+def test_readmission_upsert(spark, tmp_path):
+    idx = str(tmp_path / "i")
+    build_winnow_index(_corpus(spark), idx, n=4, w=4)
+    retract_from_winnow_index(
+        spark, idx, spark.createDataFrame([(3,)], "doc_id long")
+    )
+    b = _batch(spark)
+    assert {r[1] for r in _probe(spark, idx, b)} == {1}
+    # re-admit doc 3 with NEW content (no passage): old fps must be
+    # purged, tombstone cleared — doc 3 stays a non-match but is
+    # physically present with only the new rows
+    new3 = spark.createDataFrame(
+        [(3, _fill("z", 28))], "doc_id long, text string"
+    )
+    extend_winnow_index(spark, idx, new3)
+    assert {r[1] for r in _probe(spark, idx, b)} == {1}
+    stored = (
+        spark.read.parquet(f"{idx}/fps").filter(F.col("doc_id") == 3).count()
+    )
+    # exactly the NEW text's selected fingerprints, none of the old
+    from spark_nnd_spark.functions import text as TX
+
+    expect = (
+        new3.withColumn("_hs", TX.ordered_shingle_hashes_expr("text", 4))
+        .select(F.explode(TX.winnow_select_expr(F.col("_hs"), 4)))
+        .count()
+    )
+    assert stored == expect
+
+
+def test_df_cut_uses_stored_stats(spark, tmp_path):
+    """A fingerprint present in > max_fp_freq indexed docs is cut from
+    the probe — boilerplate never generates candidate pairs."""
+    idx = str(tmp_path / "i")
+    boiler = " ".join(f"w{i}" for i in range(8))
+    rows = [(i, boiler + " " + _fill(f"u{i}_", 12)) for i in range(1, 6)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    build_winnow_index(corpus, idx, n=4, w=4)
+    batch = spark.createDataFrame(
+        [(100, boiler + " " + _fill("v", 12))], "doc_id long, text string"
+    )
+    # boilerplate fps sit in all 5 docs: cap=4 cuts them, cap=None keeps
+    cut = winnow_query_index(spark, idx, batch, min_shared=1, max_fp_freq=4)
+    raw = winnow_query_index(spark, idx, batch, min_shared=1)
+    assert raw.count() == 5
+    assert cut.count() == 0
