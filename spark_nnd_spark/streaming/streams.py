@@ -1753,3 +1753,90 @@ def cov_stats_stream(
         .start()
     )
     return _await_or_raise(q, timeout_sec)
+
+
+def winnow_gate_stream(
+    candidate_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    min_shared: int = 2,
+    max_fp_freq: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    timeout_sec: int = 180,
+) -> Any:
+    """Streaming copied-passage guard — the ingest twin of q205 (and
+    the fingerprint-level sibling of span_gate_stream's verbatim gate):
+    each micro-batch of candidate docs is probed against the PERSISTED
+    winnow index (operators/dedup.winnow_query_index) and every
+    candidate sharing >= ``min_shared`` selected fingerprints with an
+    indexed doc is reported with its best-matching doc (max shared
+    count, ties to the smallest id) and total matched-pair count;
+    clean candidates emit a verdict row with -1/0 sentinels (never
+    NULL — the driver-compare / sort discipline). Verdicts land in a
+    batchId-keyed parquet directory.
+
+    Idempotence: the probe never mutates the index — verdicts are a
+    pure function of (batch, index); a replayed batch overwrites its
+    own batchId directory with identical rows (replay==batch asserted
+    in tests). Retracting an indexed doc stops it causing rejections
+    immediately (tombstones reach the probe).
+
+    Scale: per batch, the candidate fingerprint set (~2/(w+1) of its
+    shingles) broadcasts into the fp-sorted postings scan — O(matching
+    postings) shuffle, the index never re-shingled."""
+    from spark_nnd_spark.operators.dedup import winnow_query_index  # noqa: PLC0415
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        hits = winnow_query_index(
+            spark,
+            index_path,
+            batch_df,
+            min_shared=min_shared,
+            max_fp_freq=max_fp_freq,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        best = (
+            hits.groupBy("batch_id")
+            .agg(
+                F.max_by(
+                    "index_id", F.struct(F.col("n_shared"), -F.col("index_id"))
+                ).alias("best_index_id"),
+                F.max("n_shared").alias("max_shared"),
+                F.count("*").alias("n_matches"),
+            )
+        )
+        verdicts = (
+            batch_df.select(F.col(id_col).alias("batch_id"))
+            .join(best, "batch_id", "left")
+            .withColumn("copied", F.col("best_index_id").isNotNull())
+            .select(
+                "batch_id",
+                F.coalesce("best_index_id", F.lit(-1)).cast("long").alias(
+                    "best_index_id"
+                ),
+                F.coalesce("max_shared", F.lit(0)).cast("long").alias(
+                    "max_shared"
+                ),
+                F.coalesce("n_matches", F.lit(0)).cast("long").alias(
+                    "n_matches"
+                ),
+                "copied",
+            )
+        )
+        verdicts.write.mode("overwrite").parquet(
+            f"{out_path}/winnow_batch={batch_id}"
+        )
+
+    q = (
+        candidate_stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return _await_or_raise(q, timeout_sec)

@@ -157,3 +157,82 @@ def test_df_cut_uses_stored_stats(spark, tmp_path):
     raw = winnow_query_index(spark, idx, batch, min_shared=1)
     assert raw.count() == 5
     assert cut.count() == 0
+
+
+def test_winnow_gate_stream_replay_equals_batch(spark, tmp_path):
+    """Streaming winnow gate: planted copied passage rejected in every
+    replay; verdicts == pure function of (batch, index); retraction
+    flips the verdict to admit."""
+    import os
+
+    import pandas as pd
+
+    from spark_nnd_spark.streaming.streams import winnow_gate_stream
+
+    idx = str(tmp_path / "widx")
+    build_winnow_index(_corpus(spark), idx, n=4, w=4)
+    cands = [
+        (200, _fill("m", 15) + " " + PASSAGE),  # copies indexed passage
+        (201, _fill("n", 30)),                  # clean
+        (202, PASSAGE + " " + _fill("o", 22)),  # copies indexed passage
+        (203, _fill("t", 26)),                  # clean
+    ]
+    src = tmp_path / "cands"
+    src.mkdir()
+    for b in range(2):
+        p = src / f"chunk{b}.parquet"
+        pd.DataFrame(
+            cands[2 * b : 2 * b + 2], columns=["doc_id", "text"]
+        ).to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + b, 1_700_000_000 + b))
+    out = str(tmp_path / "gates")
+
+    def run(ckpt: str):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        winnow_gate_stream(
+            stream, idx, out, checkpoint=str(tmp_path / ckpt), min_shared=2
+        )
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(out).drop("winnow_batch").collect()
+        )
+
+    streamed = run("ck1")
+    v = {r[0]: r[4] for r in streamed}
+    assert v == {200: True, 201: False, 202: True, 203: False}
+    # best match is a passage carrier and counts agree with the probe
+    probe = winnow_query_index(
+        spark,
+        idx,
+        spark.createDataFrame(cands, "doc_id long, text string"),
+        min_shared=2,
+    ).collect()
+    by_cand = {}
+    for r in probe:
+        by_cand.setdefault(r.batch_id, []).append(r)
+    for doc_id, best_id, max_shared, n_matches, copied in streamed:
+        if not copied:
+            assert doc_id not in by_cand
+            assert (best_id, max_shared, n_matches) == (-1, 0, 0)
+            continue
+        rows = by_cand[doc_id]
+        top = max(rows, key=lambda r: (r.n_shared, -r.index_id))
+        assert (best_id, max_shared, n_matches) == (
+            top.index_id,
+            top.n_shared,
+            len(rows),
+        )
+    assert run("ck2") == streamed  # replay == first run
+
+    # retraction lifecycle: retract every passage carrier -> admit all
+    retract_from_winnow_index(
+        spark, idx, spark.createDataFrame([(1,), (3,)], "doc_id long")
+    )
+    after = run("ck3")
+    assert {r[0]: r[4] for r in after} == {
+        200: False, 201: False, 202: False, 203: False
+    }
