@@ -175,6 +175,8 @@ HEADLINE = [
     "q204_domain_blocklist",
     "q205_indexed_winnow",
     "q206_gapfill_locf",
+    "q207_ohlc_bars",
+    "q208_prototype_prune",
 ]
 
 

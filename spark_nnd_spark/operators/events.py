@@ -489,7 +489,13 @@ def gap_fill_locf(df: DataFrame, grain_seconds: int = 3600) -> DataFrame:
     Values go through exact integer cents (floor(v*100+0.5)) before
     summing so the bucket average is order-free, then one half-up
     presentation rounding — the engine-replayable convention of
-    decayed_engagement/q203.
+    decayed_engagement/q203. ``v_lerp`` linearly interpolates interior
+    gaps between the surrounding observed bucket averages (the
+    TimescaleDB ``interpolate`` shape); every slot between a user's
+    first and last observation has both neighbors, so it is never
+    NULL. The interpolation runs on the ROUNDED bucket averages with
+    exact small-integer slot fractions, so it replays bit-identically
+    cross-engine.
 
     Scale (100 TB of events): one map-side-combined aggregate to
     O(users x buckets) rows, an O(users) bounds aggregate, and a
@@ -519,11 +525,25 @@ def gap_fill_locf(df: DataFrame, grain_seconds: int = 3600) -> DataFrame:
         ).alias("slot_epoch"),
     )
     v_hour = round_half_up_expr(F.col("_cents") / (100.0 * F.col("n_events")))
-    w = (
+    w_back = (
         Window.partitionBy("user_id")
         .orderBy("slot_epoch")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("slot_epoch")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    slot_obs = F.when(F.col("v_hour").isNotNull(), F.col("slot_epoch"))
+    prev_v = F.last("v_hour", ignorenulls=True).over(w_back)
+    prev_t = F.last(slot_obs, ignorenulls=True).over(w_back)
+    next_v = F.first("v_hour", ignorenulls=True).over(w_fwd)
+    next_t = F.first(slot_obs, ignorenulls=True).over(w_fwd)
+    frac = (F.col("slot_epoch") - prev_t) / (next_t - prev_t)
+    lerp = F.when(
+        next_t == prev_t, prev_v
+    ).otherwise(round_half_up_expr(prev_v + (next_v - prev_v) * frac))
     return (
         grid.join(hourly, ["user_id", "slot_epoch"], "left")
         .select(
@@ -532,5 +552,6 @@ def gap_fill_locf(df: DataFrame, grain_seconds: int = 3600) -> DataFrame:
             F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
             v_hour.alias("v_hour"),
         )
-        .withColumn("v_locf", F.last("v_hour", ignorenulls=True).over(w))
+        .withColumn("v_locf", prev_v)
+        .withColumn("v_lerp", lerp)
     )

@@ -1882,6 +1882,100 @@ def q179_indexed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_eigen_power(cov_from_stats(spark, path), dim=64, iters=PCA_ITERS)
 
 
+PROTO_FRAC = 0.25  # per-cell prune fraction (the D4 paper's ballpark)
+
+
+def q208_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes data pruning (Sorscher et al. 2022, 'Beyond
+    neural scaling laws'; the prototype half of D4, Tirumala et al.
+    2023): assign every embedding to its nearest fixed centroid (the
+    q67/q138 literal-replay convention), rank within each cell by
+    cosine to the centroid DESC (most prototypical first), and DROP
+    the top PROTO_FRAC of each cell — the easiest, most redundant
+    examples, which beats random pruning in the data-rich regime.
+    Output is the per-vector verdict with full provenance (cell,
+    rounded prototypicality, in-cell rank, keep).
+
+    Scale (100 TB): the assignment is the same narrow Arrow-batched
+    literal-centroid map every IVF/SemDeDup tier uses (no shuffle);
+    the only exchange is cell-keyed, and each ranking window is
+    bounded by cell occupancy — the identical fan-out bound the IVF
+    index enforces for search. No pairwise stage at all (unlike
+    SemDeDup): pruning is O(N log cell) overall."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from spark_nnd_spark.functions.numeric import round_half_up_expr
+    from spark_nnd_spark.operators.similarity import (  # noqa: PLC0415
+        _as_double,
+        _cell_dots_udf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = fixed_centroids(64, 16, 42)
+    dots = _cell_dots_udf(cents)
+    a = (
+        emb.select("vec_id", _as_double("embedding").alias("__v"))
+        .withColumn("__d", dots("__v"))
+        .select(
+            "vec_id",
+            F.expr("array_position(__d, array_max(__d)) - 1").alias("cell"),
+            round_half_up_expr(F.array_max("__d")).alias("cos_c"),
+        )
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("cos_c"), "vec_id")
+    wc = Window.partitionBy("cell")
+    return (
+        a.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("n_cell", F.count("*").over(wc))
+        .withColumn(
+            "keep",
+            F.col("rank") > F.floor(F.col("n_cell") * F.lit(PROTO_FRAC)),
+        )
+        .select("vec_id", "cell", "cos_c", "rank", "keep")
+        .orderBy("vec_id")
+    )
+
+
+def _prototype_prune_oracle() -> str:
+    """q208 replay: q138's literal centroid assignment, per-cell rank
+    on the 6-digit-rounded prototypicality (rounding pins the ordering
+    cross-engine), drop the floor(n_cell * PROTO_FRAC) head."""
+    from spark_nnd_spark.functions.numeric import round_half_up_sql
+
+    cents = fixed_centroids(64, 16, 42)
+
+    def cell_dots(v: str) -> str:
+        norm = f"greatest(sqrt(list_dot_product({v},{v})), 1e-12)"
+        return (
+            "["
+            + ",".join(
+                f"list_dot_product({v}, {_vec_lit(c)}) / {norm}" for c in cents
+            )
+            + "]"
+        )
+
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        cd AS (SELECT vec_id, {cell_dots('cv')} AS dots FROM c),
+        a AS (
+            SELECT vec_id,
+                   (list_position(dots, list_max(dots)) - 1)::BIGINT AS cell,
+                   {round_half_up_sql('list_max(dots)')} AS cos_c
+            FROM cd
+        ),
+        r AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY cell
+                                      ORDER BY cos_c DESC, vec_id) AS rank,
+                   COUNT(*) OVER (PARTITION BY cell) AS n_cell
+            FROM a
+        )
+        SELECT vec_id, cell, cos_c, rank::BIGINT AS rank,
+               rank > floor(n_cell * {PROTO_FRAC}) AS keep
+        FROM r ORDER BY vec_id
+    """
+
+
 KNN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_knn_exact": q24_knn_exact,
     "q25_nnd_graph": q25_nnd_graph,
@@ -1905,6 +1999,7 @@ KNN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q200_graph_search_recall": q200_graph_search_recall,
     "q201_indexed_graph_search": q201_indexed_graph_search,
     "q202_indexed_graph_recall": q202_indexed_graph_recall,
+    "q208_prototype_prune": q208_prototype_prune,
 }
 
 KNN_ORACLES: dict[str, str] = {
@@ -1932,6 +2027,7 @@ KNN_ORACLES: dict[str, str] = {
     "q127_ivfpq_topk": _ivfpq_oracle(),
     "q138_semantic_dedup": _semantic_dedup_oracle(),
     "q148_embedding_decontam": _embedding_decontam_oracle(),
+    "q208_prototype_prune": _prototype_prune_oracle(),
     "q143_hard_negatives": _hard_negatives_oracle(),
     "q144_balanced_cells": _balanced_cells_oracle(),
     "q176_preference_pairs": _preference_pairs_oracle(),

@@ -6137,6 +6137,60 @@ def q206_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.gap_fill_locf(e).orderBy("user_id", "slot_epoch")
 
 
+def q207_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly OHLC bars — the classic hypertable downsampling
+    rollup (candlesticks): open/close are the bucket's first/last
+    value in ingest order (event_id — unique, so the pick is exact),
+    high/low the extremes, all through exact integer cents so every
+    bar replays bit-identically. Pairs with q206: gap-fill densifies,
+    OHLC downsamples.
+
+    Scale (100 TB): ONE map-side-combined aggregate keyed by (user,
+    bucket) — min_by/max_by partials carry a single (value, key) pair
+    per group per partition, so the exchange is O(users·buckets), not
+    O(events); no window, no join, no sort beyond presentation."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        e.select(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).cast("long").alias("slot_epoch"),
+            cents.alias("c"),
+            "event_id",
+        )
+        .groupBy("user_id", "slot_epoch")
+        .agg(
+            (F.min_by("c", "event_id") / 100.0).alias("open"),
+            (F.max("c") / 100.0).alias("high"),
+            (F.min("c") / 100.0).alias("low"),
+            (F.max_by("c", "event_id") / 100.0).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id", "slot_epoch")
+    )
+
+
+def _ohlc_bars_oracle() -> str:
+    return """
+        WITH e AS (
+            SELECT user_id,
+                   (epoch_us(date_trunc('hour', ts::TIMESTAMP)) // 1000000)
+                       AS slot_epoch,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                   event_id
+            FROM events
+        )
+        SELECT user_id, slot_epoch,
+               arg_min(c, event_id) / 100.0 AS open,
+               MAX(c) / 100.0 AS high,
+               MIN(c) / 100.0 AS low,
+               arg_max(c, event_id) / 100.0 AS close,
+               COUNT(*) AS n_events
+        FROM e GROUP BY user_id, slot_epoch
+        ORDER BY user_id, slot_epoch
+    """
+
+
 def _indexed_winnow_oracle() -> str:
     hs = TX.ordered_shingle_hashes_sql("text", WINNOW_N)
     sel = TX.winnow_select_sql("hs", WINNOW_W)
@@ -6186,12 +6240,28 @@ def _gapfill_locf_oracle() -> str:
                    COALESCE(h.n_events, 0)::BIGINT AS n_events,
                    {v_hour} AS v_hour
             FROM grid g LEFT JOIN hourly h USING (user_id, slot_epoch)
+        ),
+        k AS (
+            SELECT *,
+                   last_value(v_hour IGNORE NULLS) OVER wb AS prev_v,
+                   last_value(CASE WHEN v_hour IS NOT NULL THEN slot_epoch END
+                              IGNORE NULLS) OVER wb AS prev_t,
+                   first_value(v_hour IGNORE NULLS) OVER wf AS next_v,
+                   first_value(CASE WHEN v_hour IS NOT NULL THEN slot_epoch END
+                               IGNORE NULLS) OVER wf AS next_t
+            FROM j
+            WINDOW wb AS (PARTITION BY user_id ORDER BY slot_epoch
+                          ROWS UNBOUNDED PRECEDING),
+                   wf AS (PARTITION BY user_id ORDER BY slot_epoch
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
         )
-        SELECT user_id, slot_epoch, n_events, v_hour,
-               last_value(v_hour IGNORE NULLS)
-                   OVER (PARTITION BY user_id ORDER BY slot_epoch
-                         ROWS UNBOUNDED PRECEDING) AS v_locf
-        FROM j ORDER BY user_id, slot_epoch
+        SELECT user_id, slot_epoch, n_events, v_hour, prev_v AS v_locf,
+               CASE WHEN next_t = prev_t THEN prev_v
+                    ELSE {round_half_up_sql(
+                        "prev_v + (next_v - prev_v) * "
+                        "((slot_epoch - prev_t) / CAST(next_t - prev_t AS DOUBLE))"
+                    )} END AS v_lerp
+        FROM k ORDER BY user_id, slot_epoch
     """
 
 
@@ -6358,6 +6428,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q204_domain_blocklist": q204_domain_blocklist,
     "q205_indexed_winnow": q205_indexed_winnow,
     "q206_gapfill_locf": q206_gapfill_locf,
+    "q207_ohlc_bars": q207_ohlc_bars,
 }
 
 
@@ -10244,6 +10315,7 @@ def pipeline_oracles() -> dict[str, str]:
     oracles["q204_domain_blocklist"] = _domain_blocklist_oracle()
     oracles["q205_indexed_winnow"] = _indexed_winnow_oracle()
     oracles["q206_gapfill_locf"] = _gapfill_locf_oracle()
+    oracles["q207_ohlc_bars"] = _ohlc_bars_oracle()
     return oracles
 
 

@@ -1531,3 +1531,25 @@ def test_gapfill_grid_is_narrow_explode_per_user(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_ohlc_is_one_partial_aggregate_no_join(spark):
+    """q207's contract: one map-side-combined (user, bucket) aggregate
+    — min_by/max_by partials carry one (value, key) pair per group per
+    partition; no join, no window, one agg exchange (plus the
+    presentation sort)."""
+    plan = _plan(spark, "q207_ohlc_bars")
+    assert "partial_min_by" in plan or "partial_min" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_prototype_prune_has_no_pairwise_stage(spark):
+    """q208's contract: narrow Arrow-batched centroid assignment, then
+    ONLY cell-keyed exchanges for the bounded in-cell ranking windows —
+    no join at all (unlike SemDeDup's same-cell pair scan)."""
+    plan = _plan(spark, "q208_prototype_prune")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(cell" in plan
