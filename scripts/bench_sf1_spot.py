@@ -65,8 +65,18 @@ SPOT_QUERIES = [
     "q189_quality_select",
     "q190_corpus_export",
     "q191_chunk_bm25",
+    "q203_domain_quality",
+    "q204_domain_blocklist",
+    "q206_gapfill_locf",
+    "q207_ohlc_bars",
+    "q208_prototype_prune",
 ]
-SCALES = {"sf0.1eq": (5000, 2000), "sf1.0": (50000, 20000)}
+# (docs, vecs, events, users) — events/users mirror the testdata's
+# measured density (sf0.01 = 10k events / 150 users over 30 days)
+SCALES = {
+    "sf0.1eq": (5000, 2000, 100_000, 1500),
+    "sf1.0": (50000, 20000, 1_000_000, 15000),
+}
 LANGS = ["en", "de", "fr", "es", "pt"]
 N_CLUSTERS = 8
 DIM = 64
@@ -123,6 +133,28 @@ def _gen_embeddings(n: int, out: str) -> None:
     ).to_parquet(out, index=False)
 
 
+def _gen_events(n: int, n_users: int, out: str) -> None:
+    """Deterministic events mirroring the testdata shape: 30 days of
+    uniformly-spaced timestamps, 5 types, 2-decimal values."""
+    rng = np.random.default_rng(SEED + 2)
+    span_us = 30 * 86400 * 1_000_000
+    base = np.datetime64("2024-01-01", "us")
+    ts = base + np.sort(rng.integers(0, span_us, size=n)).astype(
+        "timedelta64[us]"
+    )
+    types = np.array(["click", "view", "purchase", "error", "scroll"])
+    pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts,
+            "user_id": rng.integers(0, n_users, size=n).astype(np.int64),
+            "event_type": types[rng.integers(0, len(types), size=n)],
+            "value": np.round(rng.uniform(0, 20, size=n), 2),
+            "props": [f'{{"k": {int(x)}}}' for x in rng.integers(0, 100, size=n)],
+        }
+    ).to_parquet(out, index=False)
+
+
 def _stage_writes(spark) -> dict[int, int] | None:
     try:
         base = spark.sparkContext.uiWebUrl
@@ -144,12 +176,16 @@ def main() -> None:
     all_q = {**PIPELINE_QUERIES, **KNN_QUERIES}
     vocab = _vocab()
     root = tempfile.mkdtemp(prefix="sf1spot_")
-    for tag, (nd, nv) in SCALES.items():
+    for tag, (nd, nv, ne, nu) in SCALES.items():
         d = os.path.join(root, tag)
         os.makedirs(d, exist_ok=True)
         _gen_documents(nd, vocab, f"{d}/documents.parquet")
         _gen_embeddings(nv, f"{d}/embeddings.parquet")
-        print(f"# generated {tag}: {nd} docs / {nv} vecs", file=sys.stderr)
+        _gen_events(ne, nu, f"{d}/events.parquet")
+        print(
+            f"# generated {tag}: {nd} docs / {nv} vecs / {ne} events",
+            file=sys.stderr,
+        )
 
     spark = get_spark(
         app_name="bench_sf1_spot",
@@ -216,7 +252,10 @@ def main() -> None:
             }
         )
     record = {
-        "scales": {k: {"docs": v[0], "vecs": v[1]} for k, v in SCALES.items()},
+        "scales": {
+            k: {"docs": v[0], "vecs": v[1], "events": v[2], "users": v[3]}
+            for k, v in SCALES.items()
+        },
         "excluded": {
             "q24_knn_exact/q33_ann_recall": "brute-force exact tier is "
             "O(N^2) by design (recall oracle, not a production path)",

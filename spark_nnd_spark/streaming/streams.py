@@ -120,6 +120,40 @@ def windowed_counts_stream(
     )
 
 
+def ohlc_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of q207 OHLC bars: per (event-time window, user)
+    open/high/low/close through exact integer cents, open/close picked
+    by event_id (ingest order — unique, so the pick is exact), late
+    data bounded by the watermark. min_by/max_by are declarative
+    aggregates with partial merge, so the state per open window is one
+    (value, key) pair per extreme — the same O(users·open windows)
+    bound as the counting twin, never a row buffer."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        events.withColumn("c", cents)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "user_id")
+        .agg(
+            (F.min_by("c", "event_id") / 100.0).alias("open"),
+            (F.max("c") / 100.0).alias("high"),
+            (F.min("c") / 100.0).alias("low"),
+            (F.max_by("c", "event_id") / 100.0).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("slot_epoch"),
+            "user_id",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
 def sessionize_stream(
     events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -1313,3 +1313,40 @@ def test_pack_stream_state_straddles_batches(spark, tmp_path):
         for r in q173_pack_manifest(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_ohlc_stream_matches_batch(spark, events_batch):
+    """Streaming OHLC bars == the q207 batch rollup on the same events
+    (open/close by event_id, exact cents)."""
+    from spark_nnd_spark.streaming import ohlc_stream
+
+    stream = ohlc_stream(read_events_stream(spark, SF_SMOKE))
+    run_to_memory_sink(stream, "ohlc", output_mode="complete")
+    got = {
+        (r["user_id"], r["slot_epoch"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"]
+        )
+        for r in spark.sql("SELECT * FROM ohlc").collect()
+    }
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    want = {
+        (r["user_id"], r["slot_epoch"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"]
+        )
+        for r in events_batch.select(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).cast("long").alias("slot_epoch"),
+            cents.alias("c"),
+            "event_id",
+        )
+        .groupBy("user_id", "slot_epoch")
+        .agg(
+            (F.min_by("c", "event_id") / 100.0).alias("open"),
+            (F.max("c") / 100.0).alias("high"),
+            (F.min("c") / 100.0).alias("low"),
+            (F.max_by("c", "event_id") / 100.0).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
