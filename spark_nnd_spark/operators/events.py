@@ -477,7 +477,9 @@ def hopping_counts(df: DataFrame, size_hours: int = 2, slide_hours: int = 1) -> 
     )
 
 
-def gap_fill_locf(df: DataFrame, grain_seconds: int = 3600) -> DataFrame:
+def gap_fill_locf(
+    df: DataFrame, grain_seconds: int = 3600, max_slots_per_series: int = 2_000_000
+) -> DataFrame:
     """Dense per-user time grid with last-observation-carried-forward
     fill — the hypertable gap-fill shape (TimescaleDB's
     time_bucket_gapfill + locf): bucket events to the grain, generate
@@ -504,6 +506,14 @@ def gap_fill_locf(df: DataFrame, grain_seconds: int = 3600) -> DataFrame:
     window reuses the (user_id) partitioning of the bounds join. Slots
     per series are bounded by retention_window / grain, a config
     knob, not data volume; no global sort, no driver state.
+
+    ``max_slots_per_series`` guards the sequence-explode: one user
+    whose (span / grain) is pathological (a 10-year-old event plus a
+    1-second grain) would otherwise materialize a multi-gigabyte slot
+    array inside a single task and die as an opaque executor OOM at
+    100 TB. The guard is an O(users)-aggregate check that fails fast
+    with the offending bound instead (the chunk-id-overflow-guard
+    convention).
     """
     from spark_nnd_spark.functions.numeric import round_half_up_expr
 
@@ -514,10 +524,21 @@ def gap_fill_locf(df: DataFrame, grain_seconds: int = 3600) -> DataFrame:
     ).agg(
         F.count("*").alias("n_events"),
         F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("_cents"),
-    )
+    ).localCheckpoint(eager=True)  # guard + bounds + grid join share one pass
     bounds = hourly.groupBy("user_id").agg(
         F.min("slot_epoch").alias("_mn"), F.max("slot_epoch").alias("_mx")
     )
+    worst = bounds.agg(
+        F.max(
+            (F.col("_mx") - F.col("_mn")) / F.lit(grain_seconds)
+        ).alias("slots")
+    ).first()
+    if worst["slots"] is not None and worst["slots"] + 1 > max_slots_per_series:
+        raise ValueError(
+            f"gap_fill_locf: a series spans {int(worst['slots']) + 1} slots at "
+            f"grain={grain_seconds}s, over max_slots_per_series="
+            f"{max_slots_per_series}; coarsen the grain or window the input"
+        )
     grid = bounds.select(
         "user_id",
         F.explode(

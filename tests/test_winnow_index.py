@@ -236,3 +236,29 @@ def test_winnow_gate_stream_replay_equals_batch(spark, tmp_path):
     assert {r[0]: r[4] for r in after} == {
         200: False, 201: False, 202: False, 203: False
     }
+
+
+def test_gapfill_guard_rejects_pathological_span(spark):
+    """gap_fill_locf fails fast (clear ValueError) when one series
+    would explode into more grid slots than max_slots_per_series —
+    instead of dying as an executor OOM inside the sequence-explode."""
+    import datetime
+
+    import pytest
+
+    from spark_nnd_spark.operators.events import gap_fill_locf
+
+    rows = [
+        (0, datetime.datetime(2014, 1, 1), 1, "click", 1.0, "{}"),
+        (1, datetime.datetime(2024, 1, 1), 1, "click", 2.0, "{}"),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with pytest.raises(ValueError, match="max_slots_per_series"):
+        gap_fill_locf(e, grain_seconds=3600, max_slots_per_series=1000)
+    # under the cap the same data fills fine
+    out = gap_fill_locf(e, grain_seconds=3600, max_slots_per_series=100_000)
+    assert out.count() == 10 * 365 * 24 + 2 * 24 + 1  # 2014->2024 hourly span
