@@ -177,6 +177,7 @@ HEADLINE = [
     "q206_gapfill_locf",
     "q207_ohlc_bars",
     "q208_prototype_prune",
+    "q209_indexed_winnow_pairs",
 ]
 
 

@@ -2379,3 +2379,60 @@ def compact_winnow_index(spark, path: str) -> None:
     spark.read.parquet(f"{path}/fps").groupBy("fp").agg(
         F.count("*").alias("df")
     ).write.mode("overwrite").parquet(f"{path}/fp_stats")
+
+
+def winnow_pairs_index(
+    spark,
+    path: str,
+    min_shared: int = 2,
+    max_fp_freq: int | None = None,
+) -> DataFrame:
+    """Winnowed-fingerprint copy pairs served ENTIRELY from a persisted
+    winnow index (build_winnow_index over the same doc set): inverted
+    self-join over the stored per-doc fingerprints, boilerplate cut
+    from the stored O(fps) df stats. Produces exactly
+    ``winnow_pairs(corpus, n, w, min_shared, max_fp_freq)`` with the
+    index's (n, w) — asserted index==inline in tests — without
+    touching document text at all (the neardup_pairs_index convention
+    for the eleventh family).
+
+    This is the corpus-health shape at 100 TB: fingerprints are
+    computed once at ingest; the pair sweep joins stored integers.
+    Per-query cost is the fp self-join on the capped postings,
+    independent of corpus text size.
+
+    Under a pending tombstone log the stored df over-counts, so the
+    cut could silently differ from a fresh build's; like the near-dup
+    family, the capped path therefore refuses while tombstones exist —
+    compact first. The uncapped path stays exact under tombstones
+    (anti-join before the self-join)."""
+    from spark_nnd_spark.operators import index_lifecycle as IL  # noqa: PLC0415
+
+    stored_id = _winnow_tables(spark, path)[0][1]
+    posts = spark.read.parquet(f"{path}/fps")
+    tomb = IL.read_tombstones(spark, path)
+    if tomb is not None:
+        if max_fp_freq is not None:
+            raise ValueError(
+                "index has tombstones: pairs require max_fp_freq=None "
+                "(fp_stats cannot subtract retracted members); run "
+                "compact_winnow_index to restore the capped path"
+            )
+        posts = IL.anti_tombstones(posts, tomb, stored_id)
+    if max_fp_freq is not None:
+        hot = (
+            spark.read.parquet(f"{path}/fp_stats")
+            .filter(F.col("df") > max_fp_freq)
+            .select("fp")
+        )
+        posts = posts.join(hot, "fp", "left_anti")
+    posts = posts.localCheckpoint(eager=True)
+    a = posts.select("fp", F.col(stored_id).alias("id_a"))
+    b = posts.select("fp", F.col(stored_id).alias("id_b"))
+    return (
+        a.hint("shuffle_hash").join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -6137,6 +6137,51 @@ def q206_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.gap_fill_locf(e).orderBy("user_id", "slot_epoch")
 
 
+_WINNOW_FULL_IDX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _winnow_full_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached winnow index over the WHOLE corpus (the
+    _neardup_full_index_for convention) — backs the index-served
+    corpus-pairs sweep, whose oracle is q91's."""
+    from spark_nnd_spark.session import session_scratch_dir  # noqa: PLC0415
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _WINNOW_FULL_IDX_CACHE:
+        path = session_scratch_dir("winnow_fidx_")
+        DD.build_winnow_index(
+            load_table(spark, sf_dir, "documents"),
+            path,
+            n=WINNOW_N,
+            w=WINNOW_W,
+        )
+        _WINNOW_FULL_IDX_CACHE[key] = path
+    return _WINNOW_FULL_IDX_CACHE[key]
+
+
+def q209_indexed_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q91's corpus-level winnowed copy-pair sweep served ENTIRELY
+    from the persisted winnow index (operators/dedup.
+    winnow_pairs_index): the stored per-doc fingerprints self-join on
+    fp under the stored-df boilerplate cut — no document text touched.
+    Shares q91's oracle, so served == inline is the assertion (the
+    q103/q198 discipline).
+
+    Scale: the pair sweep is the inline q91 join minus the per-query
+    shingle+winnow pass over 100 TB of text — postings computed once
+    at ingest, every sweep joins stored integers."""
+    idx = _winnow_full_index_for(spark, sf_dir)
+    return (
+        DD.winnow_pairs_index(
+            spark,
+            idx,
+            min_shared=WINNOW_MIN_SHARED,
+            max_fp_freq=MAX_SHINGLE_FREQ,
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q207_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user hourly OHLC bars — the classic hypertable downsampling
     rollup (candlesticks): open/close are the bucket's first/last
@@ -6429,6 +6474,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q205_indexed_winnow": q205_indexed_winnow,
     "q206_gapfill_locf": q206_gapfill_locf,
     "q207_ohlc_bars": q207_ohlc_bars,
+    "q209_indexed_winnow_pairs": q209_indexed_winnow_pairs,
 }
 
 
@@ -10316,6 +10362,9 @@ def pipeline_oracles() -> dict[str, str]:
     oracles["q205_indexed_winnow"] = _indexed_winnow_oracle()
     oracles["q206_gapfill_locf"] = _gapfill_locf_oracle()
     oracles["q207_ohlc_bars"] = _ohlc_bars_oracle()
+    # index-served twin: the persisted-fps corpus sweep must equal the
+    # inline q91 computation exactly (same (n, w), same stored-df cut)
+    oracles["q209_indexed_winnow_pairs"] = oracles["q91_winnow_pairs"]
     return oracles
 
 

@@ -1553,3 +1553,14 @@ def test_prototype_prune_has_no_pairwise_stage(spark):
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(cell" in plan
+
+
+def test_indexed_winnow_pairs_never_touch_text(spark):
+    """q209: the corpus pair sweep reads ONLY the stored fp postings —
+    no documents scan, no shingling, shuffle-hash equi-join on fp
+    (never all-pairs), no Python."""
+    plan = _plan(spark, "q209_indexed_winnow_pairs")
+    assert "documents.parquet" not in plan
+    assert "ShuffledHashJoin [fp" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

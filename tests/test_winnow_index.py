@@ -262,3 +262,41 @@ def test_gapfill_guard_rejects_pathological_span(spark):
     # under the cap the same data fills fine
     out = gap_fill_locf(e, grain_seconds=3600, max_slots_per_series=100_000)
     assert out.count() == 10 * 365 * 24 + 2 * 24 + 1  # 2014->2024 hourly span
+
+
+def test_pairs_index_equals_inline_and_guards_capped_tombstones(spark, tmp_path):
+    """winnow_pairs_index == inline winnow_pairs on the same corpus
+    (served-from-storage assertion); capped path refuses while
+    tombstones pend; uncapped path stays exact under tombstones."""
+    import pytest
+
+    from spark_nnd_spark.operators.dedup import winnow_pairs_index
+
+    idx = str(tmp_path / "widx")
+    both = _corpus(spark).unionByName(_batch(spark))
+    build_winnow_index(both, idx, n=4, w=4)
+    served = sorted(
+        tuple(r) for r in winnow_pairs_index(spark, idx, min_shared=2).collect()
+    )
+    inline = sorted(
+        tuple(r)
+        for r in winnow_pairs(both, n=4, w=4, min_shared=2).collect()
+    )
+    assert served == inline and len(served) > 0
+    # retract doc 1 -> capped sweep refuses, uncapped equals a fresh
+    # build over the surviving docs
+    retract_from_winnow_index(
+        spark, idx, spark.createDataFrame([(1,)], "doc_id long")
+    )
+    with pytest.raises(ValueError, match="tombstones"):
+        winnow_pairs_index(spark, idx, min_shared=2, max_fp_freq=10)
+    after = sorted(
+        tuple(r) for r in winnow_pairs_index(spark, idx, min_shared=2).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in winnow_pairs(
+            both.filter(F.col("doc_id") != 1), n=4, w=4, min_shared=2
+        ).collect()
+    )
+    assert after == want
