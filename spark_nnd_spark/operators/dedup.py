@@ -2261,6 +2261,7 @@ def winnow_query_index(
     max_fp_freq: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Copied-passage probe of a batch against the PERSISTED winnow
     index: for each (batch doc, indexed doc) pair sharing >=
@@ -2276,7 +2277,10 @@ def winnow_query_index(
     fingerprints by the STORED document frequency (fp_stats) — under a
     pending tombstone log the stored df over-counts, so the cut may
     over-cut, never under-cut, until compaction (the span-index
-    contract).
+    contract). ``exclude_ids`` masks those index ids for THIS probe
+    only (no tombstone write) — the replay-purity hook the admit-novel
+    ingest gate uses so a crashed batch that partially admitted itself
+    re-probes against the exact pre-batch index state.
 
     Scale: the batch's fingerprint set (small — ~2/(w+1) of its
     shingles) broadcasts into the fp-sorted postings scan, so the join
@@ -2307,11 +2311,24 @@ def winnow_query_index(
     posts = IL.anti_tombstones(
         spark.read.parquet(f"{path}/fps"), tomb, stored_id
     ).select(F.col(stored_id).alias("index_id"), "fp")
+    if exclude_ids is not None:
+        posts = posts.join(
+            F.broadcast(
+                exclude_ids.select(
+                    F.col(exclude_ids.columns[0]).alias("index_id")
+                ).distinct()
+            ),
+            "index_id",
+            "left_anti",
+        )
+    # count DISTINCT fp, not rows: identical on clean postings (per-doc
+    # distinct by construction) but immune to the duplicate postings a
+    # crashed admit-novel extension can leave behind
     return (
         posts.join(F.broadcast(bfp), "fp")
         .filter(F.col("batch_id") != F.col("index_id"))
         .groupBy("batch_id", "index_id")
-        .agg(F.count("*").alias("n_shared"))
+        .agg(F.count_distinct("fp").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
 
@@ -2429,10 +2446,11 @@ def winnow_pairs_index(
     posts = posts.localCheckpoint(eager=True)
     a = posts.select("fp", F.col(stored_id).alias("id_a"))
     b = posts.select("fp", F.col(stored_id).alias("id_b"))
+    # count_distinct for the same crashed-admit immunity as the probe
     return (
         a.hint("shuffle_hash").join(b, "fp")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_shared"))
+        .agg(F.count_distinct("fp").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )

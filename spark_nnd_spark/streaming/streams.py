@@ -1799,6 +1799,7 @@ def winnow_gate_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     timeout_sec: int = 180,
+    admit_novel: bool = False,
 ) -> Any:
     """Streaming copied-passage guard — the ingest twin of q205 (and
     the fingerprint-level sibling of span_gate_stream's verbatim gate):
@@ -1817,15 +1818,42 @@ def winnow_gate_stream(
     in tests). Retracting an indexed doc stops it causing rejections
     immediately (tombstones reach the probe).
 
+    ``admit_novel=True`` closes the steady-state ingest loop (the
+    indexed_dedup_stream discipline): after writing verdicts, each
+    micro-batch's CLEAN docs are admitted into the winnow index
+    (extend_winnow_index), so batch N+1's probe sees batch N. Replay
+    safety is the same two layers — verdict purity (the probe masks
+    the batch's own ids via ``exclude_ids``, so a crashed
+    partially-admitted batch re-probes the exact pre-batch index) and
+    at-most-once-observed admission (a batchId-keyed ``_SUCCESS``
+    marker under ``<index>/admitted`` written AFTER the extension;
+    a replayed fully-processed batch is a no-op, and a crash between
+    extension and marker re-extends into duplicate postings, which
+    verdicts tolerate — the probe counts DISTINCT shared fingerprints).
+
     Scale: per batch, the candidate fingerprint set (~2/(w+1) of its
     shingles) broadcasts into the fp-sorted postings scan — O(matching
     postings) shuffle, the index never re-shingled."""
-    from spark_nnd_spark.operators.dedup import winnow_query_index  # noqa: PLC0415
+    from spark_nnd_spark.operators.dedup import (  # noqa: PLC0415
+        extend_winnow_index,
+        winnow_query_index,
+    )
+
+    def _dir_exists(spark, path: str) -> bool:
+        jvm = spark.sparkContext._jvm  # noqa: SLF001
+        jsc = spark.sparkContext._jsc  # noqa: SLF001
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        return fs.exists(hpath)
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
+        marker = f"{index_path}/admitted/winnow_batch={batch_id}"
+        if admit_novel and _dir_exists(spark, f"{marker}/_SUCCESS"):
+            return  # fully processed on a previous attempt
+        batch_df = batch_df.localCheckpoint(eager=True)
         hits = winnow_query_index(
             spark,
             index_path,
@@ -1834,6 +1862,7 @@ def winnow_gate_stream(
             max_fp_freq=max_fp_freq,
             id_col=id_col,
             text_col=text_col,
+            exclude_ids=batch_df.select(id_col) if admit_novel else None,
         )
         best = (
             hits.groupBy("batch_id")
@@ -1863,9 +1892,24 @@ def winnow_gate_stream(
                 "copied",
             )
         )
+        verdicts = verdicts.localCheckpoint(eager=True)
         verdicts.write.mode("overwrite").parquet(
             f"{out_path}/winnow_batch={batch_id}"
         )
+        if admit_novel:
+            clean = batch_df.join(
+                verdicts.filter(~F.col("copied")).select(
+                    F.col("batch_id").alias(id_col)
+                ),
+                id_col,
+                "left_semi",
+            )
+            extend_winnow_index(
+                spark, index_path, clean, text_col=text_col, id_col=id_col
+            )
+            spark.createDataFrame(
+                [(batch_id,)], "winnow_batch long"
+            ).coalesce(1).write.mode("overwrite").parquet(marker)
 
     q = (
         candidate_stream.writeStream.foreachBatch(gate)

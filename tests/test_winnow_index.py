@@ -300,3 +300,63 @@ def test_pairs_index_equals_inline_and_guards_capped_tombstones(spark, tmp_path)
         ).collect()
     )
     assert after == want
+
+
+def test_winnow_gate_admit_novel_closes_ingest_loop(spark, tmp_path):
+    """admit_novel: a clean doc admitted in batch N is matched by its
+    copier in batch N+1; a full replay with existing markers is a
+    no-op (verdict dirs unchanged); the copier itself is NOT admitted."""
+    import os
+
+    import pandas as pd
+
+    from spark_nnd_spark.streaming.streams import winnow_gate_stream
+
+    idx = str(tmp_path / "widx")
+    build_winnow_index(_corpus(spark), idx, n=4, w=4)  # docs 1,2,3
+    new_passage = " ".join(f"np{i}" for i in range(20))
+    cands = [
+        (300, _fill("g", 12) + " " + new_passage),   # clean -> admitted
+        (301, new_passage + " " + _fill("h", 14)),   # copies 300 (later batch)
+    ]
+    src = tmp_path / "cands"
+    src.mkdir()
+    for b in range(2):
+        p = src / f"chunk{b}.parquet"
+        pd.DataFrame([cands[b]], columns=["doc_id", "text"]).to_parquet(
+            p, index=False
+        )
+        os.utime(p, (1_700_000_000 + b, 1_700_000_000 + b))
+    out = str(tmp_path / "gates")
+
+    def run(ckpt: str):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        winnow_gate_stream(
+            stream, idx, out, checkpoint=str(tmp_path / ckpt),
+            min_shared=2, admit_novel=True,
+        )
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(out).drop("winnow_batch").collect()
+        )
+
+    first = run("ck1")
+    v = {r[0]: (r[1], r[4]) for r in first}
+    assert v[300] == (-1, False)   # novel at probe time -> admitted
+    assert v[301] == (300, True)   # caught by the doc admitted one batch earlier
+    # 301 (copied) must NOT be in the index; 300 must be
+    ids = {
+        r[0]
+        for r in spark.read.parquet(f"{idx}/fps").select("doc_id").distinct().collect()
+    }
+    assert 300 in ids and 301 not in ids
+    # replay with fresh checkpoint: markers make every batch a no-op
+    assert run("ck2") == first
+    assert {
+        r[0]
+        for r in spark.read.parquet(f"{idx}/fps").select("doc_id").distinct().collect()
+    } == ids
