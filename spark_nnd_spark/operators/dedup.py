@@ -2248,8 +2248,18 @@ def build_winnow_index(
     fps.repartition("fp").sortWithinPartitions("fp").write.mode(
         "overwrite"
     ).parquet(f"{path}/fps")
+    _write_fp_stats(spark, path)
+
+
+def _write_fp_stats(spark, path: str) -> None:
+    """fp_stats = DISTINCT-doc frequency per fingerprint (the probe's
+    own distinct-fp convention): on clean postings identical to a row
+    count (per-doc fps are distinct by construction), but immune to
+    the duplicate rows a crashed admit-novel re-extension can leave
+    behind — the recompute genuinely cannot double-count."""
+    stored_id = _winnow_tables(spark, path)[0][1]
     spark.read.parquet(f"{path}/fps").groupBy("fp").agg(
-        F.count("*").alias("df")
+        F.count_distinct(F.col(stored_id)).alias("df")
     ).write.mode("overwrite").parquet(f"{path}/fp_stats")
 
 
@@ -2298,14 +2308,6 @@ def winnow_query_index(
         )
         .localCheckpoint(eager=True)
     )
-    if max_fp_freq is not None:
-        hot = (
-            spark.read.parquet(f"{path}/fp_stats")
-            .join(F.broadcast(bfp.select("fp").distinct()), "fp", "left_semi")
-            .filter(F.col("df") > max_fp_freq)
-            .select("fp")
-        )
-        bfp = bfp.join(F.broadcast(hot), "fp", "left_anti")
     tomb = IL.read_tombstones(spark, path)
     stored_id = _winnow_tables(spark, path)[0][1]
     posts = IL.anti_tombstones(
@@ -2321,6 +2323,36 @@ def winnow_query_index(
             "index_id",
             "left_anti",
         )
+    if max_fp_freq is not None:
+        if exclude_ids is None:
+            hot = (
+                spark.read.parquet(f"{path}/fp_stats")
+                .join(
+                    F.broadcast(bfp.select("fp").distinct()), "fp", "left_semi"
+                )
+                .filter(F.col("df") > max_fp_freq)
+                .select("fp")
+            )
+        else:
+            # Replay purity for the admit-novel gate: the stored
+            # fp_stats may already include a crashed attempt's
+            # partially-admitted batch, so a replayed probe cutting on
+            # them could over-cut relative to the first attempt.
+            # Recompute df for JUST the batch's fingerprints from the
+            # masked postings themselves — both the first attempt and
+            # any replay see the identical pre-batch df, and the
+            # O(matching postings) aggregate is the same order as the
+            # probe join it gates.
+            hot = (
+                posts.join(
+                    F.broadcast(bfp.select("fp").distinct()), "fp", "left_semi"
+                )
+                .groupBy("fp")
+                .agg(F.count_distinct("index_id").alias("df"))
+                .filter(F.col("df") > max_fp_freq)
+                .select("fp")
+            )
+        bfp = bfp.join(F.broadcast(hot), "fp", "left_anti")
     # count DISTINCT fp, not rows: identical on clean postings (per-doc
     # distinct by construction) but immune to the duplicate postings a
     # crashed admit-novel extension can leave behind
@@ -2347,17 +2379,40 @@ def extend_winnow_index(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> None:
-    """Admit a batch into the winnow index: re-admission upsert
-    (shared kernel), append the batch's selected fingerprints, refresh
-    fp_stats (recomputed from fps — an O(index-fps) integer scan a
-    retried extension cannot double-count, the band_stats argument)."""
+    """Admit a batch into the winnow index: upsert, append the batch's
+    selected fingerprints, refresh fp_stats. The upsert purges the
+    incoming ids' old physical rows UNCONDITIONALLY — tombstoned
+    (settle_readmission, which also clears their tombstones) AND still
+    live (a duplicate submission or a crashed admit-novel re-extension)
+    — so the batch's version of each doc is the only one stored and no
+    duplicate postings survive to drift the capped pairs sweep or the
+    compact==fresh-build invariant. fp_stats is recomputed as
+    DISTINCT-doc counts (:func:`_write_fp_stats`), so the refresh
+    cannot double-count even against postings written by an interrupted
+    attempt."""
     from spark_nnd_spark.operators import index_lifecycle as IL  # noqa: PLC0415
 
     meta = spark.read.parquet(f"{path}/meta").first()
+    new_docs = new_docs.localCheckpoint(eager=True)
     IL.settle_readmission(
         spark, path, new_docs.select(id_col), _winnow_tables(spark, path)
     )
     stored_id = _winnow_tables(spark, path)[0][1]
+    live_overlap = (
+        spark.read.parquet(f"{path}/fps")
+        .select(F.col(stored_id).alias("id"))
+        .join(
+            F.broadcast(
+                new_docs.select(F.col(id_col).alias("id")).distinct()
+            ),
+            "id",
+            "left_semi",
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if live_overlap.take(1):
+        IL.rewrite_minus(spark, path, live_overlap, _winnow_tables(spark, path))
     (
         new_docs.withColumn(
             "_hs", TX.ordered_shingle_hashes_expr(text_col, meta["n"])
@@ -2369,9 +2424,7 @@ def extend_winnow_index(
         .write.mode("append")
         .parquet(f"{path}/fps")
     )
-    spark.read.parquet(f"{path}/fps").groupBy("fp").agg(
-        F.count("*").alias("df")
-    ).write.mode("overwrite").parquet(f"{path}/fp_stats")
+    _write_fp_stats(spark, path)
 
 
 def retract_from_winnow_index(spark, path: str, ids: DataFrame) -> None:
@@ -2393,9 +2446,7 @@ def compact_winnow_index(spark, path: str) -> None:
 
     if not IL.compact(spark, path, _winnow_tables(spark, path)):
         return
-    spark.read.parquet(f"{path}/fps").groupBy("fp").agg(
-        F.count("*").alias("df")
-    ).write.mode("overwrite").parquet(f"{path}/fp_stats")
+    _write_fp_stats(spark, path)
 
 
 def winnow_pairs_index(

@@ -6137,6 +6137,34 @@ def q206_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.gap_fill_locf(e).orderBy("user_id", "slot_epoch")
 
 
+GAPFILL_GRAIN = 900   # 15-minute slots — exercises the generic branch
+GAPFILL_USER_MOD = 15  # deterministic user slice: a 4x-finer grain
+#                        multiplies the dense grid 4x, so the parity
+#                        row samples 1/15 of the users to keep the
+#                        compare O(q206-sized) — branch coverage is
+#                        per-expression, not per-row
+
+
+def q210_gapfill_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q206's hypertable gap-fill at a NON-DEFAULT grain (15-minute
+    slots): the same LOCF + linear-interpolation grid through the
+    operator's generic epoch-modulo bucketing branch instead of the
+    hourly date_trunc fast path — cross-engine parity for arbitrary
+    ``grain_seconds`` (the r13 advice's untested branch, now
+    hash-checked against a grain-parameterized DuckDB oracle).
+
+    Scale: identical plan shape to q206 — one map-side-combined
+    (user, bucket) aggregate, O(users) bounds, narrow sequence
+    explode; a finer grain only multiplies the O(users·slots) grid,
+    bounded by the same max_slots_per_series guard."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % GAPFILL_USER_MOD == 0
+    )
+    return EV.gap_fill_locf(e, grain_seconds=GAPFILL_GRAIN).orderBy(
+        "user_id", "slot_epoch"
+    )
+
+
 _WINNOW_FULL_IDX_CACHE: dict[tuple[str, str], str] = {}
 
 
@@ -6259,25 +6287,39 @@ def _indexed_winnow_oracle() -> str:
     """
 
 
-def _gapfill_locf_oracle() -> str:
+def _gapfill_locf_oracle(grain: int = 3600, user_mod: int | None = None) -> str:
     from spark_nnd_spark.functions.numeric import round_half_up_sql
 
     v_hour = round_half_up_sql("h.cents / (100.0 * h.n_events)")
+    # hourly grain buckets via date_trunc (the operator's fast path);
+    # any other grain via epoch-second modulo — mirroring the two
+    # branches of operators/events.gap_fill_locf exactly
+    bucket = (
+        "(epoch_us(date_trunc('hour', ts::TIMESTAMP)) // 1000000)"
+        if grain == 3600
+        else (
+            "((epoch_us(ts::TIMESTAMP) // 1000000)"
+            f" - (epoch_us(ts::TIMESTAMP) // 1000000) % {grain})"
+        )
+    )
     return f"""
         WITH hourly AS (
             SELECT user_id,
-                   (epoch_us(date_trunc('hour', ts::TIMESTAMP)) // 1000000)
+                   {bucket}
                        AS slot_epoch,
                    COUNT(*) AS n_events,
                    SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
-            FROM events GROUP BY 1, 2
+            FROM events
+            WHERE {"TRUE" if user_mod is None else f"user_id % {user_mod} = 0"}
+            GROUP BY 1, 2
         ),
         b AS (
             SELECT user_id, MIN(slot_epoch) AS mn, MAX(slot_epoch) AS mx
             FROM hourly GROUP BY 1
         ),
         grid AS (
-            SELECT user_id, unnest(range(mn, mx + 3600, 3600)) AS slot_epoch
+            SELECT user_id, unnest(range(mn, mx + {grain}, {grain}))
+                       AS slot_epoch
             FROM b
         ),
         j AS (
@@ -6473,6 +6515,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q204_domain_blocklist": q204_domain_blocklist,
     "q205_indexed_winnow": q205_indexed_winnow,
     "q206_gapfill_locf": q206_gapfill_locf,
+    "q210_gapfill_grain": q210_gapfill_grain,
     "q207_ohlc_bars": q207_ohlc_bars,
     "q209_indexed_winnow_pairs": q209_indexed_winnow_pairs,
 }
@@ -10361,6 +10404,9 @@ def pipeline_oracles() -> dict[str, str]:
     oracles["q204_domain_blocklist"] = _domain_blocklist_oracle()
     oracles["q205_indexed_winnow"] = _indexed_winnow_oracle()
     oracles["q206_gapfill_locf"] = _gapfill_locf_oracle()
+    oracles["q210_gapfill_grain"] = _gapfill_locf_oracle(
+        GAPFILL_GRAIN, user_mod=GAPFILL_USER_MOD
+    )
     oracles["q207_ohlc_bars"] = _ohlc_bars_oracle()
     # index-served twin: the persisted-fps corpus sweep must equal the
     # inline q91 computation exactly (same (n, w), same stored-df cut)

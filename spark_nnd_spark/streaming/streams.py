@@ -1828,8 +1828,13 @@ def winnow_gate_stream(
     at-most-once-observed admission (a batchId-keyed ``_SUCCESS``
     marker under ``<index>/admitted`` written AFTER the extension;
     a replayed fully-processed batch is a no-op, and a crash between
-    extension and marker re-extends into duplicate postings, which
-    verdicts tolerate — the probe counts DISTINCT shared fingerprints).
+    extension and marker re-extends as an UPSERT — extend_winnow_index
+    purges the batch's first-attempt rows before re-appending, so no
+    duplicate postings survive). With ``max_fp_freq`` set, the
+    replayed probe's boilerplate cut is computed from the masked
+    postings themselves (winnow_query_index's ``exclude_ids`` path),
+    not the stored fp_stats a partial admission may have refreshed —
+    replay == batch holds exactly even across a mid-extension crash.
 
     Scale: per batch, the candidate fingerprint set (~2/(w+1) of its
     shingles) broadcasts into the fp-sorted postings scan — O(matching

@@ -360,3 +360,63 @@ def test_winnow_gate_admit_novel_closes_ingest_loop(spark, tmp_path):
         r[0]
         for r in spark.read.parquet(f"{idx}/fps").select("doc_id").distinct().collect()
     } == ids
+
+
+def test_duplicate_submission_extend_is_upsert(spark, tmp_path):
+    """Extending a doc that is already LIVE in the index (duplicate
+    submission / crashed re-extension) purges its old rows first — no
+    duplicate postings survive, and the grown index stays byte-equal
+    to a fresh build (the compact==fresh invariant the r13 advice
+    flagged as drifting)."""
+    grown, fresh = str(tmp_path / "g"), str(tmp_path / "f")
+    c = _corpus(spark)
+    extra = spark.createDataFrame(
+        [(4, PASSAGE + " " + _fill("d", 18))], "doc_id long, text string"
+    )
+    build_winnow_index(c, grown, n=4, w=4)
+    extend_winnow_index(spark, grown, extra)
+    n_once = spark.read.parquet(f"{grown}/fps").count()
+    extend_winnow_index(spark, grown, extra)  # duplicate submission
+    assert spark.read.parquet(f"{grown}/fps").count() == n_once
+    build_winnow_index(c.unionByName(extra), fresh, n=4, w=4)
+    rows = lambda p: sorted(  # noqa: E731
+        tuple(r) for r in spark.read.parquet(f"{p}/fps").collect()
+    )
+    assert rows(grown) == rows(fresh)
+    st = lambda p: sorted(  # noqa: E731
+        tuple(r) for r in spark.read.parquet(f"{p}/fp_stats").collect()
+    )
+    assert st(grown) == st(fresh)
+
+
+def test_df_cut_replay_purity_under_partial_admission(spark, tmp_path):
+    """The admit-novel gate's replay contract with max_fp_freq set: a
+    probe that masks the batch's ids (exclude_ids) must return the
+    same verdicts BEFORE and AFTER a crashed partial admission of that
+    batch — the boilerplate cut is computed from the masked postings,
+    not the stored fp_stats the partial admission refreshed."""
+    idx = str(tmp_path / "i")
+    boiler = " ".join(f"w{i}" for i in range(8))
+    rows = [(i, boiler + " " + _fill(f"u{i}_", 12)) for i in range(1, 5)]
+    build_winnow_index(
+        spark.createDataFrame(rows, "doc_id long, text string"), idx, n=4, w=4
+    )
+    # batch of boilerplate-carrying docs; cap=4 sits exactly at the
+    # pre-batch df (4 docs), so any admitted batch doc pushing stored
+    # df to 5 would flip the cut if stats were trusted
+    batch = spark.createDataFrame(
+        [(100, boiler + " " + _fill("v", 12)),
+         (101, boiler + " " + _fill("x", 12))],
+        "doc_id long, text string",
+    )
+    ex = batch.select("doc_id")
+    probe = lambda: sorted(  # noqa: E731
+        tuple(r)
+        for r in winnow_query_index(
+            spark, idx, batch, min_shared=1, max_fp_freq=4, exclude_ids=ex
+        ).collect()
+    )
+    before = probe()
+    # crash simulation: doc 100 admitted, marker never written
+    extend_winnow_index(spark, idx, batch.filter(F.col("doc_id") == 100))
+    assert probe() == before
