@@ -100,6 +100,7 @@ def graph_search_topk(
     query_vec_col: str = "q_vec",
     points: DataFrame | None = None,
     include_reverse: bool = True,
+    reverse: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k nearest stored neighbors of each query vector, served by
     greedy best-first search over ``graph`` (a ``build_graph`` /
@@ -108,6 +109,16 @@ def graph_search_topk(
     ``points`` optionally overrides the vector table (id, features,
     partition) — the persisted family passes its stored vectors so the
     adjacency table alone never needs to carry features.
+
+    ``reverse`` optionally supplies a PREBUILT reverse-edge pair table
+    (id, src) — every row meaning ``src`` lists ``id`` among its
+    neighbors, i.e. exactly ``explode(adjacency)`` keyed by target.
+    With it, the reverse pass of each iteration is a second id-keyed
+    LOOKUP join instead of a full adjacency explode+join — the
+    persisted family (operators/knn_graph_index) maintains this as the
+    ``reverse/`` sidecar, halving the per-iteration corpus scan work
+    and making both expansion sides prunable. Without it (inline
+    serving), the reverse pairs are derived from ``graph`` on the fly.
 
     Returns (query_id, nb_id, rank, sim), rank 1..k by sim desc / id
     asc — ties broken exactly like the graph build.
@@ -130,6 +141,8 @@ def graph_search_topk(
     points = points.select("id", "features", "partition").localCheckpoint(
         eager=False
     )
+    if reverse is not None:
+        reverse = reverse.select("id", "src").localCheckpoint(eager=False)
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).cast("array<double>").alias("q_vec"),
@@ -157,7 +170,9 @@ def graph_search_topk(
         if not frontier.take(1):
             break
         f_pairs = frontier.select("query_id", "id")
-        scored = _expand_score(adj, points, q, f_pairs, include_reverse)
+        scored = _expand_score(
+            adj, points, q, f_pairs, include_reverse, reverse
+        )
         expanded_pool = pool.join(
             F.broadcast(f_pairs.withColumn("__f", F.lit(True))),
             ["query_id", "id"],
@@ -196,6 +211,7 @@ def _expand_score(
     q: DataFrame,
     f_pairs: DataFrame,
     include_reverse: bool = True,
+    reverse: DataFrame | None = None,
 ) -> DataFrame:
     """One search round's candidate generation + scoring — the only
     corpus-touching step, kept as a named unit so the plan contract is
@@ -212,19 +228,28 @@ def _expand_score(
     closure NN-Descent itself iterates with (NND.scala:146-152), and
     what makes freshly-extended outlier nodes reachable at all (a pure
     K-NN graph is directed; nothing need point AT a far new node). The
-    reverse pass is a second adjacency SCAN with a broadcast hash join
-    on the exploded neighbor column — still zero corpus shuffle; a
-    100 TB deployment that wants to halve the scan count persists a
-    reverse-pair table instead."""
+    reverse pass is either an id-keyed lookup into the prebuilt
+    ``reverse`` pair table (the persisted family's ``reverse/``
+    sidecar — same shape as the forward fetch, prunable by id) or,
+    when none is supplied, a second adjacency SCAN with a broadcast
+    hash join on the exploded neighbor column — zero corpus shuffle
+    either way."""
     fwd = adj.join(F.broadcast(f_pairs), "id").select(
         "query_id", F.explode("nb_ids").alias("id")
     )
     if include_reverse:
-        rev = (
-            adj.select(F.col("id").alias("src"), F.explode("nb_ids").alias("id"))
-            .join(F.broadcast(f_pairs), "id")
-            .select("query_id", F.col("src").alias("id"))
-        )
+        if reverse is not None:
+            rev = reverse.join(F.broadcast(f_pairs), "id").select(
+                "query_id", F.col("src").alias("id")
+            )
+        else:
+            rev = (
+                adj.select(
+                    F.col("id").alias("src"), F.explode("nb_ids").alias("id")
+                )
+                .join(F.broadcast(f_pairs), "id")
+                .select("query_id", F.col("src").alias("id"))
+            )
         fwd = fwd.unionByName(rev)
     cand = fwd.distinct()
     return (

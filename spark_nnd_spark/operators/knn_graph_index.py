@@ -11,6 +11,13 @@ Layout under ``{path}``:
   ``partition`` — the vector table every probe's fetch join hits;
 - ``adjacency/``  (id, neighbors) hive-partitioned by ``partition`` —
   the base graph as of the last build/compaction;
+- ``reverse/``    (id, src) REVERSE-edge pairs hive-partitioned by
+  ``partition`` — one row per adjacency edge, keyed by TARGET: ``src``
+  lists ``id`` among its neighbors (edges never cross ``partition``,
+  so the pair inherits its row's partition). The search's undirected
+  expansion reads this as a second id-keyed lookup instead of
+  re-deriving reverse edges by exploding the full adjacency every
+  iteration — written at build/persist and compact;
 - ``updates/``    (id, neighbors, partition, batch) — append-only
   adjacency DELTAS from ``extend``; a row supersedes the base row (and
   any lower-``batch`` update) for its id;
@@ -115,11 +122,13 @@ def persist_graph_index(
     g.select("id", "features", "label", "finished", "partition").write.mode(
         "overwrite"
     ).partitionBy("partition").parquet(f"{path}/points")
-    g.filter(F.col("neighbors").isNotNull()).select(
+    adj = g.filter(F.col("neighbors").isNotNull()).select(
         "id", "neighbors", "partition"
-    ).write.mode("overwrite").partitionBy("partition").parquet(
+    )
+    adj.write.mode("overwrite").partitionBy("partition").parquet(
         f"{path}/adjacency"
     )
+    _write_reverse(spark.read.parquet(f"{path}/adjacency"), path)
     spark.createDataFrame(
         [(
             int(k), int(max_iterations), float(early_termination),
@@ -132,6 +141,50 @@ def persist_graph_index(
 
 def _meta(spark: SparkSession, path: str) -> dict[str, Any]:
     return spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+
+
+def _rev_pairs(adj: DataFrame) -> DataFrame:
+    """Adjacency exploded into reverse-edge pairs keyed by TARGET:
+    (id = the listed neighbor, src = the row that lists it). Edges
+    never cross ``partition`` (NND.scala:296-306 gates cross-partition
+    similarity to -inf), so the pair keeps its source row's value."""
+    return adj.select(
+        F.col("id").alias("src"),
+        F.explode(F.transform("neighbors", lambda s: s["id"])).alias("id"),
+        "partition",
+    ).select("id", "src", "partition")
+
+
+def _write_reverse(adj: DataFrame, path: str) -> None:
+    _rev_pairs(adj).write.mode("overwrite").partitionBy(
+        "partition"
+    ).parquet(f"{path}/reverse")
+
+
+def _resolved_reverse(spark: SparkSession, path: str) -> DataFrame:
+    """Reverse pairs equal (by construction) to exploding the
+    update-RESOLVED adjacency: base pairs whose ``src`` has no delta,
+    plus the latest delta rows exploded. The base side pays one
+    broadcast anti-join on src (O(updated) ids); only the O(updated)
+    delta rows are exploded at read time. Falls back to deriving from
+    the resolved adjacency when the sidecar is absent (an index
+    persisted before the sidecar existed)."""
+    if not _exists(spark, f"{path}/reverse"):
+        return _rev_pairs(_resolved_adjacency(spark, path)).select("id", "src")
+    base = spark.read.parquet(f"{path}/reverse").select("id", "src")
+    if not _exists(spark, f"{path}/updates"):
+        return base
+    upd = spark.read.parquet(f"{path}/updates")
+    w = Window.partitionBy("id").orderBy(F.desc("batch"))
+    latest = (
+        upd.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("id", "neighbors", "partition")
+    )
+    upd_ids = upd.select(F.col("id").alias("src")).distinct()
+    return base.join(F.broadcast(upd_ids), "src", "left_anti").unionByName(
+        _rev_pairs(latest).select("id", "src")
+    )
 
 
 def _resolved_adjacency(spark: SparkSession, path: str) -> DataFrame:
@@ -201,15 +254,22 @@ def graph_index_search(
     from spark_nnd_spark.nnd.search import graph_search_topk  # noqa: PLC0415
 
     g = read_graph(spark, path)
+    # Reverse expansion from the maintained sidecar: mask exactly the
+    # SOURCES the inline derivation would lose when its adjacency rows
+    # are masked (tombstoned + probe-excluded ids), so sidecar-served
+    # search equals inline search row-for-row. Stale TARGETS need no
+    # mask — a masked candidate dies at the vector-fetch join.
+    rev = _resolved_reverse(spark, path)
+    rev = IL.anti_tombstones(rev, IL.read_tombstones(spark, path), "src")
     if exclude_ids is not None:
-        g = g.join(
-            F.broadcast(
-                exclude_ids.select(
-                    F.col(exclude_ids.columns[0]).alias("id")
-                ).distinct()
-            ),
-            "id",
-            "left_anti",
+        ex = F.broadcast(
+            exclude_ids.select(
+                F.col(exclude_ids.columns[0]).alias("id")
+            ).distinct()
+        )
+        g = g.join(ex, "id", "left_anti")
+        rev = rev.join(
+            ex.select(F.col("id").alias("src")), "src", "left_anti"
         )
     return graph_search_topk(
         g,
@@ -223,11 +283,26 @@ def graph_index_search(
         query_id_col=query_id_col,
         query_vec_col=query_vec_col,
         points=g.select("id", "features", "partition"),
+        reverse=rev,
     )
 
 
-def _graph_tables(path: str) -> list[IL.TableSpec]:  # noqa: ARG001
-    return [("points", "id", "partition"), ("adjacency", "id", "partition")]
+def _graph_tables(
+    spark: SparkSession | None = None, path: str | None = None
+) -> list[IL.TableSpec]:
+    """Upsert/purge table specs. ``reverse`` is keyed by ``src`` — an
+    upserted id's OLD out-edges must leave the sidecar with its old
+    adjacency row (its appearances as a target are resolved at read
+    time). Included only when the sidecar exists (pre-sidecar
+    indexes)."""
+    tables: list[IL.TableSpec] = [
+        ("points", "id", "partition"), ("adjacency", "id", "partition")
+    ]
+    if spark is not None and path is not None and _exists(
+        spark, f"{path}/reverse"
+    ):
+        tables.append(("reverse", "src", "partition"))
+    return tables
 
 
 def extend_knn_graph_index(
@@ -244,7 +319,7 @@ def extend_knn_graph_index(
     upsert: the batch's version of the point wins.
     """
     new_pts = normalize_points(new_points).localCheckpoint(eager=True)
-    tables = _graph_tables(path)
+    tables = _graph_tables(spark, path)
     IL.settle_readmission(spark, path, new_pts.select("id"), tables)
     # live-id overlap: purge the old physical rows (points + base
     # adjacency + any update deltas) so the batch's version wins
@@ -350,6 +425,9 @@ def compact_knn_graph_index(spark: SparkSession, path: str) -> None:
     pts.write.mode("overwrite").partitionBy("partition").parquet(
         f"{path}/points"
     )
+    # reverse sidecar rebuilt from the compacted adjacency — pruned
+    # lists mean pruned pairs; zero-tax reverse reads are restored
+    _write_reverse(spark.read.parquet(f"{path}/adjacency"), path)
     if _exists(spark, f"{path}/updates"):
         shutil.rmtree(f"{path}/updates", ignore_errors=True)
     if tomb is not None:

@@ -298,3 +298,91 @@ def test_double_extend_content_update_latest_wins(spark, tmp_path):
     rows = KG.read_graph(spark, d).filter(F.col("id") == 500).collect()
     assert len(rows) == 1 and rows[0].features == [2.0] * 8
     assert KG.read_graph(spark, d).count() == 201
+
+
+def _derived_reverse(spark, d):
+    """What the inline path derives each iteration: explode of the
+    update-resolved adjacency — the sidecar must equal this exactly."""
+    return {
+        (r.id, r.src)
+        for r in KG._rev_pairs(  # noqa: SLF001
+            KG._resolved_adjacency(spark, d)  # noqa: SLF001
+        ).select("id", "src").collect()
+    }
+
+
+def _sidecar_reverse(spark, d):
+    return {
+        (r.id, r.src)
+        for r in KG._resolved_reverse(spark, d).collect()  # noqa: SLF001
+    }
+
+
+def test_reverse_sidecar_equals_derived_through_lifecycle(spark, tmp_path):
+    """The reverse/ sidecar resolves to EXACTLY the pairs the inline
+    explode-derivation produces at every lifecycle state: fresh build,
+    after an O(batch) extend (update deltas pending), and after
+    compaction (sidecar physically rebuilt, logs gone)."""
+    pts = _pts(spark)
+    d = str(tmp_path / "g")
+    KG.build_knn_graph_index(pts, d, k=10, max_iterations=4, seed=42)
+    assert _sidecar_reverse(spark, d) == _derived_reverse(spark, d)
+
+    extra = spark.createDataFrame(
+        make_clustered_points(n_clusters=8, per_cluster=3, dim=8, seed=7),
+        POINT_DDL,
+    ).withColumn("id", F.col("id") + 5000)
+    KG.extend_knn_graph_index(spark, d, extra)
+    assert _sidecar_reverse(spark, d) == _derived_reverse(spark, d)
+
+    KG.retract_from_knn_graph_index(
+        spark, d, spark.createDataFrame([(0,), (1,)], "id long")
+    )
+    KG.compact_knn_graph_index(spark, d)
+    assert _sidecar_reverse(spark, d) == _derived_reverse(spark, d)
+    # compaction rebuilt the physical sidecar: no tombstoned src or
+    # target survives in the stored pairs
+    stored = spark.read.parquet(f"{d}/reverse")
+    assert stored.filter(F.col("src").isin([0, 1])).count() == 0
+    assert stored.filter(F.col("id").isin([0, 1])).count() == 0
+
+
+def test_search_reverse_pass_uses_sidecar_lookup_not_explode(spark, tmp_path):
+    """Plan contract for the sidecar-served reverse expansion: one
+    candidate-generation round explodes ONLY the frontier's forward
+    neighbor lists — the full-adjacency explode the inline derivation
+    pays is gone (its 'Generate explode' count drops from 2 to 1), and
+    every corpus-side join stays broadcast-hash."""
+    from spark_nnd_spark.nnd.search import _expand_score
+
+    pts = _pts(spark)
+    d = str(tmp_path / "g")
+    KG.build_knn_graph_index(pts, d, k=10, max_iterations=4, seed=42)
+    g = KG.read_graph(spark, d)
+    adj = g.filter(F.col("neighbors").isNotNull()).select(
+        "id", F.transform("neighbors", lambda s: s["id"]).alias("nb_ids")
+    )
+    points = g.select("id", "features", "partition")
+    q = spark.createDataFrame(
+        [(9000, [0.0] * 8)], "query_id long, q_vec array<double>"
+    )
+    f_pairs = spark.createDataFrame(
+        [(9000, 0), (9000, 1)], "query_id long, id long"
+    )
+    rev = KG._resolved_reverse(spark, d)  # noqa: SLF001
+
+    def plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"  # noqa: SLF001
+        )
+
+    with_sidecar = plan(_expand_score(adj, points, q, f_pairs, True, rev))
+    derived = plan(_expand_score(adj, points, q, f_pairs, True, None))
+    assert with_sidecar.count("explode(") == 1
+    assert derived.count("explode(") == 2
+    assert "SortMergeJoin" not in with_sidecar
+    assert "CartesianProduct" not in with_sidecar
+    # identical candidates either way (the correctness half)
+    a = _expand_score(adj, points, q, f_pairs, True, rev)
+    b = _expand_score(adj, points, q, f_pairs, True, None)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
