@@ -129,6 +129,16 @@ def main() -> None:
         extend_sec = round(time.perf_counter() - t0, 2)
         b3 = stage_writes(spark)
 
+        # probe again THROUGH the pending update deltas: the read-tax
+        # path (resolved adjacency + resolved reverse sidecar) must
+        # stay query-bounded too
+        t0 = time.perf_counter()
+        n_res2 = KG.graph_index_search(
+            spark, path, queries, k=5, ef=64, beam=16, n_entry=64
+        ).count()
+        probe_upd_sec = round(time.perf_counter() - t0, 2)
+        b4 = stage_writes(spark)
+
         rec = {
             "n": n,
             "build_sec": build_sec,
@@ -139,6 +149,9 @@ def main() -> None:
             "extend_sec": extend_sec,
             "extend_batch": BATCH,
             "extend_shuffle_mb": _delta(b2, b3),
+            "probe_after_extend_sec": probe_upd_sec,
+            "probe_after_extend_rows": n_res2,
+            "probe_after_extend_shuffle_mb": _delta(b3, b4),
         }
         results.append(rec)
         print(json.dumps(rec))

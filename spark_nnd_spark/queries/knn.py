@@ -456,6 +456,94 @@ def _indexed_graph_recall_oracle() -> str:
     )
 
 
+# q211: the q201 index with a GS_EXT_N-id slice retracted and then
+# RE-EXTENDED with identical vectors — the slice's adjacency lives
+# only in the updates table, so search must flow through the
+# resolved-delta read path (resolved adjacency + resolved reverse
+# sidecar). Same logical content as q201's graph, so the brute ground
+# truth (and the oracle) is q202's with the method renamed.
+GS_EXT_N = 32
+_GIDX_EXT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _graph_index_extended_for(spark: SparkSession, sf_dir: str) -> str:
+    import shutil  # noqa: PLC0415
+
+    from spark_nnd_spark.operators.knn_graph_index import (  # noqa: PLC0415
+        extend_knn_graph_index,
+        retract_from_knn_graph_index,
+    )
+    from spark_nnd_spark.session import session_scratch_dir  # noqa: PLC0415
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _GIDX_EXT_CACHE:
+        src = _graph_index_for(spark, sf_dir)
+        path = session_scratch_dir("knn_graph_idx_ext_")
+        shutil.copytree(src, path, dirs_exist_ok=True)
+        retract_from_knn_graph_index(
+            spark, path,
+            spark.range(GS_HELDOUT, GS_HELDOUT + GS_EXT_N).select("id"),
+        )
+        extend_knn_graph_index(
+            spark, path,
+            _points(spark, sf_dir).filter(
+                (F.col("id") >= GS_HELDOUT)
+                & (F.col("id") < GS_HELDOUT + GS_EXT_N)
+            ),
+        )
+        _GIDX_EXT_CACHE[key] = path
+    return _GIDX_EXT_CACHE[key]
+
+
+def q211_extended_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked recall row for graph search over an index with
+    PENDING update deltas: a slice of the stored graph is retracted
+    and re-extended with identical vectors, so its rows live only in
+    ``updates/`` and every probe pays the O(updated) resolution path —
+    base-minus-delta adjacency, latest-per-id deltas, and the reverse
+    sidecar resolved against superseded sources. Logical content
+    equals q201's graph, so the ground truth is q202's; a regression
+    anywhere in retract → readmission upsert → delta append → resolved
+    read → search flips floor_ok red in the driver hash."""
+    from spark_nnd_spark.nnd.search import brute_topk_l2  # noqa: PLC0415
+    from spark_nnd_spark.operators.knn_graph_index import (  # noqa: PLC0415
+        graph_index_search,
+    )
+
+    corpus = _points(spark, sf_dir).filter(F.col("id") >= GS_HELDOUT)
+    q = _points(spark, sf_dir).filter(F.col("id") < GS_HELDOUT).select(
+        F.col("id").alias("query_id"), F.col("features").alias("q_vec")
+    )
+    brute = brute_topk_l2(corpus, q, k=GS_K).select("query_id", "nb_id")
+    brute = brute.localCheckpoint(eager=True)
+    served = graph_index_search(
+        spark, _graph_index_extended_for(spark, sf_dir), q,
+        k=GS_K, ef=GS_EF, beam=GS_BEAM, n_entry=GS_ENTRY,
+        max_iterations=GS_ITERS, seed=42,
+    )
+    hits = (
+        served.select("query_id", "nb_id")
+        .join(F.broadcast(brute), ["query_id", "nb_id"])
+        .agg(F.count("*").alias("hits"))
+    )
+    total = brute.agg(F.count("*").alias("total"))
+    recall = F.round(F.col("hits") / F.col("total"), 4)
+    return hits.crossJoin(total).select(
+        F.lit("extended_graph_search").alias("method"),
+        F.lit(None).cast("long").alias("hits"),
+        F.col("total"),
+        F.lit(None).cast("double").alias("recall"),
+        F.lit(GS_FLOOR).alias("floor"),
+        (recall >= F.lit(GS_FLOOR)).alias("floor_ok"),
+    )
+
+
+def _extended_graph_recall_oracle() -> str:
+    return _graph_search_recall_oracle().replace(
+        "'graph_search'", "'extended_graph_search'"
+    )
+
+
 def _graph_search_recall_oracle() -> str:
     """DuckDB side of q200: replay ONLY the brute-force ground truth
     (total); floor_ok is the literal assertion the Spark side must
@@ -1999,6 +2087,7 @@ KNN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q200_graph_search_recall": q200_graph_search_recall,
     "q201_indexed_graph_search": q201_indexed_graph_search,
     "q202_indexed_graph_recall": q202_indexed_graph_recall,
+    "q211_extended_graph_recall": q211_extended_graph_recall,
     "q208_prototype_prune": q208_prototype_prune,
 }
 
@@ -2042,4 +2131,5 @@ KNN_ORACLES: dict[str, str] = {
     # are their hash-checked grades.
     "q200_graph_search_recall": _graph_search_recall_oracle(),
     "q202_indexed_graph_recall": _indexed_graph_recall_oracle(),
+    "q211_extended_graph_recall": _extended_graph_recall_oracle(),
 }
