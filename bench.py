@@ -290,6 +290,7 @@ def main() -> None:
     for bname, builder in [
         ("build_nnd_graph", _knq._nnd_graph),  # noqa: SLF001
         ("build_graph_index", _knq._graph_index_for),  # noqa: SLF001
+        ("build_graph_index_ext", _knq._graph_index_extended_for),  # noqa: SLF001
         ("build_winnow_index", _plq._winnow_index_for),  # noqa: SLF001
         ("build_winnow_full_index", _plq._winnow_full_index_for),  # noqa: SLF001
         ("build_partitioned_events", _plq._partitioned_events_for),  # noqa: SLF001

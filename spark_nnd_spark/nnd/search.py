@@ -42,13 +42,14 @@ that ingest-gate case.
 
 Scale (100 TB): per-query cost is O(iterations · beam · K) candidate
 rows — independent of corpus size, the property that makes graph
-serving worth building the graph for. Per ITERATION the plan scans
-the corpus three times (adjacency forward + adjacency reverse +
+serving worth building the graph for. Per ITERATION the plan touches
+the corpus three times (adjacency forward + reverse expansion +
 vector fetch), every one a BROADCAST-hash join against an
-O(Q·beam)-row id set: the corpus side never shuffles, queries never
-cartesian with the corpus, and on the persisted family
-(operators/knn_graph_index) the fetches hit id-keyed parquet where a
-bucketed layout turns them into pruned lookups. The driver loop holds only a convergence scalar per round —
+O(Q·beam)-row id set: the corpus side never shuffles and queries
+never cartesian with the corpus. The reverse pass is an id-keyed
+lookup into a prebuilt reverse-pair table when one is supplied (the
+persisted family's ``reverse/`` sidecar — no full-adjacency explode
+per iteration); inline serving derives it from the adjacency scan. The driver loop holds only a convergence scalar per round —
 the descent.py A12/A13 discipline (localCheckpoint per iteration,
 ``count`` as the stop test).
 """
