@@ -70,6 +70,11 @@ SPOT_QUERIES = [
     "q206_gapfill_locf",
     "q207_ohlc_bars",
     "q208_prototype_prune",
+    "q205_indexed_winnow",
+    "q209_indexed_winnow_pairs",
+    "q210_gapfill_grain",
+    "q201_indexed_graph_search",
+    "q211_extended_graph_recall",
 ]
 # (docs, vecs, events, users) — events/users mirror the testdata's
 # measured density (sf0.01 = 10k events / 150 users over 30 days)

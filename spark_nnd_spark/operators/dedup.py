@@ -2230,6 +2230,11 @@ def build_winnow_index(
     - ``fp_stats`` — (fp, df): per-fingerprint document frequency for
       the probe-time boilerplate cut — O(fps) stats, no corpus rescan
       per batch.
+    - ``ids``      — (doc_id): the admitted-doc roster, O(docs) rows —
+      extend's duplicate-submission upsert checks the incoming batch
+      against THIS table instead of scanning the ~2L/(w+1)-x-larger
+      postings, so the no-overlap common path pays a roster-sized
+      read, not a postings-sized one.
 
     Build cost: one tokenize pass + one exchange on fp — the same
     exchange the inline pair join pays once per QUERY."""
@@ -2249,6 +2254,9 @@ def build_winnow_index(
         "overwrite"
     ).parquet(f"{path}/fps")
     _write_fp_stats(spark, path)
+    corpus.select(F.col(id_col).alias(id_col)).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{path}/ids")
 
 
 def _write_fp_stats(spark, path: str) -> None:
@@ -2366,10 +2374,15 @@ def winnow_query_index(
 
 
 def _winnow_tables(spark, path: str):
+    import os  # noqa: PLC0415
+
     cols = spark.read.parquet(f"{path}/fps").columns
     tbl_id = [c for c in cols if c != "fp"][0]
     # physical layout reads depend on: fp-partitioned + fp-sorted
-    return [("fps", tbl_id, None, ("fp", ["fp"]))]
+    tables = [("fps", tbl_id, None, ("fp", ["fp"]))]
+    if os.path.isdir(f"{path}/ids"):  # absent on pre-roster indexes
+        tables.append(("ids", tbl_id, None))
+    return tables
 
 
 def extend_winnow_index(
@@ -2392,14 +2405,22 @@ def extend_winnow_index(
     attempt."""
     from spark_nnd_spark.operators import index_lifecycle as IL  # noqa: PLC0415
 
+    import os  # noqa: PLC0415
+
     meta = spark.read.parquet(f"{path}/meta").first()
     new_docs = new_docs.localCheckpoint(eager=True)
+    stored_id = _winnow_tables(spark, path)[0][1]
+    if not os.path.isdir(f"{path}/ids"):
+        # one-time migration of a pre-roster index: derive the roster
+        # from the postings so every later extend pays O(docs) reads
+        spark.read.parquet(f"{path}/fps").select(
+            stored_id
+        ).distinct().write.mode("overwrite").parquet(f"{path}/ids")
     IL.settle_readmission(
         spark, path, new_docs.select(id_col), _winnow_tables(spark, path)
     )
-    stored_id = _winnow_tables(spark, path)[0][1]
     live_overlap = (
-        spark.read.parquet(f"{path}/fps")
+        spark.read.parquet(f"{path}/ids")
         .select(F.col(stored_id).alias("id"))
         .join(
             F.broadcast(
@@ -2408,11 +2429,13 @@ def extend_winnow_index(
             "id",
             "left_semi",
         )
-        .distinct()
         .localCheckpoint(eager=True)
     )
     if live_overlap.take(1):
         IL.rewrite_minus(spark, path, live_overlap, _winnow_tables(spark, path))
+    new_docs.select(F.col(id_col).alias(stored_id)).distinct().write.mode(
+        "append"
+    ).parquet(f"{path}/ids")
     (
         new_docs.withColumn(
             "_hs", TX.ordered_shingle_hashes_expr(text_col, meta["n"])
