@@ -1294,17 +1294,17 @@ def extend_neardup_index(
     meta = spark.read.parquet(f"{path}/meta").first()
     num_hashes, bands, n = meta["num_hashes"], meta["bands"], meta["n"]
     rows_per_band = num_hashes // bands
-    # Re-admission is an UPSERT: a doc retracted earlier and now
-    # extended back in (possibly with new content) must become visible
-    # with ONLY the new rows — its old physical rows are purged first
-    # (the compact rewrite, targeted at just the overlapping ids) and
-    # its tombstones dropped. Rare path: it triggers only when the
-    # batch intersects the tombstone log; plain extensions stay pure
-    # appends. Idempotent under retry: the purge anti-join no-ops on
-    # ids already gone, the appends are the same batch.
+    # Extension is an UPSERT: a doc retracted earlier and re-ingested
+    # (settle half: old rows purged, tombstones cleared) or submitted
+    # while still LIVE (duplicate submission / crashed re-extension)
+    # must become visible with ONLY the batch's rows. Rare path: the
+    # purge rewrite triggers only on actual overlap; plain extensions
+    # stay pure appends after one O(docs) digests-roster check.
+    # Idempotent under retry: the purge anti-join no-ops on ids
+    # already gone, the appends are the same batch.
     from spark_nnd_spark.operators import index_lifecycle as IL
 
-    IL.settle_readmission(
+    IL.settle_upsert(
         spark, path, new_docs.select(id_col), _neardup_tables(spark, path)
     )
     new_docs.select(
@@ -1964,6 +1964,9 @@ def build_span_index(
     spark.read.parquet(f"{path}/grams").groupBy("gh").agg(
         F.count_distinct(F.col(id_col)).alias("df")
     ).write.mode("overwrite").parquet(f"{path}/gram_stats")
+    corpus.select(id_col).distinct().write.mode("overwrite").parquet(
+        f"{path}/ids"
+    )
 
 
 def span_query_index(
@@ -2132,10 +2135,15 @@ def span_scrub_index(
 
 
 def _span_tables(spark, path: str):
+    import os  # noqa: PLC0415
+
     cols = spark.read.parquet(f"{path}/grams").columns
     tbl_id = [c for c in cols if c not in ("pos", "gh")][0]
     # physical layout reads depend on: gh-partitioned + gh-sorted
-    return [("grams", tbl_id, None, ("gh", ["gh"]))]
+    tables = [("grams", tbl_id, None, ("gh", ["gh"]))]
+    if os.path.isdir(f"{path}/ids"):  # absent on pre-roster indexes
+        tables.append(("ids", tbl_id, None))
+    return tables
 
 
 def extend_span_index(
@@ -2145,17 +2153,31 @@ def extend_span_index(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> None:
-    """Admit a batch into the span index: re-admission upsert (shared
-    kernel), append the batch's positional grams, refresh gram_stats
-    (recomputed from grams — an O(index-grams) integer scan that a
-    retried extension cannot double-count, the band_stats argument)."""
+    """Admit a batch into the span index: full upsert (shared kernel —
+    tombstoned AND still-live overlap purged, so a duplicate
+    submission or crashed re-extension never leaves second copies of
+    a doc's positional grams, which would corrupt probe span extents),
+    append the batch's positional grams, refresh gram_stats
+    (count_distinct — a recompute that cannot double-count). The
+    live-overlap check reads the O(docs) ``ids`` roster, never the
+    grams; pre-roster indexes migrate once."""
+    import os  # noqa: PLC0415
+
     from spark_nnd_spark.operators import index_lifecycle as IL  # noqa: PLC0415
 
     gram_len = spark.read.parquet(f"{path}/meta").first()["gram_len"]
-    IL.settle_readmission(
-        spark, path, new_docs.select(id_col), _span_tables(spark, path)
-    )
     stored_id = _span_tables(spark, path)[0][1]
+    if not os.path.isdir(f"{path}/ids"):
+        spark.read.parquet(f"{path}/grams").select(
+            stored_id
+        ).distinct().write.mode("overwrite").parquet(f"{path}/ids")
+    IL.settle_upsert(
+        spark, path, new_docs.select(id_col), _span_tables(spark, path),
+        roster=("ids", stored_id, None),
+    )
+    new_docs.select(F.col(id_col).alias(stored_id)).distinct().write.mode(
+        "append"
+    ).parquet(f"{path}/ids")
     (
         new_docs.withColumn(
             "_hs", TX.ordered_shingle_hashes_expr(text_col, gram_len)
@@ -2416,23 +2438,10 @@ def extend_winnow_index(
         spark.read.parquet(f"{path}/fps").select(
             stored_id
         ).distinct().write.mode("overwrite").parquet(f"{path}/ids")
-    IL.settle_readmission(
-        spark, path, new_docs.select(id_col), _winnow_tables(spark, path)
+    IL.settle_upsert(
+        spark, path, new_docs.select(id_col), _winnow_tables(spark, path),
+        roster=("ids", stored_id, None),
     )
-    live_overlap = (
-        spark.read.parquet(f"{path}/ids")
-        .select(F.col(stored_id).alias("id"))
-        .join(
-            F.broadcast(
-                new_docs.select(F.col(id_col).alias("id")).distinct()
-            ),
-            "id",
-            "left_semi",
-        )
-        .localCheckpoint(eager=True)
-    )
-    if live_overlap.take(1):
-        IL.rewrite_minus(spark, path, live_overlap, _winnow_tables(spark, path))
     new_docs.select(F.col(id_col).alias(stored_id)).distinct().write.mode(
         "append"
     ).parquet(f"{path}/ids")

@@ -113,6 +113,42 @@ def compact(spark, path: str, tables: list[TableSpec]) -> bool:
     return True
 
 
+def settle_upsert(
+    spark,
+    path: str,
+    new_ids: DataFrame,
+    tables: list[TableSpec],
+    roster: TableSpec | None = None,
+) -> None:
+    """The FULL upsert half of extend: settle tombstoned overlap
+    (purge + clear tombstones, :func:`settle_readmission`), then purge
+    any incoming ids still LIVE in the index — a duplicate submission
+    or a crashed re-extension would otherwise append second copies of
+    their rows, which survive compaction (rewrites only subtract
+    tombstones) and drift every stored-count invariant. After this,
+    the batch's appended rows are each id's ONLY rows.
+
+    The live-overlap check reads ``roster`` — an O(ids)-row table
+    (default ``tables[0]``, right for families whose first table is
+    one-row-per-id). Postings-shaped families (span grams, winnow
+    fps, BM25) pass a doc-grain roster explicitly so the common
+    no-overlap path reads O(docs) rows, never O(postings). The purge
+    itself (rare path: only when an actual duplicate arrives) is the
+    shared targeted rewrite over all tables."""
+    settle_readmission(spark, path, new_ids, tables)
+    r = roster if roster is not None else tables[0]
+    ids = new_ids.select(F.col(new_ids.columns[0]).alias("id")).distinct()
+    live = (
+        spark.read.parquet(f"{path}/{r[0]}")
+        .select(F.col(r[1]).alias("id"))
+        .join(F.broadcast(ids), "id", "left_semi")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if live.take(1):
+        rewrite_minus(spark, path, live, tables)
+
+
 def settle_readmission(
     spark, path: str, new_ids: DataFrame, tables: list[TableSpec]
 ) -> None:

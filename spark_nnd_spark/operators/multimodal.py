@@ -452,7 +452,7 @@ def extend_image_index(
     from spark_nnd_spark.operators.dedup import hash_band_rows  # noqa: PLC0415
 
     meta = spark.read.parquet(f"{path}/meta").first()
-    IL.settle_readmission(
+    IL.settle_upsert(
         spark, path, new_images.select(id_col), _image_tables(spark, path)
     )
     hashes = perceptual_hash(

@@ -104,8 +104,11 @@ def extend_text_index(
     """
     from spark_nnd_spark.operators import index_lifecycle as IL
 
-    IL.settle_readmission(
-        spark, path, new_docs.select(id_col), _text_tables(spark, path)
+    # roster = doclens (one row per doc): the live-overlap check of
+    # the full upsert reads O(docs) rows, never the postings
+    IL.settle_upsert(
+        spark, path, new_docs.select(id_col), _text_tables(spark, path),
+        roster=_text_tables(spark, path)[1],
     )
     _write_postings(new_docs, path, text_col, id_col, mode="append")
     _rebuild_stats(spark, path)

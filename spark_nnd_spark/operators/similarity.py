@@ -296,7 +296,7 @@ def extend_binary_index(
     tombstoned ids is an upsert via the shared lifecycle kernel."""
     from spark_nnd_spark.operators import index_lifecycle as IL
 
-    IL.settle_readmission(spark, path, new_vectors.select(id_col), BINARY_TABLES)
+    IL.settle_upsert(spark, path, new_vectors.select(id_col), BINARY_TABLES)
     binarize_embeddings(new_vectors, id_col, vec_col).select(
         F.col("id").alias("nb_id"), "bits"
     ).write.mode("append").parquet(f"{path}/bits")
@@ -1129,7 +1129,7 @@ def extend_ivf_index(
 
     crows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     cents = np.array([r["centroid"] for r in crows], dtype=np.float64)
-    IL.settle_readmission(spark, path, new_vectors.select(id_col), IVF_TABLES)
+    IL.settle_upsert(spark, path, new_vectors.select(id_col), IVF_TABLES)
     _ivf_assign(new_vectors, cents, id_col, vec_col).write.mode(
         "append"
     ).partitionBy("cell").parquet(f"{path}/assignments")
@@ -1371,7 +1371,7 @@ def extend_ivfpq_index(
     crows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     cents = np.array([r["centroid"] for r in crows], dtype=np.float64)
     cb = _read_codebooks(spark, path)
-    IL.settle_readmission(spark, path, new_vectors.select(id_col), IVFPQ_TABLES)
+    IL.settle_upsert(spark, path, new_vectors.select(id_col), IVFPQ_TABLES)
     assigned = _ivf_assign(new_vectors, cents, id_col, vec_col)
     pq_encode(
         assigned, cb, id_col="nb_id", vec_col="c_vec", keep=["cell"]
@@ -1672,7 +1672,7 @@ def extend_mrl_index(
     prefix_dims = len(
         spark.read.parquet(f"{path}/prefix").select("c_pre").first()["c_pre"]
     )
-    IL.settle_readmission(spark, path, new_vectors.select(id_col), MRL_TABLES)
+    IL.settle_upsert(spark, path, new_vectors.select(id_col), MRL_TABLES)
     c = new_vectors.select(
         F.col(id_col).alias("nb_id"), _as_double(vec_col).alias("c_vec")
     )

@@ -2953,3 +2953,35 @@ def test_quality_select_quota_and_ties(spark):
 
     for s, n in ns.items():
         assert per.get(s, 0) == (n * SELECT_PCT) // 100, s
+
+
+def test_binary_index_duplicate_submission_upsert(spark, tmp_path):
+    """The vector families share the full-upsert kernel: re-extending
+    a LIVE vec_id replaces its rows (the batch's version wins), never
+    duplicates them — a duplicate would surface twice in top-k."""
+    import numpy as np
+
+    from spark_nnd_spark.operators.similarity import (
+        build_binary_index,
+        extend_binary_index,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(40)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "bidx")
+    build_binary_index(corpus, idx)
+    moved = spark.createDataFrame(
+        [(0, [9.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    extend_binary_index(spark, idx, moved)
+    full = spark.read.parquet(f"{idx}/full")
+    assert full.filter(F.col("nb_id") == 0).count() == 1  # replaced, not doubled
+    assert spark.read.parquet(f"{idx}/bits").filter(
+        F.col("nb_id") == 0
+    ).count() == 1
+    vec_col = [c for c in full.columns if c != "nb_id"][0]
+    got = full.filter(F.col("nb_id") == 0).collect()[0]
+    assert list(got[vec_col]) == [9.0] * 8

@@ -303,3 +303,30 @@ def test_span_scrub_stream_replay_equals_batch(spark, tmp_path):
     )
     after = {r[0]: r for r in run("ck3")}
     assert after[300][1] == cands[0][1] and after[300][3] == 0
+
+
+def test_duplicate_submission_extend_is_upsert(spark, tmp_path):
+    """Extending a doc that is already LIVE in the index (duplicate
+    submission / crashed re-extension) purges its old positional grams
+    first — no duplicate rows survive (duplicates would corrupt probe
+    span extents), and the grown index equals a fresh build. The
+    live-overlap check reads the O(docs) ids roster."""
+    grown, fresh = str(tmp_path / "g"), str(tmp_path / "f")
+    c = _corpus(spark)
+    extra = spark.createDataFrame(
+        [(4, PASSAGE + " " + _fill("d", 18))], "doc_id long, text string"
+    )
+    build_span_index(c, grown, gram_len=6)
+    extend_span_index(spark, grown, extra)
+    n_once = spark.read.parquet(f"{grown}/grams").count()
+    extend_span_index(spark, grown, extra)  # duplicate submission
+    assert spark.read.parquet(f"{grown}/grams").count() == n_once
+    build_span_index(c.unionByName(extra), fresh, gram_len=6)
+    rows = lambda p: sorted(  # noqa: E731
+        tuple(r) for r in spark.read.parquet(f"{p}/grams").collect()
+    )
+    assert rows(grown) == rows(fresh)
+    ids = lambda p: sorted(  # noqa: E731
+        r[0] for r in spark.read.parquet(f"{p}/ids").collect()
+    )
+    assert ids(grown) == ids(fresh) == [1, 2, 3, 4]
