@@ -178,6 +178,10 @@ HEADLINE = [
     "q207_ohlc_bars",
     "q208_prototype_prune",
     "q209_indexed_winnow_pairs",
+    "q210_gapfill_grain",
+    "q211_extended_graph_recall",
+    "q212_rollup_ohlc",
+    "q213_rollup_daily",
 ]
 
 
@@ -295,6 +299,7 @@ def main() -> None:
         ("build_winnow_full_index", _plq._winnow_full_index_for),  # noqa: SLF001
         ("build_partitioned_events", _plq._partitioned_events_for),  # noqa: SLF001
         ("build_board", _plq._board_for),  # noqa: SLF001
+        ("build_event_rollup", _plq._event_rollup_for),  # noqa: SLF001
         ("build_neardup_index", _plq._neardup_index_for),  # noqa: SLF001
         ("build_neardup_full_index", _plq._neardup_full_index_for),  # noqa: SLF001
         ("build_text_index", _plq._text_index_for),  # noqa: SLF001

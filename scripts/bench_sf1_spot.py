@@ -75,6 +75,8 @@ SPOT_QUERIES = [
     "q210_gapfill_grain",
     "q201_indexed_graph_search",
     "q211_extended_graph_recall",
+    "q212_rollup_ohlc",
+    "q213_rollup_daily",
 ]
 # (docs, vecs, events, users) — events/users mirror the testdata's
 # measured density (sf0.01 = 10k events / 150 users over 30 days)

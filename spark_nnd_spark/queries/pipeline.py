@@ -6243,6 +6243,84 @@ def q207_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One persisted continuous-aggregate rollup per (session, sf_dir) —
+# the 12th family (operators/event_rollup): hourly mergeable partials
+# over the events table, maintained incrementally.
+_ROLLUP_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _event_rollup_for(spark: SparkSession, sf_dir: str) -> str:
+    from spark_nnd_spark.operators.event_rollup import build_event_rollup  # noqa: PLC0415
+    from spark_nnd_spark.session import session_scratch_dir  # noqa: PLC0415
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ROLLUP_CACHE:
+        path = session_scratch_dir("event_rollup_")
+        build_event_rollup(load_table(spark, sf_dir, "events"), path)
+        _ROLLUP_CACHE[key] = path
+    return _ROLLUP_CACHE[key]
+
+
+def q212_rollup_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q207's hourly OHLC bars served ENTIRELY from the persisted
+    continuous-aggregate rollup (operators/event_rollup, the 12th
+    family): open/close read the stored ingest-order endpoints,
+    high/low the stored extremes — the raw events table is never
+    scanned (plan-asserted). Shares q207's oracle, so served ==
+    inline is the assertion (the q194/q209 discipline).
+
+    Scale: the probe is one O(users·buckets) rollup read; the
+    events-table pass happened once at build/ingest and is maintained
+    per batch by mergeable-partial extension."""
+    from spark_nnd_spark.operators.event_rollup import ohlc_from_rollup  # noqa: PLC0415
+
+    return ohlc_from_rollup(spark, _event_rollup_for(spark, sf_dir)).orderBy(
+        "user_id", "slot_epoch"
+    )
+
+
+def q213_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC + volume RE-BUCKETED from the stored hourly partials
+    — the cross-grain merge that makes continuous aggregates worth
+    persisting (TimescaleDB's hierarchical caggs): count/sum add,
+    min/max lattice, endpoints compare event ids, so hour → day
+    re-aggregation is exact without touching raw events. The oracle
+    re-derives the same bars from the events table directly, so the
+    hash certifies merge-closure end to end.
+
+    Scale: one O(rollup) groupBy, exchange keyed (user, day) —
+    corpus-size-independent per retention window."""
+    from spark_nnd_spark.operators.event_rollup import (  # noqa: PLC0415
+        daily_bars_from_rollup,
+    )
+
+    return daily_bars_from_rollup(
+        spark, _event_rollup_for(spark, sf_dir)
+    ).orderBy("user_id", "day_epoch")
+
+
+def _rollup_daily_oracle() -> str:
+    return """
+        WITH e AS (
+            SELECT user_id,
+                   (epoch_us(ts::TIMESTAMP) // 1000000)
+                     - (epoch_us(ts::TIMESTAMP) // 1000000) % 86400
+                       AS day_epoch,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                   event_id
+            FROM events
+        )
+        SELECT user_id, day_epoch,
+               arg_min(c, event_id) / 100.0 AS open,
+               MAX(c) / 100.0 AS high,
+               MIN(c) / 100.0 AS low,
+               arg_max(c, event_id) / 100.0 AS close,
+               COUNT(*) AS n_events,
+               SUM(c) / 100.0 AS volume
+        FROM e GROUP BY 1, 2 ORDER BY user_id, day_epoch
+    """
+
+
 def _ohlc_bars_oracle() -> str:
     return """
         WITH e AS (
@@ -6517,6 +6595,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q206_gapfill_locf": q206_gapfill_locf,
     "q210_gapfill_grain": q210_gapfill_grain,
     "q207_ohlc_bars": q207_ohlc_bars,
+    "q212_rollup_ohlc": q212_rollup_ohlc,
+    "q213_rollup_daily": q213_rollup_daily,
     "q209_indexed_winnow_pairs": q209_indexed_winnow_pairs,
 }
 
@@ -10408,6 +10488,9 @@ def pipeline_oracles() -> dict[str, str]:
         GAPFILL_GRAIN, user_mod=GAPFILL_USER_MOD
     )
     oracles["q207_ohlc_bars"] = _ohlc_bars_oracle()
+    # q212: served == inline — shares q207's oracle verbatim
+    oracles["q212_rollup_ohlc"] = oracles["q207_ohlc_bars"]
+    oracles["q213_rollup_daily"] = _rollup_daily_oracle()
     # index-served twin: the persisted-fps corpus sweep must equal the
     # inline q91 computation exactly (same (n, w), same stored-df cut)
     oracles["q209_indexed_winnow_pairs"] = oracles["q91_winnow_pairs"]

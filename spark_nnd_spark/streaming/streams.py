@@ -1789,6 +1789,45 @@ def cov_stats_stream(
     return _await_or_raise(q, timeout_sec)
 
 
+def event_rollup_stream(
+    events: DataFrame,
+    rollup_path: str,
+    timeout_sec: int = 120,
+):
+    """Streaming CONTINUOUS-AGGREGATE maintenance for the event-rollup
+    family (operators/event_rollup, the 12th family): every
+    micro-batch of events merges its mergeable partials into the
+    stored rollup, so the hypertable dashboards (q212 OHLC bars, q213
+    daily re-buckets) are always current without an events-table
+    pass — TimescaleDB's continuous-aggregate refresh as a
+    foreachBatch twin. The family is mergeable-exact, so maintained
+    state equals a fresh build over everything ingested EXACTLY;
+    replayed batches are no-ops via the batchId applied markers
+    published in the same atomic commit as the rollup (the
+    token/cov-stats contract). The query itself is stateless; state
+    lives in the O(users·buckets) sidecar."""
+    from spark_nnd_spark.operators.event_rollup import extend_event_rollup  # noqa: PLC0415
+
+    def feed(batch_df: DataFrame, batch_id: int) -> None:
+        extend_event_rollup(
+            batch_df.sparkSession,
+            rollup_path,
+            batch_df.localCheckpoint(eager=True),
+            batch_id=batch_id,
+        )
+
+    q = (
+        events.writeStream.foreachBatch(feed)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            f"{rollup_path}/_stream_checkpoint",
+        )
+        .start()
+    )
+    return _await_or_raise(q, timeout_sec)
+
+
 def winnow_gate_stream(
     candidate_stream: DataFrame,
     index_path: str,

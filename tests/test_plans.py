@@ -1564,3 +1564,14 @@ def test_indexed_winnow_pairs_never_touch_text(spark):
     assert "ShuffledHashJoin [fp" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_rollup_probes_never_scan_events(spark):
+    """q212/q213 contract: continuous-aggregate probes read ONLY the
+    persisted rollup — the raw events hypertable appears nowhere in
+    the plan (the whole point of maintaining the 12th family)."""
+    for q in ("q212_rollup_ohlc", "q213_rollup_daily"):
+        plan = _plan(spark, q)
+        assert "events.parquet" not in plan
+        assert "CartesianProduct" not in plan
+        assert "EvalPython" not in plan
