@@ -319,21 +319,18 @@ def extend_knn_graph_index(
     upsert: the batch's version of the point wins.
     """
     new_pts = normalize_points(new_points).localCheckpoint(eager=True)
+    # full upsert via the shared kernel: tombstoned AND still-live
+    # overlap purged from points + base adjacency + reverse sidecar +
+    # any update deltas, so the batch's version of each id wins; the
+    # live check reads the O(points) roster, and the purge rewrite
+    # only fires on actual overlap
     tables = _graph_tables(spark, path)
-    IL.settle_readmission(spark, path, new_pts.select("id"), tables)
-    # live-id overlap: purge the old physical rows (points + base
-    # adjacency + any update deltas) so the batch's version wins
-    overlap = (
-        spark.read.parquet(f"{path}/points")
-        .select("id")
-        .join(F.broadcast(new_pts.select("id")), "id", "left_semi")
-        .localCheckpoint(eager=True)
+    if _exists(spark, f"{path}/updates"):
+        tables.append(("updates", "id", None))
+    IL.settle_upsert(
+        spark, path, new_pts.select("id"), tables,
+        roster=("points", "id", "partition"),
     )
-    if overlap.take(1):
-        upd_tables = list(tables)
-        if _exists(spark, f"{path}/updates"):
-            upd_tables.append(("updates", "id", None))
-        IL.rewrite_minus(spark, path, overlap, upd_tables)
 
     prev = read_graph(spark, path).localCheckpoint(eager=True)
     new_pts.select("id", "features", "label", "finished", "partition").write.mode(

@@ -1575,3 +1575,14 @@ def test_rollup_probes_never_scan_events(spark):
         assert "events.parquet" not in plan
         assert "CartesianProduct" not in plan
         assert "EvalPython" not in plan
+
+
+def test_gapfill_grain_same_contract_as_hourly(spark):
+    """q210 (generic-grain gap-fill) keeps q206's plan contract: the
+    dense grid is a narrow per-user sequence explode, never a cross
+    join, and the epoch-modulo bucketing stays inside codegen."""
+    plan = _plan(spark, "q210_gapfill_grain")
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
