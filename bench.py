@@ -182,6 +182,7 @@ HEADLINE = [
     "q211_extended_graph_recall",
     "q212_rollup_ohlc",
     "q213_rollup_daily",
+    "q214_rollup_gapfill",
 ]
 
 

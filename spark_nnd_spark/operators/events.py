@@ -515,8 +515,6 @@ def gap_fill_locf(
     with the offending bound instead (the chunk-id-overflow-guard
     convention).
     """
-    from spark_nnd_spark.functions.numeric import round_half_up_expr
-
     slot = (F.date_trunc("hour", F.col("ts")).cast("long") if grain_seconds == 3600
             else (F.col("ts").cast("long") - F.col("ts").cast("long") % grain_seconds))
     hourly = df.groupBy(
@@ -524,7 +522,27 @@ def gap_fill_locf(
     ).agg(
         F.count("*").alias("n_events"),
         F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("_cents"),
-    ).localCheckpoint(eager=True)  # guard + bounds + grid join share one pass
+    )
+    return gap_fill_locf_from_buckets(hourly, grain_seconds, max_slots_per_series)
+
+
+def gap_fill_locf_from_buckets(
+    hourly: DataFrame,
+    grain_seconds: int = 3600,
+    max_slots_per_series: int = 2_000_000,
+) -> DataFrame:
+    """:func:`gap_fill_locf`'s grid/LOCF/interpolation stage over
+    ALREADY-BUCKETED rows (user_id, slot_epoch, n_events, _cents) —
+    the entry point for callers whose bucket aggregate is served from
+    a maintained sidecar (the continuous-aggregate rollup's c_sum/n
+    are exactly these integers), so the dashboard never re-scans raw
+    events. ``gap_fill_locf(df, g) == gap_fill_locf_from_buckets(
+    bucket_agg(df, g), g)`` by construction."""
+    from spark_nnd_spark.functions.numeric import round_half_up_expr
+
+    hourly = hourly.localCheckpoint(
+        eager=True
+    )  # guard + bounds + grid join share one pass
     bounds = hourly.groupBy("user_id").agg(
         F.min("slot_epoch").alias("_mn"), F.max("slot_epoch").alias("_mx")
     )

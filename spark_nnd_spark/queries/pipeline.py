@@ -6299,6 +6299,31 @@ def q213_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "day_epoch")
 
 
+def q214_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q206's dense LOCF + interpolation grid served from the stored
+    continuous-aggregate rollup: the per-bucket integers the grid
+    stage needs (count, exact cents sum) ARE rollup partials, so the
+    dashboard is one O(rollup) read + the narrow grid explode — raw
+    events never scanned (plan-asserted). The third probe the one
+    maintained rollup serves (q212 bars, q213 daily re-buckets, this)
+    — the 'one merged statistic powers every dashboard' property that
+    makes the family worth persisting (the q194-q197 argument, applied
+    to the hypertable). Shares q206's oracle: served == inline is the
+    assertion."""
+    from spark_nnd_spark.operators.event_rollup import rollup_table  # noqa: PLC0415
+    from spark_nnd_spark.operators.events import (  # noqa: PLC0415
+        gap_fill_locf_from_buckets,
+    )
+
+    hourly = rollup_table(spark, _event_rollup_for(spark, sf_dir)).select(
+        "user_id",
+        "slot_epoch",
+        F.col("n").alias("n_events"),
+        F.col("c_sum").alias("_cents"),
+    )
+    return gap_fill_locf_from_buckets(hourly).orderBy("user_id", "slot_epoch")
+
+
 def _rollup_daily_oracle() -> str:
     return """
         WITH e AS (
@@ -6597,6 +6622,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q207_ohlc_bars": q207_ohlc_bars,
     "q212_rollup_ohlc": q212_rollup_ohlc,
     "q213_rollup_daily": q213_rollup_daily,
+    "q214_rollup_gapfill": q214_rollup_gapfill,
     "q209_indexed_winnow_pairs": q209_indexed_winnow_pairs,
 }
 
@@ -10491,6 +10517,8 @@ def pipeline_oracles() -> dict[str, str]:
     # q212: served == inline — shares q207's oracle verbatim
     oracles["q212_rollup_ohlc"] = oracles["q207_ohlc_bars"]
     oracles["q213_rollup_daily"] = _rollup_daily_oracle()
+    # q214: served == inline — shares q206's oracle verbatim
+    oracles["q214_rollup_gapfill"] = oracles["q206_gapfill_locf"]
     # index-served twin: the persisted-fps corpus sweep must equal the
     # inline q91 computation exactly (same (n, w), same stored-df cut)
     oracles["q209_indexed_winnow_pairs"] = oracles["q91_winnow_pairs"]

@@ -146,3 +146,26 @@ def test_rollup_stream_maintains_state_and_replays_idempotent(spark, tmp_path):
     before = _rows(rollup_table(spark, d))
     extend_event_rollup(spark, d, _batch(spark), batch_id=0)
     assert _rows(rollup_table(spark, d)) == before
+
+
+def test_gapfill_from_rollup_equals_inline(spark, tmp_path):
+    """The rollup's (n, c_sum) partials feed gap_fill_locf's grid
+    stage exactly: served dense grid == inline gap_fill_locf over the
+    raw events, row for row (the q214 assertion)."""
+    from spark_nnd_spark.operators.events import (
+        gap_fill_locf,
+        gap_fill_locf_from_buckets,
+    )
+
+    d = str(tmp_path / "r")
+    ev = _events(spark).unionByName(_batch(spark))
+    build_event_rollup(ev, d)
+    hourly = rollup_table(spark, d).select(
+        "user_id",
+        "slot_epoch",
+        F.col("n").alias("n_events"),
+        F.col("c_sum").alias("_cents"),
+    )
+    served = _rows(gap_fill_locf_from_buckets(hourly))
+    inline = _rows(gap_fill_locf(ev.select("user_id", "ts", "value")))
+    assert served == inline

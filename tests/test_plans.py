@@ -1570,7 +1570,7 @@ def test_rollup_probes_never_scan_events(spark):
     """q212/q213 contract: continuous-aggregate probes read ONLY the
     persisted rollup — the raw events hypertable appears nowhere in
     the plan (the whole point of maintaining the 12th family)."""
-    for q in ("q212_rollup_ohlc", "q213_rollup_daily"):
+    for q in ("q212_rollup_ohlc", "q213_rollup_daily", "q214_rollup_gapfill"):
         plan = _plan(spark, q)
         assert "events.parquet" not in plan
         assert "CartesianProduct" not in plan
