@@ -26,12 +26,14 @@ endpoints compare event_ids), so:
   rollup AND its applied-batch marker in ONE atomic versioned rename
   (commit_state), so an at-least-once redelivery is a no-op.
 
-NOT supported: retraction. count/sum are subtractable but min/max and
-the event-id endpoints are not invertible — removing the event that
-WAS the extreme cannot be repaired from the aggregate alone.
-TimescaleDB handles this by invalidating and re-aggregating affected
-buckets from the hypertable; callers here do the same (rebuild, or
-re-extend a fresh rollup) — documented instead of silently wrong.
+Deletions/updates in the source: count/sum are subtractable but
+min/max and the event-id endpoints are not invertible — removing the
+event that WAS the extreme cannot be repaired from the aggregate
+alone. The family therefore carries TimescaleDB's exact answer,
+:func:`refresh_event_rollup`: re-aggregate the invalidated
+grain-aligned window from the current hypertable and replace just
+those buckets (tested delete → refresh == fresh build); a blind
+``retract(events)`` API is deliberately absent.
 
 Scale (100 TB of events): build/extend aggregate map-side to
 O(users·buckets) partial rows (min_by/max_by partials carry one
@@ -163,6 +165,59 @@ def extend_event_rollup(
             spark.createDataFrame([(int(batch_id),)], "batch_id long")
         )
     applied = applied.localCheckpoint(eager=True)
+    meta = spark.read.parquet(f"{state}/meta").localCheckpoint(eager=True)
+    commit_state(
+        spark, path, next_version(spark, path),
+        {"rollup": merged, "applied": applied, "meta": meta},
+    )
+
+
+def refresh_event_rollup(
+    spark: SparkSession,
+    path: str,
+    events: DataFrame,
+    since_epoch: int,
+    until_epoch: int,
+) -> None:
+    """TimescaleDB's invalidation-REFRESH: re-aggregate the buckets in
+    ``[since_epoch, until_epoch)`` from the CURRENT hypertable slice
+    and replace exactly those stored rows — how deletions/updates in
+    the source reach the rollup, since min/max and the event-id
+    endpoints cannot be subtracted out of an aggregate. Buckets
+    outside the window are untouched; an empty window slice simply
+    clears its buckets. Published atomically like every other commit;
+    callers pass the events table (or the affected slice — only rows
+    whose bucket lands in the window contribute).
+
+    Scale: one map-side aggregate over the window's events + an
+    O(rollup) filtered rewrite — refresh cost tracks the invalidated
+    window, the hypertable pays one pruned scan (ts-partitioned
+    layouts prune to the window's files)."""
+    state, grain = _state(spark, path)
+    if int(since_epoch) % grain or int(until_epoch) % grain:
+        msg = (
+            f"refresh window [{since_epoch}, {until_epoch}) must align to "
+            f"the rollup grain ({grain}s) — a misaligned boundary would "
+            "recompute a bucket from a partial event slice"
+        )
+        raise ValueError(msg)
+    stored = spark.read.parquet(f"{state}/rollup")
+    kept = stored.filter(
+        (F.col("slot_epoch") < int(since_epoch))
+        | (F.col("slot_epoch") >= int(until_epoch))
+    )
+    ts_sec = F.col("ts").cast("long")
+    window = events.filter(
+        (ts_sec >= int(since_epoch)) & (ts_sec < int(until_epoch))
+    )
+    merged = (
+        kept.unionByName(_partial(window, grain).select(*_PARTIAL_COLS))
+        .select(*_PARTIAL_COLS)
+        .localCheckpoint(eager=True)
+    )
+    applied = spark.read.parquet(f"{state}/applied").localCheckpoint(
+        eager=True
+    )
     meta = spark.read.parquet(f"{state}/meta").localCheckpoint(eager=True)
     commit_state(
         spark, path, next_version(spark, path),

@@ -169,3 +169,31 @@ def test_gapfill_from_rollup_equals_inline(spark, tmp_path):
     served = _rows(gap_fill_locf_from_buckets(hourly))
     inline = _rows(gap_fill_locf(ev.select("user_id", "ts", "value")))
     assert served == inline
+
+
+def test_refresh_window_applies_source_deletion(spark, tmp_path):
+    """TimescaleDB-style invalidation refresh: delete the event that
+    WAS hour 0's high, refresh the grain-aligned window, and the
+    rollup equals a fresh build over the modified hypertable; buckets
+    outside the window are untouched; a misaligned window fails fast."""
+    import pytest
+
+    from spark_nnd_spark.operators.event_rollup import refresh_event_rollup
+
+    d = str(tmp_path / "r")
+    ev = _events(spark)
+    build_event_rollup(ev, d)
+    # delete eid 5 (hour 0's high=3.00) from the hypertable
+    ev2 = ev.filter(F.col("event_id") != 5)
+    h0 = int(dt.datetime(2024, 1, 1, 0).timestamp())
+    refresh_event_rollup(spark, d, ev2, h0, h0 + 3600)
+    fresh = str(tmp_path / "f")
+    build_event_rollup(ev2, fresh)
+    assert _rows(rollup_table(spark, d)) == _rows(rollup_table(spark, fresh))
+    bars = {
+        (r.user_id, r.slot_epoch): (r.high, r.n_events)
+        for r in ohlc_from_rollup(spark, d).collect()
+    }
+    assert bars[(1, h0)] == (2.0, 2)  # new high, new count
+    with pytest.raises(ValueError, match="align"):
+        refresh_event_rollup(spark, d, ev2, h0 + 1, h0 + 3600)
