@@ -183,6 +183,7 @@ HEADLINE = [
     "q212_rollup_ohlc",
     "q213_rollup_daily",
     "q214_rollup_gapfill",
+    "q215_rollup_refresh",
 ]
 
 

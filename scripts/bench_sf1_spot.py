@@ -78,6 +78,7 @@ SPOT_QUERIES = [
     "q212_rollup_ohlc",
     "q213_rollup_daily",
     "q214_rollup_gapfill",
+    "q215_rollup_refresh",
 ]
 # (docs, vecs, events, users) — events/users mirror the testdata's
 # measured density (sf0.01 = 10k events / 150 users over 30 days)

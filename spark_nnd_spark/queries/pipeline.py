@@ -6299,6 +6299,88 @@ def q213_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "day_epoch")
 
 
+# q215's invalidation plant: events with event_id % REFRESH_DEL_MOD == 0
+# whose ts lands in [REFRESH_WIN_LO, REFRESH_WIN_HI) are "deleted" from
+# the hypertable; the rollup is refreshed over exactly that window.
+REFRESH_DEL_MOD = 101
+REFRESH_WIN_LO = 1704844800   # 2024-01-10T00:00:00Z (grain-aligned)
+REFRESH_WIN_HI = 1705708800   # 2024-01-20T00:00:00Z
+_ROLLUP_REFRESH_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _refreshed_rollup_for(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached rollup that has LIVED the invalidation story:
+    built over the full events table, then refreshed over a 10-day
+    window after a deterministic slice of that window's events was
+    deleted from the source — what q215 serves bars from."""
+    from spark_nnd_spark.operators.event_rollup import (  # noqa: PLC0415
+        build_event_rollup,
+        refresh_event_rollup,
+    )
+    from spark_nnd_spark.session import session_scratch_dir  # noqa: PLC0415
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ROLLUP_REFRESH_CACHE:
+        path = session_scratch_dir("event_rollup_refresh_")
+        e = load_table(spark, sf_dir, "events")
+        build_event_rollup(e, path)
+        ts_sec = F.col("ts").cast("long")
+        in_win = (ts_sec >= REFRESH_WIN_LO) & (ts_sec < REFRESH_WIN_HI)
+        deleted = (F.col("event_id") % REFRESH_DEL_MOD == 0) & in_win
+        refresh_event_rollup(
+            spark, path, e.filter(~deleted), REFRESH_WIN_LO, REFRESH_WIN_HI
+        )
+        _ROLLUP_REFRESH_CACHE[key] = path
+    return _ROLLUP_REFRESH_CACHE[key]
+
+
+def q215_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars served from a rollup AFTER an invalidation refresh
+    (operators/event_rollup.refresh_event_rollup — TimescaleDB's
+    re-aggregate-the-window answer to source deletions): a
+    deterministic slice of a 10-day window's events is deleted from
+    the hypertable and exactly that grain-aligned window is
+    re-aggregated; buckets outside it keep their original partials.
+    The oracle computes the bars directly from the post-deletion
+    events table, so the hash certifies BOTH halves — the refreshed
+    window matches the modified source AND the untouched buckets
+    still match the original — through the driver gate.
+
+    Scale: the refresh re-aggregates one window's events (pruned scan
+    on a ts-partitioned hypertable) + an O(rollup) filtered commit;
+    the probe stays a rollup-only read."""
+    from spark_nnd_spark.operators.event_rollup import ohlc_from_rollup  # noqa: PLC0415
+
+    return ohlc_from_rollup(spark, _refreshed_rollup_for(spark, sf_dir)).orderBy(
+        "user_id", "slot_epoch"
+    )
+
+
+def _rollup_refresh_oracle() -> str:
+    return f"""
+        WITH e AS (
+            SELECT user_id,
+                   (epoch_us(date_trunc('hour', ts::TIMESTAMP)) // 1000000)
+                       AS slot_epoch,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+                   event_id
+            FROM events
+            WHERE NOT (
+                event_id % {REFRESH_DEL_MOD} = 0
+                AND (epoch_us(ts::TIMESTAMP) // 1000000) >= {REFRESH_WIN_LO}
+                AND (epoch_us(ts::TIMESTAMP) // 1000000) < {REFRESH_WIN_HI}
+            )
+        )
+        SELECT user_id, slot_epoch,
+               arg_min(c, event_id) / 100.0 AS open,
+               MAX(c) / 100.0 AS high,
+               MIN(c) / 100.0 AS low,
+               arg_max(c, event_id) / 100.0 AS close,
+               COUNT(*) AS n_events
+        FROM e GROUP BY 1, 2 ORDER BY user_id, slot_epoch
+    """
+
+
 def q214_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q206's dense LOCF + interpolation grid served from the stored
     continuous-aggregate rollup: the per-bucket integers the grid
@@ -6623,6 +6705,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q212_rollup_ohlc": q212_rollup_ohlc,
     "q213_rollup_daily": q213_rollup_daily,
     "q214_rollup_gapfill": q214_rollup_gapfill,
+    "q215_rollup_refresh": q215_rollup_refresh,
     "q209_indexed_winnow_pairs": q209_indexed_winnow_pairs,
 }
 
@@ -10519,6 +10602,7 @@ def pipeline_oracles() -> dict[str, str]:
     oracles["q213_rollup_daily"] = _rollup_daily_oracle()
     # q214: served == inline — shares q206's oracle verbatim
     oracles["q214_rollup_gapfill"] = oracles["q206_gapfill_locf"]
+    oracles["q215_rollup_refresh"] = _rollup_refresh_oracle()
     # index-served twin: the persisted-fps corpus sweep must equal the
     # inline q91 computation exactly (same (n, w), same stored-df cut)
     oracles["q209_indexed_winnow_pairs"] = oracles["q91_winnow_pairs"]
