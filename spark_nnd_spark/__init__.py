@@ -36,7 +36,7 @@ from spark_nnd_spark.functions.vector import (
     dot_expr,
 )
 from spark_nnd_spark.nnd.exact import build_graph_exact
-from spark_nnd_spark.nnd.descent import build_graph, update_graph
+from spark_nnd_spark.nnd.descent import build_graph, update_graph, update_graph_delta
 from spark_nnd_spark.nnd.search import graph_search_topk
 
 __all__ = [
@@ -52,6 +52,7 @@ __all__ = [
     "build_graph_exact",
     "build_graph",
     "update_graph",
+    "update_graph_delta",
     "graph_search_topk",
 ]
 

@@ -355,15 +355,13 @@ def _descend(
     seed: int,
     threshold_n: int,
     on_iteration=None,
-    prune_inert: bool = False,
 ) -> DataFrame:
     """The NN-Descent iteration loop (A8–A13) from a seeded working
-    graph. ``threshold_n`` is the N in the ``updated ≤ δ·K·N`` stop rule
-    (all active nodes for a full build; the new-node count for an
-    incremental update). ``prune_inert`` drops adjacency groups with no
-    new member before features are shipped — a win when most of the
-    graph is converged (incremental updates), two extra id-only shuffles
-    otherwise."""
+    graph — the FULL-BUILD loop, where every node is churning and the
+    O(N·K) per-iteration explode/merge is the work itself (incremental
+    updates go through :func:`_descend_sparse`, which bounds every
+    exchange to the touched neighborhood). ``threshold_n`` is the N in
+    the ``updated ≤ δ·K·N`` stop rule."""
     # Features ship as float32: halves the dominant exchange (group-by-v
     # feature routing); kernels upcast to float64 for the distance math.
     # Output similarities deviate from exact-float64 by ~1e-7 relative —
@@ -406,9 +404,6 @@ def _descend(
             .groupBy("v", "member")
             .agg(F.max("is_new").alias("is_new"))
         )
-        if prune_inert:
-            live = adj.filter("is_new").select("v").distinct()
-            adj = adj.join(live, "v", "left_semi")
         kth = graph.select(
             F.col("id").alias("member"),
             F.when(
@@ -468,66 +463,257 @@ def _assemble(points: DataFrame, graph: DataFrame) -> DataFrame:
     )
 
 
-def update_graph(
+def _flag_old(col: str = "neighbors"):
+    """Output-schema neighbor array lifted into the working schema with
+    every entry old — how untouched prev rows enter the sparse loop."""
+    return F.transform(
+        col,
+        lambda s: F.struct(
+            s["id"].alias("id"),
+            s["similarity"].alias("similarity"),
+            F.lit(False).alias("is_new"),
+        ),
+    )
+
+
+def _descend_sparse(
+    active: DataFrame,
     prev: DataFrame,
-    df: DataFrame,
+    hot: DataFrame,
     k: int,
-    max_iterations: int = 3,
-    early_termination: float = 0.01,
-    sample_rate: float = 1.0,
-    buckets_per_instance: int = 4,
-    seed: int = 42,
-    validate: bool = True,
+    max_iterations: int,
+    early_termination: float,
+    sample_rate: float,
+    seed: int,
+    threshold_n: int,
     on_iteration=None,
+    reverse: DataFrame | None = None,
 ) -> DataFrame:
-    """Incrementally fold new points into an existing K-NN graph.
+    """The NN-Descent loop for INCREMENTAL updates, restructured so
+    every exchange is bounded by the touched neighborhood, never the
+    corpus (the r14 extend-shuffle finding: the old path exploded the
+    full graph into O(N·K) edge rows per iteration before pruning).
 
-    The extension the reference's ``finished`` flag exists for
-    (NND.scala:62, README.md:34 — carried for the upstream spark-rgt
-    incremental workflow but never implemented there): ``prev`` is a
-    prior ``build_graph``/``update_graph`` result, ``df`` is the full
-    current point set; rows absent from ``prev`` are the new arrivals.
+    State split: ``prev`` (id, neighbors in OUTPUT schema) holds the
+    prior graph and is only ever scanned — broadcast semi/anti joins,
+    no shuffle; ``hot`` (WORKING schema, checkpointed) holds exactly
+    the rows touched so far. The working graph is ``prev`` outside
+    ``hot``'s ids, ``hot`` inside.
 
-    Incremental shape (work scales with the new batch, not the corpus):
+    Per iteration, equal row-for-row to running the dense loop with
+    inert-group pruning (same groups run, same candidates, same
+    merge ranking):
 
-    - init: the previous neighbor lists seed the working graph with
-      every entry old; only new points bucket-sample, and only buckets
-      containing a new point run the init kernel (bucket membership is
-      a pure function of the feature hash, so old members land in the
-      same buckets they did at build time);
-    - iterations reuse ``_descend`` with ``prune_inert=True`` — groups
-      with no new member ship no features and score nothing, so old
-      regions of the graph are untouched (incremental search makes
-      this exact, not approximate: old-old pairs were already scored
-      at build time);
-    - convergence denominator is the NEW-point count (``updated ≤
-      δ·K·N_new``), since a converged bulk would otherwise mask new
-      points' churn.
+    - live targets = dirty hot rows ∪ targets of their new edges —
+      derivable from ``hot`` alone, because a group A(v) can contain a
+      new member only via v's own list (v dirty) or via a reverse edge
+      from a dirty source;
+    - B(v)/kth/old-edge lookups semi-join ``prev``∪``hot`` on small
+      broadcast id sets;
+    - R(v) comes from ``reverse`` pairs of the prev graph (id=target,
+      src=source) — the persisted index passes its maintained sidecar
+      so the prev adjacency is never exploded, not even map-side —
+      with sources superseded by ``hot`` re-derived from ``hot``;
+    - only candidate-receiving rows re-merge; dirty-but-unmerged rows
+      settle (flags clear, lists untouched) exactly as a dense merge
+      of their own old edges would leave them.
 
-    Returns the same output schema as ``build_graph`` over ``df``.
+    Shuffle per iteration: O(touched·K̄) id rows + O(members·dim)
+    feature rows + the O(affected·K) merge — all batch-bounded.
     """
-    spark: SparkSession = df.sparkSession
-    points = normalize_points(df)
-    if validate:
-        validate_points(points)
+    feats_all = active.select(
+        F.col("id").alias("member"),
+        F.col("features").cast("array<float>").alias("member_features"),
+    )
+    if reverse is None:
+        # map-side explode of prev (no shuffle); callers with a
+        # persisted sidecar skip even this scan-time explode
+        reverse = prev.select(
+            F.col("id").alias("src"), F.explode("neighbors").alias("nb")
+        ).select(F.col("nb.id").alias("id"), "src")
+    reverse = reverse.select("id", "src")
 
-    active = (
-        points.filter(~F.col("finished"))
-        .select("id", "features", "partition")
-        .persist()
-    )
-    prev_nb = prev.select("id", "neighbors").persist()
-    new_ids = (
-        active.select("id").join(prev_nb.select("id"), "id", "left_anti").persist()
-    )
+    iterations_run = 0
+    for _ in range(max_iterations):
+        hot_ids = hot.select("id")
+        hot_ids_b = F.broadcast(hot_ids)
+        hot_src_b = F.broadcast(hot.select(F.col("id").alias("src")))
+
+        def work_rows(ids: DataFrame, hot=hot, hot_ids_b=hot_ids_b) -> DataFrame:
+            """Current working rows (WORK schema) for a small id set:
+            prev outside hot, hot inside — two broadcast joins, no
+            shuffle of either big side."""
+            ids_b = F.broadcast(
+                ids.select(F.col(ids.columns[0]).alias("id")).distinct()
+            )
+            stable = (
+                prev.join(hot_ids_b, "id", "left_anti")
+                .join(ids_b, "id", "left_semi")
+                .select("id", _flag_old().alias("neighbors"))
+            )
+            return stable.unionByName(
+                hot.join(ids_b, "id", "left_semi").select("id", "neighbors")
+            )
+
+        dirty = hot.filter(F.exists("neighbors", lambda n: n["is_new"]))
+        new_tgt = (
+            dirty.select(F.explode("neighbors").alias("nb"))
+            .filter(F.col("nb.is_new"))
+            .select(F.col("nb.id").alias("v"))
+        )
+        live_v = (
+            dirty.select(F.col("id").alias("v"))
+            .unionByName(new_tgt)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        live_b = F.broadcast(live_v)
+
+        # A10 over live groups only. B(v): the live rows' own lists.
+        fwd = (
+            work_rows(live_v)
+            .select(F.col("id").alias("v"), F.explode("neighbors").alias("nb"))
+            .select(
+                "v", F.col("nb.id").alias("member"),
+                F.col("nb.is_new").alias("is_new"),
+            )
+        )
+        # R(v): prev-graph pairs (sidecar) for un-superseded sources,
+        # hot rows' edges re-derived; semi-join to live targets first.
+        rev_stable = (
+            reverse.join(F.broadcast(live_v.select(F.col("v").alias("id"))), "id", "left_semi")
+            .join(hot_src_b, "src", "left_anti")
+            .select(
+                F.col("id").alias("v"), F.col("src").alias("member"),
+                F.lit(False).alias("is_new"),
+            )
+        )
+        rev_hot = (
+            hot.select(F.col("id").alias("src"), F.explode("neighbors").alias("nb"))
+            .select(
+                F.col("nb.id").alias("v"), F.col("src").alias("member"),
+                F.col("nb.is_new").alias("is_new"),
+            )
+            .join(live_b, "v", "left_semi")
+        )
+        rev = _sample_reverse(
+            rev_stable.unionByName(rev_hot), sample_rate, seed, iterations_run
+        )
+        self_m = live_v.select(
+            "v", F.col("v").alias("member"), F.lit(False).alias("is_new")
+        )
+        adj = (
+            fwd.unionByName(rev)
+            .unionByName(self_m)
+            .groupBy("v", "member")
+            .agg(F.max("is_new").alias("is_new"))
+        )
+        member_ids = (
+            adj.select(F.col("member").alias("id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        kth = work_rows(member_ids).select(
+            F.col("id").alias("member"),
+            F.when(
+                F.size("neighbors") >= k,
+                F.element_at("neighbors", k)["similarity"],
+            )
+            .otherwise(F.lit(float("-inf")))
+            .alias("kth_sim"),
+        )
+        feats_iter = (
+            feats_all.join(
+                F.broadcast(member_ids.select(F.col("id").alias("member"))),
+                "member",
+                "left_semi",
+            )
+            .join(kth, "member", "left")
+            .withColumn("kth_sim", F.coalesce("kth_sim", F.lit(float("-inf"))))
+        )
+        adj_feat = adj.join(feats_iter, "member").select(
+            "v", "member", "member_features", "is_new", "kth_sim"
+        )
+
+        # A11 over live groups; checkpoint — the stream is read twice
+        # (affected ids + merge input) and is O(touched·K) small.
+        cands = adj_feat.groupBy("v").applyInPandas(
+            _local_join_kernel(k), _CAND_SCHEMA
+        ).localCheckpoint(eager=True)
+        affected = cands.select("id").distinct().localCheckpoint(eager=True)
+        aff_b = F.broadcast(affected)
+
+        old_edges = (
+            work_rows(affected)
+            .select("id", F.explode("neighbors").alias("nb"))
+            .select(
+                "id", F.col("nb.id").alias("nb_id"),
+                F.col("nb.similarity").alias("sim"),
+                F.lit(True).alias("is_b"),
+            )
+        )
+        merged = _merge_top_k(
+            old_edges.unionByName(cands.withColumn("is_b", F.lit(False))), k
+        )
+        # Dirty rows that received no candidates settle: a dense merge
+        # of just their own old edges returns the identical list with
+        # flags cleared, so clear them in place without a shuffle.
+        settled = hot.join(aff_b, "id", "left_anti").select(
+            "id",
+            F.transform(
+                "neighbors",
+                lambda s: F.struct(
+                    s["id"].alias("id"),
+                    s["similarity"].alias("similarity"),
+                    F.lit(False).alias("is_new"),
+                ),
+            ).alias("neighbors"),
+        )
+        hot = merged.unionByName(settled).localCheckpoint(eager=True)
+        iterations_run += 1
+
+        # A12: only hot rows can carry new flags — same count the dense
+        # loop's full aggregate would produce.
+        updated = hot.agg(
+            F.coalesce(
+                F.sum(F.size(F.filter("neighbors", lambda n: n["is_new"]))),
+                F.lit(0),
+            ).alias("u")
+        ).first()["u"]
+        if on_iteration is not None:
+            on_iteration(iterations_run, int(updated))
+        if updated <= early_termination * k * threshold_n:
+            break
+    return hot
+
+
+def _update_core(
+    prev_nb: DataFrame,
+    active: DataFrame,
+    new_ids: DataFrame,
+    k: int,
+    max_iterations: int,
+    early_termination: float,
+    sample_rate: float,
+    buckets_per_instance: int,
+    seed: int,
+    on_iteration=None,
+    reverse: DataFrame | None = None,
+) -> DataFrame | None:
+    """Shared incremental-update core: seed a HOT working set from the
+    new batch's bucket cohorts, then run the sparse descent. Returns
+    the final hot rows (WORKING schema — every id the update touched),
+    or None when the batch is empty. No step shuffles more than the
+    touched neighborhood; ``prev_nb`` and ``active`` are only scanned.
+    """
+    spark: SparkSession = active.sparkSession
     n_new = new_ids.count()
     if n_new == 0:
-        result = _assemble(points, prev_nb)
-        active.unpersist()
-        return result
+        return None
 
     # Bucket geometry over ALL actives (same formula as build_graph, so
-    # old members hash into consistent buckets).
+    # old members hash into consistent buckets). The groupBy is
+    # map-side-combined: O(partitions), not O(N), moves.
     hist = {r["partition"]: r["count"] for r in active.groupBy("partition").count().collect()}
     n_buckets = {p: max(1, math.ceil(c * buckets_per_instance / (2.0 * k))) for p, c in hist.items()}
     max_nb = max(n_buckets.values())
@@ -569,24 +755,176 @@ def update_graph(
         .join(new_flag.withColumnRenamed("id", "nb_id"), "nb_id", "left")
         .filter(F.col("__new_id").isNotNull() | F.col("__new").isNotNull())
         .select("id", "nb_id", "sim")
+        .localCheckpoint(eager=True)
     )
 
-    prev_edges = prev_nb.select(
-        "id", F.explode("neighbors").alias("nb")
-    ).select(
-        "id", F.col("nb.id").alias("nb_id"), F.col("nb.similarity").alias("sim"),
-        F.lit(True).alias("is_b"),
+    # Seed hot = merge of ONLY the candidate-receiving rows' prev edges
+    # with the init candidates; everything else stays in prev untouched
+    # (the old path exploded and re-merged the entire prev graph here).
+    affected0 = init_cands.select("id").distinct()
+    prev_edges_aff = (
+        prev_nb.join(F.broadcast(affected0), "id", "left_semi")
+        .select("id", F.explode("neighbors").alias("nb"))
+        .select(
+            "id", F.col("nb.id").alias("nb_id"),
+            F.col("nb.similarity").alias("sim"), F.lit(True).alias("is_b"),
+        )
     )
-    graph = _merge_top_k(
-        prev_edges.unionByName(init_cands.withColumn("is_b", F.lit(False))), k
+    hot0 = _merge_top_k(
+        prev_edges_aff.unionByName(init_cands.withColumn("is_b", F.lit(False))), k
     ).localCheckpoint(eager=True)
 
-    graph = _descend(
-        active, graph, k, max_iterations, early_termination, sample_rate,
-        seed, n_new, on_iteration, prune_inert=True,
+    return _descend_sparse(
+        active, prev_nb, hot0, k, max_iterations, early_termination,
+        sample_rate, seed, n_new, on_iteration, reverse=reverse,
     )
-    result = _assemble(points, graph)
+
+
+def update_graph(
+    prev: DataFrame,
+    df: DataFrame,
+    k: int,
+    max_iterations: int = 3,
+    early_termination: float = 0.01,
+    sample_rate: float = 1.0,
+    buckets_per_instance: int = 4,
+    seed: int = 42,
+    validate: bool = True,
+    on_iteration=None,
+    new_ids: DataFrame | None = None,
+    reverse: DataFrame | None = None,
+) -> DataFrame:
+    """Incrementally fold new points into an existing K-NN graph.
+
+    The extension the reference's ``finished`` flag exists for
+    (NND.scala:62, README.md:34 — carried for the upstream spark-rgt
+    incremental workflow but never implemented there): ``prev`` is a
+    prior ``build_graph``/``update_graph`` result (lists in canonical
+    merge order), ``df`` is the full current point set; rows absent
+    from ``prev`` are the new arrivals.
+
+    Incremental shape (BOTH compute and shuffle scale with the new
+    batch, not the corpus — r14 closed the shuffle half):
+
+    - init: only new points' bucket cohorts run the init kernel, and
+      only candidate-receiving rows are merged into the working set
+      (bucket membership is a pure function of the feature hash, so
+      old members land in the buckets they did at build time);
+    - iterations run :func:`_descend_sparse` — the prev graph is never
+      exploded or re-merged; untouched rows pass through by identity;
+    - convergence denominator is the NEW-point count (``updated ≤
+      δ·K·N_new``), since a converged bulk would otherwise mask new
+      points' churn.
+
+    ``new_ids`` (optional) skips the new-arrival anti-join when the
+    caller already knows the batch ids (the persisted index's extend,
+    whose upsert guarantees batch ids are absent from the store).
+    ``reverse`` (optional) supplies prev-graph reverse pairs
+    (id=target, src) — e.g. the index family's maintained sidecar —
+    so the prev adjacency is never re-exploded for reverse expansion.
+
+    Returns the same output schema as ``build_graph`` over ``df``.
+    """
+    points = normalize_points(df)
+    if validate:
+        validate_points(points)
+
+    active = (
+        points.filter(~F.col("finished"))
+        .select("id", "features", "partition")
+        .persist()
+    )
+    prev_nb = prev.select("id", "neighbors").persist()
+    if new_ids is None:
+        new_ids = (
+            active.select("id").join(prev_nb.select("id"), "id", "left_anti")
+        )
+    new_ids = new_ids.persist()
+
+    hot = _update_core(
+        prev_nb, active, new_ids, k, max_iterations, early_termination,
+        sample_rate, buckets_per_instance, seed, on_iteration, reverse,
+    )
+    if hot is None:
+        result = _assemble(points, prev_nb)
+        active.unpersist()
+        return result
+    stable = prev_nb.join(F.broadcast(hot.select("id")), "id", "left_anti")
+    hot_clean = hot.select(
+        "id",
+        F.transform(
+            "neighbors",
+            lambda s: F.struct(
+                s["id"].alias("id"), s["similarity"].alias("similarity")
+            ),
+        ).alias("neighbors"),
+    )
+    result = _assemble(points, stable.unionByName(hot_clean))
     active.unpersist()
     prev_nb.unpersist()
     new_ids.unpersist()
     return result
+
+
+def update_graph_delta(
+    prev: DataFrame,
+    df: DataFrame,
+    k: int,
+    max_iterations: int = 3,
+    early_termination: float = 0.01,
+    sample_rate: float = 1.0,
+    buckets_per_instance: int = 4,
+    seed: int = 42,
+    on_iteration=None,
+    new_ids: DataFrame | None = None,
+    reverse: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`update_graph` that returns ONLY the changed rows — (id,
+    neighbors, partition) for every node whose final list differs from
+    ``prev`` (new nodes included; a new node that found no neighbors
+    emits no row, matching the read path's empty-list coalesce).
+
+    This is the persisted index family's extend entry point: the full
+    graph is never assembled, so nothing in the job — not the result
+    join, not the diff — is O(corpus). Inputs may be lazy parquet
+    scans; they are read, never cached or checkpointed here.
+    """
+    points = normalize_points(df)
+    active = points.filter(~F.col("finished")).select(
+        "id", "features", "partition"
+    )
+    prev_nb = prev.select("id", "neighbors")
+    if new_ids is None:
+        new_ids = (
+            active.select("id").join(prev_nb.select("id"), "id", "left_anti")
+        )
+    hot = _update_core(
+        prev_nb, active, new_ids, k, max_iterations, early_termination,
+        sample_rate, buckets_per_instance, seed, on_iteration, reverse,
+    )
+    spark: SparkSession = df.sparkSession
+    if hot is None:
+        return spark.createDataFrame(
+            [], f"id long, neighbors {_OUT_NEIGHBOR.simpleString()}, partition long"
+        )
+    hot_clean = hot.select(
+        "id",
+        F.transform(
+            "neighbors",
+            lambda s: F.struct(
+                s["id"].alias("id"), s["similarity"].alias("similarity")
+            ),
+        ).alias("neighbors"),
+    )
+    prev_touched = prev_nb.join(
+        F.broadcast(hot.select("id")), "id", "left_semi"
+    ).select("id", F.col("neighbors").alias("__old"))
+    changed = (
+        hot_clean.join(prev_touched, "id", "left")
+        .filter(F.col("__old").isNull() | (F.col("neighbors") != F.col("__old")))
+        .select("id", "neighbors")
+    )
+    part = points.select("id", "partition").join(
+        F.broadcast(changed.select("id")), "id", "left_semi"
+    )
+    return changed.join(part, "id").select("id", "neighbors", "partition")

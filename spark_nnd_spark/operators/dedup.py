@@ -2166,6 +2166,10 @@ def extend_span_index(
     from spark_nnd_spark.operators import index_lifecycle as IL  # noqa: PLC0415
 
     gram_len = spark.read.parquet(f"{path}/meta").first()["gram_len"]
+    # Detach the batch from any lineage that reads this index's own
+    # parquet files BEFORE the upsert's overwrite can invalidate those
+    # input files mid-extend (matches the winnow twin).
+    new_docs = new_docs.localCheckpoint(eager=True)
     stored_id = _span_tables(spark, path)[0][1]
     if not os.path.isdir(f"{path}/ids"):
         spark.read.parquet(f"{path}/grams").select(
@@ -2314,13 +2318,21 @@ def winnow_query_index(
     batch doc also present in the index does not match itself (id
     inequality); retracted docs stop matching immediately (tombstone
     anti-join before the join). ``max_fp_freq`` cuts boilerplate
-    fingerprints by the STORED document frequency (fp_stats) — under a
-    pending tombstone log the stored df over-counts, so the cut may
-    over-cut, never under-cut, until compaction (the span-index
-    contract). ``exclude_ids`` masks those index ids for THIS probe
-    only (no tombstone write) — the replay-purity hook the admit-novel
-    ingest gate uses so a crashed batch that partially admitted itself
-    re-probes against the exact pre-batch index state.
+    fingerprints by document frequency — and the df SOURCE is
+    branch-dependent by design: the default path reads the STORED
+    fp_stats (under a pending tombstone log the stored df over-counts
+    retracted docs until compaction, so the cut may over-cut, never
+    under-cut — the span-index contract), while the ``exclude_ids``
+    path RECOMPUTES df from the masked postings (excluding both
+    tombstoned and probe-excluded docs) so a replayed probe cuts the
+    exact same fingerprints its first attempt did. The same probe can
+    therefore cut differently with vs without ``exclude_ids`` while a
+    tombstone log is pending: the default branch trades exactness for
+    an O(stats) read; the replay branch pays the recompute because the
+    gate's purity demands it. ``exclude_ids`` masks those index ids
+    for THIS probe only (no tombstone write) — the replay-purity hook
+    the admit-novel ingest gate uses so a crashed batch that partially
+    admitted itself re-probes against the exact pre-batch index state.
 
     Scale: the batch's fingerprint set (small — ~2/(w+1) of its
     shingles) broadcasts into the fp-sorted postings scan, so the join

@@ -28,10 +28,12 @@ Layout under ``{path}``:
 
 Scale contract (100 TB):
 
-- **extend is O(batch)-write**: ``update_graph`` already bounds the
-  COMPUTE to the new batch's neighborhood (descent.py); the diff
-  against the prior graph bounds the WRITE to rows whose neighbor
-  list actually changed, appended as a delta — the base adjacency is
+- **extend is O(batch) in compute, shuffle, AND write**:
+  ``update_graph_delta`` (nnd/descent) bounds every exchange to the
+  new batch's neighborhood — the stored graph is scanned, never
+  exploded, joined, or materialized at corpus size, and reverse
+  expansion reads the maintained sidecar; the delta write covers only
+  rows whose neighbor list actually changed — the base adjacency is
   never rewritten on ingest.
 - **read pays O(updated), not O(graph)**: resolution is base
   anti-join broadcast(update ids) ∪ latest-per-id over the UPDATES
@@ -54,7 +56,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spark_nnd_spark.nnd.descent import build_graph, update_graph
+from spark_nnd_spark.nnd.descent import build_graph, update_graph_delta
 from spark_nnd_spark.operators import index_lifecycle as IL
 from spark_nnd_spark.schemas import normalize_points
 
@@ -308,9 +310,13 @@ def _graph_tables(
 def extend_knn_graph_index(
     spark: SparkSession, path: str, new_points: DataFrame
 ) -> None:
-    """Fold a batch of new points into the stored graph
-    (nnd/descent.update_graph — compute scales with the batch, not the
-    corpus) and append the resulting adjacency CHANGES as a delta.
+    """Fold a batch of new points into the stored graph and append the
+    resulting adjacency CHANGES as a delta. Both compute AND shuffle
+    scale with the batch neighborhood, not the corpus
+    (nnd/descent.update_graph_delta): the stored graph is only ever
+    SCANNED — no O(corpus) materialization, explode, join, or diff
+    anywhere in the job. Reverse expansion during the update reads the
+    maintained sidecar, so even the scan-time explode is skipped.
 
     Re-admission of tombstoned ids is the standard upsert
     (index_lifecycle.settle_readmission: purge old physical rows,
@@ -332,39 +338,40 @@ def extend_knn_graph_index(
         roster=("points", "id", "partition"),
     )
 
-    prev = read_graph(spark, path).localCheckpoint(eager=True)
-    new_pts.select("id", "features", "label", "finished", "partition").write.mode(
-        "append"
-    ).partitionBy("partition").parquet(f"{path}/points")
+    # Lazy, tombstone-masked views pinned AFTER the upsert and BEFORE
+    # any append — file listings are fixed at read creation, so the
+    # update's scans never see this batch's own writes.
+    tomb = IL.read_tombstones(spark, path)
+    prev_adj = IL.anti_tombstones(
+        _resolved_adjacency(spark, path), tomb, "id"
+    ).select("id", "neighbors")
+    prev_pts = IL.anti_tombstones(
+        spark.read.parquet(f"{path}/points"), tomb, "id"
+    )
+    rev = IL.anti_tombstones(_resolved_reverse(spark, path), tomb, "src")
+    all_pts = prev_pts.select(
+        "id", "features", "label", "partition", "finished"
+    ).unionByName(
+        new_pts.select("id", "features", "label", "partition", "finished")
+    )
 
     m = _meta(spark, path)
-    full = update_graph(
-        prev,
-        prev.select("id", "features", "label", "partition", "finished")
-        .unionByName(new_pts.select(
-            "id", "features", "label", "partition", "finished"
-        )),
+    # Delta = rows whose neighbor list changed (new ids have no prev
+    # row). Struct-array equality is exact — no float normalization
+    # needed, both sides carry the kernel's float64 sims.
+    changed = update_graph_delta(
+        prev_adj,
+        all_pts,
         k=int(m["k"]),
         max_iterations=int(m["max_iterations"]),
         early_termination=float(m["early_termination"]),
         sample_rate=float(m["sample_rate"]),
         buckets_per_instance=int(m["buckets_per_instance"]),
         seed=int(m["seed"]),
-        validate=False,
-    )
-    # Delta = rows whose neighbor list changed (new ids have no prev
-    # row). Struct-array equality is exact — no float normalization
-    # needed, both sides carry the kernel's float64 sims.
-    prev_nb = prev.select("id", F.col("neighbors").alias("__old"))
-    changed = (
-        full.filter(~F.col("finished"))
-        .join(prev_nb, "id", "left")
-        .filter(
-            F.col("__old").isNull()
-            | (F.col("neighbors") != F.col("__old"))
-        )
-        .select("id", "neighbors", "partition")
-    )
+        new_ids=new_pts.select("id"),
+        reverse=rev,
+    ).localCheckpoint(eager=True)
+
     batch_no = 0
     if _exists(spark, f"{path}/updates"):
         # the overlap purge above may have emptied the table → max None
@@ -374,6 +381,9 @@ def extend_knn_graph_index(
             .collect()[0][0]
         )
         batch_no = (prev_max + 1) if prev_max is not None else 0
+    new_pts.select("id", "features", "label", "finished", "partition").write.mode(
+        "append"
+    ).partitionBy("partition").parquet(f"{path}/points")
     changed.withColumn("batch", F.lit(batch_no).cast("long")).write.mode(
         "append"
     ).parquet(f"{path}/updates")
@@ -402,10 +412,11 @@ def compact_knn_graph_index(spark: SparkSession, path: str) -> None:
     if tomb is not None:
         adj = IL.anti_tombstones(adj, tomb, "id")
         pts = IL.anti_tombstones(pts, tomb, "id")
-        # the log is O(retracted) small by construction — a driver
-        # literal keeps list pruning inside codegen, no explode/regroup
-        tomb_ids = [r.id for r in tomb.collect()]
-        if tomb_ids:
+        n_tomb = tomb.count()
+        if 0 < n_tomb <= 4096:
+            # typical log is O(retracted) small — a driver literal
+            # keeps list pruning inside codegen, no explode/regroup
+            tomb_ids = [r.id for r in tomb.collect()]
             lit = F.array(*[F.lit(int(i)) for i in tomb_ids])
             adj = adj.select(
                 "id",
@@ -413,6 +424,42 @@ def compact_knn_graph_index(spark: SparkSession, path: str) -> None:
                     "neighbors", lambda s: ~F.array_contains(lit, s["id"])
                 ).alias("neighbors"),
                 "partition",
+            )
+        elif n_tomb > 4096:
+            # mass retraction: the id list never touches the driver —
+            # explode, broadcast anti-join, regroup in position order.
+            # The extra O(N·K) exchange lives inside an operation that
+            # already rewrites the whole adjacency, so the asymptotics
+            # of compaction are unchanged.
+            expl = adj.select(
+                "id", "partition",
+                F.posexplode_outer("neighbors").alias("pos", "nb"),
+            )
+            kept = (
+                expl.filter(F.col("nb").isNotNull())
+                .join(
+                    F.broadcast(tomb.select(F.col("id").alias("__tid"))),
+                    F.col("nb")["id"] == F.col("__tid"),
+                    "left_anti",
+                )
+                .groupBy("id")
+                .agg(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("pos", "nb"))),
+                        lambda s: s["nb"],
+                    ).alias("neighbors")
+                )
+            )
+            adj = (
+                adj.select("id", "partition")
+                .join(kept, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce(
+                        "neighbors", F.array().cast(_NEIGHBOR_T)
+                    ).alias("neighbors"),
+                    "partition",
+                )
             )
     adj = adj.localCheckpoint(eager=True)  # detach from files being replaced
     pts = pts.localCheckpoint(eager=True)

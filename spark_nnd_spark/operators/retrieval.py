@@ -104,6 +104,10 @@ def extend_text_index(
     """
     from spark_nnd_spark.operators import index_lifecycle as IL
 
+    # Detach the batch from any lineage that reads this index's own
+    # parquet files before the upsert's overwrite can invalidate them
+    # mid-extend (matches extend_winnow_index).
+    new_docs = new_docs.localCheckpoint(eager=True)
     # roster = doclens (one row per doc): the live-overlap check of
     # the full upsert reads O(docs) rows, never the postings
     IL.settle_upsert(

@@ -156,6 +156,32 @@ def test_compact_converges_and_prunes_lists(spark, tmp_path):
     assert after == {e for e in before if e[1] not in (5, 160)}
 
 
+def test_compact_mass_retraction_without_driver_literal(spark, tmp_path):
+    """A tombstone log past the literal threshold (>4096 ids) takes the
+    broadcast-join prune path: the id list never becomes a driver-side
+    expression, and the compacted graph still equals the logical view
+    minus edges into the retracted ids."""
+    pts = _pts(spark)
+    d = str(tmp_path / "g")
+    KG.build_knn_graph_index(pts, d, k=5, max_iterations=3, seed=42)
+    # 2 live victims + ~10^5 synthetic ids (absent ids mask nothing but
+    # force the log over the threshold — a mass-retraction shape)
+    tomb = spark.range(10_000_000, 10_100_000).select("id").unionByName(
+        spark.createDataFrame([(5,), (160,)], "id long")
+    )
+    KG.retract_from_knn_graph_index(spark, d, tomb)
+    before = _edges(KG.read_graph(spark, d))
+    KG.compact_knn_graph_index(spark, d)
+    assert not os.path.isdir(f"{d}/tombstones")
+    g = KG.read_graph(spark, d)
+    assert g.filter(F.col("id").isin([5, 160])).count() == 0
+    after = _edges(g)
+    assert not any(nb in (5, 160) for _, nb in after)
+    assert after == {e for e in before if e[1] not in (5, 160)}
+    # empty-list rows survive the explode/regroup prune as [] (not null)
+    assert g.filter(F.col("neighbors").isNull() & ~F.col("finished")).count() == 0
+
+
 def test_graph_gate_stream_replay_equals_batch(spark, tmp_path):
     import numpy as np
     import pandas as pd
