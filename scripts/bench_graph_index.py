@@ -7,9 +7,14 @@ Claims under test (the 10th family's twin of bench_token_stats.py):
   touch in the search loop is a broadcast-hash join; the only
   exchanges carry O(Q·beam·K) candidate rows, so probe shuffle stays
   ~flat while N doubles (wall grows with the scan, not the shuffle);
-- EXTEND of a fixed-size batch writes O(batch) delta rows and its
-  compute is bounded by the batch neighborhood (update_graph), so
-  extend wall/shuffle grow far slower than the corpus;
+- EXTEND of a fixed-size batch is O(batch) in compute, shuffle, and
+  write (update_graph_delta): every exchange is bounded by the
+  batch's bucket-cohort neighborhood, whose size converges to
+  ~batch·draws·bucket_size members INDEPENDENT of corpus. The bound
+  is only visible once corpus >> cohort: the 2,000-point batch's
+  cohort (~160k members) exceeds every corpus size here, so its
+  shuffle still tracks min(corpus, cohort) across this range — the
+  250-point batch (cohort ~20k < N) is the flat-regime measurement;
 - BUILD pays the NND O(ρKN) shuffle law already measured in
   BENCH_NND_SCALE.json (re-reported here per size for context).
 
@@ -41,6 +46,7 @@ SEED = 42
 DIM = 16
 N_CLUSTERS = 64
 BATCH = 2_000  # fixed-size extend batch at every corpus size
+SMALL_BATCH = 250  # cohort-saturated regime: cohort << corpus everywhere
 N_QUERIES = 16
 
 
@@ -139,6 +145,18 @@ def main() -> None:
         probe_upd_sec = round(time.perf_counter() - t0, 2)
         b4 = stage_writes(spark)
 
+        # small-batch extend on the same index: the cohort-saturated
+        # regime (cohort << corpus at every size) where the O(batch)
+        # shuffle bound is directly visible as a flat curve
+        small = points(spark, SMALL_BATCH, id_base=20_000_000 + n)
+        small = small.localCheckpoint(eager=True)
+        small.count()
+        b4 = stage_writes(spark)
+        t0 = time.perf_counter()
+        KG.extend_knn_graph_index(spark, path, small)
+        extend_small_sec = round(time.perf_counter() - t0, 2)
+        b5 = stage_writes(spark)
+
         rec = {
             "n": n,
             "build_sec": build_sec,
@@ -152,6 +170,9 @@ def main() -> None:
             "probe_after_extend_sec": probe_upd_sec,
             "probe_after_extend_rows": n_res2,
             "probe_after_extend_shuffle_mb": _delta(b3, b4),
+            "extend_small_batch": SMALL_BATCH,
+            "extend_small_sec": extend_small_sec,
+            "extend_small_shuffle_mb": _delta(b4, b5),
         }
         results.append(rec)
         print(json.dumps(rec))

@@ -739,16 +739,20 @@ def _update_core(
     )
     # Only buckets holding >= 1 new point produce candidates that can
     # involve a new point; prune the rest before any feature moves.
+    # BOTH prunes are broadcast joins: the O(N·draws) member stream
+    # (features attached) is scanned, never exchanged.
     live_buckets = (
-        members.join(new_ids, "id", "left_semi").select("bucket").distinct()
+        members.join(F.broadcast(new_ids), "id", "left_semi")
+        .select("bucket")
+        .distinct()
     )
-    members = members.join(live_buckets, "bucket", "left_semi")
+    members = members.join(F.broadcast(live_buckets), "bucket", "left_semi")
     init_cands = members.groupBy("bucket").applyInPandas(
         _init_kernel(seed, k), _CAND_SCHEMA
     )
     # Drop candidates where both endpoints are old (their graph entries
     # are already converged; re-initializing them would only add noise).
-    new_flag = new_ids.withColumn("__new", F.lit(True))
+    new_flag = F.broadcast(new_ids.withColumn("__new", F.lit(True)))
     init_cands = (
         init_cands.join(new_flag, "id", "left")
         .withColumnRenamed("__new", "__new_id")

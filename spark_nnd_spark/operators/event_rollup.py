@@ -5,11 +5,10 @@ bars, volumes, bucket averages) never re-scan raw events.
 
 This is TimescaleDB's continuous-aggregate shape (materialized
 time_bucket rollups refreshed as data arrives) re-expressed on the
-engine's algebraic-family machinery (operators/state_commit): the
-reference leaves all serving to the caller — NND.scala's output
-contract (NND.scala:63,66) stops at the artifact — and this family
-does for the events table what token/cov stats do for text and
-embeddings.
+engine's algebraic-family machinery: the reference leaves all serving
+to the caller — NND.scala's output contract (NND.scala:63,66) stops
+at the artifact — and this family does for the events table what
+token/cov stats do for text and embeddings.
 
 Partial row per (user_id, slot_epoch): ``n`` (count), ``c_sum``
 (exact integer cents), ``c_min``/``c_max``, and the ingest-order
@@ -18,13 +17,14 @@ event_id. Every field is MERGEABLE (count/sum add; min/max lattice;
 endpoints compare event_ids), so:
 
 - ``extend`` == fresh rebuild over the union EXACTLY (asserted in
-  tests) — merge is one groupBy over stored ∪ batch partials;
+  tests) — merge touches only the (user, slot) groups the batch
+  carries;
 - merges re-bucket EXACTLY to any coarser grain (hour → day) because
   the partials are closed under merging — the cross-grain property
   the daily-bars probe exercises;
-- replay safety is the token-stats contract: each merge publishes the
-  rollup AND its applied-batch marker in ONE atomic versioned rename
-  (commit_state), so an at-least-once redelivery is a no-op.
+- replay safety: applied-batch markers publish in the same atomic
+  per-window rename as the window's rollup, so an at-least-once
+  redelivery skips every window it already reached.
 
 Deletions/updates in the source: count/sum are subtractable but
 min/max and the event-id endpoints are not invertible — removing the
@@ -35,13 +35,29 @@ grain-aligned window from the current hypertable and replace just
 those buckets (tested delete → refresh == fresh build); a blind
 ``retract(events)`` API is deliberately absent.
 
-Scale (100 TB of events): build/extend aggregate map-side to
-O(users·buckets) partial rows (min_by/max_by partials carry one
-(value, key) pair per group — the q207 exchange argument); the stored
-rollup is corpus-size-independent per retention window; probes read
-ONLY the rollup. The commit is O(rollup) per batch — at true scale
-the same contract holds per time-partition so a merge rewrites only
-the buckets the batch touches.
+Scale (100 TB of events) — the r14 finding (extend committed
+O(rollup) per batch: 9.2→27.8 MB shuffle at fixed 10k batch over 4×
+events) is closed by TWO independent bounds:
+
+- **merge shuffle is O(batch keys)**: the batch's partial keys
+  broadcast into the stored scan; stored rows NOT keyed by the batch
+  pass through map-side (broadcast anti-join — no exchange), and only
+  the O(batch-keys) matched rows + batch partials enter the merge
+  groupBy. Nothing O(rollup) ever shuffles on ingest.
+- **the commit is per-TIME-WINDOW (TimescaleDB's chunks)**: the
+  rollup is hive-partitioned by a coarse ``win`` of ``slot_epoch``
+  (pinned at build, default 7 days) and each window carries its OWN
+  versioned state (``{path}/win={w}/state/v={k}/``, the
+  state_commit staging+rename discipline per window) — an extend
+  rewrites only the windows the batch touches, so a time-local
+  ingest batch pays O(its windows' rollup) write, not O(retention).
+
+Atomicity contract under partitioning: rollup content + applied
+marker publish in ONE rename PER WINDOW; a crash mid-extend leaves
+some windows applied and others not, and the retry converges —
+applied windows are skipped by their own marker, so no field is ever
+double-counted (the cross-window analogue of TimescaleDB refreshing
+chunk by chunk). Probes union the windows' latest committed states.
 """
 
 from __future__ import annotations
@@ -50,15 +66,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_nnd_spark.operators.state_commit import (
-    commit_state,
-    next_version,
-    state_dir,
+    _fs,
+    committed_versions,
 )
 
 _PARTIAL_COLS = (
     "user_id", "slot_epoch", "n", "c_sum", "c_min", "c_max",
     "first_eid", "first_c", "last_eid", "last_c",
 )
+
+_PARTIAL_DDL = (
+    "user_id long, slot_epoch long, n long, c_sum long, c_min long, "
+    "c_max long, first_eid long, first_c long, last_eid long, last_c long"
+)
+
+_WINDOW_SECONDS_DEFAULT = 7 * 86400
 
 
 def _partial(events: DataFrame, grain_seconds: int) -> DataFrame:
@@ -112,31 +134,154 @@ def _merge(parts: DataFrame, bucket_expr=None) -> DataFrame:
     )
 
 
-def build_event_rollup(
-    events: DataFrame, path: str, grain_seconds: int = 3600
+def _win_col(window_seconds: int):
+    return F.floor(F.col("slot_epoch") / F.lit(int(window_seconds))).cast(
+        "long"
+    )
+
+
+def _meta(spark: SparkSession, path: str) -> tuple[int, int]:
+    row = spark.read.parquet(f"{path}/meta").first()
+    return int(row["grain_seconds"]), int(row["window_seconds"])
+
+
+def _list_wins(spark: SparkSession, path: str) -> list[int]:
+    jvm, fs = _fs(spark, path)
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("win="):
+            try:
+                out.append(int(name[4:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _win_state(spark: SparkSession, path: str, w: int) -> str | None:
+    vs = committed_versions(spark, f"{path}/win={w}")
+    return f"{path}/win={w}/state/v={vs[-1]}" if vs else None
+
+
+def _applied_in(spark: SparkSession, state: str, batch_id: int) -> bool:
+    jvm, fs = _fs(spark, state)
+    return fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{state}/applied_b={int(batch_id)}")
+    )
+
+
+def _commit_window(
+    spark: SparkSession,
+    path: str,
+    w: int,
+    rollup_src: str | None,
+    add_batch: int | None,
 ) -> None:
-    """Aggregate the corpus once and commit version 0: rollup +
-    empty applied-markers + pinned grain (probes and extends must
-    bucket exactly like the build)."""
+    """Publish one window's next version with a single RENAME: the
+    merged rollup dir (pre-written by the caller's one partitioned
+    job, or None for an emptied window), the previous version's
+    applied markers carried forward as empty files, plus the new
+    batch's marker — content and marker become visible in one
+    indivisible event, per window. GC keeps the predecessor so lazy
+    readers stay valid (the state_commit discipline)."""
+    jvm, fs = _fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    wroot = f"{path}/win={w}"
+    vs = committed_versions(spark, wroot)
+    version = (vs[-1] + 1) if vs else 0
+    staging = f"{wroot}/state/_staging_v={version}"
+    fs.delete(P(staging), True)
+    fs.mkdirs(P(staging))
+    if rollup_src is not None:
+        if not fs.rename(P(rollup_src), P(f"{staging}/rollup")):
+            msg = f"window commit rename failed: {rollup_src}"
+            raise OSError(msg)
+    else:
+        # emptied window (refresh cleared it): a schema-bearing empty
+        # table so the union read path needs no special case
+        spark.createDataFrame([], _PARTIAL_DDL).coalesce(1).write.parquet(
+            f"{staging}/rollup"
+        )
+    if vs:
+        prev = f"{wroot}/state/v={vs[-1]}"
+        for st in fs.listStatus(P(prev)):
+            name = st.getPath().getName()
+            if name.startswith("applied_b="):
+                fs.create(P(f"{staging}/{name}")).close()
+    if add_batch is not None:
+        fs.create(P(f"{staging}/applied_b={int(add_batch)}")).close()
+    fs.create(P(f"{staging}/_COMMITTED")).close()
+    if not fs.rename(P(staging), P(f"{wroot}/state/v={version}")):
+        msg = f"window commit rename failed: {staging} -> v={version}"
+        raise OSError(msg)
+    for v in committed_versions(spark, wroot):
+        if v < version - 1:
+            fs.delete(P(f"{wroot}/state/v={v}"), True)
+
+
+def _staged_wins(spark: SparkSession, staging: str) -> list[int]:
+    jvm, fs = _fs(spark, staging)
+    root = jvm.org.apache.hadoop.fs.Path(staging)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("win="):
+            out.append(int(name[4:]))
+    return sorted(out)
+
+
+def build_event_rollup(
+    events: DataFrame,
+    path: str,
+    grain_seconds: int = 3600,
+    window_seconds: int = _WINDOW_SECONDS_DEFAULT,
+) -> None:
+    """Aggregate the corpus once (one map-side-combined job, written
+    hive-partitioned by the coarse window) and commit every window's
+    version 0 by rename; pin grain + window size so probes and
+    extends bucket exactly like the build. Build targets a fresh
+    path — windows are independently versioned thereafter."""
     spark = events.sparkSession
-    commit_state(
-        spark, path, next_version(spark, path),
-        {
-            "rollup": _partial(events, grain_seconds).select(*_PARTIAL_COLS),
-            "applied": spark.createDataFrame([], "batch_id long"),
-            "meta": spark.createDataFrame(
-                [(int(grain_seconds),)], "grain_seconds long"
-            ),
-        },
+    staging = f"{path}/_build_staging"
+    jvm, fs = _fs(spark, path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    (
+        _partial(events, grain_seconds)
+        .select(*_PARTIAL_COLS)
+        .withColumn("win", _win_col(window_seconds))
+        .write.partitionBy("win")
+        .parquet(staging)
     )
+    for w in _staged_wins(spark, staging):
+        _commit_window(spark, path, w, f"{staging}/win={w}", add_batch=None)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    spark.createDataFrame(
+        [(int(grain_seconds), int(window_seconds))],
+        "grain_seconds long, window_seconds long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
-def _state(spark: SparkSession, path: str) -> tuple[str, int]:
-    state = state_dir(spark, path)
-    grain = int(
-        spark.read.parquet(f"{state}/meta").first()["grain_seconds"]
-    )
-    return state, grain
+def _stored_for(
+    spark: SparkSession, path: str, wins: list[int]
+) -> DataFrame:
+    """Latest committed rollup rows of the given windows (empty-schema
+    frame if none exist yet)."""
+    parts = []
+    for w in wins:
+        state = _win_state(spark, path, w)
+        if state is not None:
+            parts.append(spark.read.parquet(f"{state}/rollup"))
+    if not parts:
+        return spark.createDataFrame([], _PARTIAL_DDL)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def extend_event_rollup(
@@ -145,31 +290,66 @@ def extend_event_rollup(
     new_events: DataFrame,
     batch_id: int | None = None,
 ) -> None:
-    """Fold a batch of events in: aggregate the batch map-side, merge
-    with the stored rollup (one groupBy over stored ∪ batch partials —
-    exactly equals a fresh build over the union, tested), publish
-    rollup + applied markers atomically. A replayed ``batch_id`` is a
-    no-op BEFORE any work (the token-stats at-most-once contract)."""
-    state, grain = _state(spark, path)
-    applied = spark.read.parquet(f"{state}/applied")
-    if batch_id is not None and applied.filter(
-        F.col("batch_id") == int(batch_id)
-    ).take(1):
-        return
-    stored = spark.read.parquet(f"{state}/rollup")
-    merged = _merge(
-        stored.unionByName(_partial(new_events, grain).select(*_PARTIAL_COLS))
-    ).select(*_PARTIAL_COLS).localCheckpoint(eager=True)
-    if batch_id is not None:
-        applied = applied.unionByName(
-            spark.createDataFrame([(int(batch_id),)], "batch_id long")
-        )
-    applied = applied.localCheckpoint(eager=True)
-    meta = spark.read.parquet(f"{state}/meta").localCheckpoint(eager=True)
-    commit_state(
-        spark, path, next_version(spark, path),
-        {"rollup": merged, "applied": applied, "meta": meta},
+    """Fold a batch of events in with BOTH scale bounds live:
+
+    - shuffle O(batch): the batch aggregates map-side to its partial
+      keys; stored rows keyed by the batch are semi-joined out
+      (broadcast), merged with the batch partials, and everything
+      else passes through with a broadcast anti-join — the stored
+      rollup never enters an exchange;
+    - write O(touched windows): the merged result lands
+      hive-partitioned by window, and only the touched windows commit
+      a new version (single rename each, applied marker inside).
+
+    A replayed ``batch_id`` skips every window that already carries
+    its marker — a full replay is a no-op before any state work, a
+    crashed half-applied extend converges on retry without
+    double-counting (per-window atomicity, documented module-level).
+    """
+    grain, win_s = _meta(spark, path)
+    bparts = (
+        _partial(new_events, grain)
+        .select(*_PARTIAL_COLS)
+        .withColumn("win", _win_col(win_s))
+        .localCheckpoint(eager=True)
     )
+    touched = sorted(
+        r["win"] for r in bparts.select("win").distinct().collect()
+    )
+    if batch_id is not None:
+        todo = []
+        for w in touched:
+            state = _win_state(spark, path, w)
+            if state is None or not _applied_in(spark, state, batch_id):
+                todo.append(w)
+    else:
+        todo = touched
+    if not todo:
+        return
+    bparts = bparts.filter(F.col("win").isin([int(w) for w in todo]))
+    keys = F.broadcast(bparts.select("user_id", "slot_epoch").distinct())
+    stored = _stored_for(spark, path, todo)
+    kept = stored.join(keys, ["user_id", "slot_epoch"], "left_anti")
+    hot = _merge(
+        stored.join(keys, ["user_id", "slot_epoch"], "left_semi").unionByName(
+            bparts.select(*_PARTIAL_COLS)
+        )
+    )
+    out = (
+        kept.select(*_PARTIAL_COLS)
+        .unionByName(hot.select(*_PARTIAL_COLS))
+        .withColumn("win", _win_col(win_s))
+    )
+    staging = f"{path}/_extend_staging"
+    jvm, fs = _fs(spark, path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    out.write.partitionBy("win").parquet(staging)
+    for w in todo:
+        src = f"{staging}/win={w}"
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(src)):
+            src = None  # window emptied (cannot happen on extend; safe)
+        _commit_window(spark, path, w, src, add_batch=batch_id)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
 
 def refresh_event_rollup(
@@ -185,15 +365,14 @@ def refresh_event_rollup(
     the source reach the rollup, since min/max and the event-id
     endpoints cannot be subtracted out of an aggregate. Buckets
     outside the window are untouched; an empty window slice simply
-    clears its buckets. Published atomically like every other commit;
-    callers pass the events table (or the affected slice — only rows
-    whose bucket lands in the window contribute).
+    clears its buckets. Commits per overlapped TIME-WINDOW (the same
+    chunk discipline as extend), applied markers carried forward.
 
-    Scale: one map-side aggregate over the window's events + an
-    O(rollup) filtered rewrite — refresh cost tracks the invalidated
-    window, the hypertable pays one pruned scan (ts-partitioned
-    layouts prune to the window's files)."""
-    state, grain = _state(spark, path)
+    Scale: one map-side aggregate over the window's events + a
+    filtered rewrite of ONLY the overlapped windows — refresh cost
+    tracks the invalidated window, the hypertable pays one pruned
+    scan (ts-partitioned layouts prune to the window's files)."""
+    grain, win_s = _meta(spark, path)
     if int(since_epoch) % grain or int(until_epoch) % grain:
         msg = (
             f"refresh window [{since_epoch}, {until_epoch}) must align to "
@@ -201,34 +380,52 @@ def refresh_event_rollup(
             "recompute a bucket from a partial event slice"
         )
         raise ValueError(msg)
-    stored = spark.read.parquet(f"{state}/rollup")
-    kept = stored.filter(
-        (F.col("slot_epoch") < int(since_epoch))
-        | (F.col("slot_epoch") >= int(until_epoch))
+    lo_w = int(since_epoch) // win_s
+    hi_w = (int(until_epoch) - 1) // win_s
+    touched = sorted(
+        set(w for w in _list_wins(spark, path) if lo_w <= w <= hi_w)
     )
     ts_sec = F.col("ts").cast("long")
     window = events.filter(
         (ts_sec >= int(since_epoch)) & (ts_sec < int(until_epoch))
     )
-    merged = (
-        kept.unionByName(_partial(window, grain).select(*_PARTIAL_COLS))
+    parts = (
+        _partial(window, grain)
         .select(*_PARTIAL_COLS)
+        .withColumn("win", _win_col(win_s))
         .localCheckpoint(eager=True)
     )
-    applied = spark.read.parquet(f"{state}/applied").localCheckpoint(
-        eager=True
+    touched = sorted(
+        set(touched)
+        | {r["win"] for r in parts.select("win").distinct().collect()}
     )
-    meta = spark.read.parquet(f"{state}/meta").localCheckpoint(eager=True)
-    commit_state(
-        spark, path, next_version(spark, path),
-        {"rollup": merged, "applied": applied, "meta": meta},
+    if not touched:
+        return
+    kept = _stored_for(spark, path, touched).filter(
+        (F.col("slot_epoch") < int(since_epoch))
+        | (F.col("slot_epoch") >= int(until_epoch))
     )
+    out = (
+        kept.select(*_PARTIAL_COLS)
+        .unionByName(parts.select(*_PARTIAL_COLS))
+        .withColumn("win", _win_col(win_s))
+    )
+    staging = f"{path}/_refresh_staging"
+    jvm, fs = _fs(spark, path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    out.write.partitionBy("win").parquet(staging)
+    for w in touched:
+        src = f"{staging}/win={w}"
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(src)):
+            src = None  # refresh emptied this window
+        _commit_window(spark, path, w, src, add_batch=None)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
 
 def rollup_table(spark: SparkSession, path: str) -> DataFrame:
-    """The stored partial rows — zero events I/O."""
-    state, _ = _state(spark, path)
-    return spark.read.parquet(f"{state}/rollup")
+    """The stored partial rows — the union of every window's latest
+    committed state; zero events I/O."""
+    return _stored_for(spark, path, _list_wins(spark, path))
 
 
 def ohlc_from_rollup(spark: SparkSession, path: str) -> DataFrame:

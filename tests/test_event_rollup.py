@@ -197,3 +197,59 @@ def test_refresh_window_applies_source_deletion(spark, tmp_path):
     assert bars[(1, h0)] == (2.0, 2)  # new high, new count
     with pytest.raises(ValueError, match="align"):
         refresh_event_rollup(spark, d, ev2, h0 + 1, h0 + 3600)
+
+
+def test_extend_rewrites_only_touched_windows(spark, tmp_path):
+    """The per-window commit contract: a batch landing in one coarse
+    time window bumps ONLY that window's version — untouched windows
+    keep serving their existing committed state (the O(touched
+    windows) write bound TimescaleDB chunks give)."""
+    from spark_nnd_spark.operators.state_commit import committed_versions
+
+    d = str(tmp_path / "r")
+    # day 1 lands in win 2817 (7-day windows), day 10 in win 2818
+    early = _events(spark)
+    late = spark.createDataFrame(
+        [_ev(50, 1, 0, 4, 2.00, day=10), _ev(51, 2, 0, 4, 3.00, day=10)], DDL
+    )
+    build_event_rollup(early.unionByName(late), d)
+    wins = sorted(
+        int(p[4:]) for p in __import__("os").listdir(d) if p.startswith("win=")
+    )
+    assert len(wins) == 2
+    v_before = {w: committed_versions(spark, f"{d}/win={w}") for w in wins}
+    assert all(v == [0] for v in v_before.values())
+    # batch only touches day 1 (first window)
+    extend_event_rollup(spark, d, _batch(spark), batch_id=7)
+    v_after = {w: committed_versions(spark, f"{d}/win={w}") for w in wins}
+    assert v_after[wins[0]][-1] == 1  # touched window advanced
+    assert v_after[wins[1]] == [0]   # untouched window NOT rewritten
+    # and the logical content still equals a fresh build
+    fresh = str(tmp_path / "f")
+    build_event_rollup(
+        early.unionByName(late).unionByName(_batch(spark)), fresh
+    )
+    assert _rows(rollup_table(spark, d)) == _rows(rollup_table(spark, fresh))
+
+
+def test_refresh_emptying_a_window_serves_empty_not_missing(spark, tmp_path):
+    """A refresh that deletes every event of a window's only buckets
+    commits a schema-bearing EMPTY state for that window — the union
+    read path keeps working and equals a fresh build over the
+    modified hypertable."""
+    from spark_nnd_spark.operators.event_rollup import refresh_event_rollup
+
+    d = str(tmp_path / "r")
+    late = spark.createDataFrame(
+        [_ev(50, 1, 0, 4, 2.00, day=10), _ev(51, 2, 0, 4, 3.00, day=10)], DDL
+    )
+    ev = _events(spark).unionByName(late)
+    build_event_rollup(ev, d)
+    # drop ALL day-10 events, refresh exactly their grain-aligned span
+    ev2 = _events(spark)
+    h = int(dt.datetime(2024, 1, 10, 0).timestamp())
+    refresh_event_rollup(spark, d, ev2, h, h + 4 * 3600)
+    fresh = str(tmp_path / "f")
+    build_event_rollup(ev2, fresh)
+    assert _rows(rollup_table(spark, d)) == _rows(rollup_table(spark, fresh))
+    assert rollup_table(spark, d).filter(F.col("slot_epoch") >= h).count() == 0
