@@ -254,6 +254,9 @@ def build_event_rollup(
         _partial(events, grain_seconds)
         .select(*_PARTIAL_COLS)
         .withColumn("win", _win_col(window_seconds))
+        # one exchange keyed by window -> ONE file per window dir, so
+        # every later probe scans O(windows) files, not O(write tasks)
+        .repartition("win")
         .write.partitionBy("win")
         .parquet(staging)
     )
@@ -343,7 +346,11 @@ def extend_event_rollup(
     staging = f"{path}/_extend_staging"
     jvm, fs = _fs(spark, path)
     fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
-    out.write.partitionBy("win").parquet(staging)
+    # coalesce(1) is a NARROW dependency: no exchange enters the plan
+    # (the flat extend-shuffle record), and each touched window dir
+    # stays one file so probe scans don't degrade batch over batch;
+    # the single write task moves only the touched windows' rows
+    out.coalesce(1).write.partitionBy("win").parquet(staging)
     for w in todo:
         src = f"{staging}/win={w}"
         if not fs.exists(jvm.org.apache.hadoop.fs.Path(src)):
@@ -413,7 +420,8 @@ def refresh_event_rollup(
     staging = f"{path}/_refresh_staging"
     jvm, fs = _fs(spark, path)
     fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
-    out.write.partitionBy("win").parquet(staging)
+    # narrow single-task write: same rationale as extend
+    out.coalesce(1).write.partitionBy("win").parquet(staging)
     for w in touched:
         src = f"{staging}/win={w}"
         if not fs.exists(jvm.org.apache.hadoop.fs.Path(src)):

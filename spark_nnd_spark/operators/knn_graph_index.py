@@ -178,10 +178,14 @@ def _resolved_reverse(spark: SparkSession, path: str) -> DataFrame:
         return base
     upd = spark.read.parquet(f"{path}/updates")
     w = Window.partitionBy("id").orderBy(F.desc("batch"))
+    # checkpoint the O(updated) resolution so consumers that scan the
+    # reverse view repeatedly (the sparse descent, the search loop)
+    # pay the delta window ONCE, not once per scan
     latest = (
         upd.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") == 1)
         .select("id", "neighbors", "partition")
+        .localCheckpoint(eager=True)
     )
     upd_ids = upd.select(F.col("id").alias("src")).distinct()
     return base.join(F.broadcast(upd_ids), "src", "left_anti").unionByName(
@@ -199,10 +203,15 @@ def _resolved_adjacency(spark: SparkSession, path: str) -> DataFrame:
         return base
     upd = spark.read.parquet(f"{path}/updates")
     w = Window.partitionBy("id").orderBy(F.desc("batch"))
+    # checkpoint the O(updated) resolution so consumers that scan the
+    # resolved view repeatedly (the sparse descent scans it per
+    # broadcast lookup, the search loop per hop) pay the delta window
+    # ONCE, not once per scan
     latest = (
         upd.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") == 1)
         .select("id", "neighbors", "partition")
+        .localCheckpoint(eager=True)
     )
     upd_ids = upd.select("id").distinct()
     return base.join(F.broadcast(upd_ids), "id", "left_anti").unionByName(
