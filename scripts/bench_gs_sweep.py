@@ -51,6 +51,17 @@ GRID = [
     (128, 32, 256),
 ]
 
+# axis 3: the coarse ENTRY LAYER (use_anchors) — nearest-anchor
+# seeding at tiny n_entry; expect the recall curve to shift LEFT at
+# equal-or-lower search cost (the r14 stretch #8 ask): recall ~1.0 at
+# n_entry where random seeding sits at its component-coverage floor
+ANCHOR_GRID = [
+    (64, 16, 4),
+    (64, 16, 8),
+    (64, 16, 16),
+    (64, 16, 32),
+]
+
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
@@ -94,6 +105,28 @@ def main() -> None:
             "ef": ef,
             "beam": beam,
             "n_entry": n_entry,
+            "recall": round(len(got & truth) / len(truth), 4),
+            "search_sec": wall,
+        }
+        rows.append(rec)
+        print(f"# {json.dumps(rec)}", file=sys.stderr)
+
+    for ef, beam, n_entry in ANCHOR_GRID:
+        t0 = time.perf_counter()
+        got = {
+            (r.query_id, r.nb_id)
+            for r in KG.graph_index_search(
+                spark, path, queries, k=K, ef=ef, beam=beam,
+                n_entry=n_entry, use_anchors=True,
+            ).collect()
+        }
+        wall = round(time.perf_counter() - t0, 2)
+        rec = {
+            "n": n,
+            "ef": ef,
+            "beam": beam,
+            "n_entry": n_entry,
+            "anchors": True,
             "recall": round(len(got & truth) / len(truth), 4),
             "search_sec": wall,
         }

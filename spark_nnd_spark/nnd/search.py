@@ -102,6 +102,7 @@ def graph_search_topk(
     points: DataFrame | None = None,
     include_reverse: bool = True,
     reverse: DataFrame | None = None,
+    anchors: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k nearest stored neighbors of each query vector, served by
     greedy best-first search over ``graph`` (a ``build_graph`` /
@@ -120,6 +121,18 @@ def graph_search_topk(
     ``reverse/`` sidecar, halving the per-iteration corpus scan work
     and making both expansion sides prunable. Without it (inline
     serving), the reverse pairs are derived from ``graph`` on the fly.
+
+    ``anchors`` optionally supplies a COARSE ENTRY LAYER (id,
+    features, partition — a persisted sample of graph nodes, the
+    HNSW-upper-layer move): every query scores the anchor set once and
+    seeds from its ``n_entry`` NEAREST anchors per partition, instead
+    of from ``n_entry`` shared random seeds. Random seeding needs
+    n_entry ≈ the component count for coverage (BENCH_GS_SWEEP:
+    recall 0.19@16 → 1.0@256 on 64 clusters); nearest-anchor seeding
+    lands every seed in the query's own region, so small n_entry
+    reaches the same recall — the anchor scoring pass costs
+    O(|anchors|·Q), the price n_entry=|anchors| random seeding would
+    pay, but the downstream pool/beam stays small.
 
     Returns (query_id, nb_id, rank, sim), rank 1..k by sim desc / id
     asc — ties broken exactly like the graph build.
@@ -149,17 +162,40 @@ def graph_search_topk(
         F.col(query_vec_col).cast("array<double>").alias("q_vec"),
     )
 
-    # ---- seed pool: every query scores the shared entry set ---------
-    entries = entry_points(points, n_entry, seed)
-    pool = (
-        entries.crossJoin(F.broadcast(q))
-        .select(
+    # ---- seed pool ---------------------------------------------------
+    if anchors is not None:
+        # coarse layer: per (query, partition) the n_entry NEAREST
+        # anchors seed the pool — query-local entries, not random ones
+        scored_anchors = anchors.select(
+            "id", "features", "partition"
+        ).crossJoin(F.broadcast(q)).select(
             "query_id",
             "id",
+            "partition",
             _sim("q_vec", "features").alias("sim"),
-            F.lit(False).alias("expanded"),
         )
-    )
+        wa = Window.partitionBy("query_id", "partition").orderBy(
+            F.desc("sim"), F.asc("id")
+        )
+        pool = (
+            scored_anchors.withColumn("__r", F.row_number().over(wa))
+            .filter(F.col("__r") <= n_entry)
+            .select(
+                "query_id", "id", "sim", F.lit(False).alias("expanded")
+            )
+        )
+    else:
+        # flat seeding: every query scores the shared entry set
+        entries = entry_points(points, n_entry, seed)
+        pool = (
+            entries.crossJoin(F.broadcast(q))
+            .select(
+                "query_id",
+                "id",
+                _sim("q_vec", "features").alias("sim"),
+                F.lit(False).alias("expanded"),
+            )
+        )
     pool = _truncate(pool, ef).localCheckpoint(eager=True)
 
     for _ in range(max_iterations):

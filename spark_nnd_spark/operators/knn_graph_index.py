@@ -79,6 +79,7 @@ def build_knn_graph_index(
     sample_rate: float = 1.0,
     buckets_per_instance: int = 4,
     seed: int = 42,
+    n_anchors: int = 256,
 ) -> None:
     """Build the graph (nnd/descent.build_graph) and persist points +
     adjacency + pinned build params. One NND build, two
@@ -100,6 +101,7 @@ def build_knn_graph_index(
         k=k, max_iterations=max_iterations,
         early_termination=early_termination, sample_rate=sample_rate,
         buckets_per_instance=buckets_per_instance, seed=seed,
+        n_anchors=n_anchors,
     )
 
 
@@ -112,6 +114,7 @@ def persist_graph_index(
     sample_rate: float = 1.0,
     buckets_per_instance: int = 4,
     seed: int = 42,
+    n_anchors: int = 256,
 ) -> None:
     """Persist an ALREADY-BUILT graph (a build_graph/update_graph
     result) into the family layout — the entry point for users who
@@ -131,6 +134,23 @@ def persist_graph_index(
         f"{path}/adjacency"
     )
     _write_reverse(spark.read.parquet(f"{path}/adjacency"), path)
+    # coarse entry layer (the HNSW-upper-layer move): a deterministic
+    # per-partition sample of stored nodes with their vectors; searches
+    # opting in (use_anchors) seed from each query's NEAREST anchors
+    # instead of shared random entries — recall at small n_entry
+    from spark_nnd_spark.nnd.search import entry_points  # noqa: PLC0415
+
+    entry_points(
+        spark.read.parquet(f"{path}/points").select(
+            "id", "features", "partition"
+        ),
+        int(n_anchors),
+        int(seed),
+    ).join(
+        spark.read.parquet(f"{path}/points").select("id", "partition"), "id"
+    ).select("id", "features", "partition").write.mode(
+        "overwrite"
+    ).partitionBy("partition").parquet(f"{path}/anchors")
     spark.createDataFrame(
         [(
             int(k), int(max_iterations), float(early_termination),
@@ -253,6 +273,7 @@ def graph_index_search(
     query_id_col: str = "query_id",
     query_vec_col: str = "q_vec",
     exclude_ids: DataFrame | None = None,
+    use_anchors: bool = False,
 ) -> DataFrame:
     """Nearest STORED neighbors of each query vector, served by greedy
     search (nnd/search.graph_search_topk) over the persisted graph.
@@ -261,10 +282,24 @@ def graph_index_search(
     ``exclude_ids`` additionally masks the given node ids for THIS
     probe only (broadcast anti-join) — the replay-purity device of the
     ingest gate (a retried micro-batch that partially admitted itself
-    must still probe the exact pre-batch graph)."""
+    must still probe the exact pre-batch graph).
+
+    ``use_anchors=True`` seeds each query from its NEAREST stored
+    anchors (the coarse entry layer persisted at build) instead of
+    shared random entries — the recall-at-small-n_entry mode measured
+    in BENCH_GS_SWEEP; anchors are masked by the same tombstone +
+    exclude rules as every other read, so a retracted anchor can
+    neither seed nor surface."""
     from spark_nnd_spark.nnd.search import graph_search_topk  # noqa: PLC0415
 
     g = read_graph(spark, path)
+    anchors = None
+    if use_anchors and _exists(spark, f"{path}/anchors"):
+        anchors = IL.anti_tombstones(
+            spark.read.parquet(f"{path}/anchors"),
+            IL.read_tombstones(spark, path),
+            "id",
+        )
     # Reverse expansion from the maintained sidecar: mask exactly the
     # SOURCES the inline derivation would lose when its adjacency rows
     # are masked (tombstoned + probe-excluded ids), so sidecar-served
@@ -282,6 +317,8 @@ def graph_index_search(
         rev = rev.join(
             ex.select(F.col("id").alias("src")), "src", "left_anti"
         )
+        if anchors is not None:
+            anchors = anchors.join(ex, "id", "left_anti")
     return graph_search_topk(
         g,
         queries,
@@ -295,6 +332,7 @@ def graph_index_search(
         query_vec_col=query_vec_col,
         points=g.select("id", "features", "partition"),
         reverse=rev,
+        anchors=anchors,
     )
 
 
@@ -313,6 +351,12 @@ def _graph_tables(
         spark, f"{path}/reverse"
     ):
         tables.append(("reverse", "src", "partition"))
+    if spark is not None and path is not None and _exists(
+        spark, f"{path}/anchors"
+    ):
+        # an upserted id's stale anchor vector must leave with its old
+        # rows; the batch's version re-enters only via a rebuild sample
+        tables.append(("anchors", "id", "partition"))
     return tables
 
 
@@ -481,6 +525,13 @@ def compact_knn_graph_index(spark: SparkSession, path: str) -> None:
     # reverse sidecar rebuilt from the compacted adjacency — pruned
     # lists mean pruned pairs; zero-tax reverse reads are restored
     _write_reverse(spark.read.parquet(f"{path}/adjacency"), path)
+    if tomb is not None and _exists(spark, f"{path}/anchors"):
+        anchors = IL.anti_tombstones(
+            spark.read.parquet(f"{path}/anchors"), tomb, "id"
+        ).localCheckpoint(eager=True)
+        anchors.write.mode("overwrite").partitionBy("partition").parquet(
+            f"{path}/anchors"
+        )
     if _exists(spark, f"{path}/updates"):
         shutil.rmtree(f"{path}/updates", ignore_errors=True)
     if tomb is not None:

@@ -412,3 +412,71 @@ def test_search_reverse_pass_uses_sidecar_lookup_not_explode(spark, tmp_path):
     a = _expand_score(adj, points, q, f_pairs, True, rev)
     b = _expand_score(adj, points, q, f_pairs, True, None)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_anchor_seeded_search_beats_flat_seeding_at_small_entry(spark, tmp_path):
+    """The coarse entry layer (HNSW-upper-layer move): with n_anchors
+    limited and n_entry tiny, anchor-seeded search must reach at least
+    flat-seeded recall — and near-exact recall on clustered data,
+    because every seed lands in the query's own region instead of a
+    random component (the BENCH_GS_SWEEP entry-domination finding)."""
+    from tests.conftest import knn_oracle
+
+    rows = make_clustered_points(n_clusters=8, per_cluster=25, dim=8, seed=42)
+    pts = spark.createDataFrame(rows, POINT_DDL)
+    d = str(tmp_path / "g")
+    KG.build_knn_graph_index(
+        pts, d, k=10, max_iterations=4, seed=42, n_anchors=24
+    )
+    q = pts.filter(F.col("id") % 40 == 3).select(
+        F.col("id").alias("query_id"), F.col("features").alias("q_vec")
+    )
+    oracle = knn_oracle(rows, 6)
+
+    def recall(df):
+        hits = total = 0
+        by_q = {}
+        # self is its own nearest under 1/(1+L2); drop it before grading
+        for r in df.collect():
+            by_q.setdefault(r.query_id, set()).add(r.nb_id)
+        for qid, got in by_q.items():
+            got = got - {qid}
+            want = {j for j, _ in oracle[qid][:5]}
+            hits += len(got & want)
+            total += len(want)
+        return hits / total
+
+    flat = KG.graph_index_search(spark, d, q, k=6, ef=32, beam=8, n_entry=2)
+    anch = KG.graph_index_search(
+        spark, d, q, k=6, ef=32, beam=8, n_entry=2, use_anchors=True
+    )
+    r_flat, r_anch = recall(flat), recall(anch)
+    assert r_anch >= r_flat
+    assert r_anch >= 0.9, f"anchor-seeded recall {r_anch:.3f}"
+
+
+def test_retracted_anchor_cannot_seed_or_surface(spark, tmp_path):
+    """A tombstoned node that happens to be an anchor must neither
+    appear in results nor survive in the anchors table after compact
+    (the anchors sidecar pays the same masking rules as every read)."""
+    pts = _pts(spark)
+    d = str(tmp_path / "g")
+    KG.build_knn_graph_index(pts, d, k=10, max_iterations=3, seed=42, n_anchors=200)
+    q = pts.filter(F.col("id") < 2).select(
+        F.col("id").alias("query_id"), F.col("features").alias("q_vec")
+    )
+    before = KG.graph_index_search(
+        spark, d, q, k=3, ef=32, beam=8, n_entry=4, use_anchors=True
+    )
+    victims = [int(r.nb_id) for r in before.filter(F.col("rank") == 1).collect()]
+    KG.retract_from_knn_graph_index(
+        spark, d, spark.createDataFrame([(i,) for i in victims], "id long")
+    )
+    after = KG.graph_index_search(
+        spark, d, q, k=3, ef=32, beam=8, n_entry=4, use_anchors=True
+    )
+    assert after.filter(F.col("nb_id").isin(victims)).count() == 0
+    assert after.count() == 2 * 3
+    KG.compact_knn_graph_index(spark, d)
+    anchors = spark.read.parquet(f"{d}/anchors")
+    assert anchors.filter(F.col("id").isin(victims)).count() == 0
