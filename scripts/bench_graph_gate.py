@@ -96,7 +96,13 @@ def main() -> None:
         pts.count()
         path = session_scratch_dir(f"graph_gate_{n}_")
         t0 = time.perf_counter()
-        KG.build_knn_graph_index(pts, path, k=10, max_iterations=4, seed=SEED)
+        # n_anchors=1024: the duplicate-detection assertion needs every
+        # one of the 64 clusters anchor-covered (miss prob per cluster
+        # (63/64)^1024 ~ 1e-7); random-entry seeding would need
+        # n_entry ≈ cluster count instead (the BENCH_GS_SWEEP finding)
+        KG.build_knn_graph_index(
+            pts, path, k=10, max_iterations=4, seed=SEED, n_anchors=1024
+        )
         build_sec = round(time.perf_counter() - t0, 2)
 
         src = session_scratch_dir(f"graph_gate_q_{n}_")
@@ -111,7 +117,7 @@ def main() -> None:
         t0 = time.perf_counter()
         graph_gate_stream(
             stream, path, out, checkpoint=session_scratch_dir(f"gate_ck_{n}_"),
-            k=5, ef=64, beam=16, n_entry=64,
+            k=5, ef=64, beam=16, n_entry=16, use_anchors=True,
             admit_novel=True, novel_sim_tau=TAU, timeout_sec=600,
         )
         gate_sec = round(time.perf_counter() - t0, 2)

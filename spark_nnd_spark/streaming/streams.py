@@ -529,6 +529,7 @@ def graph_gate_stream(
     timeout_sec: int = 180,
     admit_novel: bool = False,
     novel_sim_tau: float = 0.5,
+    use_anchors: bool = False,
 ) -> Any:
     """Ingest gate over the PERSISTED K-NN-graph index
     (operators/knn_graph_index, the 10th family): each micro-batch of
@@ -559,7 +560,15 @@ def graph_gate_stream(
     Scale: per batch the search pays O(iterations) broadcast joins
     against the stored graph — per-query cost O(iters·beam·K),
     corpus-independent (nnd/search.py); admission work scales with the
-    novel rows (update_graph's incremental contract)."""
+    novel rows (update_graph's incremental contract).
+
+    ``use_anchors=True`` seeds each probe from its NEAREST stored
+    anchors (the coarse entry layer persisted at build) instead of
+    shared random entries — on clustered corpora random seeding needs
+    n_entry ≈ the cluster count for full duplicate detection
+    (BENCH_GS_SWEEP: recall is entry-dominated), while anchor seeding
+    reaches it at small n_entry, keeping the per-batch search cost
+    flat as the stored corpus grows."""
     from spark_nnd_spark.operators.knn_graph_index import (  # noqa: PLC0415
         extend_knn_graph_index,
         graph_index_search,
@@ -590,6 +599,7 @@ def graph_gate_stream(
             query_id_col=id_col,
             query_vec_col=vec_col,
             exclude_ids=batch_df.select(id_col) if admit_novel else None,
+            use_anchors=use_anchors,
         )
         best = topk.filter(F.col("rank") == 1).select(
             "query_id",

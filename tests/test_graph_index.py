@@ -480,3 +480,60 @@ def test_retracted_anchor_cannot_seed_or_surface(spark, tmp_path):
     KG.compact_knn_graph_index(spark, d)
     anchors = spark.read.parquet(f"{d}/anchors")
     assert anchors.filter(F.col("id").isin(victims)).count() == 0
+
+
+def test_graph_gate_stream_anchor_seeded_equals_batch(spark, tmp_path):
+    """The gate's use_anchors pass-through: anchor-seeded gating equals
+    the anchor-seeded batch search row-for-row (the replay==batch
+    contract at the small n_entry the coarse layer exists for)."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_nnd_spark.streaming.streams import graph_gate_stream
+
+    pts = _pts(spark)
+    d = str(tmp_path / "g")
+    KG.build_knn_graph_index(
+        pts, d, k=10, max_iterations=3, seed=42, n_anchors=200
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.uniform(-50, 50, size=(4, 8))
+    qvecs = [
+        (2000 + i, [float(x) for x in centers[i % 4] + rng.normal(0, 1, 8)])
+        for i in range(4)
+    ]
+    src = tmp_path / "aq"
+    src.mkdir()
+    for b in range(2):
+        p = src / f"chunk{b}.parquet"
+        pd.DataFrame(
+            qvecs[2 * b : 2 * b + 2], columns=["vec_id", "embedding"]
+        ).to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + b, 1_700_000_000 + b))
+    out = str(tmp_path / "agateout")
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    graph_gate_stream(
+        stream, d, out, checkpoint=str(tmp_path / "ack"),
+        k=3, ef=32, beam=8, n_entry=4, use_anchors=True,
+    )
+    streamed = sorted(
+        (r.query_id, r.rank, r.nb_id, round(r.sim, 9))
+        for r in spark.read.parquet(out).collect()
+    )
+    all_q = spark.createDataFrame(qvecs, "vec_id long, embedding array<double>")
+    batch = sorted(
+        (r.query_id, r.rank, r.nb_id, round(r.sim, 9))
+        for r in KG.graph_index_search(
+            spark, d, all_q, k=3, ef=32, beam=8, n_entry=4,
+            query_id_col="vec_id", query_vec_col="embedding",
+            use_anchors=True,
+        ).collect()
+    )
+    assert streamed == batch
+    assert len(streamed) == 4 * 3
