@@ -199,13 +199,16 @@ def graph_search_topk(
     pool = _truncate(pool, ef).localCheckpoint(eager=True)
 
     for _ in range(max_iterations):
+        # Convergence scalar (descent.py A12 class): the pool is a
+        # localCheckpoint, so this reads memory, not lineage. ANY
+        # unexpanded row means the frontier is non-empty — testing the
+        # flag directly skips the per-iteration rank-window job the
+        # loop used to pay just to decide whether to continue.
+        if not pool.filter(~F.col("expanded")).take(1):
+            break
         frontier = _rank(pool.filter(~F.col("expanded"))).filter(
             F.col("__r") <= beam
         )
-        # Convergence scalar (descent.py A12 class): the pool is a
-        # localCheckpoint, so this count re-reads memory, not lineage.
-        if not frontier.take(1):
-            break
         f_pairs = frontier.select("query_id", "id")
         scored = _expand_score(
             adj, points, q, f_pairs, include_reverse, reverse
@@ -220,8 +223,15 @@ def graph_search_topk(
             "sim",
             (F.col("expanded") | F.col("__f").isNotNull()).alias("expanded"),
         )
+        # One exchange for dedup + truncate: repartition by query_id
+        # up front — HashPartitioning(query_id) satisfies both the
+        # groupBy's (query_id, id) clustering and the rank window's
+        # query_id partitioning, so neither inserts its own exchange
+        # (the r14 plan paid two per iteration). The exchanged stream
+        # is pool ∪ candidates — query-bounded, never corpus-bounded.
         merged = (
             expanded_pool.unionByName(scored)
+            .repartition("query_id")
             .groupBy("query_id", "id")
             .agg(
                 F.max("sim").alias("sim"),
@@ -254,10 +264,11 @@ def _expand_score(
     corpus-touching step, kept as a named unit so the plan contract is
     test-assertable (tests/test_plans.py): adjacency fetch and vector
     fetch are BROADCAST-hash joins against the O(Q·beam) frontier; the
-    corpus side never sort-merge-joins or shuffles. The one exchange
-    is the ``distinct`` over O(Q·beam·K) candidate rows — query-sized,
-    not corpus-sized. A masked candidate id (tombstoned / held-out
-    node) simply fails the vector-fetch join and drops out.
+    corpus side never sort-merge-joins or shuffles — the expansion
+    itself is exchange-free (candidate copies reached via several
+    frontier members are collapsed by the pool merge's groupBy, not by
+    a dedup shuffle here). A masked candidate id (tombstoned /
+    held-out node) simply fails the vector-fetch join and drops out.
 
     ``include_reverse`` expands the UNDIRECTED graph: besides the
     frontier's out-neighbors, every node that lists a frontier member
@@ -288,7 +299,11 @@ def _expand_score(
                 .select("query_id", F.col("src").alias("id"))
             )
         fwd = fwd.unionByName(rev)
-    cand = fwd.distinct()
+    # No distinct: a candidate reached via several frontier members
+    # scores identically per copy, and the pool merge's groupBy
+    # collapses the copies anyway — the dedup exchange here was one
+    # full O(Q·beam·K) shuffle per iteration for nothing.
+    cand = fwd
     return (
         points.select("id", "features")
         .join(F.broadcast(cand), "id")
