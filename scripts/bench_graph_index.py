@@ -7,14 +7,16 @@ Claims under test (the 10th family's twin of bench_token_stats.py):
   touch in the search loop is a broadcast-hash join; the only
   exchanges carry O(Q·beam·K) candidate rows, so probe shuffle stays
   ~flat while N doubles (wall grows with the scan, not the shuffle);
-- EXTEND of a fixed-size batch is O(batch) in compute, shuffle, and
-  write (update_graph_delta): every exchange is bounded by the
-  batch's bucket-cohort neighborhood, whose size converges to
-  ~batch·draws·bucket_size members INDEPENDENT of corpus. The bound
-  is only visible once corpus >> cohort: the 2,000-point batch's
-  cohort (~160k members) exceeds every corpus size here, so its
-  shuffle still tracks min(corpus, cohort) across this range — the
-  250-point batch (cohort ~20k < N) is the flat-regime measurement;
+- EXTEND of a fixed-size batch is O(min(corpus, batch·draws·bucket·K̄))
+  in shuffle (update_graph_delta): every exchange is bounded by the
+  TOUCHED set — the batch's bucket cohorts plus, per descent hop, the
+  candidate-receiving rows' neighbor groups, so the corpus-
+  independent bound is batch·draws·bucket_size·K̄ members and the
+  curve only flattens once corpus >> that bound (r15 per-stage
+  diagnosis). BATCH=2000 bounds at ~1.6M and SMALL_BATCH=250 at
+  ~200k — both corpus-saturated at every size here, so those curves
+  track corpus; TINY_BATCH=16 (bound ~13k << 80k) is the flat-regime
+  measurement;
 - BUILD pays the NND O(ρKN) shuffle law already measured in
   BENCH_NND_SCALE.json (re-reported here per size for context).
 
@@ -46,7 +48,8 @@ SEED = 42
 DIM = 16
 N_CLUSTERS = 64
 BATCH = 2_000  # fixed-size extend batch at every corpus size
-SMALL_BATCH = 250  # cohort-saturated regime: cohort << corpus everywhere
+SMALL_BATCH = 250  # bound ~200k members: corpus-saturated at these sizes
+TINY_BATCH = 16  # bound ~13k members << 80k: the flat-regime sweep
 N_QUERIES = 16
 
 
@@ -128,6 +131,19 @@ def main() -> None:
         )
         n_res = res.count()
         probe_sec = round(time.perf_counter() - t0, 2)
+        b2probe = stage_writes(spark)
+
+        # tiny-batch extend FIRST, on the pristine index: a prior batch's
+        # pending update delta inflates every later extend's read-side
+        # resolution (the latest-per-id window scans O(prior deltas)),
+        # which polluted the flat-regime measurement when tiny ran last
+        tiny = points(spark, TINY_BATCH, id_base=30_000_000 + n)
+        tiny = tiny.localCheckpoint(eager=True)
+        tiny.count()
+        b2t = stage_writes(spark)
+        t0 = time.perf_counter()
+        KG.extend_knn_graph_index(spark, path, tiny)
+        extend_tiny_sec = round(time.perf_counter() - t0, 2)
         b2 = stage_writes(spark)
 
         t0 = time.perf_counter()
@@ -145,9 +161,15 @@ def main() -> None:
         probe_upd_sec = round(time.perf_counter() - t0, 2)
         b4 = stage_writes(spark)
 
-        # small-batch extend on the same index: the cohort-saturated
-        # regime (cohort << corpus at every size) where the O(batch)
-        # shuffle bound is directly visible as a flat curve
+        # small-batch extend on the same index. NOTE the honest bound
+        # (r15 per-stage diagnosis): extend shuffle is
+        # O(min(corpus, batch·draws·bucket·K̄)) — the batch's cohort
+        # members receive candidates and their NEIGHBORS' groups go
+        # live on the next hop, so the touched set saturates the
+        # corpus until N >> batch·draws·bucket·K̄. For SMALL_BATCH=250
+        # that bound is ~200k members — above every corpus size here,
+        # so this curve still tracks corpus. The TINY_BATCH=16 sweep
+        # below (bound ~13k << 80k) is the flat-regime measurement.
         small = points(spark, SMALL_BATCH, id_base=20_000_000 + n)
         small = small.localCheckpoint(eager=True)
         small.count()
@@ -163,7 +185,7 @@ def main() -> None:
             "build_shuffle_mb": _delta(b0, b1),
             "probe_sec": probe_sec,
             "probe_rows": n_res,
-            "probe_shuffle_mb": _delta(b1, b2),
+            "probe_shuffle_mb": _delta(b1, b2probe),
             "extend_sec": extend_sec,
             "extend_batch": BATCH,
             "extend_shuffle_mb": _delta(b2, b3),
@@ -173,6 +195,9 @@ def main() -> None:
             "extend_small_batch": SMALL_BATCH,
             "extend_small_sec": extend_small_sec,
             "extend_small_shuffle_mb": _delta(b4, b5),
+            "extend_tiny_batch": TINY_BATCH,
+            "extend_tiny_sec": extend_tiny_sec,
+            "extend_tiny_shuffle_mb": _delta(b2t, b2),
         }
         results.append(rec)
         print(json.dumps(rec))

@@ -213,11 +213,17 @@ def _merge_top_k(edges: DataFrame, k: int) -> DataFrame:
     existing-B copy, rank by similarity desc / id asc (deterministic
     tie-break), keep K, assemble a sorted neighbor array.
 
-    ``edges``: (id, nb_id, sim, is_b). Pure Spark SQL — two shuffles
-    ((id, nb_id) agg, then id window; the trailing groupBy(id) reuses
-    the window's hash partitioning, no third shuffle).
+    ``edges``: (id, nb_id, sim, is_b). Pure Spark SQL — ONE shuffle:
+    the up-front repartition by ``id`` satisfies the (id, nb_id)
+    dedup's clustering (HashPartitioning on a subset of the grouping
+    keys co-locates every group), the rank window's id partitioning,
+    AND the trailing groupBy(id) — before r15 the same stream was
+    exchanged twice, once per keying (§2.4 of the optimization guide:
+    operations keyed compatibly should share one exchange). The
+    exchanged stream is the O(N·K̄) id-only candidate edges — the
+    merge never ships features.
     """
-    dedup = edges.groupBy("id", "nb_id").agg(
+    dedup = edges.repartition("id").groupBy("id", "nb_id").agg(
         F.max("is_b").alias("is_b"),
         F.max("sim").alias("sim"),  # copies of a pair have identical sims
     )
@@ -808,7 +814,10 @@ def update_graph(
     from ``prev`` are the new arrivals.
 
     Incremental shape (BOTH compute and shuffle scale with the new
-    batch, not the corpus — r14 closed the shuffle half):
+    batch's TOUCHED NEIGHBORHOOD — O(min(corpus,
+    batch·draws·bucket_size·K̄)), since each descent hop activates the
+    candidate-receivers' neighbor groups; corpus-independent once the
+    corpus exceeds that bound — never with the corpus itself):
 
     - init: only new points' bucket cohorts run the init kernel, and
       only candidate-receiving rows are merged into the working set

@@ -365,11 +365,20 @@ def extend_knn_graph_index(
 ) -> None:
     """Fold a batch of new points into the stored graph and append the
     resulting adjacency CHANGES as a delta. Both compute AND shuffle
-    scale with the batch neighborhood, not the corpus
+    scale with the batch NEIGHBORHOOD, not the corpus
     (nnd/descent.update_graph_delta): the stored graph is only ever
     SCANNED — no O(corpus) materialization, explode, join, or diff
     anywhere in the job. Reverse expansion during the update reads the
     maintained sidecar, so even the scan-time explode is skipped.
+
+    The honest size of "neighborhood" (measured per-stage, r15): the
+    batch's bucket cohorts receive candidates, and each descent hop
+    activates the receivers' neighbor groups, so the touched set —
+    and with it extend shuffle — is O(min(corpus,
+    batch·draws·bucket_size·K̄)). Corpus-independence holds once the
+    corpus exceeds that bound (BENCH_GRAPH_INDEX's tiny-batch sweep
+    is the in-bound measurement; the larger batches saturate the
+    test corpora and track min(corpus, ·)).
 
     Re-admission of tombstoned ids is the standard upsert
     (index_lifecycle.settle_readmission: purge old physical rows,
