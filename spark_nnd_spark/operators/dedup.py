@@ -1784,8 +1784,26 @@ def _span_islands(
             .select("gh")
         )
         posts = posts.join(hot, "gh", "left_anti").localCheckpoint(eager=True)
-    a = posts.select("gh", F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"))
-    b = posts.select("gh", F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"))
+    # Only grams seen in >= 2 DISTINCT docs can produce an (id_a <
+    # id_b) pair; min(id) < max(id) is that test as two partial-agg
+    # scalars (countDistinct would be a two-phase agg over ids). The
+    # prefilter makes the PAIR JOIN O(repeated-gram postings) — on a
+    # mostly-unique corpus a tiny fraction of the posting stream the
+    # r14 plan exchanged in FULL, twice (once per join side). The
+    # full stream is now touched only by (a) the map-side-combined
+    # min/max aggregate, whose exchange carries one (gh, lo, hi) row
+    # per gram-and-map-task, and (b) the semi-join scan; the surviving
+    # postings are checkpointed so both pair-join sides read the
+    # pruned table instead of re-running the filter.
+    dup = (
+        posts.groupBy("gh")
+        .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+        .filter(F.col("__lo") < F.col("__hi"))
+        .select("gh")
+    )
+    rep = posts.join(dup, "gh", "left_semi").localCheckpoint(eager=True)
+    a = rep.select("gh", F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"))
+    b = rep.select("gh", F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"))
     matches = (
         a.hint("shuffle_hash")
         .join(b, "gh")
