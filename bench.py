@@ -312,6 +312,8 @@ def main() -> None:
         ("build_span_index", _plq._span_index_for),  # noqa: SLF001
         ("build_image_index", _plq._image_index_for),  # noqa: SLF001
         ("build_cov_stats", _knq._cov_stats_for),  # noqa: SLF001
+        ("build_neardup_pairs", _plq._indexed_lsh_pairs),  # noqa: SLF001
+        ("build_lr_model", _plq._lr_model_for),  # noqa: SLF001
         ("build_token_stats", _plq._token_stats_for),  # noqa: SLF001
         ("build_bigram_stats", _plq._bigram_stats_for),  # noqa: SLF001
         ("build_chunk_index", _plq._chunk_index_for),  # noqa: SLF001

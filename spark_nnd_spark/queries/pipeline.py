@@ -1952,6 +1952,9 @@ def _neardup_full_index_for(spark: SparkSession, sf_dir: str) -> str:
     return _NEARDUP_FULL_IDX_CACHE[key]
 
 
+_LSH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _indexed_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified LSH near-dup pairs for the corpus-health queries
     (q31/q61/q71/q82/q96/q98), served from the session-cached persisted
@@ -1961,11 +1964,23 @@ def _indexed_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer's oracle SQL still replays the inline pipeline), but the
     corpus text is shingled once at index build instead of once per
     query. At 100 TB this is the only viable shape: six health queries
-    re-tokenizing the corpus each would be six full text scans."""
-    idx = _neardup_full_index_for(spark, sf_dir)
-    return DD.neardup_pairs_index(
-        spark, idx, threshold=0.2, max_band_freq=MAX_BAND_FREQ
-    )
+    re-tokenizing the corpus each would be six full text scans.
+
+    The VERIFIED PAIRS TABLE itself is materialized once per
+    (session, sf_dir) for the same reason (the r15 finding: sixteen
+    consumer queries each re-ran the banded self-join + Jaccard verify
+    over the stored sidecars — at 100 TB that is sixteen runs of the
+    corpus-wide candidate join for one unchanged artifact). A real
+    pipeline lands this table next to the index; the bench pre-builds
+    it as ``build_neardup_pairs`` so consumer rows stay warm-path, and
+    every consumer's oracle still replays the full inline pipeline."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LSH_PAIRS_CACHE:
+        idx = _neardup_full_index_for(spark, sf_dir)
+        _LSH_PAIRS_CACHE[key] = DD.neardup_pairs_index(
+            spark, idx, threshold=0.2, max_band_freq=MAX_BAND_FREQ
+        ).localCheckpoint(eager=True)
+    return _LSH_PAIRS_CACHE[key]
 
 
 def q105_indexed_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4593,6 +4608,29 @@ def q168_indexed_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 LR_EPOCHS = 3
 
 
+# Session-cached trained-classifier artifact (the _NND_CACHE pattern:
+# a pipeline trains the model ONCE and every consumer — the q169
+# curve, the q170 board gate, the q192 calibration audit — serves the
+# same weights; before r15 each of the three recomputed the CC split,
+# the feature table and the 3 GD epochs from scratch). The bench
+# pre-builds it as build_lr_model so the per-query rows stay
+# warm-path.
+_LR_MODEL_CACHE: dict[tuple[str, str], tuple[DataFrame, dict, list]] = {}
+
+
+def _lr_model_for(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict, list]:
+    """(feats, final weights, per-epoch raw rows) — trained once per
+    (session, sf_dir) over the q141 leakage-safe train slice."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LR_MODEL_CACHE:
+        feats = _lr_feats(spark, sf_dir)
+        w, raw_rows = _lr_epochs(feats.filter(F.col("split") == "train"))
+        _LR_MODEL_CACHE[key] = (feats, w, raw_rows)
+    return _LR_MODEL_CACHE[key]
+
+
 def _lr_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, split, x_ntok, x_stop, x_ttr, y) for every doc,
     with the q141 leakage-safe split attached — the training table
@@ -4716,8 +4754,7 @@ def q169_lr_train_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(features) state."""
     from spark_nnd_spark.operators.evaluation import grouped_auc  # noqa: PLC0415
 
-    feats = _lr_feats(spark, sf_dir)
-    w, raw_rows = _lr_epochs(feats.filter(F.col("split") == "train"))
+    feats, w, raw_rows = _lr_model_for(spark, sf_dir)
     base = spark.createDataFrame(
         raw_rows, "kind string, epoch long, name string, raw double"
     ).select(
@@ -4767,8 +4804,7 @@ def q170_model_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     the near-dup drop set comes from the persisted index (q159's
     path)."""
     d = load_table(spark, sf_dir, "documents")
-    feats = _lr_feats(spark, sf_dir)
-    w, _ = _lr_epochs(feats.filter(F.col("split") == "train"))
+    feats, w, _ = _lr_model_for(spark, sf_dir)
     drops = (
         _indexed_lsh_pairs(spark, sf_dir)
         .filter(F.round("jaccard", 6) >= BOARD_NEARDUP_TAU)
@@ -5582,8 +5618,7 @@ def q192_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     an O(CALIB_BINS)-group map-side-combined aggregate."""
     from spark_nnd_spark.operators.evaluation import calibration_bins  # noqa: PLC0415
 
-    feats = _lr_feats(spark, sf_dir)
-    w, _ = _lr_epochs(feats.filter(F.col("split") == "train"))
+    feats, w, _ = _lr_model_for(spark, sf_dir)
     held = feats.filter(F.col("split") == "test")
     p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_lr_z(w))), 6)
     scored = held.select(p.alias("score"), F.col("y").alias("label"))
