@@ -548,9 +548,15 @@ def _descend_sparse(
         def work_rows(ids: DataFrame, hot=hot, hot_ids_b=hot_ids_b) -> DataFrame:
             """Current working rows (WORK schema) for a small id set:
             prev outside hot, hot inside — two broadcast joins, no
-            shuffle of either big side."""
+            shuffle of either big side. ``ids`` MUST already be
+            distinct (every caller passes a distinct().localCheckpoint
+            id set) — re-deduping here paid a full exchange over the
+            O(touched) id set inside each broadcast subtree, three
+            times per iteration (the r15 per-stage diagnosis: 13
+            identical O(touched)-row sub-jobs dominated extend
+            shuffle)."""
             ids_b = F.broadcast(
-                ids.select(F.col(ids.columns[0]).alias("id")).distinct()
+                ids.select(F.col(ids.columns[0]).alias("id"))
             )
             stable = (
                 prev.join(hot_ids_b, "id", "left_anti")
@@ -932,12 +938,18 @@ def update_graph_delta(
     prev_touched = prev_nb.join(
         F.broadcast(hot.select("id")), "id", "left_semi"
     ).select("id", F.col("neighbors").alias("__old"))
+    # checkpoint the diff before attaching partitions: the partition
+    # lookup broadcasts changed ids and the final join reads changed
+    # again — without the checkpoint both consumers re-ran the whole
+    # hot-vs-prev comparison subtree (once inside the broadcast thread)
     changed = (
         hot_clean.join(prev_touched, "id", "left")
         .filter(F.col("__old").isNull() | (F.col("neighbors") != F.col("__old")))
         .select("id", "neighbors")
-    )
+    ).localCheckpoint(eager=True)
     part = points.select("id", "partition").join(
         F.broadcast(changed.select("id")), "id", "left_semi"
     )
-    return changed.join(part, "id").select("id", "neighbors", "partition")
+    return changed.join(F.broadcast(part), "id").select(
+        "id", "neighbors", "partition"
+    )
