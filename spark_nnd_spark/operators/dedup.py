@@ -318,19 +318,22 @@ def _jaccard_from_postings(
     sizes = raw.groupBy(id_col).agg(F.count("*").alias("n_sh")).select(
         F.col(id_col).alias("id"), "n_sh"
     )
-    if max_shingle_freq is None:
-        posts = raw
-    else:
-        hot = (
-            raw.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_shingle_freq)
-            .select("shingle")
-        )
-        # the second checkpoint pins the post-cut postings so the a/b
-        # join sides don't each re-run the census+anti-join; the census
-        # anti-join broadcasts (hot shingles are few by construction)
-        posts = raw.join(hot, "shingle", "left_anti").localCheckpoint(eager=True)
+    # One census serves both cuts: (id, shingle) rows are per-doc
+    # distinct (shingles_expr dedups within a doc), so df == #docs and
+    # df >= 2 is exactly "this shingle can ever produce an id_a < id_b
+    # pair" (the span-kernel prefilter, r15) — a singleton shingle's
+    # only join partner is its own doc, which the id_a < id_b filter
+    # discards. On a mostly-unique corpus this cuts the pair-join
+    # exchange from ALL postings (paid twice, once per side) to the
+    # repeated-shingle fraction; the census exchange itself is
+    # map-side-combined O(distinct shingles per map task). The
+    # checkpoint pins the pruned stream so both join sides read it.
+    keep = raw.groupBy("shingle").agg(F.count("*").alias("df")).filter(
+        F.col("df") >= 2
+        if max_shingle_freq is None
+        else F.col("df").between(2, max_shingle_freq)
+    ).select("shingle")
+    posts = raw.join(keep, "shingle", "left_semi").localCheckpoint(eager=True)
     a = posts.select(F.col("shingle"), F.col(id_col).alias("id_a"))
     b = posts.select(F.col("shingle"), F.col(id_col).alias("id_b"))
     # the exploded postings look tiny to the size estimator (stats come
@@ -422,16 +425,15 @@ def _containment_from_postings(
     sizes = raw.groupBy(id_col).agg(F.count("*").alias("n_sh")).select(
         F.col(id_col).alias("id"), "n_sh"
     )
-    if max_shingle_freq is None:
-        posts = raw
-    else:
-        hot = (
-            raw.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_shingle_freq)
-            .select("shingle")
-        )
-        posts = raw.join(hot, "shingle", "left_anti").localCheckpoint(eager=True)
+    # same census prefilter as _jaccard_from_postings: per-doc-distinct
+    # postings make df >= 2 the exact "can ever pair" test; singleton
+    # shingles only self-pair and die at id_a < id_b
+    keep = raw.groupBy("shingle").agg(F.count("*").alias("df")).filter(
+        F.col("df") >= 2
+        if max_shingle_freq is None
+        else F.col("df").between(2, max_shingle_freq)
+    ).select("shingle")
+    posts = raw.join(keep, "shingle", "left_semi").localCheckpoint(eager=True)
     a = posts.select(F.col("shingle"), F.col(id_col).alias("id_a"))
     b = posts.select(F.col("shingle"), F.col(id_col).alias("id_b"))
     inter = (
@@ -981,14 +983,23 @@ def winnow_pairs(
         )
         .localCheckpoint(eager=True)
     )
+    # census prefilter (r15): a fingerprint seen in ONE doc only
+    # self-pairs and dies at id_a < id_b, so only fps spanning >= 2
+    # distinct docs feed the self-join. fps repeat WITHIN a doc
+    # (repeated passages), so the test is min(id) < max(id) — two
+    # map-side-combined partial-agg scalars, not a distinct count.
+    # The optional boilerplate cut composes into the same census.
+    census = posts.groupBy("fp").agg(
+        F.count("*").alias("df"),
+        F.min(id_col).alias("__lo"),
+        F.max(id_col).alias("__hi"),
+    )
+    keep = census.filter(F.col("__lo") < F.col("__hi"))
     if max_fp_freq is not None:
-        hot = (
-            posts.groupBy("fp")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_fp_freq)
-            .select("fp")
-        )
-        posts = posts.join(hot, "fp", "left_anti").localCheckpoint(eager=True)
+        keep = keep.filter(F.col("df") <= max_fp_freq)
+    posts = posts.join(
+        keep.select("fp"), "fp", "left_semi"
+    ).localCheckpoint(eager=True)
     a = posts.select("fp", F.col(id_col).alias("id_a"))
     b = posts.select("fp", F.col(id_col).alias("id_b"))
     return (
@@ -2556,7 +2567,18 @@ def winnow_pairs_index(
             .select("fp")
         )
         posts = posts.join(hot, "fp", "left_anti")
-    posts = posts.localCheckpoint(eager=True)
+    # census prefilter (r15, the winnow_pairs twin): only fps spanning
+    # >= 2 distinct docs can survive id_a < id_b; min<max because
+    # stored rows may repeat an fp within a doc. Computed over the
+    # post-cut postings (NOT stored fp_stats) so the pruned stream is
+    # exact under every branch this function already serves.
+    keep = (
+        posts.groupBy("fp")
+        .agg(F.min(stored_id).alias("__lo"), F.max(stored_id).alias("__hi"))
+        .filter(F.col("__lo") < F.col("__hi"))
+        .select("fp")
+    )
+    posts = posts.join(keep, "fp", "left_semi").localCheckpoint(eager=True)
     a = posts.select("fp", F.col(stored_id).alias("id_a"))
     b = posts.select("fp", F.col(stored_id).alias("id_b"))
     # count_distinct for the same crashed-admit immunity as the probe

@@ -1033,12 +1033,18 @@ def q74_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_nnd_spark.functions.numeric import round_half_up_expr
 
     d = load_table(spark, sf_dir, "documents")
+    # ONE exchange (r15): the standalone (source, shingle) distinct and
+    # the per-shingle rollup were two differently-keyed exchanges over
+    # the same stream; collect_set dedups sources inside the per-shingle
+    # aggregate itself (partial sets merge map-side), so the distinct
+    # pass — and its exchange — disappears without changing the set
+    # semantics the novelty flag reads.
     srcsh = d.select(
         "source", F.explode(TX.shingles_expr("text", 3)).alias("shingle")
-    ).distinct()
-    per_shingle = srcsh.groupBy("shingle").agg(
-        F.count("*").alias("nsrc"), F.collect_list("source").alias("srcs")
     )
+    per_shingle = srcsh.groupBy("shingle").agg(
+        F.collect_set("source").alias("srcs")
+    ).select(F.size("srcs").cast("long").alias("nsrc"), "srcs")
     uniq = F.sum(F.when(F.col("nsrc") == 1, 1).otherwise(0)).cast("long")
     return (
         per_shingle.select(F.explode("srcs").alias("source"), "nsrc")
