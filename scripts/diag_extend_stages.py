@@ -37,6 +37,21 @@ def stages_full(spark):
     )
 
 
+def stage_to_job(spark):
+    """stageId -> job-name map (the job name carries the action's
+    callsite, which the async broadcast stages' own names do not)."""
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    jobs = json.load(
+        urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/jobs")
+    )
+    out = {}
+    for j in jobs:
+        for sid in j.get("stageIds", []):
+            out[sid] = j.get("name", "")
+    return out
+
+
 def main() -> None:
     sizes = [int(a) for a in sys.argv[1:]] or [20_000, 80_000]
     spark = get_spark(
@@ -68,21 +83,14 @@ def main() -> None:
         ]
         rows.sort(key=lambda s: -s["shuffleWriteBytes"])
         total = sum(s["shuffleWriteBytes"] for s in rows)
+        s2j = stage_to_job(spark)
         print(f"\n=== N={n} extend_sec={dt:.1f} total_shuffle_mb={total/1e6:.2f}")
         for s in rows[:40]:
-            name = (s.get("name") or "")[:90]
-            detail = (s.get("details") or "").splitlines()
-            site = next(
-                (
-                    ln.strip()
-                    for ln in detail
-                    if "spark_nnd_spark" in ln
-                ),
-                "",
-            )[:120]
+            name = (s.get("name") or "")[:60]
+            job = (s2j.get(s["stageId"]) or "")[:90]
             print(
                 f"{s['shuffleWriteBytes']/1e6:9.2f} MB  stage={s['stageId']:5d} "
-                f"tasks={s.get('numTasks', 0):4d}  {name}  {site}"
+                f"tasks={s.get('numTasks', 0):4d}  job={job}  {name}"
             )
 
 

@@ -381,17 +381,39 @@ def kmeans_curve(
         ]
         best = F.array_min(F.array(*cand))
         assigned = qv.select(
-            "id",
             "q",
             best["cid"].cast("long").alias("cid"),
             best["dist"].alias("mind"),
-        ).localCheckpoint(eager=True)
+        )
+        # ONE map-side-combined k-row aggregate per round serves both
+        # the curve row (Σ mind, #clusters) and — on non-final rounds —
+        # the centroid update (per-dim Σq as 'dim' columnar sums). The
+        # former three passes (full N-row checkpoint + inertia agg +
+        # posexplode×dim regroup) shipped O(N·dim) rows to local disk
+        # and through an exchange each round; this ships O(k·dim)
+        # partial-agg cells and touches the corpus exactly once.
+        dim = len(next(iter(cents.values())))
+        per_dim = (
+            [
+                F.sum(F.element_at("q", i + 1).cast("decimal(38,0)")).alias(f"s{i}")
+                for i in range(dim)
+            ]
+            if t < iters
+            else []
+        )
+        stats = (
+            assigned.groupBy("cid")
+            .agg(
+                F.sum(F.col("mind").cast("decimal(38,0)")).alias("sm"),
+                F.count("*").alias("n"),
+                *per_dim,
+            )
+            .localCheckpoint(eager=True)
+        )
         rows.append(
-            assigned.agg(
-                F.sum(F.col("mind").cast("decimal(38,0)"))
-                .cast("double")
-                .alias("inertia_micro2"),
-                F.count_distinct("cid").alias("n_clusters"),
+            stats.agg(
+                F.sum("sm").cast("double").alias("inertia_micro2"),
+                F.count("*").alias("n_clusters"),
             ).select(
                 F.lit(t).cast("long").alias("round"),
                 "inertia_micro2",
@@ -399,24 +421,14 @@ def kmeans_curve(
             )
         )
         if t < iters:
-            sums = (
-                assigned.select("cid", F.posexplode("q").alias("i0", "x"))
-                .groupBy("cid", "i0")
-                .agg(
-                    F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
-                    F.count("*").alias("n"),
-                )
-                .collect()
-            )
-            upd: dict[int, dict[int, int]] = {}
-            for r in sums:
-                upd.setdefault(int(r["cid"]), {})[int(r["i0"])] = int(
-                    math.floor(float(r["s"]) / r["n"] + 0.5)
-                )
-            cents = {
-                cid: [upd[cid][i] for i in range(len(cv))] if cid in upd else cv
-                for cid, cv in cents.items()
+            upd = {
+                int(r["cid"]): [
+                    int(math.floor(float(r[f"s{i}"]) / r["n"] + 0.5))
+                    for i in range(dim)
+                ]
+                for r in stats.collect()
             }
+            cents = {cid: upd.get(cid, cv) for cid, cv in cents.items()}
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)

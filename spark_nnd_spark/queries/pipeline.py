@@ -3095,14 +3095,18 @@ def q146_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id int, token string",
     )
     all_terms = sorted({t for _, text in LI_QUERIES for t in text.split(" ")})
+    # filter to query terms INSIDE the token array, before the explode
+    # generates a row per corpus token (guide §2.3 — same rows survive,
+    # duplicates retained for tf; the explode fans out only matches)
     toks = d.select(
         "doc_id",
         TX.token_count_expr("text").cast("double").alias("dl"),
-        F.explode(TX.tokens_expr("text")).alias("token"),
+        F.explode(
+            F.filter(TX.tokens_expr("text"), lambda t: t.isin(*all_terms))
+        ).alias("token"),
     )
     tf = (
-        toks.filter(F.col("token").isin(all_terms))
-        .groupBy("doc_id", "token", "dl")
+        toks.groupBy("doc_id", "token", "dl")
         .agg(F.count("*").alias("tf"))
         .localCheckpoint(eager=True)  # feeds df counts AND scoring
     )
@@ -3140,9 +3144,16 @@ def q146_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h16 = lambda c: TX.token_hash_lambda(c).bitwiseAND(F.lit(LI_MASK))  # noqa: E731
     qt = qterms.select("query_id", h16(F.col("token")).alias("qh")).distinct()
+    # Rerank-side pruning (guide §2.3/§3.2): semi-join the corpus down
+    # to shortlist docs BEFORE tokenizing — the (doc_id, token)
+    # distinct below is O(shortlist docs), not a full-corpus tokenize
+    # + exchange (the former plan deduped every (doc_id, token) pair
+    # in the corpus just to throw all but ~shortlist away at the join).
+    sdocs = short.select("doc_id").distinct()
     dt = (
         short.join(
-            d.select("doc_id", F.explode(TX.tokens_expr("text")).alias("token"))
+            d.join(F.broadcast(sdocs), "doc_id", "left_semi")
+            .select("doc_id", F.explode(TX.tokens_expr("text")).alias("token"))
             .filter(F.col("token") != "")
             .distinct(),
             "doc_id",

@@ -66,6 +66,19 @@ def get_spark(
         # "zstd"} for compressible feature corpora; scripts/bench_nnd.py
         # does exactly that.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Runtime Bloom-filter injection (SPARK-32268) assumes shuffle
+        # joins it can pre-filter. This engine's corpus-side joins are
+        # explicit BROADCAST probes (semi/anti against checkpointed id
+        # sets), where the injected guard prunes nothing — the scan is
+        # read regardless — while each injection pays a scalar-subquery
+        # re-scan of the creation side plus a ~230 KB Bloom bitmap PER
+        # MAP TASK through the exchange (measured r15: the bitmaps were
+        # the single largest shuffle contributor of a 16-point K-NNG
+        # extend, growing with corpus scan tasks; tiny-extend shuffle
+        # 2.77->2.30 MB @20k and 5.48->3.46 MB @80k with injection
+        # off, identical results). At 100 TB scan-task counts the
+        # bitmap traffic alone is GBs per guarded join.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
         # Historical events.parquet generations carried TIMESTAMP(NANOS);
         # with this set they read as long nanos and the source layer
         # normalizes whatever dtype actually arrives (sources/tables.py
