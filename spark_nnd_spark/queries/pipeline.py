@@ -3835,6 +3835,40 @@ def _span_planted(d: DataFrame) -> DataFrame:
     )
 
 
+# q156 (pair scores), q167 (keep-one-copy rewrite) and q190 (curated
+# export) all run the SAME island kernel over the SAME planted corpus
+# (identical gram_len / df-cap / plant), and q167/q190 additionally
+# share the whole rewrite. One kernel run per (session, sf_dir) — the
+# _nnd_graph / _graph_search convention; oracles replay the full
+# inline pipelines, and bench.py registers both as cold builds so the
+# per-query rows stay warm-path.
+_SPAN_ISLANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SPAN_REWRITE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _span_islands_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SPAN_ISLANDS_CACHE:
+        d = load_table(spark, sf_dir, "documents")
+        _SPAN_ISLANDS_CACHE[key] = DD._span_islands(  # noqa: SLF001
+            _span_planted(d), "text", "doc_id", SPAN_GRAM_LEN, None
+        ).localCheckpoint(eager=True)
+    return _SPAN_ISLANDS_CACHE[key]
+
+
+def _span_rewrite_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SPAN_REWRITE_CACHE:
+        d = load_table(spark, sf_dir, "documents")
+        _SPAN_REWRITE_CACHE[key] = DD.span_remove_rewrite(
+            _span_planted(d),
+            gram_len=SPAN_GRAM_LEN,
+            min_span_tokens=SPAN_MIN_TOKENS,
+            islands=_span_islands_for(spark, sf_dir),
+        ).localCheckpoint(eager=True)
+    return _SPAN_REWRITE_CACHE[key]
+
+
 def q156_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring span dedup (operators/dedup.exact_span_pairs —
     Lee et al. 2022): maximal verbatim token runs >= SPAN_MIN_TOKENS
@@ -3855,6 +3889,7 @@ def q156_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             _span_planted(d),
             gram_len=SPAN_GRAM_LEN,
             min_span_tokens=SPAN_MIN_TOKENS,
+            islands=_span_islands_for(spark, sf_dir),
         )
         .select(
             "id_a",
@@ -4379,10 +4414,14 @@ def q164_dup_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     hint would bypass autoBroadcastJoinThreshold and OOM the driver at
     scale); the matrix aggregate is O(sources²)."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(
-        d, num_hashes=16, bands=4, n=3, threshold=0.2,
-        max_band_freq=MAX_BAND_FREQ,
-    ).filter(F.round("jaccard", 6) >= BOARD_NEARDUP_TAU)
+    # same (16, 4, 3, 0.2, cap) verified-pairs table as the other
+    # corpus-health consumers — served from the session materialization
+    # (_indexed_lsh_pairs; index == inline asserted in tests, oracle
+    # still replays the inline pipeline) instead of re-running the
+    # banded self-join + Jaccard verify a fourth time per session
+    pairs = _indexed_lsh_pairs(spark, sf_dir).filter(
+        F.round("jaccard", 6) >= BOARD_NEARDUP_TAU
+    )
     src = d.select("doc_id", "source")
     sa = src.select(
         F.col("doc_id").alias("id_a"), F.col("source").alias("source_kept")
@@ -4560,15 +4599,7 @@ def q167_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT join whose small side is the cut set; the token slice is a
     narrow codegen array filter — the corpus text shuffles ZERO times
     beyond the posting join."""
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        DD.span_remove_rewrite(
-            _span_planted(d),
-            gram_len=SPAN_GRAM_LEN,
-            min_span_tokens=SPAN_MIN_TOKENS,
-        )
-        .orderBy("doc_id")
-    )
+    return _span_rewrite_for(spark, sf_dir).orderBy("doc_id")
 
 
 # Persisted image-hash index over the non-src0 corpus (the q103/q162
@@ -5540,11 +5571,7 @@ def q190_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     lesson — AQE picks the build side from runtime sizes)."""
     d = load_table(spark, sf_dir, "documents")
     keep = _board_for(spark, sf_dir).filter(F.col("keep")).select("doc_id")
-    rew = DD.span_remove_rewrite(
-        _span_planted(d),
-        gram_len=SPAN_GRAM_LEN,
-        min_span_tokens=SPAN_MIN_TOKENS,
-    )
+    rew = _span_rewrite_for(spark, sf_dir)
     return (
         rew.join(keep, "doc_id")
         .join(d.select("doc_id", "source"), "doc_id")
