@@ -295,6 +295,8 @@ def main() -> None:
     # (the r13 q171 false alarm); cold_builds_sec carries the total.
     for bname, builder in [
         ("build_nnd_graph", _knq._nnd_graph),  # noqa: SLF001
+        ("build_knn_exact", _knq._exact_graph),  # noqa: SLF001
+        ("build_gs_brute", _knq._gs_brute_for),  # noqa: SLF001
         ("build_graph_index", _knq._graph_index_for),  # noqa: SLF001
         ("build_graph_index_ext", _knq._graph_index_extended_for),  # noqa: SLF001
         ("build_winnow_index", _plq._winnow_index_for),  # noqa: SLF001
@@ -314,6 +316,8 @@ def main() -> None:
         ("build_cov_stats", _knq._cov_stats_for),  # noqa: SLF001
         ("build_neardup_pairs", _plq._indexed_lsh_pairs),  # noqa: SLF001
         ("build_lr_model", _plq._lr_model_for),  # noqa: SLF001
+        ("build_span_islands", _plq._span_islands_for),  # noqa: SLF001
+        ("build_span_rewrite", _plq._span_rewrite_for),  # noqa: SLF001
         ("build_token_stats", _plq._token_stats_for),  # noqa: SLF001
         ("build_bigram_stats", _plq._bigram_stats_for),  # noqa: SLF001
         ("build_chunk_index", _plq._chunk_index_for),  # noqa: SLF001

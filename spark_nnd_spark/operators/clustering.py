@@ -393,9 +393,18 @@ def kmeans_curve(
         # and through an exchange each round; this ships O(k·dim)
         # partial-agg cells and touches the corpus exactly once.
         dim = len(next(iter(cents.values())))
+        # Per-dim sums stay in LONG: |component| <= quant (unit-range
+        # inputs x micro grid), so the sum overflows 2^63 only past
+        # ~9e12 rows per cluster — far beyond any corpus this engine
+        # partitions into one aggregate. Long buffers keep the k-row
+        # hash aggregate on the primitive codegen fast path; the
+        # decimal variant allocated 64 Decimals per input row and
+        # measured ~1.5x slower end-to-end. Inertia is different:
+        # per-row mind is O(dim x quant^2) ~ 2.6e14, so its corpus sum
+        # genuinely needs DECIMAL(38,0) and keeps it.
         per_dim = (
             [
-                F.sum(F.element_at("q", i + 1).cast("decimal(38,0)")).alias(f"s{i}")
+                F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
                 for i in range(dim)
             ]
             if t < iters

@@ -1710,6 +1710,7 @@ def exact_span_pairs(
     gram_len: int = 6,
     min_span_tokens: int = 12,
     max_gram_freq: int | str | None = None,
+    islands: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-substring (verbatim span) dedup — the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better"
@@ -1746,9 +1747,9 @@ def exact_span_pairs(
     portable polynomial hashes (functions/text.py), so a collision is
     identical in both engines; production would widen to 128-bit.
     """
-    spans = _span_islands(
-        df, text_col, id_col, gram_len, max_gram_freq
-    ).filter(F.col("span_tokens") >= min_span_tokens)
+    if islands is None:
+        islands = _span_islands(df, text_col, id_col, gram_len, max_gram_freq)
+    spans = islands.filter(F.col("span_tokens") >= min_span_tokens)
     return spans.groupBy("id_a", "id_b").agg(
         F.count("*").alias("n_spans"),
         F.max("span_tokens").alias("max_span_tokens"),
@@ -1849,6 +1850,7 @@ def span_remove_rewrite(
     gram_len: int = 6,
     min_span_tokens: int = 12,
     max_gram_freq: int | None = None,
+    islands: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-substring span REMOVAL — the output Lee et al. 2022
     actually trains on: for every verbatim token run of >=
@@ -1875,9 +1877,10 @@ def span_remove_rewrite(
     filtered by position against the doc's merged intervals, never
     exploded through a shuffle (document token order survives for
     free)."""
+    if islands is None:
+        islands = _span_islands(df, text_col, id_col, gram_len, max_gram_freq)
     cuts = (
-        _span_islands(df, text_col, id_col, gram_len, max_gram_freq)
-        .filter(F.col("span_tokens") >= min_span_tokens)
+        islands.filter(F.col("span_tokens") >= min_span_tokens)
         # same interval can arrive from several id_a partners
         .select(F.col("id_b").alias(id_col), "start_b", "end_b")
         .distinct()

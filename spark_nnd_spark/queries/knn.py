@@ -91,6 +91,22 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One EXACT K-NN graph per (session, sf_dir): q24 returns it and q33
+# grades the approximate tiers against it — the _nnd_graph convention
+# for the ground-truth artifact (the all-pairs build is the single
+# most expensive subtree the two queries would otherwise each pay).
+_EXACT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _exact_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EXACT_CACHE:
+        _EXACT_CACHE[key] = build_graph_exact(
+            _points(spark, sf_dir), k=K, validate=False
+        ).localCheckpoint(eager=True)
+    return _EXACT_CACHE[key]
+
+
 def _explode_graph(g: DataFrame) -> DataFrame:
     return (
         g.select("id", F.posexplode("neighbors").alias("pos", "nb"))
@@ -107,7 +123,7 @@ def _explode_graph(g: DataFrame) -> DataFrame:
 def q24_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact K-NN graph over the embeddings table, exploded to
     (id, nb_id, rank, sim) integer-plus-rounded rows."""
-    return _explode_graph(build_graph_exact(_points(spark, sf_dir), k=K, validate=False))
+    return _explode_graph(_exact_graph(spark, sf_dir))
 
 
 def q25_nnd_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,9 +257,7 @@ def q33_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id", F.col("nb.id").alias("nb_id")
         )
 
-    exact_pairs = _pairs(
-        build_graph_exact(_points(spark, sf_dir), k=K, validate=False)
-    ).localCheckpoint(eager=True)
+    exact_pairs = _pairs(_exact_graph(spark, sf_dir))
     nnd_pairs = _pairs(_nnd_graph(spark, sf_dir))
     nnd_hits = nnd_pairs.join(exact_pairs, ["id", "nb_id"]).agg(
         F.count("*").alias("hits")
@@ -287,6 +301,28 @@ GS_FLOOR = 0.80   # observed 0.98 across sf0.001/0.01/0.1
 # q199 returns the served top-k and q200 grades it — share one search
 # per (session, sf_dir), the _nnd_graph convention.
 _GS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+# q200/q202/q211 grade three different serving paths against the SAME
+# exact ground truth (brute 1/(1+L2) top-k of the held-out queries over
+# the id >= GS_HELDOUT corpus) — compute it once per (session, sf_dir).
+_GS_BRUTE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _gs_brute_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_nnd_spark.nnd.search import brute_topk_l2  # noqa: PLC0415
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _GS_BRUTE_CACHE:
+        corpus = _points(spark, sf_dir).filter(F.col("id") >= GS_HELDOUT)
+        q = _points(spark, sf_dir).filter(F.col("id") < GS_HELDOUT).select(
+            F.col("id").alias("query_id"), F.col("features").alias("q_vec")
+        )
+        _GS_BRUTE_CACHE[key] = (
+            brute_topk_l2(corpus, q, k=GS_K)
+            .select("query_id", "nb_id")
+            .localCheckpoint(eager=True)
+        )
+    return _GS_BRUTE_CACHE[key]
 
 
 def _graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,14 +370,7 @@ def q200_graph_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts ``floor_ok = TRUE`` as a literal — the Spark side computes
     floor_ok from the measured recall, so a search regression below
     GS_FLOOR flips the hash red."""
-    from spark_nnd_spark.nnd.search import brute_topk_l2  # noqa: PLC0415
-
-    corpus = _points(spark, sf_dir).filter(F.col("id") >= GS_HELDOUT)
-    q = _points(spark, sf_dir).filter(F.col("id") < GS_HELDOUT).select(
-        F.col("id").alias("query_id"), F.col("features").alias("q_vec")
-    )
-    brute = brute_topk_l2(corpus, q, k=GS_K).select("query_id", "nb_id")
-    brute = brute.localCheckpoint(eager=True)
+    brute = _gs_brute_for(spark, sf_dir)
     hits = (
         _graph_search(spark, sf_dir)
         .select("query_id", "nb_id")
@@ -399,23 +428,34 @@ def q201_indexed_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline tier, so served == inline row-for-row (asserted in
     tests/test_graph_index_queries.py); rows-only driver check like
     q199 (the artifact is not SQL-replayable); q202 is the hash-checked
-    recall grade."""
+    recall grade — q201/q202 share one search per (session, sf_dir),
+    the q199/q200 _GS_CACHE convention applied to the served tier."""
+    return (
+        _indexed_graph_search(spark, sf_dir)
+        .select("query_id", "nb_id", "rank", F.round("sim", 6).alias("sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
+_IGS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _indexed_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_nnd_spark.operators.knn_graph_index import (  # noqa: PLC0415
         graph_index_search,
     )
 
-    q = _points(spark, sf_dir).filter(F.col("id") < GS_HELDOUT).select(
-        F.col("id").alias("query_id"), F.col("features").alias("q_vec")
-    )
-    return (
-        graph_index_search(
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IGS_CACHE:
+        q = _points(spark, sf_dir).filter(F.col("id") < GS_HELDOUT).select(
+            F.col("id").alias("query_id"), F.col("features").alias("q_vec")
+        )
+        _IGS_CACHE[key] = graph_index_search(
             spark, _graph_index_for(spark, sf_dir), q,
             k=GS_K, ef=GS_EF, beam=GS_BEAM, n_entry=GS_ENTRY,
             max_iterations=GS_ITERS, seed=42,
-        )
-        .select("query_id", "nb_id", "rank", F.round("sim", 6).alias("sim"))
-        .orderBy("query_id", "rank")
-    )
+        ).localCheckpoint(eager=True)
+    return _IGS_CACHE[key]
 
 
 def q202_indexed_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -424,16 +464,9 @@ def q202_indexed_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force ground truth and asserts floor_ok TRUE; the Spark side
     computes it from measured recall, so a regression anywhere in the
     persist → retract → read → search path flips the hash red."""
-    from spark_nnd_spark.nnd.search import brute_topk_l2  # noqa: PLC0415
-
-    corpus = _points(spark, sf_dir).filter(F.col("id") >= GS_HELDOUT)
-    q = _points(spark, sf_dir).filter(F.col("id") < GS_HELDOUT).select(
-        F.col("id").alias("query_id"), F.col("features").alias("q_vec")
-    )
-    brute = brute_topk_l2(corpus, q, k=GS_K).select("query_id", "nb_id")
-    brute = brute.localCheckpoint(eager=True)
+    brute = _gs_brute_for(spark, sf_dir)
     hits = (
-        q201_indexed_graph_search(spark, sf_dir)
+        _indexed_graph_search(spark, sf_dir)
         .select("query_id", "nb_id")
         .join(F.broadcast(brute), ["query_id", "nb_id"])
         .agg(F.count("*").alias("hits"))
@@ -505,17 +538,14 @@ def q211_extended_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals q201's graph, so the ground truth is q202's; a regression
     anywhere in retract → readmission upsert → delta append → resolved
     read → search flips floor_ok red in the driver hash."""
-    from spark_nnd_spark.nnd.search import brute_topk_l2  # noqa: PLC0415
     from spark_nnd_spark.operators.knn_graph_index import (  # noqa: PLC0415
         graph_index_search,
     )
 
-    corpus = _points(spark, sf_dir).filter(F.col("id") >= GS_HELDOUT)
     q = _points(spark, sf_dir).filter(F.col("id") < GS_HELDOUT).select(
         F.col("id").alias("query_id"), F.col("features").alias("q_vec")
     )
-    brute = brute_topk_l2(corpus, q, k=GS_K).select("query_id", "nb_id")
-    brute = brute.localCheckpoint(eager=True)
+    brute = _gs_brute_for(spark, sf_dir)
     served = graph_index_search(
         spark, _graph_index_extended_for(spark, sf_dir), q,
         k=GS_K, ef=GS_EF, beam=GS_BEAM, n_entry=GS_ENTRY,
