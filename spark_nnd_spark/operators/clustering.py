@@ -233,78 +233,67 @@ def top_eigen_vector(
 def _power_loop(
     cov: DataFrame, dim: int, iters: int, vscale: int
 ) -> tuple[list[DataFrame], list[int]]:
+    """The loop runs ON THE DRIVER over the collected O(d²) matrix —
+    a bounded collect (the NND.scala:118 convergence-scalar class;
+    4096 rows at d=64). The distributed form paid 2 Spark jobs per
+    round (matvec aggregate + stats collect) on a 4096-row input —
+    pure scheduling overhead (guide §1.2: fix the algorithm's job
+    count before its per-task work). Numerics are IDENTICAL by
+    construction: the matvec Σ c·m is exact integer arithmetic
+    (Python int == the old DECIMAL(38,0) sum), and the norm/Rayleigh
+    folds run the same IEEE-double ops in the same fixed index order
+    the old F.aggregate folds (and the DuckDB oracle's list_reduce)
+    use; the final round/divide expressions stay SPARK expressions
+    over literals, so rounding semantics are byte-identical too."""
     import math  # noqa: PLC0415
 
-    cov = cov.localCheckpoint(eager=True)
-    trace_row = cov.filter("i = j").agg(F.sum("c").alias("trace"))
+    spark = cov.sparkSession
+    rows = cov.select("i", "j", "c").collect()
+    mat: dict[int, list[tuple[int, int]]] = {}
+    trace = 0
+    for r in rows:
+        mat.setdefault(r["i"], []).append((r["j"], r["c"]))
+        if r["i"] == r["j"]:
+            trace += r["c"]
     m = [int(math.floor(vscale / math.sqrt(dim) + 0.5))] * dim
     per_iter = []
     for t in range(1, iters + 1):
-        vlit = F.array(*[F.lit(x).cast("long") for x in m])
-        w_df = cov.groupBy("i").agg(
-            F.sum(
-                F.col("c").cast("decimal(38,0)")
-                * F.element_at(vlit, F.col("j").cast("int"))
-            ).alias("w")
-        )
-        packed = w_df.agg(
-            F.array_sort(F.collect_list(F.struct("i", "w"))).alias("ws")
-        )
-        stats = packed.select(
-            "ws",
-            F.sqrt(
-                F.aggregate(
-                    "ws",
-                    F.lit(0.0),
-                    lambda acc, s: acc
-                    + s["w"].cast("double") * s["w"].cast("double"),
-                )
-            ).alias("norm"),
-            F.aggregate(
-                "ws",
-                F.lit(0.0),
-                lambda acc, s: acc
-                + F.element_at(vlit, s["i"].cast("int")).cast("double")
-                * s["w"].cast("double"),
-            ).alias("num"),
-            F.aggregate(
-                vlit,
-                F.lit(0.0),
-                lambda acc, x: acc + x.cast("double") * x.cast("double"),
-            ).alias("den"),
-        ).localCheckpoint(eager=True)
-        row = stats.crossJoin(trace_row).select(
-            F.lit(t).cast("long").alias("iter"),
-            F.round(
-                F.col("num") / F.col("den") / F.lit(1.0e12), 8
-            ).alias("lambda_top"),
-            F.round(
-                F.try_divide(
-                    F.col("num") / F.col("den"), F.col("trace").cast("double")
-                ),
-                6,
-            ).alias("explained_frac"),
-            "norm",
-        )
-        # O(d) driver step: re-quantize the iterate (same double ops
-        # the oracle's list_transform runs)
-        got = stats.collect()[0]
-        norm = got["norm"]
-        if not norm:  # zero covariance (constant corpus): w ≡ 0 —
-            # keep the current iterate instead of dividing by zero;
+        # exact integer matvec w = C·v (order-free)
+        w = {i: sum(c * m[j - 1] for j, c in cols) for i, cols in mat.items()}
+        ws = sorted(w.items())  # ascending i — the old array_sort order
+        # the three folds, in the old plans' fixed order and IEEE ops
+        norm_sq = 0.0
+        num = 0.0
+        for i, wi in ws:
+            fw = float(wi)
+            norm_sq = norm_sq + fw * fw
+            num = num + float(m[i - 1]) * fw
+        norm = math.sqrt(norm_sq)
+        den = 0.0
+        for x in m:
+            fx = float(x)
+            den = den + fx * fx
+        if norm:  # zero covariance (constant corpus): w ≡ 0 — keep
+            # the current iterate instead of dividing by zero;
             # lambda/explained emit as 0/null from the SQL side
-            m = list(m)
-        else:
             m = [
-                int(math.floor(float(s["w"]) / norm * vscale + 0.5))
-                for s in got["ws"]
+                int(math.floor(float(wi) / norm * vscale + 0.5))
+                for _, wi in ws
             ]
         top0 = min(range(dim), key=lambda idx: (-abs(m[idx]), idx))
         per_iter.append(
-            row.select(
-                "iter",
-                "lambda_top",
-                "explained_frac",
+            spark.range(1).select(
+                F.lit(t).cast("long").alias("iter"),
+                F.round(
+                    F.lit(num) / F.lit(den) / F.lit(1.0e12), 8
+                ).alias("lambda_top"),
+                F.round(
+                    F.try_divide(
+                        F.lit(num) / F.lit(den),
+                        F.lit(trace).cast("long").cast("double"),
+                    ),
+                    6,
+                ).alias("explained_frac"),
                 F.lit(top0 + 1).cast("long").alias("top_dim"),
                 F.round(
                     F.lit(m[top0]).cast("double") / F.lit(float(vscale)), 6

