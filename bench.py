@@ -335,6 +335,9 @@ def main() -> None:
         ("build_span_rewrite", _plq._span_rewrite_for),  # noqa: SLF001
         ("build_token_stats", _plq._token_stats_for),  # noqa: SLF001
         ("build_bigram_stats", _plq._bigram_stats_for),  # noqa: SLF001
+        ("build_doc_bigrams", _plq._doc_bigrams_for),  # noqa: SLF001
+        ("build_source_card", _plq._source_card_for),  # noqa: SLF001
+        ("build_components", _plq._components_for),  # noqa: SLF001
         ("build_chunk_index", _plq._chunk_index_for),  # noqa: SLF001
     ]:
         t0 = time.perf_counter()

@@ -928,7 +928,10 @@ def test_data_card_single_scan_source_aggregates(spark):
     """q147: both aggregates read the one materialized base pass (no
     second corpus scan); all wide ops are source-keyed; nothing is
     cartesian or Python."""
-    plan = _plan(spark, "q147_data_card")
+    from spark_nnd_spark.queries import pipeline as plq
+    from spark_nnd_spark.sources import load_table
+
+    plan = _plan_df(plq._source_card(load_table(spark, SF_SMOKE, "documents")))
     assert "Scan parquet" not in plan  # reads the checkpointed base
     assert "Exchange hashpartitioning(source" in plan
     assert "CartesianProduct" not in plan
