@@ -7,6 +7,17 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is materialized via count() of the full result (collect()
 would time driver deserialization of big results, which isn't engine
 work). Spark startup is excluded from query times.
+
+ACCOUNTING (changed r16, per VERDICT r15 #1): the compared headline
+``value`` is INCLUSIVE — sum of the timed per-query seconds PLUS
+``cold_builds_sec`` (every untimed session-shared artifact build). The
+r15 headline excluded the builds, which let work move off the clock
+into ``build_*`` rows; the inclusive total is what the session actually
+costs, so sharing an artifact only improves the headline when it saves
+real work. Per-query rows and ``index_builds`` stay as attribution.
+``queries_total_sec`` carries the old exclusive sum; records before
+r16 lack ``headline_includes_cold_builds`` and their inclusive total
+is reconstructed as value + cold_builds_sec for the vs_prev ratios.
 """
 
 from __future__ import annotations
@@ -187,6 +198,102 @@ HEADLINE = [
 ]
 
 
+# Session-shared artifacts that pin JVM memory (localCheckpoint RDD
+# blocks) — module-level DataFrame caches in the query modules. Path
+# caches (persisted parquet indexes) are deliberately NOT listed: they
+# hold no JVM memory and clearing one would force a disk rebuild.
+# After an artifact's LAST headline consumer runs, its cache entry is
+# dropped so the next query-boundary GC lets ContextCleaner unpersist
+# the blocks (guide §5 "unpersist when done"; VERDICT r15 #7 measured
+# the accumulated pins inflating untouched rows 20-30%). A release is
+# always SAFE: builders are deterministic and keyed per (applicationId,
+# sf_dir), so a missed consumer transparently (and honestly, inside its
+# timed row) rebuilds the identical artifact.
+_DF_CACHES = [
+    ("spark_nnd_spark.queries.knn", "_ANN_TIER_CACHE"),
+    ("spark_nnd_spark.queries.knn", "_NND_CACHE"),
+    ("spark_nnd_spark.queries.knn", "_EXACT_CACHE"),
+    ("spark_nnd_spark.queries.knn", "_GS_CACHE"),
+    ("spark_nnd_spark.queries.knn", "_GS_BRUTE_CACHE"),
+    ("spark_nnd_spark.queries.knn", "_IGS_CACHE"),
+    ("spark_nnd_spark.queries.pipeline", "_BM25_SCORED_CACHE"),
+    ("spark_nnd_spark.queries.pipeline", "_CONTAM_PAIRS_CACHE"),
+    ("spark_nnd_spark.queries.pipeline", "_RRF_FUSED_CACHE"),
+    ("spark_nnd_spark.queries.pipeline", "_LSH_PAIRS_CACHE"),
+    ("spark_nnd_spark.queries.pipeline", "_COMPONENTS_CACHE"),
+    ("spark_nnd_spark.queries.pipeline", "_LI_RANKED_CACHE"),
+    ("spark_nnd_spark.queries.pipeline", "_SOURCE_CARD_CACHE"),
+    ("spark_nnd_spark.queries.pipeline", "_BOARD_CACHE"),
+    ("spark_nnd_spark.queries.pipeline", "_SPAN_ISLANDS_CACHE"),
+    ("spark_nnd_spark.queries.pipeline", "_SPAN_REWRITE_CACHE"),
+    ("spark_nnd_spark.queries.pipeline", "_LR_MODEL_CACHE"),
+    ("spark_nnd_spark.queries.pipeline", "_INDEXED_SPANS_CACHE"),
+]
+
+
+def artifact_last_consumers() -> dict[str, str]:
+    """cache-attr -> last HEADLINE query that can transitively reach it.
+
+    Static source reachability: from each headline query function,
+    follow references to other spark_nnd_spark functions (module
+    globals first, then a bare-name registry over both query modules
+    for function-local imports) and collect every _DF_CACHES attribute
+    named in a reached function's source. Conservative by construction:
+    a token in a comment or an unreached branch only keeps an artifact
+    alive LONGER, never releases it early."""
+    import inspect
+    import re
+
+    from spark_nnd_spark.queries import knn as _knq
+    from spark_nnd_spark.queries import pipeline as _plq
+
+    mods = [_knq, _plq]
+    registry: dict[str, list] = {}
+    for mod in mods:
+        for nm, obj in vars(mod).items():
+            if inspect.isfunction(obj):
+                registry.setdefault(nm, []).append(obj)
+    cache_attrs = {attr for _, attr in _DF_CACHES}
+    srcs: dict = {}
+
+    def _tokens(fn) -> set[str]:
+        if fn not in srcs:
+            try:
+                srcs[fn] = set(re.findall(r"\w+", inspect.getsource(fn)))
+            except (OSError, TypeError):
+                srcs[fn] = set()
+        return srcs[fn]
+
+    def _consumed(fn, seen: set) -> set[str]:
+        if fn in seen:
+            return set()
+        seen.add(fn)
+        toks = _tokens(fn)
+        out = cache_attrs & toks
+        for tok in toks:
+            cands = registry.get(tok, [])
+            g = fn.__globals__.get(tok)
+            if (
+                inspect.isfunction(g)
+                and getattr(g, "__module__", "").startswith("spark_nnd_spark")
+                and g not in cands
+            ):
+                cands = [*cands, g]
+            for c in cands:
+                out |= _consumed(c, seen)
+        return out
+
+    all_queries = {**RELATIONAL_QUERIES, **PIPELINE_QUERIES, **KNN_QUERIES}
+    last: dict[str, str] = {}
+    for qname in HEADLINE:
+        fn = all_queries.get(qname)
+        if fn is None:
+            continue
+        for attr in _consumed(fn, set()):
+            last[attr] = qname  # HEADLINE order: final assignment wins
+    return last
+
+
 def _stage_writes(spark) -> dict[int, int] | None:
     """stageId -> shuffleWriteBytes for every stage the UI still
     retains (the scale scripts' REST pattern). Returns None if the UI
@@ -335,7 +442,6 @@ def main() -> None:
         ("build_span_rewrite", _plq._span_rewrite_for),  # noqa: SLF001
         ("build_token_stats", _plq._token_stats_for),  # noqa: SLF001
         ("build_bigram_stats", _plq._bigram_stats_for),  # noqa: SLF001
-        ("build_doc_bigrams", _plq._doc_bigrams_for),  # noqa: SLF001
         ("build_source_card", _plq._source_card_for),  # noqa: SLF001
         ("build_components", _plq._components_for),  # noqa: SLF001
         ("build_chunk_index", _plq._chunk_index_for),  # noqa: SLF001
@@ -390,12 +496,6 @@ def main() -> None:
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
         return dt
 
-    for name in HEADLINE:
-        dt = _timed(name, track_shuffle=True)
-        if dt is not None:
-            times[name] = dt
-            runs[name] = [dt]
-
     # This box is a virtualized guest with visible multi-second host
     # scheduling jitter (the same query measured 5s and 25s back to
     # back with an idle guest). A single sample conflates that noise
@@ -405,21 +505,50 @@ def main() -> None:
     # second run also absorbs first-use codegen/JIT compilation of
     # each query's unique expression trees. Cheap queries keep their
     # single sample: their absolute noise contribution is bounded.
+    # Since r16 the rerun happens IMMEDIATELY after the first sample
+    # (not in a second pass at the end): both samples then see the same
+    # artifact/memory state, and the release pass below can drop an
+    # artifact right after its last consumer without a late rerun
+    # rebuilding it.
     RERUN_THRESHOLD_SEC = 2.0
     # q25's NND build is session-cached BY DESIGN (q33 evaluates the
     # same artifact — knn._NND_CACHE); a rerun would measure the cache
     # lookup (~0.2 s), not the build, and corrupt the min. It keeps its
     # single honest sample.
     RERUN_EXCLUDE = {"q25_nnd_graph"}
-    for name in [
-        n
-        for n, t in times.items()
-        if t > RERUN_THRESHOLD_SEC and n not in RERUN_EXCLUDE
-    ]:
-        dt = _timed(name)
+
+    # Release map: after a query's last transitive consumer position,
+    # drop the session-cache entries so the next query-boundary GC
+    # unpersists the checkpointed blocks (guide §5; VERDICT r15 #7).
+    import importlib
+
+    try:
+        _last = artifact_last_consumers()
+    except Exception as exc:  # noqa: BLE001 - analysis must never kill the bench
+        print(f"# consumer analysis failed (no releases): {exc}", file=sys.stderr)
+        _last = {}
+    release_after: dict[str, list[tuple[str, str]]] = {}
+    for mod_name, attr in _DF_CACHES:
+        qname = _last.get(attr)
+        if qname is not None:
+            release_after.setdefault(qname, []).append((mod_name, attr))
+
+    for name in HEADLINE:
+        dt = _timed(name, track_shuffle=True)
         if dt is not None:
-            runs[name].append(dt)
-            times[name] = min(times[name], dt)
+            times[name] = dt
+            runs[name] = [dt]
+            if dt > RERUN_THRESHOLD_SEC and name not in RERUN_EXCLUDE:
+                dt2 = _timed(name)
+                if dt2 is not None:
+                    runs[name].append(dt2)
+                    times[name] = min(dt, dt2)
+        for mod_name, attr in release_after.get(name, []):
+            try:
+                getattr(importlib.import_module(mod_name), attr).clear()
+                print(f"# released {attr} after {name}", file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001 - best-effort
+                print(f"# release {attr} failed: {exc}", file=sys.stderr)
 
     # Host-speed canary: a fixed CPU-bound reference workload (pure
     # codegen'd aggregation over a generated range — no disk, no
@@ -430,7 +559,11 @@ def main() -> None:
     # query totals read accordingly.
     canary, canary_runs = _canary(spark)
 
-    total = round(sum(times.values()), 3)
+    # Headline = timed queries + untimed session-shared builds (the
+    # INCLUSIVE session cost — see module docstring; VERDICT r15 #1).
+    queries_total = round(sum(times.values()), 3)
+    cold_builds = round(sum(builds.values()), 2)
+    total = round(queries_total + cold_builds, 3)
     # Reference canary for the v2 (~2 s, median-of-3) workload: the r7
     # build host measured 1.72 and 1.62 s on back-to-back medians
     # (±3%, vs ±50% for the old 0.1 s canary). normalized_total
@@ -487,16 +620,21 @@ def main() -> None:
     result_path = os.path.join(repo_dir, "BENCH_RESULT.json")
 
     def _ratio_vs(prev: dict) -> tuple[float | None, float | None, int]:
-        """(normalized_ratio, raw_ratio, n_common). The RAW common-
-        subset wall ratio ships alongside the canary-normalized one
+        """(normalized_ratio, raw_ratio, n_common) over the common
+        timed-query subset PLUS both sessions' cold-build totals — the
+        inclusive comparison (a prev record without the r16 accounting
+        flag still carries cold_builds_sec, so the reconstruction is
+        exact). The RAW ratio ships alongside the canary-normalized one
         because r10's canary swung ±38% same-day and the normalized
         vs_prev_round (1.121) inverted the true raw signal (0.846) —
         on this host the normalization can add more noise than it
         removes; read raw + the noise-free shuffle-byte deltas first."""
         common = [n for n in times if n in prev.get("queries", {})]
         prev_canary = prev.get("host_canary_sec") or REF_CANARY_SEC
-        now_raw = sum(times[n] for n in common)
-        prev_raw = sum(prev["queries"][n] for n in common)
+        now_raw = sum(times[n] for n in common) + cold_builds
+        prev_raw = sum(prev["queries"][n] for n in common) + prev.get(
+            "cold_builds_sec", 0.0
+        )
         if prev_raw > 0 and common:
             now_norm = now_raw * (REF_CANARY_SEC / canary)
             prev_norm = prev_raw * (REF_CANARY_SEC / prev_canary)
@@ -551,12 +689,14 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "headline_includes_cold_builds": True,
+        "queries_total_sec": queries_total,
         "queries": times,
         "runs": {n: r for n, r in runs.items() if len(r) > 1},
         "shuffle_mb": shuffle_mb,
         "shuffle_regressions": shuffle_regressions,
         "index_builds": builds,
-        "cold_builds_sec": round(sum(builds.values()), 2),
+        "cold_builds_sec": cold_builds,
         "host_canary_sec": canary,
         "canary_runs": canary_runs,
         "canary_workload": "v2_median5_2s",
@@ -599,6 +739,9 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "headline_includes_cold_builds": True,
+        "queries_total_sec": queries_total,
+        "cold_builds_sec": cold_builds,
         "normalized_total": out["normalized_total"],
         "vs_prev": vs_prev,
         "raw_vs_prev": raw_vs_prev,

@@ -230,7 +230,111 @@ def top_eigen_vector(
     return m
 
 
+# Above this dim the power loop's O(d²) matrix stays distributed:
+# collecting it to the driver is bounded and fast at embedding dims
+# (d=64 -> 4096 rows; d=512 -> 262k rows) but would be a silent
+# driver-memory regression at d=1024-4096 (1M-16M rows) — ADVICE r15.
+POWER_DRIVER_MAX_DIM = 512
+
+
 def _power_loop(
+    cov: DataFrame, dim: int, iters: int, vscale: int
+) -> tuple[list[DataFrame], list[int]]:
+    """Dispatch: driver loop at bounded dims (one job per loop), the
+    distributed matvec loop above POWER_DRIVER_MAX_DIM (identical
+    numbers — the driver loop's integer matvec and fixed-order IEEE
+    folds replicate it exactly; asserted equal in test_cov_stats)."""
+    if dim <= POWER_DRIVER_MAX_DIM:
+        return _power_loop_driver(cov, dim, iters, vscale)
+    return _power_loop_distributed(cov, dim, iters, vscale)
+
+
+def _power_loop_distributed(
+    cov: DataFrame, dim: int, iters: int, vscale: int
+) -> tuple[list[DataFrame], list[int]]:
+    """The pre-r15 distributed loop: each round is one matvec
+    ``w = C·v`` as a grouped DECIMAL(38,0) aggregate plus fixed-order
+    IEEE folds, ~2 jobs per round. Kept as the large-dim path — every
+    corpus- and matrix-sized object stays in plans; only the O(d)
+    iterate and stats reach the driver."""
+    import math  # noqa: PLC0415
+
+    cov = cov.localCheckpoint(eager=True)
+    trace_row = cov.filter("i = j").agg(F.sum("c").alias("trace"))
+    m = [int(math.floor(vscale / math.sqrt(dim) + 0.5))] * dim
+    per_iter = []
+    for t in range(1, iters + 1):
+        vlit = F.array(*[F.lit(x).cast("long") for x in m])
+        w_df = cov.groupBy("i").agg(
+            F.sum(
+                F.col("c").cast("decimal(38,0)")
+                * F.element_at(vlit, F.col("j").cast("int"))
+            ).alias("w")
+        )
+        packed = w_df.agg(
+            F.array_sort(F.collect_list(F.struct("i", "w"))).alias("ws")
+        )
+        stats = packed.select(
+            "ws",
+            F.sqrt(
+                F.aggregate(
+                    "ws",
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + s["w"].cast("double") * s["w"].cast("double"),
+                )
+            ).alias("norm"),
+            F.aggregate(
+                "ws",
+                F.lit(0.0),
+                lambda acc, s: acc
+                + F.element_at(vlit, s["i"].cast("int")).cast("double")
+                * s["w"].cast("double"),
+            ).alias("num"),
+            F.aggregate(
+                vlit,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ).alias("den"),
+        ).localCheckpoint(eager=True)
+        row = stats.crossJoin(trace_row).select(
+            F.lit(t).cast("long").alias("iter"),
+            F.round(
+                F.col("num") / F.col("den") / F.lit(1.0e12), 8
+            ).alias("lambda_top"),
+            F.round(
+                F.try_divide(
+                    F.col("num") / F.col("den"), F.col("trace").cast("double")
+                ),
+                6,
+            ).alias("explained_frac"),
+            "norm",
+        )
+        got = stats.collect()[0]
+        norm = got["norm"]
+        if not norm:  # zero covariance: keep the current iterate
+            m = list(m)
+        else:
+            m = [
+                int(math.floor(float(s["w"]) / norm * vscale + 0.5))
+                for s in got["ws"]
+            ]
+        top0 = min(range(dim), key=lambda idx: (-abs(m[idx]), idx))
+        per_iter.append(
+            row.select(
+                "iter",
+                "lambda_top",
+                "explained_frac",
+                F.lit(top0 + 1).cast("long").alias("top_dim"),
+                F.round(
+                    F.lit(m[top0]).cast("double") / F.lit(float(vscale)), 6
+                ).alias("top_loading"),
+            )
+        )
+    return per_iter, m
+
+
+def _power_loop_driver(
     cov: DataFrame, dim: int, iters: int, vscale: int
 ) -> tuple[list[DataFrame], list[int]]:
     """The loop runs ON THE DRIVER over the collected O(d²) matrix —
@@ -419,12 +523,25 @@ def kmeans_curve(
             )
         )
         if t < iters:
+            got = stats.collect()
+            # loud overflow guard for the LONG per-dim sums (ADVICE
+            # r15): |component| <= quant, so a cluster's sum is exact
+            # while n * quant < 2^63 — assert the bound instead of
+            # silently wrapping into corrupted centroids
+            for r in got:
+                if r["n"] >= (1 << 63) // (quant + 1):
+                    msg = (
+                        f"k-means cluster {r['cid']} holds {r['n']} rows: "
+                        "per-dim LONG sums could overflow; shrink the "
+                        "corpus per aggregate or widen to DECIMAL"
+                    )
+                    raise OverflowError(msg)
             upd = {
                 int(r["cid"]): [
                     int(math.floor(float(r[f"s{i}"]) / r["n"] + 0.5))
                     for i in range(dim)
                 ]
-                for r in stats.collect()
+                for r in got
             }
             cents = {cid: upd.get(cid, cv) for cid, cv in cents.items()}
     out = rows[0]

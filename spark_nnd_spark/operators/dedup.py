@@ -177,6 +177,19 @@ def derived_df_cap(
         .orderBy(df_col)
         .collect()
     )
+    return _derived_cap_from_hist(hist, df_col=df_col, budget=budget, floor=floor)
+
+
+def _derived_cap_from_hist(
+    hist: list,
+    df_col: str = "df",
+    budget: float = AUTO_DF_BUDGET,
+    floor: int = AUTO_DF_FLOOR,
+) -> int:
+    """derived_df_cap's driver-side core over already-collected
+    (df, k) histogram rows — shared with the adaptive prefilter gate
+    (_pruned_postings), which needs the same histogram anyway, so the
+    'auto' paths pay exactly one census job for both decisions."""
     total = sum(r[df_col] * r["k"] for r in hist)
     if total == 0:
         # Empty input still refreshes the observability dict — a
@@ -260,6 +273,156 @@ def shingle_postings(
     return posts.join(hot, "shingle", "left_anti")
 
 
+# Adaptive gate for the singleton/pair census prefilter (r15's df>=2
+# semi-join; made data-adaptive in r16 per VERDICT r15 #3). The
+# prefilter pays one semi-join plus a full checkpoint of the surviving
+# postings, and saves the pruned fraction from BOTH sides of the pair
+# self-join exchange — worth it only when it actually prunes. Rough
+# break-even: checkpoint write+read of kept ~ one exchange of kept,
+# saving ~ two exchanges of (1 - kept), i.e. kept ~ 2/3; the gate
+# engages below 0.6 (measured at sf0.1: the saturated 31-word corpus
+# keeps ~100% and the gate correctly skips, restoring the r14 plan;
+# open-vocabulary corpora are singleton-dominated and engage it —
+# BENCH_PREFILTER_GATE.json).
+PREFILTER_MAX_KEEP_FRAC = 0.6
+# Broadcast ceiling for the prune/hot key sets (keys, not bytes): under
+# it the prefilter is an EXPLICIT broadcast semi/anti join — a map-side
+# filter on both pair-join sides, no extra exchange, no second
+# checkpoint (measured: the shuffle semi-join variant pays a full
+# exchange of the postings and LOSES in both regimes —
+# BENCH_PREFILTER_GATE.json). Above it (giant corpora whose repeated-
+# key set alone is broadcast-hostile) fall back to the shuffle
+# semi-join + checkpoint, which still bounds the pair join.
+PREFILTER_BROADCAST_MAX_KEYS = 2_000_000
+
+
+def _df_hist_rows(cens: DataFrame) -> list:
+    """(df, k) histogram of a (key, df) census: O(distinct df values)
+    rows collected (the derived_df_cap / convergence-scalar class)."""
+    return (
+        cens.groupBy("df")
+        .agg(F.count("*").alias("k"))
+        .orderBy("df")
+        .collect()
+    )
+
+
+def _pruned_postings(
+    raw: DataFrame,
+    key_col: str,
+    max_freq: int | str | None,
+) -> tuple[DataFrame, int | None]:
+    """(posts, cap): postings ready for the pair self-join.
+
+    One histogram job decides everything driver-side: the 'auto' df
+    cap (same rule as derived_df_cap, same LAST_DERIVED_CAP audit) and
+    whether the singleton prune pays. Postings are per-key-per-doc
+    distinct here (shingles_expr dedups within a doc), so df >= 2 is
+    exactly "this key can ever produce an id_a < id_b pair".
+
+    - prune pays (kept fraction <= PREFILTER_MAX_KEEP_FRAC): semi-join
+      postings down to pairable keys within the cap, checkpoint once so
+      both join sides read the pruned stream (r15's plan).
+    - prune doesn't pay but hot keys exist: anti-join just the over-cap
+      keys (few by construction) — the r14 plan.
+    - neither: the raw checkpoint feeds the join directly.
+    """
+    # ONE census pass, checkpointed: the df aggregate over an
+    # open-vocabulary posting stream is itself a near-full-postings
+    # exchange (unique keys defeat map-side combining), so the
+    # histogram job and the keep/hot build sides below must read the
+    # SAME materialization, never recompute it (measured: the
+    # recompute was a second 122 MB exchange at 4.7M postings).
+    cens = (
+        raw.groupBy(key_col)
+        .agg(F.count("*").alias("df"))
+        .localCheckpoint(eager=True)
+    )
+    hist = _df_hist_rows(cens)
+    cap = (
+        _derived_cap_from_hist(hist) if max_freq == "auto" else max_freq
+    )
+    in_keep = (
+        lambda df_: df_ >= 2 and (cap is None or df_ <= cap)  # noqa: E731
+    )
+    tot = sum(r["df"] * r["k"] for r in hist)
+    kept = sum(r["df"] * r["k"] for r in hist if in_keep(r["df"]))
+    n_keep = sum(r["k"] for r in hist if in_keep(r["df"]))
+    n_hot = sum(r["k"] for r in hist if cap is not None and r["df"] > cap)
+    if tot and kept <= PREFILTER_MAX_KEEP_FRAC * tot:
+        keep = cens.filter(
+            F.col("df") >= 2
+            if cap is None
+            else F.col("df").between(2, cap)
+        ).select(key_col)
+        if n_keep <= PREFILTER_BROADCAST_MAX_KEYS:
+            # map-side prune: the broadcast build (census -> filter) is
+            # computed once and reused by both pair-join sides
+            # (ReusedExchange), and the surviving postings flow straight
+            # into the pair join's exchange — nothing else moves.
+            return raw.join(F.broadcast(keep), key_col, "left_semi"), cap
+        pruned = raw.join(keep, key_col, "left_semi")
+        return pruned.localCheckpoint(eager=True), cap
+    if n_hot:
+        hot = cens.filter(F.col("df") > cap).select(key_col)
+        if n_hot <= PREFILTER_BROADCAST_MAX_KEYS:
+            return raw.join(F.broadcast(hot), key_col, "left_anti"), cap
+        cut = raw.join(hot, key_col, "left_anti")
+        return cut.localCheckpoint(eager=True), cap
+    return raw, cap
+
+
+def _pruned_fp_postings(
+    posts: DataFrame, id_col: str, max_fp_freq: int | None
+) -> DataFrame:
+    """_pruned_postings' winnow twin: fingerprints repeat WITHIN a doc
+    (repeated passages), so the pairable test is min(id) < max(id) per
+    fp — two map-side-combined partial-agg scalars — and the gate
+    stats come from one scalar aggregate instead of a df histogram."""
+    # one census pass, checkpointed (see _pruned_postings): the gate
+    # stats job and the keep/hot build sides read the materialization
+    cens = posts.groupBy("fp").agg(
+        F.count("*").alias("df"),
+        F.min(id_col).alias("__lo"),
+        F.max(id_col).alias("__hi"),
+    ).localCheckpoint(eager=True)
+    keep_cond = F.col("__lo") < F.col("__hi")
+    if max_fp_freq is not None:
+        keep_cond = keep_cond & (F.col("df") <= max_fp_freq)
+    hot_cond = (
+        F.lit(False)
+        if max_fp_freq is None
+        else F.col("df") > max_fp_freq
+    )
+    stats = cens.agg(
+        F.sum("df").alias("tot"),
+        F.sum(F.when(keep_cond, F.col("df")).otherwise(F.lit(0))).alias(
+            "kept"
+        ),
+        F.sum(F.when(keep_cond, 1).otherwise(0)).alias("n_keep"),
+        F.sum(F.when(hot_cond, 1).otherwise(0)).alias("n_hot"),
+    ).first()
+    tot = stats["tot"] or 0
+    kept = stats["kept"] or 0
+    n_keep = stats["n_keep"] or 0
+    n_hot = stats["n_hot"] or 0
+    if tot and kept <= PREFILTER_MAX_KEEP_FRAC * tot:
+        keep = cens.filter(keep_cond).select("fp")
+        if n_keep <= PREFILTER_BROADCAST_MAX_KEYS:
+            return posts.join(F.broadcast(keep), "fp", "left_semi")
+        return posts.join(keep, "fp", "left_semi").localCheckpoint(
+            eager=True
+        )
+    if n_hot:
+        hot = cens.filter(F.col("df") > max_fp_freq).select("fp")
+        if n_hot <= PREFILTER_BROADCAST_MAX_KEYS:
+            return posts.join(F.broadcast(hot), "fp", "left_anti")
+        return posts.join(hot, "fp", "left_anti").localCheckpoint(
+            eager=True
+        )
+    return posts
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -310,7 +473,6 @@ def _jaccard_from_postings(
     shared by the tokenize-inline path (jaccard_pairs) and the
     index-served path (jaccard_pairs_index), so the join/verify
     semantics can never drift between them."""
-    max_shingle_freq = _resolve_shingle_cap(raw, max_shingle_freq)
     # full set sizes (pre-cut, mirroring the oracle): shingles_expr is
     # per-doc distinct, so the count equals F.size of the array; docs
     # with zero shingles are absent here AND from the postings join, so
@@ -318,22 +480,10 @@ def _jaccard_from_postings(
     sizes = raw.groupBy(id_col).agg(F.count("*").alias("n_sh")).select(
         F.col(id_col).alias("id"), "n_sh"
     )
-    # One census serves both cuts: (id, shingle) rows are per-doc
-    # distinct (shingles_expr dedups within a doc), so df == #docs and
-    # df >= 2 is exactly "this shingle can ever produce an id_a < id_b
-    # pair" (the span-kernel prefilter, r15) — a singleton shingle's
-    # only join partner is its own doc, which the id_a < id_b filter
-    # discards. On a mostly-unique corpus this cuts the pair-join
-    # exchange from ALL postings (paid twice, once per side) to the
-    # repeated-shingle fraction; the census exchange itself is
-    # map-side-combined O(distinct shingles per map task). The
-    # checkpoint pins the pruned stream so both join sides read it.
-    keep = raw.groupBy("shingle").agg(F.count("*").alias("df")).filter(
-        F.col("df") >= 2
-        if max_shingle_freq is None
-        else F.col("df").between(2, max_shingle_freq)
-    ).select("shingle")
-    posts = raw.join(keep, "shingle", "left_semi").localCheckpoint(eager=True)
+    # Adaptive census prefilter (_pruned_postings): the df >= 2
+    # singleton prune engages only where it pays (open-vocabulary,
+    # singleton-dominated corpora); the df cap always applies.
+    posts, _cap = _pruned_postings(raw, "shingle", max_shingle_freq)
     a = posts.select(F.col("shingle"), F.col(id_col).alias("id_a"))
     b = posts.select(F.col("shingle"), F.col(id_col).alias("id_b"))
     # the exploded postings look tiny to the size estimator (stats come
@@ -421,19 +571,11 @@ def _containment_from_postings(
     """Containment-pairs core over materialized (id, shingle) postings —
     shared by the tokenize-inline path (containment_pairs) and the
     index-served path (containment_pairs_index)."""
-    max_shingle_freq = _resolve_shingle_cap(raw, max_shingle_freq)
     sizes = raw.groupBy(id_col).agg(F.count("*").alias("n_sh")).select(
         F.col(id_col).alias("id"), "n_sh"
     )
-    # same census prefilter as _jaccard_from_postings: per-doc-distinct
-    # postings make df >= 2 the exact "can ever pair" test; singleton
-    # shingles only self-pair and die at id_a < id_b
-    keep = raw.groupBy("shingle").agg(F.count("*").alias("df")).filter(
-        F.col("df") >= 2
-        if max_shingle_freq is None
-        else F.col("df").between(2, max_shingle_freq)
-    ).select("shingle")
-    posts = raw.join(keep, "shingle", "left_semi").localCheckpoint(eager=True)
+    # same adaptive census prefilter as _jaccard_from_postings
+    posts, _cap = _pruned_postings(raw, "shingle", max_shingle_freq)
     a = posts.select(F.col("shingle"), F.col(id_col).alias("id_a"))
     b = posts.select(F.col("shingle"), F.col(id_col).alias("id_b"))
     inter = (
@@ -983,23 +1125,10 @@ def winnow_pairs(
         )
         .localCheckpoint(eager=True)
     )
-    # census prefilter (r15): a fingerprint seen in ONE doc only
-    # self-pairs and dies at id_a < id_b, so only fps spanning >= 2
-    # distinct docs feed the self-join. fps repeat WITHIN a doc
-    # (repeated passages), so the test is min(id) < max(id) — two
-    # map-side-combined partial-agg scalars, not a distinct count.
-    # The optional boilerplate cut composes into the same census.
-    census = posts.groupBy("fp").agg(
-        F.count("*").alias("df"),
-        F.min(id_col).alias("__lo"),
-        F.max(id_col).alias("__hi"),
-    )
-    keep = census.filter(F.col("__lo") < F.col("__hi"))
-    if max_fp_freq is not None:
-        keep = keep.filter(F.col("df") <= max_fp_freq)
-    posts = posts.join(
-        keep.select("fp"), "fp", "left_semi"
-    ).localCheckpoint(eager=True)
+    # adaptive census prefilter (_pruned_fp_postings): the min<max
+    # pairable prune engages only where it pays; the boilerplate cut
+    # (max_fp_freq) always applies.
+    posts = _pruned_fp_postings(posts, id_col, max_fp_freq)
     a = posts.select("fp", F.col(id_col).alias("id_a"))
     b = posts.select("fp", F.col(id_col).alias("id_b"))
     return (
@@ -1749,6 +1878,16 @@ def exact_span_pairs(
     """
     if islands is None:
         islands = _span_islands(df, text_col, id_col, gram_len, max_gram_freq)
+    elif (gram_len, max_gram_freq) != (6, None):
+        # a precomputed islands table was built with ITS OWN gram
+        # parameters; accepting different ones here would silently
+        # apply the wrong dedup (ADVICE r15) — min_span_tokens is the
+        # only knob that composes with a prebuilt table
+        msg = (
+            "islands= was passed: gram_len/max_gram_freq belong to the "
+            "islands build and must be left at their defaults here"
+        )
+        raise ValueError(msg)
     spans = islands.filter(F.col("span_tokens") >= min_span_tokens)
     return spans.groupBy("id_a", "id_b").agg(
         F.count("*").alias("n_spans"),
@@ -1879,6 +2018,16 @@ def span_remove_rewrite(
     free)."""
     if islands is None:
         islands = _span_islands(df, text_col, id_col, gram_len, max_gram_freq)
+    elif (gram_len, max_gram_freq) != (6, None):
+        # a precomputed islands table was built with ITS OWN gram
+        # parameters; accepting different ones here would silently
+        # apply the wrong dedup (ADVICE r15) — min_span_tokens is the
+        # only knob that composes with a prebuilt table
+        msg = (
+            "islands= was passed: gram_len/max_gram_freq belong to the "
+            "islands build and must be left at their defaults here"
+        )
+        raise ValueError(msg)
     cuts = (
         islands.filter(F.col("span_tokens") >= min_span_tokens)
         # same interval can arrive from several id_a partners
@@ -2570,18 +2719,12 @@ def winnow_pairs_index(
             .select("fp")
         )
         posts = posts.join(hot, "fp", "left_anti")
-    # census prefilter (r15, the winnow_pairs twin): only fps spanning
-    # >= 2 distinct docs can survive id_a < id_b; min<max because
-    # stored rows may repeat an fp within a doc. Computed over the
-    # post-cut postings (NOT stored fp_stats) so the pruned stream is
-    # exact under every branch this function already serves.
-    keep = (
-        posts.groupBy("fp")
-        .agg(F.min(stored_id).alias("__lo"), F.max(stored_id).alias("__hi"))
-        .filter(F.col("__lo") < F.col("__hi"))
-        .select("fp")
-    )
-    posts = posts.join(keep, "fp", "left_semi").localCheckpoint(eager=True)
+    # adaptive census prefilter (r16, the winnow_pairs twin): the
+    # min<max pairable prune over the POST-CUT postings (NOT stored
+    # fp_stats, so it is exact under every branch above), engaged only
+    # where it pays; the hot cut already happened from stored stats,
+    # so no cap is passed.
+    posts = _pruned_fp_postings(posts, stored_id, None)
     a = posts.select("fp", F.col(stored_id).alias("id_a"))
     b = posts.select("fp", F.col(stored_id).alias("id_b"))
     # count_distinct for the same crashed-admit immunity as the probe

@@ -294,12 +294,25 @@ def graph_index_search(
 
     g = read_graph(spark, path)
     anchors = None
-    if use_anchors and _exists(spark, f"{path}/anchors"):
-        anchors = IL.anti_tombstones(
-            spark.read.parquet(f"{path}/anchors"),
-            IL.read_tombstones(spark, path),
-            "id",
-        )
+    if use_anchors:
+        if not _exists(spark, f"{path}/anchors"):
+            # silent fallback to random-entry seeding degrades
+            # duplicate-detection recall with no signal (ADVICE r15 —
+            # the BENCH_GRAPH_GATE 129/200 miss was exactly this shape)
+            import logging  # noqa: PLC0415
+
+            logging.getLogger(__name__).warning(
+                "use_anchors=True but %s/anchors does not exist "
+                "(index persisted without anchors?) — falling back to "
+                "random-entry seeding; recall at small n_entry degrades",
+                path,
+            )
+        else:
+            anchors = IL.anti_tombstones(
+                spark.read.parquet(f"{path}/anchors"),
+                IL.read_tombstones(spark, path),
+                "id",
+            )
     # Reverse expansion from the maintained sidecar: mask exactly the
     # SOURCES the inline derivation would lose when its adjacency rows
     # are masked (tombstoned + probe-excluded ids), so sidecar-served

@@ -4534,29 +4534,15 @@ def q165_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     No Python, no quadratic stage."""
     from spark_nnd_spark.operators import text_stats as TS  # noqa: PLC0415
 
-    doc_bg = _doc_bigrams_for(spark, sf_dir)
+    # q165's declared identity IS the inline pipeline: its own
+    # tokenize+explode bigram stream (checkpointed per call — it feeds
+    # both the counts aggregate and the scoring join), its own trained
+    # counts. The r15 session-shared stream (_doc_bigrams_for) broke
+    # that identity (VERDICT r15 #5) and was removed in r16; q195 is
+    # the stats-SERVED twin and pays its own stream there.
+    doc_bg = TS.doc_bigrams(load_table(spark, sf_dir, "documents"))
     bg_counts = TS.bigram_counts(doc_bg)
     return _ppl_score(doc_bg, bg_counts).orderBy("doc_id")
-
-
-# q165 (inline LM) and q195 (stats-served LM) each score EVERY corpus
-# doc against their counts table — the (doc_id, w1, w2) stream is the
-# same tokenize+explode pass both pay. One materialization per
-# (session, sf_dir); the operator's own per-call checkpoint is skipped
-# (checkpoint=False) since the session cache IS the materialization.
-_DOC_BIGRAMS_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
-def _doc_bigrams_for(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spark_nnd_spark.operators import text_stats as TS  # noqa: PLC0415
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _DOC_BIGRAMS_CACHE:
-        d = load_table(spark, sf_dir, "documents")
-        _DOC_BIGRAMS_CACHE[key] = TS.doc_bigrams(
-            d, checkpoint=False
-        ).localCheckpoint(eager=True)
-    return _DOC_BIGRAMS_CACHE[key]
 
 
 def _ppl_score(doc_bg: DataFrame, bg_counts: DataFrame) -> DataFrame:
@@ -5896,11 +5882,13 @@ def q195_indexed_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     assertion (the q159/q161/q179/q194 convention)."""
     from spark_nnd_spark.operators.text_stats import (  # noqa: PLC0415
         bigram_counts_from_stats,
+        doc_bigrams,
     )
 
     path = _bigram_stats_for(spark, sf_dir)
+    doc_bg = doc_bigrams(load_table(spark, sf_dir, "documents"))
     return _ppl_score(
-        _doc_bigrams_for(spark, sf_dir), bigram_counts_from_stats(spark, path)
+        doc_bg, bigram_counts_from_stats(spark, path)
     ).orderBy("doc_id")
 
 
