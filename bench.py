@@ -419,7 +419,6 @@ def main() -> None:
         ("build_winnow_index", _plq._winnow_index_for),  # noqa: SLF001
         ("build_winnow_full_index", _plq._winnow_full_index_for),  # noqa: SLF001
         ("build_partitioned_events", _plq._partitioned_events_for),  # noqa: SLF001
-        ("build_board", _plq._board_for),  # noqa: SLF001
         ("build_event_rollup", _plq._event_rollup_for),  # noqa: SLF001
         ("build_neardup_index", _plq._neardup_index_for),  # noqa: SLF001
         ("build_neardup_full_index", _plq._neardup_full_index_for),  # noqa: SLF001
@@ -432,6 +431,8 @@ def main() -> None:
         ("build_image_index", _plq._image_index_for),  # noqa: SLF001
         ("build_cov_stats", _knq._cov_stats_for),  # noqa: SLF001
         ("build_neardup_pairs", _plq._indexed_lsh_pairs),  # noqa: SLF001
+        # after build_neardup_pairs: the board's drop set consumes it
+        ("build_board", _plq._board_for),  # noqa: SLF001
         ("build_lr_model", _plq._lr_model_for),  # noqa: SLF001
         ("build_bm25_scored", _plq._bm25_scored_for),  # noqa: SLF001
         ("build_rrf_fused", _plq._rrf_fused_for),  # noqa: SLF001

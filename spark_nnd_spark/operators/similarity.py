@@ -434,20 +434,37 @@ def pq_encode(
     billion-vector index live in RAM. Pure JVM expressions. ``keep``
     carries extra columns through (e.g. the IVF cell id, so the
     composed IVF-PQ build encodes and assigns in ONE narrow pass)."""
-    m, n_codes, sub = codebooks.shape
-    v = _as_double(vec_col)
-    code_cols = []
-    for j in range(m):
-        dists = _pq_dists_expr(v, j, sub, _pq_space_lit(codebooks[j]))
-        pairs = F.transform(
-            dists, lambda d, i: F.struct(d.alias("d"), i.alias("c"))
-        )
-        code_cols.append(F.array_min(pairs)["c"])
+    codes_udf = _pq_encode_udf(codebooks)
     return df.select(
         F.col(id_col).alias("id"),
-        F.array(*code_cols).alias("codes"),
+        codes_udf(_as_double(vec_col)).alias("codes"),
         *[F.col(c) for c in (keep or [])],
     )
+
+
+def _pq_encode_udf(codebooks: np.ndarray):
+    """argmin-L2 code per subvector for a whole Arrow batch in one
+    numpy broadcast — the _cell_dots_udf tradeoff (guide §4.2): the
+    expression form ran m·n_codes interpreted zip_with/aggregate HOFs
+    per row (the unrolled variant was a >1000-node janino unit — see
+    _pq_space_lit). Numerics are IDENTICAL to the old fold: each
+    distance is a sequential left-to-right sum of ``sub`` squared
+    differences in float64 (numpy reduces axes shorter than its
+    pairwise blocksize sequentially; the fold's leading 0.0 is exact),
+    and ``argmin`` returns the FIRST minimum — the array_min struct
+    tie-break (smaller code). Asserted equal to the expression form in
+    tests/test_r16_fixes.py."""
+    m, n_codes, sub = codebooks.shape
+    cb = codebooks.astype(np.float64).copy()
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def codes_udf(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        xs = x[:, : m * sub].reshape(len(x), m, 1, sub)
+        d = ((xs - cb[None, :, :, :]) ** 2).sum(axis=3)
+        return pd.Series(list(d.argmin(axis=2).astype(np.int32)))
+
+    return codes_udf
 
 
 def pq_adc_topk(

@@ -3633,11 +3633,13 @@ def _board_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BOARD_CACHE:
         d = load_table(spark, sf_dir, "documents")
+        # the session pairs table IS the inline minhash_lsh_pairs(16,
+        # 4, 3, 0.2, cap) result row-for-row (asserted index==inline in
+        # test_operators) — the board's drop set filters it instead of
+        # re-running a full LSH pipeline (signatures + banding +
+        # self-join + verify) inside the heaviest build of the bench
         drops = (
-            DD.minhash_lsh_pairs(
-                d, num_hashes=16, bands=4, n=3, threshold=0.2,
-                max_band_freq=MAX_BAND_FREQ,
-            )
+            _indexed_lsh_pairs(spark, sf_dir)
             .filter(F.round("jaccard", 6) >= BOARD_NEARDUP_TAU)
             .select(F.col("id_b").alias("doc_id"))
             .distinct()

@@ -123,3 +123,39 @@ def test_bench_release_analysis_covers_known_consumers():
     at_or_after("_LR_MODEL_CACHE", "q192_model_calibration")
     at_or_after("_COMPONENTS_CACHE", "q174_dedup_weights")
     at_or_after("_BM25_SCORED_CACHE", "q158_retrieval_eval")
+
+
+def test_pq_encode_udf_equals_expression_form(spark):
+    """The Arrow-batched PQ encode must reproduce the old zip_with/
+    aggregate expression form bit-for-bit: same sequential float64
+    sum order, same first-minimum (smaller-code) tie-break."""
+    import numpy as np
+
+    from spark_nnd_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(7)
+    rows = [(int(i), rng.uniform(-1, 1, 32).tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = SIM.pq_codebooks(32, 4, 8, 42)
+
+    m, n_codes, sub = cb.shape
+    v = SIM._as_double("embedding")  # noqa: SLF001
+    code_cols = []
+    for j in range(m):
+        dists = SIM._pq_dists_expr(  # noqa: SLF001
+            v, j, sub, SIM._pq_space_lit(cb[j])  # noqa: SLF001
+        )
+        pairs = F.transform(
+            dists, lambda d, i: F.struct(d.alias("d"), i.alias("c"))
+        )
+        code_cols.append(F.array_min(pairs)["c"])
+    old = {
+        r["id"]: list(r["codes"])
+        for r in df.select(
+            F.col("vec_id").alias("id"), F.array(*code_cols).alias("codes")
+        ).collect()
+    }
+    new = {
+        r["id"]: list(r["codes"]) for r in SIM.pq_encode(df, cb).collect()
+    }
+    assert old == new
