@@ -6,6 +6,8 @@ the naive reference replayed over the SAME merge sequence."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -14,6 +16,9 @@ from spark_nnd_spark.queries.pipeline import (
     bpe_train_merges,
 )
 
+
+
+pytestmark = pytest.mark.slow  # heavy tier: deselected from the default fast run
 
 def _naive_census(vocab: dict[str, int]) -> dict[tuple[str, str], int]:
     # vocab: tuple-of-symbols -> count

@@ -6,6 +6,8 @@ q177 computation value-for-value."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -17,6 +19,9 @@ from spark_nnd_spark.operators.clustering import (
     retract_cov_stats,
     top_eigen_power,
 )
+
+
+pytestmark = pytest.mark.slow  # heavy tier: deselected from the default fast run
 
 DIM = 16
 

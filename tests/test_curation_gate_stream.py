@@ -4,6 +4,8 @@ index — replay==batch, planted duplicate rejected in every replay."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 import pandas as pd
@@ -17,6 +19,9 @@ from spark_nnd_spark.queries.pipeline import board_compose, board_gates
 from spark_nnd_spark.streaming.streams import curation_gate_stream
 from tests.conftest import SF_SMOKE
 
+
+
+pytestmark = pytest.mark.slow  # heavy tier: deselected from the default fast run
 
 def _rows(df):
     return sorted(tuple(r) for r in df.collect())

@@ -6,6 +6,8 @@ and the streaming maintenance twin."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -17,6 +19,9 @@ from spark_nnd_spark.operators.event_rollup import (
     ohlc_from_rollup,
     rollup_table,
 )
+
+
+pytestmark = pytest.mark.slow  # heavy tier: deselected from the default fast run
 
 DDL = "event_id long, ts timestamp, user_id long, value double"
 

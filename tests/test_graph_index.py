@@ -6,12 +6,17 @@ ingest gate stream's replay==batch purity."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
 
 from spark_nnd_spark.operators import knn_graph_index as KG
 from tests.conftest import make_clustered_points
+
+
+pytestmark = pytest.mark.slow  # heavy tier: deselected from the default fast run
 
 POINT_DDL = (
     "id long, features array<double>, label long, partition long, "

@@ -5,6 +5,8 @@ contract of the expand/score step."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from spark_nnd_spark.nnd.descent import build_graph
@@ -15,6 +17,9 @@ from spark_nnd_spark.nnd.search import (
     graph_search_topk,
 )
 from tests.conftest import make_clustered_points
+
+
+pytestmark = pytest.mark.slow  # heavy tier: deselected from the default fast run
 
 _SCHEMA = (
     "id long, features array<double>, label long, partition long, "

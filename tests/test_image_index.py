@@ -5,6 +5,8 @@ Mirrors the span/near-dup index discipline (7th persisted family)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from spark_nnd_spark.operators.dedup import hash_hamming_pairs
@@ -20,6 +22,9 @@ from spark_nnd_spark.operators.multimodal import (
 # 16x16 raw uint8 payloads (the codec='raw' deterministic fake decode):
 # a gradient, a near-dup of it (one corner byte perturbed), and two
 # patterns far from both in aHash space.
+
+pytestmark = pytest.mark.slow  # heavy tier: deselected from the default fast run
+
 GRAD = bytes(i % 256 for i in range(256))
 GRAD_NEAR = bytes([255]) + GRAD[1:]
 CHECKER = bytes(

@@ -18,6 +18,9 @@ from spark_nnd_spark.schemas import InvalidPointsError, validate_points, normali
 from tests.conftest import SF_SMOKE
 
 
+
+pytestmark = pytest.mark.slow  # heavy tier: deselected from the default fast run
+
 def test_group_top_k(spark):
     df = spark.createDataFrame(
         [(1, 10.0, "a"), (1, 30.0, "b"), (1, 20.0, "c"), (2, 5.0, "d")],

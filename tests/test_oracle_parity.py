@@ -21,6 +21,9 @@ import __spark_entry__ as entrymod
 from tests.conftest import SF_SMOKE
 
 
+
+pytestmark = pytest.mark.slow  # heavy tier: deselected from the default fast run
+
 def _col_kind(s: pd.Series) -> str:
     """Collapse a column dtype to the kind the driver's hash is sensitive to."""
     k = s.dtype.kind

@@ -4,6 +4,8 @@ re-admission upsert. Mirrors the near-dup index discipline."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from spark_nnd_spark.operators.dedup import (
@@ -14,6 +16,9 @@ from spark_nnd_spark.operators.dedup import (
     retract_from_span_index,
     span_query_index,
 )
+
+
+pytestmark = pytest.mark.slow  # heavy tier: deselected from the default fast run
 
 PASSAGE = "p0 p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11"  # 12 tokens
 

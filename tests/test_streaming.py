@@ -21,6 +21,9 @@ from spark_nnd_spark.streaming import (
 from tests.conftest import SF_SMOKE
 
 
+
+pytestmark = pytest.mark.slow  # heavy tier: deselected from the default fast run
+
 @pytest.fixture(scope="module")
 def events_batch(spark):
     return load_table(spark, SF_SMOKE, "events")

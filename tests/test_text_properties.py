@@ -17,6 +17,9 @@ except ImportError:  # pragma: no cover
 from spark_nnd_spark.functions import text as TX
 from tests.conftest import SF_SMOKE
 
+
+pytestmark = pytest.mark.slow  # heavy tier: deselected from the default fast run
+
 P = TX.P
 
 # the corpus format: single-space-separated non-empty lowercase tokens

@@ -7,6 +7,8 @@ inline q188 computation value-for-value; commits are atomic
 
 from __future__ import annotations
 
+import pytest
+
 from spark_nnd_spark.operators.text_stats import (
     _token_counts,
     build_token_stats,
@@ -16,6 +18,9 @@ from spark_nnd_spark.operators.text_stats import (
     token_counts_from_stats,
 )
 
+
+
+pytestmark = pytest.mark.slow  # heavy tier: deselected from the default fast run
 
 def _docs(spark, lo: int, hi: int):
     rows = [

@@ -5,6 +5,8 @@ discipline (the eleventh persisted family)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from spark_nnd_spark.operators.dedup import (
@@ -18,6 +20,9 @@ from spark_nnd_spark.operators.dedup import (
 
 # 20 tokens: 17 pure passage shingles at n=4 — enough selected minima
 # to clear min_shared=2 on every shared-passage pair
+
+pytestmark = pytest.mark.slow  # heavy tier: deselected from the default fast run
+
 PASSAGE = " ".join(f"p{i}" for i in range(20))
 
 
